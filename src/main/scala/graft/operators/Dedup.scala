@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.core.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. (Driver north star; the
+  * reference's own dedup surface is exact `drop_duplicates` —
+  * /root/reference/PharmacoDI/combine_pset_tables.py:233.)
+  *
+  * Scale design:
+  *  - exact dedup groups by a hash of the payload, not the payload —
+  *    the shuffle carries 16-byte keys, not documents;
+  *  - n-gram Jaccard joins on shingles (inverted-index join), never
+  *    a document cross join; at 100 TB add a band/bucket prefilter
+  *    (that is exactly what [[minhashLsh]] is);
+  *  - MinHash signatures are built in one pass with element-wise
+  *    min aggregation over seed-indexed hashes; candidate generation
+  *    is an equi-join on (band, band_hash) — shuffle keys are 16
+  *    bytes/band regardless of document size.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id + distinct word-3-gram shingles. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
+          .as("shingle"))
+      .distinct()
+
+  /** Pairwise Jaccard over distinct shingles via inverted-index join:
+    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), Seq("doc_a"))
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact dedup: group by content hash (16-byte shuffle key). */
+  val dedupExact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  /** n-gram Jaccard near-dup pairs (threshold 0.5). */
+  val dedupNgramJaccard: Q = (s, dir) =>
+    jaccardPairs(shingles(t(s, dir, "documents")), 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  val NumHashes = 32
+  val BandRows = 4 // => 8 bands
+
+  /** MinHash signatures: one row per (doc, seed) via a seed-expansion
+    * explode, then min-per-seed. Signature columns m0..m31. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val seeded = sh.select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(0, ${NumHashes - 1}), i -> struct(i AS seed, xxhash64(i, shingle) AS h))"))
+        .as("sh"))
+      .select(col("doc_id"), col("sh.seed").as("seed"), col("sh.h").as("h"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(when(col("seed") === i, col("h"))).as(s"m$i"))
+    seeded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: band hash = xxhash64 of the band's rows;
+    * candidates = equi-join on (band, band_hash); verified with true
+    * Jaccard. This is the 100 TB near-dup path: candidate generation
+    * cost is linear in corpus size, not quadratic. */
+  def minhashLsh(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = shingles(docs)
+    val sig = minhashSignatures(sh)
+    val numBands = NumHashes / BandRows
+    val bandCols = (0 until numBands).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with true Jaccard (join back to shingles)
+    val verified = jaccardPairs(sh, minJaccard)
+    cand.join(verified, Seq("doc_a", "doc_b"))
+  }
+
+  val dedupMinhashLsh: Q = (s, dir) =>
+    minhashLsh(t(s, dir, "documents"), 0.5).orderBy("doc_a", "doc_b")
+
+  /** SimHash: 64-bit signature; bit i set iff the sum of (+1/-1) votes
+    * from token hashes is positive. One scan, 64 conditional sums. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val dedupSimhash: Q = (s, dir) =>
+    simhash(t(s, dir, "documents")).orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "x_dedup_exact" -> dedupExact,
+    "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "x_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "x_dedup_simhash" -> dedupSimhash)
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text) ORDER BY text_hash",
+    "x_dedup_ngram_jaccard" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT doc_a, doc_b, common / (ca.n_sh + cb.n_sh - common) AS jaccard FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5 ORDER BY doc_a, doc_b"))
+}

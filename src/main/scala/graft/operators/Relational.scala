@@ -1,0 +1,610 @@
+package graft.operators
+
+import graft.core.{Audit, Harmonize, Ids, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 operator inventory, re-expressed as Spark-first
+  * queries over the driver testdata (TESTDATA.md), each paired with an
+  * ANSI-SQL DuckDB oracle.
+  *
+  * Design rules for 100 TB (see each query's doc):
+  *  - dimensions (region/nation/part/supplier/customer) broadcast;
+  *    facts (lineitem/orders/events) never collected or broadcast;
+  *  - aggregates that the oracle hash-compares avoid cross-row float
+  *    accumulation (floats don't re-associate): money is compared in
+  *    integer cents via floor(x*100) — a per-row IEEE op that is
+  *    bit-identical across engines;
+  *  - every query ends in a deterministic total order so results are
+  *    reproducible regardless of partitioning.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables.t
+
+  /** floor(x*100) as integer cents: per-row, engine-portable exact. */
+  private def cents(c: Column): Column = floor(c * 100).cast(LongType)
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag-").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  // ---------------------------------------------------------------- scans
+
+  /** S3: parquet scan (read_pset.py:82-83). Column pruning reaches the
+    * scan: ReadSchema carries only the two selected columns. */
+  val s3ParquetScan: Q = (s, dir) =>
+    t(s, dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+  /** S1+K2: CSV sink + scan roundtrip with header and explicit schema
+    * (read_pset.py:80-81; combine_pset_tables.py:162-163). */
+  val s1CsvRoundtrip: Q = (s, dir) => {
+    val path = tmpDir("csv")
+    t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.option("header", "true").schema(schema).csv(path).orderBy("n_nationkey")
+  }
+
+  /** S2: CSV scan with NA-as-null (build_synonym_tables.py:37). */
+  val s2CsvNaNulls: Q = (s, dir) => {
+    val path = tmpDir("csvna")
+    t(s, dir, "nation")
+      .withColumn("n_regionkey",
+        when(col("n_regionkey") === 0, lit(null)).otherwise(col("n_regionkey")))
+      .write.mode("overwrite").option("header", "true").option("nullValue", "NA").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.option("header", "true").option("nullValue", "NA").schema(schema)
+      .csv(path).orderBy("n_nationkey")
+  }
+
+  /** S4: text scan (read_pset.py:84-87, build_cellosaurus.py:45-47). */
+  val s4TextScan: Q = (s, dir) => {
+    val path = tmpDir("txt")
+    t(s, dir, "documents").select("text").write.mode("overwrite").text(path)
+    s.read.text(path).agg(count(lit(1)).as("n_lines"))
+  }
+
+  /** S7+K1: multi-file glob scan over a partitioned parquet sink
+    * (combine_pset_tables.py:214-234). At 100 TB the glob resolves to
+    * partition directories and Spark prunes + parallelizes per file. */
+  val s7GlobScan: Q = (s, dir) => {
+    val path = tmpDir("glob")
+    t(s, dir, "nation").write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
+    s.read.parquet(s"$path/n_regionkey=*")
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+  }
+
+  /** S8: directory-listing scan + filename parse (read_pset.py:40-74).
+    * Listing is driver-side (metadata, not data); the parse is a
+    * distributed regexp projection. */
+  val s8FileListing: Q = (s, dir) => {
+    import s.implicits._
+    val names = new java.io.File(dir).list().toSeq.filter(_.endsWith(".parquet")).sorted
+    names.toDF("file_name")
+      .select(regexp_replace(col("file_name"), "\\.parquet$", "").as("table_name"))
+      .orderBy("table_name")
+  }
+
+  // ---------------------------------------- projections / filters
+
+  /** P1: column select (build_experiment_tables.py:56-57). */
+  val p1Select: Q = (s, dir) =>
+    t(s, dir, "part").select("p_partkey", "p_name", "p_size").orderBy("p_partkey")
+
+  /** P2: rename (combine_pset_tables.py:287). */
+  val p2Rename: Q = (s, dir) =>
+    t(s, dir, "supplier")
+      .withColumnsRenamed(Map("s_suppkey" -> "supplier_id", "s_name" -> "supplier_name"))
+      .select("supplier_id", "supplier_name").orderBy("supplier_id")
+
+  /** P3: drop columns (read_pset.py:66). */
+  val p3Drop: Q = (s, dir) =>
+    t(s, dir, "customer").drop("c_acctbal", "c_mktsegment").orderBy("c_custkey")
+
+  /** P4: literal columns (build_experiment_tables.py:65,134). */
+  val p4Literal: Q = (s, dir) =>
+    t(s, dir, "region")
+      .select(col("r_regionkey"), lit("tpch").as("dataset"), lit(0).as("permutation_done"))
+      .orderBy("r_regionkey")
+
+  /** P5: equality filter (build_gene_compound_tissue_dataset_tables.py:71,
+    * implementing the reference's *intended* — not discarded — filter). */
+  val p5FilterEq: Q = (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+
+  /** P6: range predicate conjunction (build_target_tables.py:166-167). */
+  val p6FilterRange: Q = (s, dir) =>
+    t(s, dir, "part")
+      .filter(col("p_size") >= 10 && col("p_size") < 20 && col("p_retailprice") > 1500)
+      .select("p_partkey").orderBy("p_partkey")
+
+  /** P7: null-predicate filter (combine_pset_tables.py:319-326). */
+  val p7FilterNull: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("tax_n", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
+      .filter(col("tax_n").isNotNull)
+      .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+
+  /** P8: not-empty-string filter (build_synonym_tables.py:69). */
+  val p8FilterNonEmpty: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("src", regexp_replace(col("source"), "^src0$", ""))
+      .filter(col("src") =!= "")
+      .select("doc_id", "src").orderBy("doc_id")
+
+  /** P9: string-prefix filter (read_pset.py:48). */
+  val p9FilterPrefix: Q = (s, dir) =>
+    t(s, dir, "part").filter(!col("p_name").startsWith("a"))
+      .select("p_partkey", "p_name").orderBy("p_partkey")
+
+  /** P10: regex row filter (build_synonym_tables.py:50-56). */
+  val p10RegexFilter: Q = (s, dir) =>
+    t(s, dir, "nation").filter(col("n_name").rlike("^[AB]"))
+      .select("n_nationkey", "n_name").orderBy("n_nationkey")
+
+  /** P11: conditional update + clamp (combine_pset_tables.py:173;
+    * build_gene_compound_tissue_dataset_tables.py:82). */
+  val p11ConditionalUpdate: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_discount") > 0.05, "HIGH").otherwise("LOW").as("discount_level"),
+      least(cents(col("l_extendedprice")), lit(2000000L)).as("price_c"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P12: schema harmonization (utilities.py:6-50): declared column
+    * order, typed-null pad of a missing column, float->int->string. */
+  val p12Harmonize: Q = (s, dir) => {
+    val target = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("acct_whole", StringType),
+      StructField("pubchem", StringType)))
+    Harmonize.harmonize(
+      t(s, dir, "customer").withColumn("acct_whole", round(col("c_acctbal"), 0)),
+      target).orderBy("c_custkey")
+  }
+
+  /** P13: fill nulls with a constant (build_all_pset_tables.py:130-133). */
+  val p13FillNa: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("tax_n", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
+      .na.fill(Map("tax_n" -> -1.0))
+      .select("l_orderkey", "l_linenumber", "tax_n").orderBy("l_orderkey", "l_linenumber")
+
+  /** P14: drop all-null columns (build_cellosaurus.py:64). */
+  val p14DropAllNullCols: Q = (s, dir) =>
+    Harmonize.dropAllNullColumns(
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"),
+        lit(null).cast(StringType).as("empty_col")))
+      .orderBy("r_regionkey")
+
+  // ------------------------------------------------------------- joins
+
+  /** J1: left equi-join enrich (build_experiment_tables.py:68-69).
+    * customer is a dimension => broadcast, no shuffle of orders. */
+  val j1LeftJoin: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"), "left")
+      .select("o_orderkey", "c_mktsegment").orderBy("o_orderkey")
+
+  /** J2: composite-key join of two fact projections
+    * (build_experiment_tables.py:123-129, dose x response). Both sides
+    * share the same key => at scale, bucketing both by
+    * (l_orderkey, l_linenumber) makes this a zero-shuffle SMJ. */
+  val j2CompositeJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val dose = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    val resp = li.select(col("l_orderkey"), col("l_linenumber"),
+      cents(col("l_extendedprice")).as("price_c"))
+    dose.join(resp, Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** J3: keyed dim lookup join (combine_pset_tables.py:296-330) as a
+    * broadcast hash join + partial aggregation. */
+  val j3BroadcastDimJoin: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+      .orderBy("p_brand")
+
+  /** J4: update-join — replace a natural key with the dim value,
+    * keeping unmatched rows (utilities.py:54-83). */
+  val j4UpdateJoin: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_name"), col("c_nationkey").cast(StringType)).as("nation"))
+      .orderBy("c_custkey")
+
+  /** J5: composite-key update-join (build_meta_tables.py:199-208). */
+  val j5CompositeUpdateJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val dim = li.groupBy("l_partkey", "l_suppkey")
+      .agg(min(cents(col("l_extendedprice"))).as("min_price_c"))
+    li.join(dim, Seq("l_partkey", "l_suppkey"), "left")
+      .select("l_orderkey", "l_linenumber", "min_price_c")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** J6: inner equi-join + aggregate (get_chembl_compound_targets.py:49-50). */
+  val j6InnerJoin: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** J7: anti-join audit — unmatched keys (combine_pset_tables.py:319-326). */
+  val j7AntiJoinAudit: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    c.join(t(s, dir, "orders"), c("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  /** Semi-join complement of J7 (matched keys only). */
+  val j8SemiJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    c.join(t(s, dir, "orders"), c("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+  }
+
+  /** J9: dict-lookup as broadcast join chain (build_synonym_tables.py:74-82). */
+  val j9LookupChain: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))
+      .orderBy("n_nationkey")
+
+  /** J10: cross join (build_meta_tables.py:256-268). Both sides tiny;
+    * BroadcastNestedLoopJoin — never cross-join two facts. */
+  val j10CrossJoin: Q = (s, dir) =>
+    t(s, dir, "region").select("r_name")
+      .crossJoin(t(s, dir, "customer").select(col("c_mktsegment").as("seg")).distinct())
+      .orderBy("r_name", "seg")
+
+  // -------------------------------------------------------------- aggs
+
+  /** A1: group-by count (build_all_pset_tables.py:112-113). */
+  val a1GroupByCount: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** A2: dedup by all columns (combine_pset_tables.py:233). */
+  val a2DedupAll: Q = (s, dir) =>
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3: dedup by subset key, deterministic first
+    * (build_clinical_trial_tables.py:62-63). */
+  val a3DedupSubset: Q = (s, dir) =>
+    t(s, dir, "orders").groupBy("o_custkey").agg(min("o_orderkey").as("first_order"))
+      .orderBy("o_custkey")
+
+  /** A4: distinct values of one column (build_primary_pset_tables.py:62). */
+  val a4Distinct: Q = (s, dir) =>
+    t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** A5: scalar count statistics across tables
+    * (build_all_pset_tables.py:152-173). */
+  val a5ScalarStats: Q = (s, dir) =>
+    t(s, dir, "region").agg(count(lit(1)).as("regions"))
+      .crossJoin(t(s, dir, "nation").agg(count(lit(1)).as("nations")))
+      .crossJoin(t(s, dir, "customer").agg(count(lit(1)).as("customers")))
+      .crossJoin(t(s, dir, "orders").agg(count(lit(1)).as("orders")))
+      .crossJoin(t(s, dir, "lineitem").agg(count(lit(1)).as("lineitems")))
+
+  /** A6: null-count audit (build_meta_tables.py:84). */
+  val a6NullCount: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("l_tax") =!= 0, lit(1))).as("n_nonzero_tax"))
+
+  /** A7: multi-value string agg per group (build_cellosaurus.py:26-30,
+    * 60-61): '|||'-joined values, deterministically ordered. */
+  val a7StringAgg: Q = (s, dir) =>
+    t(s, dir, "nation").groupBy("n_regionkey")
+      .agg(concat_ws("|||", sort_array(collect_list("n_name"))).as("members"))
+      .orderBy("n_regionkey")
+
+  // ----------------------------------------------------- window / ids
+
+  /** W1 (small): dense id via global window (combine_pset_tables.py:346-347). */
+  val w1DenseIdWindow: Q = (s, dir) =>
+    Ids.denseIdWindow(t(s, dir, "region"), Seq(col("r_name"))).orderBy("id")
+
+  /** W1 (scalable): dense id via total sort + zipWithIndex — the
+    * 100 TB path (SURVEY §7.4.1): no single-partition window. */
+  val w2DenseIdScalable: Q = (s, dir) =>
+    Ids.denseId(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"),
+      Seq(col("l_orderkey"), col("l_linenumber"))).orderBy("id")
+
+  // -------------------------------------------------------- sort / limit
+
+  /** O1: sort with nulls-last placement (combine_pset_tables.py:66-67)
+    * + O4 limit: top-50 by nullable key proves null placement. */
+  val o1SortNullsLast: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("tax_n", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
+      .orderBy(col("tax_n").asc_nulls_last, col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+      .select("l_orderkey", "l_linenumber", "tax_n")
+
+  /** O2: multi-column sort + limit (combine_pset_tables.py:207-208).
+    * Spark plans sort+limit as TakeOrderedAndProject — a distributed
+    * top-k, no global sort materialized. */
+  val o2MultiSortLimit: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+      .limit(100)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+
+  // ----------------------------------------------------------- set ops
+
+  /** U1: n-ary union-by-name with missing-column padding
+    * (combine_pset_tables.py:230, rbind force=True). */
+  val u1UnionByName: Q = (s, dir) => {
+    val a = t(s, dir, "part").select(col("p_partkey").as("id"),
+      col("p_name").as("name"), lit("part").as("src"))
+    val b = t(s, dir, "supplier").select(col("s_suppkey").as("id"),
+      col("s_name").as("name"), lit("supplier").as("src"), col("s_acctbal").as("bal"))
+    a.unionByName(b, allowMissingColumns = true).orderBy("src", "id")
+  }
+
+  /** U2: union-distinct (build_target_tables.py:73-75). */
+  val u2UnionDistinct: Q = (s, dir) =>
+    t(s, dir, "nation").select(col("n_regionkey").as("key"))
+      .union(t(s, dir, "region").select(col("r_regionkey")))
+      .distinct().orderBy("key")
+
+  // --------------------------------------------------------- reshaping
+
+  /** R1: melt wide->long (build_experiment_tables.py:109-121). Money
+    * pre-scaled to cents so the unpivoted value column is exact. */
+  val r1Melt: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      cents(col("l_quantity")).as("qty_c"),
+      cents(col("l_extendedprice")).as("price_c"),
+      cents(col("l_discount")).as("disc_c"),
+      cents(col("l_tax")).as("tax_c"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty_c"), col("price_c"), col("disc_c"), col("tax_c")),
+        "measure", "value_c")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** R3: explode a split list column (get_chembl_targets.py:23-27). */
+  val r3Explode: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  /** R4: JSON struct flatten (get_chembl_targets.py:33-38) via
+    * from_json — codegen-friendly, no UDF. */
+  val r4JsonFlatten: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("j"))
+      .select(col("event_id"), col("j.k").as("k"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------------ scalar funcs
+
+  /** F1: chained regexp_replace — version-suffix strip then
+    * whitespace normalization (build_primary_pset_tables.py:65,121-122). */
+  val f1RegexpChain: Q = (s, dir) =>
+    t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      regexp_replace(
+        regexp_replace(
+          concat_ws(".", col("s_name"), (col("s_suppkey") % 10).cast(StringType)),
+          "\\.[0-9]+$", ""),
+        " ", "_").as("clean_name"))
+      .orderBy("s_suppkey")
+
+  /** F2: split + element access (read_pset.py:49). */
+  val f2SplitElement: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      split(col("o_orderpriority"), "-").getItem(0).as("prio_code"),
+      split(col("o_orderpriority"), "-").getItem(1).as("prio_word"))
+      .orderBy("o_orderkey")
+
+  /** F7: round to fixed decimals (build_experiment_tables.py:136-137). */
+  val f7Round: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F8: clamp via least (combine_pset_tables.py:173). */
+  val f8Clamp: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      least(col("l_extendedprice"), lit(50000.0)).as("price_clamped"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F9: casts (utilities.py:41-46; build_all_pset_tables.py:133). */
+  val f9Cast: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast(IntegerType).as("qty_i"),
+      col("l_orderkey").cast(StringType).as("okey_s"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, Q] = Map(
+    "s1_csv_roundtrip" -> s1CsvRoundtrip,
+    "s2_csv_na_nulls" -> s2CsvNaNulls,
+    "s3_parquet_scan" -> s3ParquetScan,
+    "s4_text_scan" -> s4TextScan,
+    "s7_glob_scan" -> s7GlobScan,
+    "s8_file_listing" -> s8FileListing,
+    "p1_select" -> p1Select,
+    "p2_rename" -> p2Rename,
+    "p3_drop" -> p3Drop,
+    "p4_literal" -> p4Literal,
+    "p5_filter_eq" -> p5FilterEq,
+    "p6_filter_range" -> p6FilterRange,
+    "p7_filter_null" -> p7FilterNull,
+    "p8_filter_nonempty" -> p8FilterNonEmpty,
+    "p9_filter_prefix" -> p9FilterPrefix,
+    "p10_regex_filter" -> p10RegexFilter,
+    "p11_conditional_update" -> p11ConditionalUpdate,
+    "p12_harmonize" -> p12Harmonize,
+    "p13_fillna" -> p13FillNa,
+    "p14_drop_allnull_cols" -> p14DropAllNullCols,
+    "j1_left_join" -> j1LeftJoin,
+    "j2_composite_join" -> j2CompositeJoin,
+    "j3_broadcast_dim_join" -> j3BroadcastDimJoin,
+    "j4_update_join" -> j4UpdateJoin,
+    "j5_composite_update_join" -> j5CompositeUpdateJoin,
+    "j6_inner_join" -> j6InnerJoin,
+    "j7_anti_join_audit" -> j7AntiJoinAudit,
+    "j8_semi_join" -> j8SemiJoin,
+    "j9_lookup_chain" -> j9LookupChain,
+    "j10_cross_join" -> j10CrossJoin,
+    "a1_groupby_count" -> a1GroupByCount,
+    "a2_dedup_all" -> a2DedupAll,
+    "a3_dedup_subset" -> a3DedupSubset,
+    "a4_distinct" -> a4Distinct,
+    "a5_scalar_stats" -> a5ScalarStats,
+    "a6_null_count" -> a6NullCount,
+    "a7_string_agg" -> a7StringAgg,
+    "w1_dense_id_window" -> w1DenseIdWindow,
+    "w2_dense_id_scalable" -> w2DenseIdScalable,
+    "o1_sort_nulls_last" -> o1SortNullsLast,
+    "o2_multisort_limit" -> o2MultiSortLimit,
+    "u1_union_by_name" -> u1UnionByName,
+    "u2_union_distinct" -> u2UnionDistinct,
+    "r1_melt" -> r1Melt,
+    "r3_explode" -> r3Explode,
+    "r4_json_flatten" -> r4JsonFlatten,
+    "f1_regexp_chain" -> f1RegexpChain,
+    "f2_split_element" -> f2SplitElement,
+    "f7_round" -> f7Round,
+    "f8_clamp" -> f8Clamp,
+    "f9_cast" -> f9Cast)
+
+  val oracles: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s2_csv_na_nulls" ->
+      "SELECT n_nationkey, n_name, CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS n_regionkey FROM nation ORDER BY n_nationkey",
+    "s3_parquet_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s4_text_scan" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines FROM documents",
+    "s7_glob_scan" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "s8_file_listing" ->
+      "SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name) ORDER BY table_name",
+    "p1_select" ->
+      "SELECT p_partkey, p_name, p_size FROM part ORDER BY p_partkey",
+    "p2_rename" ->
+      "SELECT s_suppkey AS supplier_id, s_name AS supplier_name FROM supplier ORDER BY supplier_id",
+    "p3_drop" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "p4_literal" ->
+      "SELECT r_regionkey, 'tpch' AS dataset, 0 AS permutation_done FROM region ORDER BY r_regionkey",
+    "p5_filter_eq" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+    "p6_filter_range" ->
+      "SELECT p_partkey FROM part WHERE p_size >= 10 AND p_size < 20 AND p_retailprice > 1500 ORDER BY p_partkey",
+    "p7_filter_null" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (CASE WHEN l_tax = 0 THEN NULL ELSE l_tax END) IS NOT NULL ORDER BY l_orderkey, l_linenumber",
+    "p8_filter_nonempty" ->
+      "SELECT doc_id, regexp_replace(source, '^src0$', '') AS src FROM documents WHERE regexp_replace(source, '^src0$', '') <> '' ORDER BY doc_id",
+    "p9_filter_prefix" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name NOT LIKE 'a%' ORDER BY p_partkey",
+    "p10_regex_filter" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE regexp_matches(n_name, '^[AB]') ORDER BY n_nationkey",
+    "p11_conditional_update" ->
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS discount_level, least(CAST(floor(l_extendedprice * 100) AS BIGINT), 2000000) AS price_c FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p12_harmonize" ->
+      "SELECT c_custkey, c_name, CAST(CAST(round(c_acctbal, 0) AS BIGINT) AS VARCHAR) AS acct_whole, CAST(NULL AS VARCHAR) AS pubchem FROM customer ORDER BY c_custkey",
+    "p13_fillna" ->
+      "SELECT l_orderkey, l_linenumber, COALESCE(CASE WHEN l_tax = 0 THEN NULL ELSE l_tax END, -1.0) AS tax_n FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "p14_drop_allnull_cols" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "j1_left_join" ->
+      "SELECT o_orderkey, c_mktsegment FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o_orderkey",
+    "j2_composite_join" ->
+      "SELECT d.l_orderkey, d.l_linenumber, d.l_quantity, CAST(floor(r.l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem d JOIN lineitem r ON d.l_orderkey = r.l_orderkey AND d.l_linenumber = r.l_linenumber ORDER BY d.l_orderkey, d.l_linenumber",
+    "j3_broadcast_dim_join" ->
+      "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p_brand ORDER BY p_brand",
+    "j4_update_join" ->
+      "SELECT c_custkey, COALESCE(n_name, CAST(c_nationkey AS VARCHAR)) AS nation FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey ORDER BY c_custkey",
+    "j5_composite_update_join" ->
+      "WITH dim AS (SELECT l_partkey, l_suppkey, MIN(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS min_price_c FROM lineitem GROUP BY l_partkey, l_suppkey) SELECT f.l_orderkey, f.l_linenumber, d.min_price_c FROM lineitem f LEFT JOIN dim d ON f.l_partkey = d.l_partkey AND f.l_suppkey = d.l_suppkey ORDER BY f.l_orderkey, f.l_linenumber",
+    "j6_inner_join" ->
+      "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "j7_anti_join_audit" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+    "j8_semi_join" ->
+      "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+    "j9_lookup_chain" ->
+      "SELECT n_nationkey, n_name, r_name AS region_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "j10_cross_join" ->
+      "SELECT r_name, seg FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) ORDER BY r_name, seg",
+    "a1_groupby_count" ->
+      "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "a2_dedup_all" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "a3_dedup_subset" ->
+      "SELECT o_custkey, MIN(o_orderkey) AS first_order FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    "a4_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "a5_scalar_stats" ->
+      "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS regions, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS nations, (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS customers, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS orders, (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS lineitems",
+    "a6_null_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_total, CAST(COUNT(CASE WHEN l_tax <> 0 THEN 1 END) AS BIGINT) AS n_nonzero_tax FROM lineitem",
+    "a7_string_agg" ->
+      "SELECT n_regionkey, string_agg(n_name, '|||' ORDER BY n_name) AS members FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "w1_dense_id_window" ->
+      "SELECT CAST(row_number() OVER (ORDER BY r_name) AS BIGINT) AS id, r_regionkey, r_name FROM region ORDER BY id",
+    "w2_dense_id_scalable" ->
+      "SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS id, l_orderkey, l_linenumber FROM lineitem ORDER BY id",
+    "o1_sort_nulls_last" ->
+      "SELECT l_orderkey, l_linenumber, tax_n FROM (SELECT l_orderkey, l_linenumber, CASE WHEN l_tax = 0 THEN NULL ELSE l_tax END AS tax_n FROM lineitem) ORDER BY tax_n ASC NULLS LAST, l_orderkey, l_linenumber LIMIT 50",
+    "o2_multisort_limit" ->
+      "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM lineitem ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber LIMIT 100",
+    "u1_union_by_name" ->
+      "SELECT * FROM (SELECT p_partkey AS id, p_name AS name, 'part' AS src, CAST(NULL AS DOUBLE) AS bal FROM part UNION ALL SELECT s_suppkey, s_name, 'supplier', s_acctbal FROM supplier) ORDER BY src, id",
+    "u2_union_distinct" ->
+      "SELECT DISTINCT key FROM (SELECT n_regionkey AS key FROM nation UNION ALL SELECT r_regionkey FROM region) ORDER BY key",
+    "r1_melt" ->
+      "SELECT * FROM (SELECT l_orderkey, l_linenumber, 'qty_c' AS measure, CAST(floor(l_quantity * 100) AS BIGINT) AS value_c FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'price_c', CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'disc_c', CAST(floor(l_discount * 100) AS BIGINT) FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'tax_c', CAST(floor(l_tax * 100) AS BIGINT) FROM lineitem) ORDER BY l_orderkey, l_linenumber, measure",
+    "r3_explode" ->
+      "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) GROUP BY word ORDER BY word",
+    "r4_json_flatten" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+    "f1_regexp_chain" ->
+      "SELECT s_suppkey, regexp_replace(regexp_replace(s_name || '.' || CAST(s_suppkey % 10 AS VARCHAR), '\\.[0-9]+$', ''), ' ', '_', 'g') AS clean_name FROM supplier ORDER BY s_suppkey",
+    "f2_split_element" ->
+      "SELECT o_orderkey, string_split(o_orderpriority, '-')[1] AS prio_code, string_split(o_orderpriority, '-')[2] AS prio_word FROM orders ORDER BY o_orderkey",
+    // Spark's round(double, 2) rounds the shortest decimal repr
+    // (BigDecimal.valueOf) HALF_UP; reproduce via varchar->decimal.
+    "f7_round" ->
+      "SELECT l_orderkey, l_linenumber, CAST(round(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(30,15)), 2) AS DOUBLE) AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "f8_clamp" ->
+      "SELECT l_orderkey, l_linenumber, least(l_extendedprice, 50000.0) AS price_clamped FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "f9_cast" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_i, CAST(l_orderkey AS VARCHAR) AS okey_s FROM lineitem ORDER BY l_orderkey, l_linenumber")
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.core.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (driver north star; no reference equivalent — cited patterns are the
+  * reference's regex/string ops, e.g.
+  * /root/reference/PharmacoDI/build_synonym_tables.py:74-82).
+  *
+  * All ops are per-row projections/aggregations over `documents`:
+  * embarrassingly parallel, no shuffle except the final ORDER BY used
+  * only for oracle determinism. At 100 TB these run as a single
+  * whole-stage-codegen'd scan — no UDFs, only built-in higher-order
+  * functions.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokenization shared by all ops. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Count of tokens from `profile` present in `ws` (with repeats). */
+  def profileHits(ws: Column, profile: Seq[String]): Column =
+    size(filter(ws, w => w.isin(profile: _*)))
+
+  /** Token counting (whitespace tokenizer). */
+  val textTokens: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, token count, average token length,
+    * stopword ratio. Ratios are a single IEEE division — portable. */
+  val textQuality: Q = (s, dir) => {
+    val stop = Seq("the", "a", "of", "and")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(col("ws")).as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")) / size(col("ws")))
+          .as("avg_token_len"),
+        (profileHits(col("ws"), stop) / size(col("ws"))).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Profile classifier: score each profile by token hits, argmax with
+    * deterministic alphabetical tiebreak. Used for language-ID
+    * (stopword profiles) and topic-ID (domain profiles).
+    */
+  def classify(df: DataFrame, textCol: String, profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val ws = tokens(col(textCol))
+    val scored = df.withColumn("__ws", ws)
+    val withScores = profiles.foldLeft(scored) { case (d, (name, words)) =>
+      d.withColumn(s"score_$name", profileHits(col("__ws"), words))
+    }
+    // argmax with alphabetical tiebreak: first profile (sorted) that is
+    // >= all later ones wins.
+    val sorted = profiles.map(_._1).sorted
+    val predicted = sorted.init.zipWithIndex.foldRight(lit(sorted.last)) {
+      case ((name, i), elseCol) =>
+        val rest = sorted.drop(i + 1)
+        val isMax = rest.map(o => col(s"score_$name") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(name)).otherwise(elseCol)
+    }
+    withScores.withColumn("predicted", predicted).drop("__ws")
+  }
+
+  /** Language-ID over natural-language stopword profiles. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  val textLangId: Q = (s, dir) =>
+    classify(t(s, dir, "documents"), "text", langProfiles)
+      .select("doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted")
+      .orderBy("doc_id")
+
+  /** Topic-ID over domain profiles — exercises varied argmax. */
+  val topicProfiles: Seq[(String, Seq[String])] = Seq(
+    "relational" -> Seq("table", "row", "column", "join", "key"),
+    "streaming" -> Seq("stream", "batch", "window"),
+    "perf" -> Seq("fast", "slow", "big", "small"))
+
+  val textTopicId: Q = (s, dir) =>
+    classify(t(s, dir, "documents"), "text", topicProfiles)
+      .select("doc_id", "score_perf", "score_relational", "score_streaming", "predicted")
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive document identity for fuzzy-dedup blocking. */
+  val textFingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Rolling polynomial hash over the token stream (order-sensitive
+    * fingerprint). xxhash64 per token then a left fold — not
+    * SQL-oracle-portable (engine hash differs), verified by ScalaTest
+    * instead; driver records a rows-only check.
+    */
+  val textRollingHash: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(
+          transform(tokens(col("text")), w => pmod(xxhash64(w), lit(1000000007L))),
+          lit(0L),
+          // modular polynomial fold: stays < 1e15 so ANSI-mode long
+          // arithmetic cannot overflow
+          (acc, h) => pmod(acc * lit(31L) + h, lit(1000000000000000L)))
+          .as("rolling_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "x_text_tokens" -> textTokens,
+    "x_text_quality" -> textQuality,
+    "x_text_langid" -> textLangId,
+    "x_text_topicid" -> textTopicId,
+    "x_text_fingerprint" -> textFingerprint,
+    "x_text_rolling_hash" -> textRollingHash)
+
+  private def hitsSql(listExpr: String, words: Seq[String]): String =
+    s"CAST(len(list_filter($listExpr, w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS INT)"
+
+  private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "x_text_tokens" ->
+      s"SELECT doc_id, CAST(len($wsExpr) AS INT) AS n_tokens FROM documents ORDER BY doc_id",
+    "x_text_quality" ->
+      (s"SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc, CAST(len($wsExpr) AS INT) AS n_tokens, " +
+        s"length(regexp_replace(text, '\\s+', '', 'g')) / len($wsExpr) AS avg_token_len, " +
+        s"${hitsSql(wsExpr, Seq("the", "a", "of", "and"))} / CAST(len($wsExpr) AS INT) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "x_text_langid" -> {
+      val p = langProfiles.toMap
+      s"WITH s AS (SELECT doc_id, ${hitsSql(wsExpr, p("de"))} AS score_de, ${hitsSql(wsExpr, p("en"))} AS score_en, " +
+        s"${hitsSql(wsExpr, p("es"))} AS score_es, ${hitsSql(wsExpr, p("fr"))} AS score_fr FROM documents) " +
+        "SELECT doc_id, score_de, score_en, score_es, score_fr, " +
+        "CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de' " +
+        "WHEN score_en >= score_es AND score_en >= score_fr THEN 'en' " +
+        "WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS predicted FROM s ORDER BY doc_id"
+    },
+    "x_text_topicid" -> {
+      val p = topicProfiles.toMap
+      s"WITH s AS (SELECT doc_id, ${hitsSql(wsExpr, p("perf"))} AS score_perf, ${hitsSql(wsExpr, p("relational"))} AS score_relational, " +
+        s"${hitsSql(wsExpr, p("streaming"))} AS score_streaming FROM documents) " +
+        "SELECT doc_id, score_perf, score_relational, score_streaming, " +
+        "CASE WHEN score_perf >= score_relational AND score_perf >= score_streaming THEN 'perf' " +
+        "WHEN score_relational >= score_streaming THEN 'relational' ELSE 'streaming' END AS predicted FROM s ORDER BY doc_id"
+    },
+    "x_text_fingerprint" ->
+      s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($wsExpr)), ' ')) AS fingerprint FROM documents ORDER BY doc_id")
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.{Audit, Harmonize, Ids}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class HarmonizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("harmonize pads missing columns with typed nulls in declared order") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val target = StructType(Seq(
+      StructField("name", StringType),
+      StructField("id", LongType),
+      StructField("extra", DoubleType)))
+    val out = Harmonize.harmonize(df, target)
+    assert(out.columns.toSeq == Seq("name", "id", "extra"))
+    assert(out.schema("id").dataType == LongType)
+    val r = out.head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 1L && r.isNullAt(2))
+  }
+
+  test("float->string coercion renders whole floats without decimals (utilities.py:41-46)") {
+    val df = Seq((Some(5757.0), 1), (Some(2.5), 2), (None: Option[Double], 3)).toDF("v", "id")
+    val target = StructType(Seq(StructField("v", StringType)))
+    val out = Harmonize.harmonize(df, target).as[Option[String]].collect().toSet
+    assert(out == Set(Some("5757"), Some("2.5"), None))
+  }
+
+  test("dropAllNullColumns drops only fully-null columns") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+      .withColumn("empty", lit(null).cast(StringType))
+      .withColumn("partial", when(col("id") === 1, "x"))
+    val out = Harmonize.dropAllNullColumns(df)
+    assert(out.columns.toSet == Set("id", "name", "partial"))
+  }
+}
+
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseId assigns dense 1..n in sort order across partitions") {
+    val df = spark.range(1000).select((lit(1000) - col("id")).as("key"))
+      .repartition(7)
+    val out = Ids.denseId(df, Seq(col("key"))).collect()
+    assert(out.length == 1000)
+    val byId = out.sortBy(_.getLong(0))
+    assert(byId.head.getLong(0) == 1L && byId.last.getLong(0) == 1000L)
+    // id order == key order
+    assert(byId.map(_.getLong(1)).toSeq == (1L to 1000L))
+  }
+
+  test("denseIdWindow matches denseId on the same input") {
+    val df = Seq("c", "a", "b").toDF("k")
+    val a = Ids.denseId(df, Seq(col("k"))).select("id", "k").as[(Long, String)].collect().toSet
+    val b = Ids.denseIdWindow(df, Seq(col("k"))).select("id", "k").as[(Long, String)].collect().toSet
+    assert(a == b && a == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}
+
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mapForeignKey maps matched keys, reports and drops unmatched (combine_pset_tables.py:319-326)") {
+    val fact = Seq(("x", 1), ("y", 2), ("zz", 3)).toDF("tissue", "val")
+    val dim = Seq((10L, "x"), (20L, "y")).toDF("id", "name")
+    val m = Audit.mapForeignKey(fact, dim, "tissue", outCol = "tissue_id")
+    assert(m.unmatched.as[String].collect().toSeq == Seq("zz"))
+    val rows = m.mapped.select("val", "tissue_id").as[(Int, Long)].collect().toSet
+    assert(rows == Set((1, 10L), (2, 20L)))
+  }
+}
