@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event analytics in
+  * `graft.operators.EventsOps` (driver north star; the reference is
+  * batch-only — SURVEY.md §1.1). Same logical transforms as batch, so
+  * semantics are shared; these wrap them with event-time watermarks
+  * and keyed state.
+  *
+  * Scale notes: windowed counts are partial-aggregated per
+  * micro-batch and state is keyed by (window, event_type) — bounded by
+  * the watermark horizon. Sessionization keeps one small state object
+  * per user key; state store pressure is O(active users), not events.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(sessionCount: Long, lastSeenMs: Long)
+  final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Hourly tumbling-window counts with a 2-hour watermark: late
+    * events beyond the horizon are dropped, state is evicted. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast(LongType)).as("value_c"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_c"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (mapGroupsWithState): a new session starts after >30 min of
+    * inactivity; emits the running session/event count per user.
+    * In production add a GroupStateTimeout (event-time + watermark) so
+    * idle users' state is evicted; kept timeout-free here because a
+    * pending timeout keeps scheduling batches, which makes
+    * deterministic testing (processAllAvailable) impossible. */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, evts, state: GroupState[SessionState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prior = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var (sessions, last) = (prior.sessionCount, prior.lastSeenMs)
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (last == Long.MinValue || t - last > gapMs) sessions += 1
+            last = t
+          }
+          state.update(SessionState(sessions, last))
+          SessionUpdate(userId, sessions, sorted.size.toLong)
+      }
+  }
+}

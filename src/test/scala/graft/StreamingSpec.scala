@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionUpdate}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("hourlyCounts: tumbling windows aggregate counts and cents per type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "click", 1.50),
+        Event(2, ts(20), 2, "click", 2.25),
+        Event(3, ts(70), 1, "view", 3.00))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "n", "value_c").as[(String, Long, Long)]
+        .collect().toSet
+      assert(rows == Set(("click", 2L, 375L), ("view", 1L, 300L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gaps split sessions, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 0),
+        Event(2, ts(10), 7, "click", 0),  // same session
+        Event(3, ts(50), 7, "click", 0))  // 40-min gap => new session
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts(55), 7, "click", 0),  // continues session 2
+        Event(5, ts(200), 7, "click", 0)) // new session 3 (state remembered)
+      q.processAllAvailable()
+      val last = spark.table("sessions").as[SessionUpdate].collect().last
+      assert(last.user_id == 7L && last.n_sessions == 3L)
+    } finally q.stop()
+  }
+}
