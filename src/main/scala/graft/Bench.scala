@@ -1,15 +1,33 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query
+  * against SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
+  * seconds. A session warm-up action runs first so JVM/codegen/session
+  * initialization is not charged to whichever query happens to run
+  * first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Warm-up: exercise codegen, shuffle machinery, and the parquet
+    // reader once so timings reflect query cost, not JVM startup.
+    spark.range(1000000).selectExpr("sum(id) as s", "count(distinct id % 7) as d")
+      .collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

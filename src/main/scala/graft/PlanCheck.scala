@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality inspector: prints formatted physical plans for
+  * representative queries so scan pruning (ReadSchema), pushed filters,
+  * join strategies (BHJ vs SMJ), and whole-stage-codegen spans can be
+  * audited. Run: `sbt "runMain graft.PlanCheck [names...]"`.
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("p6_filter_range", "j1_left_join", "j3_broadcast_dim_join",
+        "a1_groupby_count", "o2_multisort_limit", "x_dedup_ngram_jaccard",
+        "x_sim_cosine_topk")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
