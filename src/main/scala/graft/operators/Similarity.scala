@@ -55,6 +55,37 @@ object Similarity {
     cosineTopK(t(s, dir, "embeddings"), nQueries = 10, k = 5)
       .orderBy("query_id", "rank")
 
+  /** Scale-path brute force: the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (no per-element
+    * lambda interpretation, no intermediate arrays) + the
+    * [[graft.functions.TopK]] aggregator (partial per-key top-k: map
+    * tasks emit <= k rows per query before the shuffle, so shuffle
+    * volume is O(queries * k), not O(corpus * queries) as with the
+    * window-rank formulation). Result is bit-identical to
+    * [[cosineTopK]] — same accumulation order — so it shares the
+    * DuckDB oracle. */
+  def cosineTopKNative(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import graft.functions.{CosineSimilarity, TopK}
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        CosineSimilarity.cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .as[(Long, Long, Double)]
+    cands.groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new TopK(k).toColumn.name("top"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((_, nid), i) => (qid, nid, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
+  }
+
+  val simCosineTopKNative: Q = (s, dir) =>
+    cosineTopKNative(t(s, dir, "embeddings"), nQueries = 10, k = 5)
+      .orderBy("query_id", "rank")
+
   val NumPlanes = 16
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -98,9 +129,19 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "x_sim_cosine_topk" -> simCosineTopK,
+    "x_sim_cosine_topk_native" -> simCosineTopKNative,
     "x_sim_lsh_ann" -> simLshAnn)
 
+  private val cosineTopKOracle: String =
+    ("WITH sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +
+      "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+      "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM " +
+      "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank")
+
   val oracles: Map[String, String] = Map(
+    "x_sim_cosine_topk_native" -> cosineTopKOracle,
     "x_sim_cosine_topk" ->
       ("WITH sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{CosineSimilarity, TopK}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimilarity expression matches the composable HOF formulation bitwise") {
+    val emb = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(-1f, 0.5f, 2f, -3f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+    val native = pairs.select(
+      CosineSimilarity.cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .as[Double].collect().toSeq
+    val hof = pairs.select(
+      (aggregate(
+        zip_with(
+          expr("transform(a.embedding, x -> CAST(x AS DOUBLE))"),
+          expr("transform(b.embedding, x -> CAST(x AS DOUBLE))"),
+          (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(expr("transform(a.embedding, x -> CAST(x AS DOUBLE))"),
+          lit(0.0), (acc, x) => acc + x * x)) *
+          sqrt(aggregate(expr("transform(b.embedding, x -> CAST(x AS DOUBLE))"),
+            lit(0.0), (acc, x) => acc + x * x)))).as("sim"))
+      .as[Double].collect().toSeq
+    assert(native == hof)
+    // identical vectors => similarity 1.0 (within fp)
+    val self = emb.select(
+      CosineSimilarity.cosineSim(col("embedding"), col("embedding"))).as[Double].collect()
+    assert(self.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("CosineSimilarity rejects non-float-array inputs") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val err = intercept[Exception] {
+      df.select(CosineSimilarity.cosineSim(col("v"), col("v"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_similarity"))
+  }
+
+  test("TopK aggregator: bounded buffer, ordered output, tiebreak by id") {
+    val data = Seq(
+      (1L, 0.9, 100L), (1L, 0.9, 50L), (1L, 0.1, 1L), (1L, 0.5, 2L),
+      (2L, 0.3, 7L))
+      .toDF("key", "score", "id").as[(Long, Double, Long)]
+    val top2 = data.groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(new TopK(2).toColumn.name("top"))
+      .collect().toMap
+    assert(top2(1L) == Seq((0.9, 50L), (0.9, 100L))) // tie -> smaller id first
+    assert(top2(2L) == Seq((0.3, 7L)))
+  }
+
+  test("native top-k query equals window-rank top-k query") {
+    val emb = (0L until 30L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))).toDF("vec_id", "embedding")
+    val a = Similarity.cosineTopK(emb, 3, 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    val b = Similarity.cosineTopKNative(emb, 3, 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(a == b)
+  }
+}
