@@ -100,9 +100,17 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with true Jaccard (join back to shingles)
-    val verified = jaccardPairs(sh, minJaccard)
-    cand.join(verified, Seq("doc_a", "doc_b"))
+    // Verify ONLY the candidate pairs (never the full pair space — that
+    // would undo LSH's linear-cost candidate generation): attach each
+    // side's shingle set and compute exact Jaccard per candidate.
+    val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("sset"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   val dedupMinhashLsh: Q = (s, dir) =>
