@@ -403,6 +403,25 @@ object Relational {
       .select(col("event_id"), col("j.k").as("k"))
       .orderBy("event_id")
 
+  /** R6: record-block flat-file parse (build_cellosaurus.py:45-61) —
+    * the Cellosaurus parser driven from a synthesized flat file so the
+    * parse itself is oracle-checked: 55-line header skip, records
+    * split on `//`, `CODE   value` fields, pivot to columns. */
+  val r6RecordParse: Q = (s, dir) => {
+    val nations = t(s, dir, "nation").orderBy("n_nationkey").collect()
+    val sb = new StringBuilder
+    (1 to 55).foreach(i => sb.append(s"header line $i\n"))
+    nations.foreach { r =>
+      val k = r.getInt(0); val name = r.getString(1)
+      sb.append(s"ID   $name\nAC   CVCL_$k\nSY   syn${k}a; syn${k}b\n//\n")
+    }
+    val f = java.nio.file.Files.createTempFile("graft-cello", ".txt")
+    java.nio.file.Files.writeString(f, sb.toString)
+    graft.pset.Cellosaurus.parse(s, f.toString)
+      .select("identifier", "accession", "sy")
+      .orderBy("identifier")
+  }
+
   // ------------------------------------------------------ scalar funcs
 
   /** F1: chained regexp_replace — version-suffix strip then
@@ -496,6 +515,7 @@ object Relational {
     "r1_melt" -> r1Melt,
     "r3_explode" -> r3Explode,
     "r4_json_flatten" -> r4JsonFlatten,
+    "r6_record_parse" -> r6RecordParse,
     "f1_regexp_chain" -> f1RegexpChain,
     "f2_split_element" -> f2SplitElement,
     "f7_round" -> f7Round,
@@ -595,6 +615,8 @@ object Relational {
       "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) GROUP BY word ORDER BY word",
     "r4_json_flatten" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+    "r6_record_parse" ->
+      "SELECT n_name AS identifier, 'CVCL_' || CAST(n_nationkey AS VARCHAR) AS accession, 'syn' || CAST(n_nationkey AS VARCHAR) || 'a; syn' || CAST(n_nationkey AS VARCHAR) || 'b' AS sy FROM nation ORDER BY identifier",
     "f1_regexp_chain" ->
       "SELECT s_suppkey, regexp_replace(regexp_replace(s_name || '.' || CAST(s_suppkey % 10 AS VARCHAR), '\\.[0-9]+$', ''), ' ', '_', 'g') AS clean_name FROM supplier ORDER BY s_suppkey",
     "f2_split_element" ->
