@@ -135,13 +135,60 @@ object Dedup {
   val dedupSimhash: Q = (s, dir) =>
     simhash(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Embedding-cosine near-dup pairs: all (a, b) with cosine above
+    * threshold, via the native codegen'd expression. Ids only in the
+    * output (similarity ulps differ across engines; ids don't). At
+    * corpus scale the pair space comes from Similarity.lshBucket
+    * blocking, not this exact quadratic form — which is the oracle. */
+  def embeddingNearDups(emb: DataFrame, minSim: Double): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .filter(cosineSim(col("emb_a"), col("emb_b")) >= minSim)
+      .select("vec_a", "vec_b")
+  }
+
+  val dedupEmbedding: Q = (s, dir) =>
+    embeddingNearDups(t(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")
+
+  /** Canonical-id assignment over near-dup pairs: connected components
+    * by iterative min-label propagation (driver-controlled loop, each
+    * step a groupBy-min join — the standard Spark CC shape; converges
+    * in O(diameter) rounds, and near-dup clusters are shallow). */
+  def canonicalClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min("label").as("nbr_label"))
+      val next = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint() // truncate lineage per iteration
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
-    "x_dedup_simhash" -> dedupSimhash)
+    "x_dedup_simhash" -> dedupSimhash,
+    "x_dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_embedding" ->
+      ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id < b.vec_id AND " +
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 " +
+        "ORDER BY vec_a, vec_b"),
     "x_dedup_exact" ->
       "SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text) ORDER BY text_hash",
     "x_dedup_ngram_jaccard" ->

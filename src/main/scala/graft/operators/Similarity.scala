@@ -127,10 +127,91 @@ object Similarity {
     lshAnn(t(s, dir, "embeddings"), nQueries = 10, k = 5)
       .orderBy("query_id", "rank")
 
+  /** IVF (inverted-file) ANN — the other standard scale path:
+    * partition the corpus into cells around k-means centroids
+    * (deterministic init: lowest vec_ids; a few Lloyd rounds via
+    * posexplode + per-dimension mean), then each query scores only the
+    * `nProbe` nearest cells. Index build is O(iters * corpus *
+    * centroids); search is O(corpus/cells * nProbe) per query. The
+    * centroid set is broadcast (small); the corpus is never shuffled
+    * except the one groupBy that builds cell assignments.
+    */
+  def ivfIndex(emb: DataFrame, nCentroids: Int, iters: Int = 2): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = emb.select(col("vec_id"), col("embedding"))
+    var centroids = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(e, centroids)
+      centroids = assigned
+        .join(e, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+    }
+    assignCells(e, centroids)
+  }
+
+  /** Nearest centroid per vector (rank-1 over the broadcast centroids). */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        col("cell"), cosineSim(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, brute
+    * force within them. Partial recall by construction (spec checks
+    * against brute force); rows-only driver check. */
+  def ivfAnn(emb: DataFrame, nQueries: Int, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val assigned = ivfIndex(emb, nCentroids)
+    val corpus = e.join(assigned, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cell"))
+    // centroids implied by assignment: probe cells = nProbe nearest by
+    // the query's own similarity to each cell's members' mean — reuse
+    // assignment by scoring query against one representative per cell
+    // (the cell's lowest vec_id) to keep the probe cheap.
+    val reps = corpus.withColumn("rk",
+        row_number().over(Window.partitionBy("cell").orderBy("neighbor_id")))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("c_emb").as("rep_emb"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(reps))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosineSim(col("q_emb"), col("rep_emb")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+    val sims = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("q_emb"), col("c_emb")).as("sim"))
+    sims.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  val simIvfAnn: Q = (s, dir) =>
+    ivfAnn(t(s, dir, "embeddings"), nQueries = 10, k = 5)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, Q] = Map(
     "x_sim_cosine_topk" -> simCosineTopK,
     "x_sim_cosine_topk_native" -> simCosineTopKNative,
-    "x_sim_lsh_ann" -> simLshAnn)
+    "x_sim_lsh_ann" -> simLshAnn,
+    "x_sim_ivf_ann" -> simIvfAnn)
 
   private val cosineTopKOracle: String =
     ("WITH sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

@@ -33,6 +33,19 @@ object TextAnalysis {
       .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pretokenizer regex (contractions, letter runs, digit
+    * runs, punctuation runs, whitespace). Identical in Java regex and
+    * RE2, so the count is oracle-checked. */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token counting: one codegen'd regexp_extract_all per row. */
+  val textTokensBpe: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length, token count, average token length,
     * stopword ratio. Ratios are a single IEEE division — portable. */
   val textQuality: Q = (s, dir) => {
@@ -45,7 +58,13 @@ object TextAnalysis {
         size(col("ws")).as("n_tokens"),
         (length(regexp_replace(col("text"), "\\s+", "")) / size(col("ws")))
           .as("avg_token_len"),
-        (profileHits(col("ws"), stop) / size(col("ws"))).as("stopword_ratio"))
+        (profileHits(col("ws"), stop) / size(col("ws"))).as("stopword_ratio"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))) / length(col("text")))
+          .as("digit_ratio"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[A-Z]", ""))) / length(col("text")))
+          .as("upper_ratio"))
       .orderBy("doc_id")
   }
 
@@ -123,6 +142,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "x_text_tokens" -> textTokens,
+    "x_text_tokens_bpe" -> textTokensBpe,
     "x_text_quality" -> textQuality,
     "x_text_langid" -> textLangId,
     "x_text_topicid" -> textTopicId,
@@ -137,10 +157,16 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "x_text_tokens" ->
       s"SELECT doc_id, CAST(len($wsExpr) AS INT) AS n_tokens FROM documents ORDER BY doc_id",
+    "x_text_tokens_bpe" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INT) " +
+        "AS n_bpe_tokens FROM documents ORDER BY doc_id"),
     "x_text_quality" ->
       (s"SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc, CAST(len($wsExpr) AS INT) AS n_tokens, " +
         s"length(regexp_replace(text, '\\s+', '', 'g')) / len($wsExpr) AS avg_token_len, " +
-        s"${hitsSql(wsExpr, Seq("the", "a", "of", "and"))} / CAST(len($wsExpr) AS INT) AS stopword_ratio " +
+        s"${hitsSql(wsExpr, Seq("the", "a", "of", "and"))} / CAST(len($wsExpr) AS INT) AS stopword_ratio, " +
+        "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio, " +
+        "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / length(text) AS upper_ratio " +
         "FROM documents ORDER BY doc_id"),
     "x_text_langid" -> {
       val p = langProfiles.toMap

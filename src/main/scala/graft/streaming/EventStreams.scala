@@ -34,6 +34,14 @@ object EventStreams {
         sum(floor(col("value") * 100).cast(LongType)).as("value_c"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_c"))
 
+  /** Streaming exact dedup: drop events whose event_id was already
+    * seen, with state bounded by the watermark horizon
+    * (dropDuplicatesWithinWatermark — late duplicates beyond 2h are
+    * the accepted trade-off for bounded state at 100 TB/day rates). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState): a new session starts after >30 min of
     * inactivity; emits the running session/event count per user.

@@ -39,6 +39,27 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("embedding near-dups + canonical clusters") {
+    val v = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val emb = Seq(
+      (1L, v), (2L, v.updated(0, 1.01f)), (3L, v.updated(1, 2.01f)),
+      (4L, Seq.tabulate(8)(i => if (i % 2 == 0) -1f else 1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val clusters = Dedup.canonicalClusters(
+      pairs.toSeq.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("canonical clusters: chain graph converges to min label") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val c = Dedup.canonicalClusters(chain).as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("rolling hash is order-sensitive where fingerprint is not") {
     val d = docs(1L -> "a b c", 2L -> "c b a")
     val rh = d.select(
@@ -69,6 +90,20 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").as[(Long, Long, Int)].collect()
     assert(top.head._2 == 5L) // identical vector is rank 1
     assert(top(1)._2 == 6L)   // near vector is rank 2
+  }
+
+  test("IVF ANN: identical vector found at rank 1; results subset of brute force") {
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(d => math.cos(i * 13 + d * 3).toFloat))).toDF("vec_id", "embedding")
+      .union(Seq((99L, Seq.tabulate(8)(d => math.cos(0 * 13 + d * 3).toFloat)))
+        .toDF("vec_id", "embedding"))
+    val ivf = Similarity.ivfAnn(emb, nQueries = 2, k = 3, nCentroids = 4, nProbe = 2)
+      .as[(Long, Long, Int)].collect()
+    // vec 99 duplicates vec 0 => must be query 0's rank-1 neighbor
+    assert(ivf.exists(r => r._1 == 0L && r._2 == 99L && r._3 == 1))
+    val brute = Similarity.cosineTopK(emb, 2, 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(ivf.forall(r => brute.contains((r._1, r._2))))
   }
 
   test("LSH ANN returns a subset consistent with brute force for same-bucket vectors") {

@@ -30,6 +30,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents: duplicate event_ids across batches are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(1), 1, "click", 0), Event(1, ts(1), 1, "click", 0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(2), 1, "click", 0), Event(2, ts(3), 1, "view", 0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gaps split sessions, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
