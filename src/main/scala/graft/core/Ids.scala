@@ -30,17 +30,33 @@ object Ids {
     df.withColumn(idCol, row_number().over(Window.orderBy(sortCols: _*)).cast(LongType))
       .select(idCol, df.columns.toSeq: _*)
 
-  /** Scalable path: total sort + zipWithIndex (contiguous per-partition
-    * ranges => dense global 1..n in sort order).
+  /** Scalable path: total sort (range-partitioned, stays distributed),
+    * then dense ids from per-partition offsets — the zipWithIndex idea
+    * without leaving the DataFrame world (no Row encode/decode, stays
+    * in Tungsten format):
+    *
+    *  1. after the sort, `monotonically_increasing_id()` is
+    *     (partitionId << 33) + local row index;
+    *  2. one lightweight count-per-partition job yields each
+    *     partition's offset (a tiny broadcast join, |partitions| rows);
+    *  3. id = offset + local index + 1 — dense 1..n in sort order.
     */
   def denseId(df: DataFrame, sortCols: Seq[Column], idCol: String = "id"): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      StructField(idCol, LongType, nullable = false) +: sorted.schema.fields.toSeq)
-    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((i + 1L) +: r.toSeq)
-    }
-    df.sparkSession.createDataFrame(withId, schema)
+      .withColumn("__m", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__m"), 33).cast(LongType))
+      .withColumn("__local", col("__m").bitwiseAND((1L << 33) - 1))
+    val offsets = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum("__cnt").over(
+          org.apache.spark.sql.expressions.Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    sorted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idCol, col("__offset") + col("__local") + 1)
+      .drop("__m", "__pid", "__local", "__offset")
+      .select(idCol, df.columns.toSeq: _*)
   }
 
   /** Non-dense but fully pipelined unique id — when density is not
