@@ -32,13 +32,14 @@ object PipelineDemo {
     w("molecularProfiles$rna$rowData.csv", ".features\nENSG1.5\nENSG2.1\n")
     w("molecularProfiles$rna$colData.csv", "cellid\nc1\nc2\n")
 
-    val pset = PSetReader.read(spark, root, "Demo")
-    val out = java.nio.file.Files.createTempDirectory("demo-out").toString
-    PSetBuilders.writeAll(PSetBuilders.buildAll(spark, pset), "Demo", out)
-
-    val fin = java.nio.file.Files.createTempDirectory("demo-final").toString
+    val cfg = PipelineConfig(
+      rawDir = root,
+      workDir = java.nio.file.Files.createTempDirectory("demo-out").toString,
+      finalDir = java.nio.file.Files.createTempDirectory("demo-final").toString,
+      psetNames = Seq("Demo"),
+      cellSynonymMeta = Some(Seq(("c1", "c1_alias")).toDF("unique.cellid", "Demo.cellid")))
     val meta = Seq(("d1", "UID1")).toDF("name", "compound_uid")
-    val tables = Consolidator.combineAll(spark, out, fin, meta,
+    val tables = Pipeline.run(spark, cfg, meta,
       (what, df) => {
         val n = df.count()
         if (n > 0) println(s"AUDIT $what unmatched=$n")
