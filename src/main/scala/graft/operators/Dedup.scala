@@ -68,17 +68,15 @@ object Dedup {
   val NumHashes = 32
   val BandRows = 4 // => 8 bands
 
-  /** MinHash signatures: one row per (doc, seed) via a seed-expansion
-    * explode, then min-per-seed. Signature columns m0..m31. */
+  /** MinHash signatures in ONE pass over the (doc, shingle) rows: 32
+    * independent min aggregates, each over a differently-seeded
+    * xxhash64 of the shingle — no seed-expansion explode (which would
+    * multiply shuffle input 32x), partial aggregation shrinks each map
+    * task to one row per doc. Signature columns m0..m31. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val seeded = sh.select(col("doc_id"),
-      explode(expr(
-        s"transform(sequence(0, ${NumHashes - 1}), i -> struct(i AS seed, xxhash64(i, shingle) AS h))"))
-        .as("sh"))
-      .select(col("doc_id"), col("sh.seed").as("seed"), col("sh.h").as("h"))
     val aggs = (0 until NumHashes).map(i =>
-      min(when(col("seed") === i, col("h"))).as(s"m$i"))
-    seeded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: band hash = xxhash64 of the band's rows;

@@ -25,10 +25,10 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** embedding cast float->double once, with precomputed L2 norm. */
+  /** embedding cast float->double once, with precomputed L2 norm;
+    * other columns (e.g. a bucket id) pass through. */
   def withNorm(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    emb.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm",
         sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
 
@@ -87,26 +87,33 @@ object Similarity {
       .orderBy("query_id", "rank")
 
   val NumPlanes = 16
+  val PlaneDims = 64
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 scaled to [-0.5, 0.5). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast(DoubleType) / 1000000.0) - 0.5
+  /** Deterministic random hyperplanes, materialized ONCE as array
+    * literals (they are constants — recomputing hash-derived
+    * components per row, per dim, in an interpreted lambda was the
+    * hot-path mistake this replaces). */
+  private lazy val planes: Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(PlaneDims)(rng.nextFloat() - 0.5f))
+  }
 
-  /** Sign-bit LSH bucket id over NumPlanes random hyperplanes. */
-  def lshBucket(v: Column): Column =
-    (0 until NumPlanes).map { p =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Sign-bit LSH bucket id over NumPlanes random hyperplanes. The
+    * sign of cosine equals the sign of the dot product (norms are
+    * positive), so each bit is one native codegen'd cosine against a
+    * constant plane literal. */
+  def lshBucket(v: Column): Column = {
+    import graft.functions.CosineSimilarity.cosineSim
+    planes.zipWithIndex.map { case (p, i) =>
+      when(cosineSim(v, typedlit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN: queries join only their own bucket. Recall is
     * partial by construction (checked in ScalaTest against brute
     * force); rows-only driver check. */
   def lshAnn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = withNorm(emb).withColumn("bucket", lshBucket(col("v")))
+    val e = withNorm(emb.withColumn("bucket", lshBucket(col("embedding"))))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("bucket"))
