@@ -133,6 +133,30 @@ object Dedup {
   val dedupSimhash: Q = (s, dir) =>
     simhash(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** MinHash near-dup via Spark ML's built-in MinHashLSH — the
+    * "compose existing ops" alternative (SURVEY §7.3 preference (a))
+    * to the hand-rolled [[minhashLsh]]: shingle sets -> binary
+    * CountVectorizer vectors -> MinHashLSH model ->
+    * approxSimilarityJoin at Jaccard distance 1-minJaccard. Useful as
+    * a cross-check; the hand-rolled version keeps the banding and
+    * verification explicit and avoids the vocabulary fit. */
+  def minhashLshMl(docs: DataFrame, minJaccard: Double): DataFrame = {
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+    val sets = shingles(docs).groupBy("doc_id")
+      .agg(collect_list("shingle").as("shingle_arr"))
+    val cv = new CountVectorizer().setInputCol("shingle_arr")
+      .setOutputCol("features").setBinary(true)
+    val vecs = cv.fit(sets).transform(sets)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(NumHashes).setSeed(42L)
+    val model = mh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - minJaccard, "dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        (lit(1.0) - col("dist")).as("jaccard"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine above
     * threshold, via the native codegen'd expression. Ids only in the
     * output (similarity ulps differ across engines; ids don't). At

@@ -126,6 +126,29 @@ object MetaBuilders {
       Seq(col("gene_id"), col("compound_id"), col("dataset_id"), col("mDataType")))
   }
 
+  /** Genomic-coordinate enrichment of gene_annotation
+    * (/root/reference/PharmacoDI/map_genes_to_genomic_coordinates.py:20-68):
+    * resolve gene_id back to the Ensembl name via the gene table, join
+    * the (version-stripped) Gencode annotation, and take
+    * gene_seq_start/end, chr and symbol from it. Row-conservation
+    * checked by the caller (reference raises on mangling). */
+  def mapGenomicCoordinates(geneAnnotation: DataFrame, gene: DataFrame,
+      gencode: DataFrame): DataFrame = {
+    val gc = gencode
+      .select(
+        regexp_replace(col("gene_id"), "[.][0-9]*$", "").as("name"),
+        col("gene_name").as("symbol"), col("start"), col("end"),
+        col("strand"), col("seqnames"))
+    geneAnnotation.drop("symbol")
+      .join(broadcast(gene.select(col("id").as("gene_id"), col("name"))), Seq("gene_id"), "left")
+      .join(broadcast(gc), Seq("name"), "left")
+      .select(col("gene_id"), col("symbol"),
+        col("start").as("gene_seq_start"),
+        col("end").as("gene_seq_end"),
+        col("seqnames").as("chr"),
+        col("strand"))
+  }
+
   /** gene_compound_tissue_dataset per PSet
     * (build_gene_compound_tissue_dataset_tables.py:49-94), with the
     * reference's discarded dataset filter applied as *intended*

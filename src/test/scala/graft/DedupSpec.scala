@@ -29,6 +29,17 @@ class DedupSpec extends SparkSpec {
     assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ML-composed MinHashLSH agrees with the hand-rolled version on planted dups") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val unrelated = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val ml = Dedup.minhashLshMl(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(ml.contains((1L, 2L)))
+    assert(!ml.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical docs agree; token order does not matter; unrelated docs differ") {
     val d = docs(
       1L -> "alpha beta gamma delta",

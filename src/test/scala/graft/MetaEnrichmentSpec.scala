@@ -53,6 +53,23 @@ class MetaBuildersSpec extends SparkSpec {
     assert(out.select("permutation_done").distinct().as[Int].collect().toSeq == Seq(0))
   }
 
+  test("genomic coordinates: gencode version strip + join onto gene_annotation") {
+    val annot = Seq((1L, null: String, null: java.lang.Long, null: java.lang.Long),
+      (2L, null: String, null: java.lang.Long, null: java.lang.Long))
+      .toDF("gene_id", "symbol", "gene_seq_start", "gene_seq_end")
+    val gencode = Seq(("ENSG1.7", "GENE-ONE", 100L, 200L, "+", "chr1"))
+      .toDF("gene_id", "gene_name", "start", "end", "strand", "seqnames")
+    val out = MetaBuilders.mapGenomicCoordinates(annot, gene, gencode)
+    assert(out.columns.toSeq ==
+      Seq("gene_id", "symbol", "gene_seq_start", "gene_seq_end", "chr", "strand"))
+    val row = out.filter(col("gene_id") === 1L).head()
+    assert(row.getAs[String]("symbol") == "GENE-ONE" &&
+      row.getAs[Long]("gene_seq_start") == 100L &&
+      row.getAs[String]("chr") == "chr1")
+    // unmapped gene keeps its row with null coordinates
+    assert(out.filter(col("gene_id") === 2L).head().isNullAt(2))
+  }
+
   test("gene_compound_tissue_dataset: intended dataset filter + permutation_done rule") {
     val sig = Seq(
       ("ENSG1.5", "d1", "PSetA", "lung", Some(0.01)),
