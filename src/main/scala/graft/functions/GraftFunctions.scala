@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's custom expressions, via the two
+  * public routes:
+  *
+  *  - [[GraftExtensions]]: `SparkSessionExtensions` injector for new
+  *    sessions —
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`;
+  *  - [[GraftFunctions.register]]: registration into an already-running
+  *    session's function registry (same builders).
+  *
+  * After either, `SELECT cosine_similarity(a, b)` works from SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(a, b) takes two arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+
+  /** Register into a live session (uses the classic session's registry
+    * through the sql-package bridge). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .registerFunction(spark, ident, info, builder)
+    }
+}

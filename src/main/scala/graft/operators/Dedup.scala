@@ -133,6 +133,33 @@ object Dedup {
   val dedupSimhash: Q = (s, dir) =>
     simhash(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** SimHash near-dup pairs within Hamming distance `maxHamming` (< 16):
+    * pigeonhole banding — split the 64-bit signature into 4 16-bit
+    * bands; any pair within distance <=15 must agree exactly on >= 1
+    * band (for maxHamming <= 3 trivially), so candidates come from an
+    * equi-join on (band_idx, band_value), verified with
+    * bit_count(xor) — built-ins only, no cross join. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 16, "pigeonhole with 4 bands covers distance < 16... not " + maxHamming)
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bv))"))
+          .as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val dedupSimhashPairs: Q = (s, dir) =>
+    simhashPairs(t(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")
+
   /** MinHash near-dup via Spark ML's built-in MinHashLSH — the
     * "compose existing ops" alternative (SURVEY §7.3 preference (a))
     * to the hand-rolled [[minhashLsh]]: shingle sets -> binary
@@ -203,6 +230,7 @@ object Dedup {
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
     "x_dedup_simhash" -> dedupSimhash,
+    "x_dedup_simhash_pairs" -> dedupSimhashPairs,
     "x_dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(

@@ -50,6 +50,17 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("simhashPairs: near-identical docs within hamming 3, unrelated not paired") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 59).map(i => s"tok$i").mkString(" ") + " other"
+    val far = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> far, 4L -> base)
+    val pairs = Dedup.simhashPairs(d, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical => hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("embedding near-dups + canonical clusters") {
     val v = Seq.tabulate(8)(i => (i + 1).toFloat)
     val emb = Seq(

@@ -44,6 +44,15 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("cosine_similarity"))
   }
 
+  test("cosine_similarity registered as a SQL function") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sims = spark.sql("SELECT cosine_similarity(a, b) AS s FROM vecs ORDER BY s")
+      .as[Double].collect().toSeq
+    assert(sims == Seq(0.0, 1.0))
+  }
+
   test("TopK aggregator: bounded buffer, ordered output, tiebreak by id") {
     val data = Seq(
       (1L, 0.9, 100L), (1L, 0.9, 50L), (1L, 0.1, 1L), (1L, 0.5, 2L),
