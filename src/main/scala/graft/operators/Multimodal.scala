@@ -61,9 +61,57 @@ object Multimodal {
     decodeBatch(records).toDF().orderBy("doc_id")
   }
 
+  /** Frame sampling plumbing: one row per sampled frame of a video
+    * payload. Frame count comes from the (stubbed, deterministic)
+    * container probe; the explode shape — payload stays on the row it
+    * was read on, frames multiply rows AFTER metadata extraction so
+    * the shuffle never carries duplicated payload bytes — is the real
+    * production layout. */
+  val multimodalFrames: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"))
+      .withColumn("n_frames", pmod(col("n_bytes"), lit(30)) + 1)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_id"))
+      .orderBy("doc_id", "frame_id")
+
+  /** Feature extraction: payload batch -> fixed-dim embedding. The
+    * model call is stubbed (deterministic projection of byte stats);
+    * the signature — mapPartitions over batches, Array[Float] output
+    * column compatible with the Similarity operators — is real. */
+  final case class MediaFeature(doc_id: Long, embedding: Array[Float])
+
+  def featureExtract(records: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition model init would happen here
+      it.map { r =>
+        val emb = Array.tabulate(dim) { d =>
+          val stride = r.payload.iterator.zipWithIndex
+            .filter(_._2 % dim == d).map(_._1.toInt).sum
+          (stride % 1000) / 1000.0f
+        }
+        MediaFeature(r.doc_id, emb)
+      }
+    }
+  }
+
+  val multimodalFeatures: Q = (s, dir) => {
+    import s.implicits._
+    val records = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    featureExtract(records).toDF()
+      .select(col("doc_id"), size(col("embedding")).as("dim"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_multimodal_binary" -> multimodalBinary,
-    "x_multimodal_decode" -> multimodalDecode)
+    "x_multimodal_decode" -> multimodalDecode,
+    "x_multimodal_frames" -> multimodalFrames,
+    "x_multimodal_features" -> multimodalFeatures)
 
   val oracles: Map[String, String] = Map(
     "x_multimodal_binary" ->
@@ -71,5 +119,11 @@ object Multimodal {
     "x_multimodal_decode" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
         "CAST(octet_length(encode(text)) % 640 AS INT) AS width, " +
-        "CAST(octet_length(encode(text)) % 480 AS INT) AS height FROM documents ORDER BY doc_id"))
+        "CAST(octet_length(encode(text)) % 480 AS INT) AS height FROM documents ORDER BY doc_id"),
+    "x_multimodal_frames" ->
+      ("WITH m AS (SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames FROM documents) " +
+        "SELECT doc_id, CAST(n_frames AS INT) AS n_frames, CAST(u.f AS INT) AS frame_id " +
+        "FROM m, unnest(range(0, n_frames)) AS u(f) ORDER BY doc_id, frame_id"),
+    "x_multimodal_features" ->
+      "SELECT doc_id, 8 AS dim FROM documents ORDER BY doc_id")
 }

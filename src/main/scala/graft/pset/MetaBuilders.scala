@@ -126,6 +126,32 @@ object MetaBuilders {
       Seq(col("gene_id"), col("compound_id"), col("dataset_id"), col("mDataType")))
   }
 
+  /** gene_compound_tissue_dataset consolidated across PSets: union the
+    * per-PSet builds, map all four natural keys to surrogate ids
+    * (gene/compound warn+drop, tissue/dataset update), sort, dense id
+    * — completing the per-PSet builder into the final table the
+    * reference assembles across its gene-signature exports. */
+  def buildGeneCompoundTissueDataset(perPset: Seq[DataFrame], gene: DataFrame,
+      compound: DataFrame, tissue: DataFrame, dataset: DataFrame,
+      audit: (String, Long) => Unit = (_, _) => ()): DataFrame = {
+    val all = perPset.reduce(_.unionByName(_, allowMissingColumns = true))
+    val geneMapped = updateJoin(all, gene, "gene_id")
+    audit("gctd.gene", geneMapped.filter(col("gene_id").isNull).count())
+    val compoundMapped = updateJoin(
+      geneMapped.filter(col("gene_id").isNotNull), compound, "compound_id")
+    audit("gctd.compound", compoundMapped.filter(col("compound_id").isNull).count())
+    val mapped = updateJoin(
+      updateJoin(compoundMapped.filter(col("compound_id").isNotNull),
+        tissue, "tissue_id"),
+      dataset, "dataset_id")
+    Ids.denseId(mapped.select(
+      (Seq("gene_id", "compound_id", "dataset_id", "tissue_id").map(col) ++
+        mapped.columns.filterNot(Seq("gene_id", "compound_id", "dataset_id",
+          "tissue_id").contains).toSeq.map(col)): _*),
+      Seq(col("gene_id"), col("compound_id"), col("dataset_id"),
+        col("tissue_id"), col("mDataType")))
+  }
+
   /** Genomic-coordinate enrichment of gene_annotation
     * (/root/reference/PharmacoDI/map_genes_to_genomic_coordinates.py:20-68):
     * resolve gene_id back to the Ensembl name via the gene table, join
@@ -166,7 +192,7 @@ object MetaBuilders {
         col("lower_permutation"), col("upper_permutation"), col("n"),
         col("pvalue_analytic"), col("pvalue_permutation"), col("df"),
         col("fdr_analytic"), col("fdr_permutation"),
-        col("significant_permutation"))
+        col("significant_permutation"), col("mDataType"))
       .withColumn("permutation_done",
         when(col("fdr_permutation").isNotNull, 1).otherwise(0))
       .withColumn("sens_stat", lit("AAC"))

@@ -53,6 +53,24 @@ class MetaBuildersSpec extends SparkSpec {
     assert(out.select("permutation_done").distinct().as[Int].collect().toSeq == Seq(0))
   }
 
+  test("gctd consolidation: per-PSet union + 4-way FK map + dense id") {
+    val sigA = Seq(("ENSG1.5", "d1", "PSetA", "lung", Some(0.01)))
+      .toDF("gene", "compound", "dataset", "tissue", "fdr_permutation")
+      .withColumn("estimate", lit(0.5)).withColumn("lower_analytic", lit(0.1))
+      .withColumn("upper_analytic", lit(0.9)).withColumn("lower_permutation", lit(0.1))
+      .withColumn("upper_permutation", lit(0.9)).withColumn("n", lit(10))
+      .withColumn("pvalue_analytic", lit(0.05)).withColumn("pvalue_permutation", lit(0.04))
+      .withColumn("df", lit(8)).withColumn("fdr_analytic", lit(0.2))
+      .withColumn("significant_permutation", lit(1)).withColumn("mDataType", lit("rna"))
+    val perA = MetaBuilders.buildGeneCompoundTissueDatasetPerPset(sigA, "PSetA")
+    val ds = Seq((5L, "PSetA")).toDF("id", "name")
+    val out = MetaBuilders.buildGeneCompoundTissueDataset(
+      Seq(perA), gene, compound, tissue, ds)
+    val row = out.select("id", "gene_id", "compound_id", "dataset_id", "tissue_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(row == Seq((1L, 1L, 10L, 5L, 100L)))
+  }
+
   test("genomic coordinates: gencode version strip + join onto gene_annotation") {
     val annot = Seq((1L, null: String, null: java.lang.Long, null: java.lang.Long),
       (2L, null: String, null: java.lang.Long, null: java.lang.Long))
@@ -80,7 +98,7 @@ class MetaBuildersSpec extends SparkSpec {
       .withColumn("upper_permutation", lit(0.9)).withColumn("n", lit(10))
       .withColumn("pvalue_analytic", lit(0.05)).withColumn("pvalue_permutation", lit(0.04))
       .withColumn("df", lit(8)).withColumn("fdr_analytic", lit(0.2))
-      .withColumn("significant_permutation", lit(1))
+      .withColumn("significant_permutation", lit(1)).withColumn("mDataType", lit("rna"))
     val out = MetaBuilders.buildGeneCompoundTissueDatasetPerPset(sig, "PSetA")
     val rows = out.select("gene_id", "dataset_id", "permutation_done")
       .as[(String, String, Int)].collect().toSeq
