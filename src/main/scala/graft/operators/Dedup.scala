@@ -46,8 +46,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
-      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), Seq("doc_a"))
-      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), Seq("doc_b"))
+      .join(broadcast(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a"))), Seq("doc_a"))
+      .join(broadcast(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
