@@ -422,6 +422,40 @@ object Relational {
       .orderBy("identifier")
   }
 
+  /** The SURVEY §7.2 "minimum end-to-end slice" as one composed query
+    * — the spine of the reference workload over the driver testdata:
+    * melt two measures wide->long (R1), join them back on the
+    * composite key (J2), map a natural key to a surrogate through a
+    * broadcast dim chain (J3/J9), clamp (F8), dedup (A2), total-order
+    * dense id (W1). Exercises the same operator chain as
+    * build_experiment_tables + combine_pset_tables end to end. */
+  val q0Spine: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val melted = li.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+      cents(col("l_quantity")).as("qty_c"),
+      cents(col("l_extendedprice")).as("price_c"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
+        Array(col("qty_c"), col("price_c")), "measure", "value_c")
+    val dose = melted.filter(col("measure") === "qty_c")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("value_c").as("qty_c"))
+    val resp = melted.filter(col("measure") === "price_c")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("value_c").as("price_c"))
+    val dim = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val joined = dose.join(resp, Seq("l_orderkey", "l_linenumber"))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left")
+      .select(col("nation"), col("qty_c"),
+        least(col("price_c"), lit(5000000L)).as("price_clamped_c"))
+      .dropDuplicates()
+    Ids.denseId(joined,
+      Seq(col("nation"), col("qty_c"), col("price_clamped_c")))
+  }
+
   // ------------------------------------------------------ scalar funcs
 
   /** F1: chained regexp_replace — version-suffix strip then
@@ -469,6 +503,7 @@ object Relational {
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, Q] = Map(
+    "q0_spine" -> q0Spine,
     "s1_csv_roundtrip" -> s1CsvRoundtrip,
     "s2_csv_na_nulls" -> s2CsvNaNulls,
     "s3_parquet_scan" -> s3ParquetScan,
@@ -523,6 +558,17 @@ object Relational {
     "f9_cast" -> f9Cast)
 
   val oracles: Map[String, String] = Map(
+    // (l_orderkey, l_linenumber) is non-unique in the testdata, so the
+    // melt+rejoin is a composite-key self-join — the oracle mirrors it.
+    "q0_spine" ->
+      ("WITH joined AS (SELECT DISTINCT n.n_name AS nation, " +
+        "CAST(floor(d.l_quantity * 100) AS BIGINT) AS qty_c, " +
+        "least(CAST(floor(r.l_extendedprice * 100) AS BIGINT), 5000000) AS price_clamped_c " +
+        "FROM lineitem d JOIN lineitem r ON d.l_orderkey = r.l_orderkey AND d.l_linenumber = r.l_linenumber " +
+        "LEFT JOIN supplier s ON d.l_suppkey = s.s_suppkey " +
+        "LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey) " +
+        "SELECT CAST(row_number() OVER (ORDER BY nation, qty_c, price_clamped_c) AS BIGINT) AS id, " +
+        "nation, qty_c, price_clamped_c FROM joined ORDER BY id"),
     "s1_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s2_csv_na_nulls" ->
