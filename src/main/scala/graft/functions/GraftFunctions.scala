@@ -18,10 +18,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * After either, `SELECT cosine_similarity(a, b)` works from SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // fuse size(regexp_extract_all(s, p, 0)) -> regexp_count(s, p)
+    ext.injectOptimizerRule(_ => FuseRegexpCount)
+  }
 }
 
 object GraftFunctions {
@@ -34,6 +37,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity(a, b) takes two arguments")
         CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("regexp_count"),
+      new ExpressionInfo(classOf[RegexpCount].getName, "regexp_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "regexp_count(str, regexp) takes two arguments")
+        RegexpCount(args.head, args(1))
       }))
 
   /** Register into a live session (uses the classic session's registry

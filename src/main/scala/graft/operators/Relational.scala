@@ -95,6 +95,16 @@ object Relational {
       .orderBy("table_name")
   }
 
+  /** S9: JSON source from in-memory strings (download_psets.py:14
+    * shape — driver fetch -> spark.read.json over a Dataset[String]);
+    * schema inference + aggregation over the parsed column. */
+  val s9JsonScan: Q = (s, dir) => {
+    import s.implicits._
+    val jsonStrings = t(s, dir, "events").select("props").as[String]
+    s.read.json(jsonStrings)
+      .agg(sum(col("k").cast(LongType)).as("sum_k"), count(lit(1)).as("n"))
+  }
+
   // ---------------------------------------- projections / filters
 
   /** P1: column select (build_experiment_tables.py:56-57). */
@@ -510,6 +520,7 @@ object Relational {
     "s4_text_scan" -> s4TextScan,
     "s7_glob_scan" -> s7GlobScan,
     "s8_file_listing" -> s8FileListing,
+    "s9_json_scan" -> s9JsonScan,
     "p1_select" -> p1Select,
     "p2_rename" -> p2Rename,
     "p3_drop" -> p3Drop,
@@ -579,6 +590,8 @@ object Relational {
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines FROM documents",
     "s7_glob_scan" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "s9_json_scan" ->
+      "SELECT CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k, CAST(COUNT(*) AS BIGINT) AS n FROM events",
     "s8_file_listing" ->
       "SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name) ORDER BY table_name",
     "p1_select" ->

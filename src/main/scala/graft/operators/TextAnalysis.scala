@@ -38,13 +38,19 @@ object TextAnalysis {
     * RE2, so the count is oracle-checked. */
   val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
-  /** BPE-ish token counting: one codegen'd regexp_extract_all per row. */
-  val textTokensBpe: Q = (s, dir) =>
+  /** BPE-ish token counting via the fused [[graft.functions.RegexpCount]]
+    * expression (counts matches without materializing the match array;
+    * the composable `size(regexp_extract_all(...))` form is rewritten
+    * to this automatically under GraftExtensions' FuseRegexpCount). */
+  val textTokensBpe: Q = (s, dir) => {
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column, expression}
     t(s, dir, "documents")
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        column(graft.functions.RegexpCount(
+          expression(col("text")), expression(lit(BpePattern))))
           .as("n_bpe_tokens"))
       .orderBy("doc_id")
+  }
 
   /** Quality scoring: length, token count, average token length,
     * stopword ratio. Ratios are a single IEEE division — portable. */

@@ -44,6 +44,28 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("cosine_similarity"))
   }
 
+  test("RegexpCount matches size(regexp_extract_all) and registers in SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq("a b  c", "", "xx yy", "one").toDF("t")
+    df.createOrReplaceTempView("rc_texts")
+    val fused = spark.sql("SELECT regexp_count(t, '\\\\S+') AS n FROM rc_texts ORDER BY n")
+      .as[Int].collect().toSeq
+    val composed = spark.sql(
+      "SELECT size(regexp_extract_all(t, '\\\\S+', 0)) AS n FROM rc_texts ORDER BY n")
+      .as[Int].collect().toSeq
+    assert(fused == composed && fused == Seq(0, 1, 2, 3))
+  }
+
+  test("FuseRegexpCount rule rewrites size(regexp_extract_all(_, _, 0))") {
+    val q = Seq("a b c").toDF("t")
+      .selectExpr("size(regexp_extract_all(t, '\\\\S+', 0)) AS n")
+    val optimized = graft.functions.FuseRegexpCount(q.queryExecution.analyzed)
+    assert(optimized.toString.contains("regexp_count"),
+      s"expected fused expression in:\n$optimized")
+    // original composable form evaluates to the same count
+    assert(q.as[Int].head() == 3)
+  }
+
   test("cosine_similarity registered as a SQL function") {
     graft.functions.GraftFunctions.register(spark)
     Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
