@@ -502,6 +502,17 @@ object Relational {
       least(col("l_extendedprice"), lit(50000.0)).as("price_clamped"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** F11+: date functions over the orders timeline — year/month
+    * extraction + month-bucketed counts (the reference's only date use
+    * is a literal, build_all_pset_tables.py:77; this covers the date
+    * surface an analytics user needs). */
+  val f11DateParts: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("total_c"))
+      .orderBy("yr", "mo")
+
   /** F9: casts (utilities.py:41-46; build_all_pset_tables.py:133). */
   val f9Cast: Q = (s, dir) =>
     t(s, dir, "lineitem").select(
@@ -566,6 +577,7 @@ object Relational {
     "f2_split_element" -> f2SplitElement,
     "f7_round" -> f7Round,
     "f8_clamp" -> f8Clamp,
+    "f11_date_parts" -> f11DateParts,
     "f9_cast" -> f9Cast)
 
   val oracles: Map[String, String] = Map(
@@ -687,5 +699,9 @@ object Relational {
     "f8_clamp" ->
       "SELECT l_orderkey, l_linenumber, least(l_extendedprice, 50000.0) AS price_clamped FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "f9_cast" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_i, CAST(l_orderkey AS VARCHAR) AS okey_s FROM lineitem ORDER BY l_orderkey, l_linenumber")
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_i, CAST(l_orderkey AS VARCHAR) AS okey_s FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "f11_date_parts" ->
+      ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c " +
+        "FROM orders GROUP BY yr, mo ORDER BY yr, mo"))
 }
