@@ -105,6 +105,15 @@ object Relational {
       .agg(sum(col("k").cast(LongType)).as("sum_k"), count(lit(1)).as("n"))
   }
 
+  /** S5 (alternative columnar format): ORC sink + scan roundtrip —
+    * same vectorized-columnar role the reference's .jay files play
+    * (write_pset_table.py:34-39). */
+  val s5OrcRoundtrip: Q = (s, dir) => {
+    val path = tmpDir("orc")
+    t(s, dir, "nation").write.mode("overwrite").orc(path)
+    s.read.orc(path).orderBy("n_nationkey")
+  }
+
   // ---------------------------------------- projections / filters
 
   /** P1: column select (build_experiment_tables.py:56-57). */
@@ -342,6 +351,30 @@ object Relational {
       t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"),
       Seq(col("l_orderkey"), col("l_linenumber"))).orderBy("id")
 
+  /** Partitioned ranking window (beyond the reference, which only has
+    * the global dense id): top-3 words per document source. */
+  val w3PartitionedRank: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rk") <= 3)
+      .select("source", "word", "cnt", "rk")
+      .orderBy("source", "rk")
+
+  /** Frame window: per-customer moving sum over the last 3 orders
+    * (rows frame), in exact integer cents. */
+  val w4MovingSum: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      .withColumn("moving_c", sum("total_c").over(
+        Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(-2, Window.currentRow)))
+      .select("o_custkey", "o_orderkey", "moving_c")
+      .orderBy("o_custkey", "o_orderkey")
+
   // -------------------------------------------------------- sort / limit
 
   /** O1: sort with nulls-last placement (combine_pset_tables.py:66-67)
@@ -379,6 +412,26 @@ object Relational {
     t(s, dir, "nation").select(col("n_regionkey").as("key"))
       .union(t(s, dir, "region").select(col("r_regionkey")))
       .distinct().orderBy("key")
+
+  /** Rollup aggregation (beyond the reference — subtotal rows with
+    * null group keys at each level). */
+  val a8Rollup: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Intersect / except set ops on rows (beyond the reference). */
+  val u4Intersect: Q = (s, dir) =>
+    t(s, dir, "orders").select(col("o_custkey").as("key"))
+      .intersect(t(s, dir, "customer").select(col("c_custkey")))
+      .orderBy("key")
+
+  val u5Except: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_custkey").as("key"))
+      .except(t(s, dir, "orders").select(col("o_custkey")))
+      .orderBy("key")
 
   // --------------------------------------------------------- reshaping
 
@@ -532,6 +585,12 @@ object Relational {
     "s7_glob_scan" -> s7GlobScan,
     "s8_file_listing" -> s8FileListing,
     "s9_json_scan" -> s9JsonScan,
+    "s5_orc_roundtrip" -> s5OrcRoundtrip,
+    "w3_partitioned_rank" -> w3PartitionedRank,
+    "w4_moving_sum" -> w4MovingSum,
+    "a8_rollup" -> a8Rollup,
+    "u4_intersect" -> u4Intersect,
+    "u5_except" -> u5Except,
     "p1_select" -> p1Select,
     "p2_rename" -> p2Rename,
     "p3_drop" -> p3Drop,
@@ -604,6 +663,25 @@ object Relational {
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "s9_json_scan" ->
       "SELECT CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k, CAST(COUNT(*) AS BIGINT) AS n FROM events",
+    "s5_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "w3_partitioned_rank" ->
+      ("WITH wc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) GROUP BY source, word) " +
+        "SELECT source, word, cnt, CAST(rk AS INT) AS rk FROM " +
+        "(SELECT source, word, cnt, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rk FROM wc) " +
+        "WHERE rk <= 3 ORDER BY source, rk"),
+    "w4_moving_sum" ->
+      ("SELECT o_custkey, o_orderkey, CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_c " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "a8_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "u4_intersect" ->
+      "SELECT o_custkey AS key FROM orders INTERSECT SELECT c_custkey FROM customer ORDER BY key",
+    "u5_except" ->
+      "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey FROM orders ORDER BY key",
     "s8_file_listing" ->
       "SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) AS t(table_name) ORDER BY table_name",
     "p1_select" ->
