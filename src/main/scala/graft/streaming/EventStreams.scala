@@ -34,6 +34,28 @@ object EventStreams {
         sum(floor(col("value") * 100).cast(LongType)).as("value_c"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_c"))
 
+  /** Stream-stream join: attribute purchases to the same user's
+    * clicks within the preceding hour. Both sides carry event-time
+    * watermarks and the join condition bounds the time range, so each
+    * side's state is evicted once the watermark passes — the only
+    * shape a stream-stream join can hold at 100 TB/day. */
+  def attributePurchases(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "inner")
+      .select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts", "value")
+  }
+
   /** Streaming exact dedup: drop events whose event_id was already
     * seen, with state bounded by the watermark horizon
     * (dropDuplicatesWithinWatermark — late duplicates beyond 2h are

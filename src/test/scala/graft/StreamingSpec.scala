@@ -30,6 +30,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributePurchases: stream-stream join within the 1h window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.attributePurchases(input.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(10), 7, "click", 0),     // within 1h of purchase
+        Event(2, ts(100), 7, "click", 0),    // after purchase: no match
+        Event(3, ts(5), 8, "click", 0),      // other user
+        Event(4, ts(50), 7, "purchase", 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("attribution")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((4L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupEvents: duplicate event_ids across batches are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
