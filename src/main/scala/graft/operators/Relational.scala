@@ -494,17 +494,23 @@ object Relational {
     * build_experiment_tables + combine_pset_tables end to end. */
   val q0Spine: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
-    val melted = li.select(
+    // two separate wide frames melted independently then re-joined —
+    // the dose/viability shape (one melt each, no shared-Expand
+    // double computation)
+    val dose = li.select(
       col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-      cents(col("l_quantity")).as("qty_c"),
-      cents(col("l_extendedprice")).as("price_c"))
+      cents(col("l_quantity")).as("qty_c"))
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
-        Array(col("qty_c"), col("price_c")), "measure", "value_c")
-    val dose = melted.filter(col("measure") === "qty_c")
+        Array(col("qty_c")), "measure", "value_c")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         col("value_c").as("qty_c"))
-    val resp = melted.filter(col("measure") === "price_c")
+    val resp = li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      cents(col("l_extendedprice")).as("price_c"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("price_c")), "measure", "value_c")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("value_c").as("price_c"))
     val dim = t(s, dir, "supplier")
