@@ -144,10 +144,10 @@ object Similarity {
     * except the one groupBy that builds cell assignments.
     */
   def ivfIndex(emb: DataFrame, nCentroids: Int, iters: Int = 2): DataFrame = {
-    import graft.functions.CosineSimilarity.cosineSim
     val e = emb.select(col("vec_id"), col("embedding"))
-    var centroids = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    var centroids: Seq[(Long, Seq[Float])] = e.filter(col("vec_id") < nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
     for (_ <- 1 to iters) {
       val assigned = assignCells(e, centroids)
       centroids = assigned
@@ -157,20 +157,26 @@ object Similarity {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
     }
     assignCells(e, centroids)
   }
 
-  /** Nearest centroid per vector (rank-1 over the broadcast centroids). */
-  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
-    import graft.functions.CosineSimilarity.cosineSim
-    e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"),
-        col("cell"), cosineSim(col("embedding"), col("centroid")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select("vec_id", "cell")
+  /** Nearest centroid per vector. The centroid set is always tiny
+    * (driver-held, shipped as literals), so assignment is ONE
+    * shuffle-free projection: an argmax fold over the per-centroid
+    * native cosines — no vector x centroid row blow-up, no window.
+    * (The earlier window-rank formulation shuffled |corpus| x |cells|
+    * rows; at 100k x 64 that alone cost more than the whole search.) */
+  private def assignCells(e: DataFrame, centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    import graft.functions.ArgMaxCosine.argmaxCosine
+    // sort by cell id so the kernel's lowest-index tiebreak == lowest
+    // cell id (the contract the window orderBy formulation had)
+    val sorted = centroids.sortBy(_._1)
+    val idx = argmaxCosine(col("embedding"), sorted.map(_._2))
+    e.select(col("vec_id"),
+      element_at(typedlit(sorted.map(_._1)), idx + 1).as("cell"))
   }
 
   /** IVF search: probe the `nProbe` nearest cells per query, brute
