@@ -3,10 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query
-  * against SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
-  * seconds. A session warm-up action runs first so JVM/codegen/session
-  * initialization is not charged to whichever query happens to run
-  * first.
+  * against SPARK_GRAFT_SF_DIR and prints ONE compact JSON line with
+  * per-query seconds. A session warm-up action runs first so
+  * JVM/codegen/session initialization is not charged to whichever
+  * query happens to run first.
+  *
+  * Output protocol: the driver captures only the TAIL of stdout (~2 KB
+  * observed in round 1 — our 2.6 KB full-precision line got its head
+  * truncated and failed to parse). So the LAST line printed is a
+  * compact form (seconds at 3 decimals) sized well under that window;
+  * a full-precision line `BENCH-DETAIL {...}` precedes it for humans.
+  *
+  * Failures are not swallowed: a failed query reports -1 as its
+  * timing and its name appears in the top-level "errors" list, so a
+  * broken query can never masquerade as a fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,15 +39,35 @@ object Bench {
       .collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var errors = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => errors ::= name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(entries: Seq[(String, Double)], digits: Int): String =
+      entries.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else s"%.${digits}f".format(v))
+      }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""BENCH-DETAIL {"queries":${fmt(results, 6)}}""")
+    // Final line must fit the driver's 2000-char stdout-tail window:
+    // include per-query timings slowest-first until a 1700-char budget
+    // is reached (failed queries first, then the expensive ones — the
+    // entries that matter for grading; the full map is on the line
+    // above).
+    val prefix = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","queries":"""
+    val bySlowest = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }.reverse
+    var kept = List.empty[(String, Double)]
+    var len = prefix.length + 2
+    for ((k, v) <- bySlowest) {
+      val entryLen = k.length + 10
+      if (len + entryLen <= 1700) { kept ::= (k, v); len += entryLen }
+    }
+    println(prefix + fmt(kept.sortBy(_._1), 3) + "}")
     spark.stop()
   }
 }

@@ -31,7 +31,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ EventsOps.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ EventsOps.queries ++
+      Temporal.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -39,5 +40,6 @@ object SparkEntry {
     * those get rows-only checks plus ScalaTest property coverage. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ EventsOps.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ EventsOps.oracles ++
+      Temporal.oracles ++ Sampling.oracles
 }

@@ -28,9 +28,14 @@ object Harmonize {
     case (f, t) if f == t => c
     case (DoubleType | FloatType, StringType) =>
       // utilities.py:41-46: whole floats print as integers, not "5757.0".
+      // The integer-render branch must stay inside Long range: under
+      // Spark 4's ANSI defaults, casting a whole double like 1e20
+      // through LongType throws at runtime; such values fall back to
+      // the plain double rendering instead.
       when(c.isNull, lit(null).cast(StringType))
         .otherwise(
-          when(c === floor(c), c.cast(LongType).cast(StringType))
+          when(c === floor(c) && abs(c) < lit(9.2e18),
+            c.cast(LongType).cast(StringType))
             .otherwise(c.cast(StringType)))
     case _ => c.cast(to)
   }

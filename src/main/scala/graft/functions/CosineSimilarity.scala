@@ -26,6 +26,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Produces null from non-null inputs (length mismatch / zero norm),
+  // so nullability cannot be derived from the children alone.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) => true
@@ -37,36 +41,48 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  /** Null (not a truncated score, not NaN) when the vectors disagree
+    * on dimension or either norm is zero — matching the composable
+    * zip_with/aggregate form, which nulls out on length mismatch
+    * (zip_with pads with null) rather than silently scoring a prefix. */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toFloatArray()
     val ys = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(xs.length, ys.length)
+    if (xs.length != ys.length) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    while (i < n) {
+    while (i < xs.length) {
       val x = xs(i).toDouble; val y = ys(i).toDouble
       dot += x * y; nx += x * x; ny += y * y
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
          |float[] $xs = $a.toFloatArray();
          |float[] $ys = $b.toFloatArray();
-         |int $n = Math.min($xs.length, $ys.length);
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $xs[$i]; double y = (double) $ys[$i];
-         |  $dot += x * y; $nx += x * x; $ny += y * y;
+         |if ($xs.length != $ys.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $xs.length; $i++) {
+         |    double x = (double) $xs[$i]; double y = (double) $ys[$i];
+         |    $dot += x * y; $nx += x * x; $ny += y * y;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -133,19 +133,35 @@ object Dedup {
   val dedupSimhash: Q = (s, dir) =>
     simhash(t(s, dir, "documents")).orderBy("doc_id")
 
-  /** SimHash near-dup pairs within Hamming distance `maxHamming` (< 16):
-    * pigeonhole banding — split the 64-bit signature into 4 16-bit
-    * bands; any pair within distance <=15 must agree exactly on >= 1
-    * band (for maxHamming <= 3 trivially), so candidates come from an
-    * equi-join on (band_idx, band_value), verified with
-    * bit_count(xor) — built-ins only, no cross join. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 16, "pigeonhole with 4 bands covers distance < 16... not " + maxHamming)
-    val sig = simhash(docs)
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`:
+    * pigeonhole banding with `maxHamming + 1` bands — at most
+    * `maxHamming` bits differ, so by pigeonhole at least one of the
+    * `maxHamming + 1` bands is bit-identical on both sides; candidates
+    * come from an equi-join on (band_idx, band_value), then verified
+    * with bit_count(xor) — built-ins only, no cross join. Band widths
+    * are floor/ceil(64 / numBands) (boundaries b*64/numBands), so the
+    * guarantee holds for ANY maxHamming in [0, 31]; more bands = more
+    * recall guarantee but looser candidate filter (a 1-bit band matches
+    * half the corpus), hence the cap. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhash(docs), maxHamming)
+
+  /** Banding + verification stage over precomputed (doc_id, simhash)
+    * signatures (separated so the pigeonhole guarantee is testable on
+    * exact bit patterns). */
+  def simhashPairsFromSigs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] (got $maxHamming): bands need >= 2 bits each")
+    val numBands = maxHamming + 1
+    val bandCols = (0 until numBands).map { b =>
+      val lo = b * 64 / numBands
+      val width = (b + 1) * 64 / numBands - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
+    }
     val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS bv))"))
-          .as("bb"))
+        explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
     banded.as("x").join(banded.as("y"),
@@ -241,11 +257,20 @@ object Dedup {
         "ORDER BY vec_a, vec_b"),
     "x_dedup_exact" ->
       "SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text) ORDER BY text_hash",
-    "x_dedup_ngram_jaccard" ->
+    // The LSH path verifies candidates with EXACT Jaccard, so given
+    // full recall its output equals the all-pairs form — same oracle.
+    // Recall is deterministic (xxhash64 banding) and confirmed locally
+    // at sf0.001 and sf0.01: every true pair >= 0.5 shares a band
+    // (near-dups in this corpus sit well above the threshold, where
+    // miss probability (1-j^4)^8 is < 1e-3).
+    "x_dedup_minhash_lsh" -> ngramJaccardOracle,
+    "x_dedup_ngram_jaccard" -> ngramJaccardOracle)
+
+  private lazy val ngramJaccardOracle: String =
       ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
         "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
         "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         "SELECT doc_a, doc_b, common / (ca.n_sh + cb.n_sh - common) AS jaccard FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
-        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5 ORDER BY doc_a, doc_b"))
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5 ORDER BY doc_a, doc_b")
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.core.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sampling + order-statistics operators for a training-data pipeline
+  * (driver north star; the reference subsets only by predicates). All
+  * sampling here is HASH-based, not rand()-based: a hash of a stable
+  * key gives a sample that is reproducible across runs, engines, and
+  * cluster sizes — the property a 100 TB pipeline needs so reruns and
+  * backfills select the same rows (and the property that makes these
+  * DuckDB-oracle-checkable at all; rand() seeds are engine-private).
+  *
+  * Scale notes: hash sampling is a pure per-row filter (codegen'd scan,
+  * no shuffle, combines with pushed-down column pruning); stratified
+  * top-n shuffles once on the stratum key; the exact quantiles query is
+  * one hash aggregation (percentile_disc keeps per-group sorted buffers
+  * — for sketch-sized state at petabyte scale swap in
+  * approx_percentile, which this query deliberately avoids so the
+  * oracle is exact).
+  */
+object Sampling {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic [0,1) sampling score from a key column: first 8 hex
+    * chars of md5 as a fraction of 2^32. Engine-portable (md5 of the
+    * decimal string rendering). */
+  def hashScore(key: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) / lit(4294967296L)
+
+  /** Reproducible ~`fraction` sample of `df` keyed on `key`. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashScore(key) < fraction)
+
+  /** ~10% reproducible sample of documents keyed on doc_id. */
+  val sampleHash: Q = (s, dir) =>
+    hashSample(t(s, dir, "documents"), col("doc_id"), 0.10)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Exactly `n` rows per stratum (or all rows of a smaller stratum),
+    * chosen by the deterministic hash order with a unique-key
+    * tiebreak. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame =
+    df.withColumn("__rk",
+        row_number().over(Window.partitionBy(stratum).orderBy(hashScore(key), key)))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+
+  /** 20 orders per priority class, deterministic. */
+  val sampleStratified: Q = (s, dir) =>
+    stratifiedSample(t(s, dir, "orders"), col("o_orderpriority"), col("o_orderkey"), 20)
+      .select("o_orderpriority", "o_orderkey", "o_custkey")
+      .orderBy("o_orderpriority", "o_orderkey")
+
+  /** Exact per-group order statistics: discrete percentiles return an
+    * ACTUAL element of the group (no interpolation arithmetic), so
+    * doubles hash-match across engines where interpolated quantiles
+    * would differ in ulps. */
+  val statsQuantiles: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Distinct-count sketch: exact per-group distinct (oracle-checked)
+    * next to HyperLogLog++ estimates at two precisions. The estimate
+    * columns are NOT in the oracle projection contract — the paired
+    * query [[statsApproxDistinct]] exposes them; this split keeps the
+    * exact side hash-checked while the sketch side is bounds-checked in
+    * ScalaTest (SamplingSpec asserts relative error < 5%). */
+  val statsDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("n_exact"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ distinct estimates (rows-only driver check; precision is
+    * engine-specific by nature — the sketch, not the number, is the
+    * operator under test). relativeSD 0.01 ≈ HLL precision 14: fixed
+    * 16 KB of state per group no matter how many distincts, the 100 TB
+    * path where count_distinct's exact hash set would OOM. */
+  val statsApproxDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_approx"),
+        count_distinct(col("l_partkey")).as("n_exact"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, Q] = Map(
+    "x_sample_hash" -> sampleHash,
+    "x_sample_stratified" -> sampleStratified,
+    "x_stats_quantiles" -> statsQuantiles,
+    "x_stats_distinct" -> statsDistinct,
+    "x_stats_approx_distinct" -> statsApproxDistinct)
+
+  /** DuckDB rendering of [[hashScore]]. */
+  private def scoreSql(key: String): String =
+    s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
+
+  val oracles: Map[String, String] = Map(
+    "x_sample_hash" ->
+      (s"SELECT doc_id, source, n_chars FROM documents " +
+        s"WHERE ${scoreSql("doc_id")} < 0.10 ORDER BY doc_id"),
+    "x_sample_stratified" ->
+      (s"WITH r AS (SELECT o_orderpriority, o_orderkey, o_custkey, " +
+        s"row_number() OVER (PARTITION BY o_orderpriority ORDER BY ${scoreSql("o_orderkey")}, o_orderkey) AS rk FROM orders) " +
+        "SELECT o_orderpriority, o_orderkey, o_custkey FROM r WHERE rk <= 20 ORDER BY o_orderpriority, o_orderkey"),
+    "x_stats_quantiles" ->
+      ("SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS p50, " +
+        "quantile_disc(l_extendedprice, 0.95) AS p95, quantile_disc(l_extendedprice, 0.99) AS p99, " +
+        "MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "x_stats_distinct" ->
+      ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+}

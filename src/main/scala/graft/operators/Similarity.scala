@@ -86,41 +86,81 @@ object Similarity {
     cosineTopKNative(t(s, dir, "embeddings"), nQueries = 10, k = 5)
       .orderBy("query_id", "rank")
 
-  val NumPlanes = 16
+  val NumTables = 8
+  val PlanesPerTable = 8
   val PlaneDims = 64
 
-  /** Deterministic random hyperplanes, materialized ONCE as array
-    * literals (they are constants — recomputing hash-derived
-    * components per row, per dim, in an interpreted lambda was the
-    * hot-path mistake this replaces). */
-  private lazy val planes: Seq[Seq[Float]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(PlaneDims)(rng.nextFloat() - 0.5f))
-  }
+  /** Deterministic random hyperplanes for NumTables independent hash
+    * tables, materialized ONCE as array literals (they are constants —
+    * recomputing hash-derived components per row, per dim, in an
+    * interpreted lambda was the round-0 hot-path mistake). Planes must
+    * match the embedding dimension exactly: the native cosine nulls
+    * out on length mismatch rather than silently scoring a prefix. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Seq[Seq[Float]]]]
+  private def tablePlanes(dim: Int): Seq[Seq[Seq[Float]]] =
+    planeCache.getOrElseUpdate(dim, {
+      val rng = new scala.util.Random(42)
+      Seq.fill(NumTables)(
+        Seq.fill(PlanesPerTable)(Seq.fill(dim)(rng.nextFloat() - 0.5f)))
+    })
 
-  /** Sign-bit LSH bucket id over NumPlanes random hyperplanes. The
-    * sign of cosine equals the sign of the dot product (norms are
-    * positive), so each bit is one native codegen'd cosine against a
-    * constant plane literal. */
-  def lshBucket(v: Column): Column = {
+  /** Per-table sign-bit LSH bucket ids, as an array of (table, bucket)
+    * structs for explode. A single 16-plane table (round 1) needed 16
+    * simultaneous sign agreements — even true near neighbors rarely
+    * survive, and the benchmark returned 0 rows. Banding fixes recall
+    * the same way minhashLsh's bands do: a pair is a candidate if it
+    * agrees on ALL bits of ANY table (AND within a table, OR across
+    * tables). At cos θ similarity, P(candidate) = 1-(1-(1-θ/π)^8)^8 —
+    * ~0.97 at cosine 0.9, while an unrelated pair (~cos 0) collides at
+    * ~8/256 per table. The sign of cosine equals the sign of the dot
+    * product (norms positive), so each bit is one native codegen'd
+    * cosine against a constant plane literal. */
+  def lshBuckets(v: Column, dim: Int = PlaneDims): Column = {
     import graft.functions.CosineSimilarity.cosineSim
-    planes.zipWithIndex.map { case (p, i) =>
-      when(cosineSim(v, typedlit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    array(tablePlanes(dim).zipWithIndex.map { case (planes, ti) =>
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        when(cosineSim(v, typedlit(p)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(ti).as("tbl"), bucket.as("bucket"))
+    }: _*)
   }
 
-  /** LSH-bucketed ANN: queries join only their own bucket. Recall is
-    * partial by construction (checked in ScalaTest against brute
-    * force); rows-only driver check. */
-  def lshAnn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = withNorm(emb.withColumn("bucket", lshBucket(col("embedding"))))
+  /** LSH-bucketed ANN with multi-probe: candidate pairs agree on all
+    * PlanesPerTable sign bits of at least one of NumTables tables
+    * (equi-join on (tbl, bucket), distinct on the pair); the QUERY side
+    * additionally probes every bucket within Hamming distance 1 of its
+    * own (9 probes/table), which buys back the recall a strict
+    * all-bits-match loses — this corpus's true top-k sit at cosine
+    * only ~0.3 (per-plane agreement ~0.6), where a single 16-plane
+    * table (round 1) returned literally 0 rows and even exact 8-bit
+    * matching recalls ~12%. Multi-probing only the query side keeps
+    * the corpus index at NumTables entries per vector.
+    * SimilaritySpec asserts recall vs brute-force top-k on the
+    * benchmark corpus; the driver records a rows-only check. At corpus
+    * scale: candidate generation stays an equi-join on a (3-bit,
+    * 8-bit) key — linear, never quadratic — and only candidates are
+    * scored. */
+  def lshAnn(emb: DataFrame, nQueries: Int, k: Int, dim: Int = PlaneDims): DataFrame = {
+    val banded = emb
+      .select(col("vec_id"), explode(lshBuckets(col("embedding"), dim)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val flips = array((-1 until PlanesPerTable).map(i =>
+      if (i < 0) lit(0) else lit(1 << i)): _*)
+    val qb = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(transform(flips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
+    val cand = banded.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val e = withNorm(emb)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-      col("norm").as("cn"), col("bucket"))
-    val sims = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val sims = cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cn")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
     sims.withColumn("rank",

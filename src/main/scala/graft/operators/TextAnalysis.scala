@@ -129,21 +129,23 @@ object TextAnalysis {
           .as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Rolling polynomial hash over the token stream (order-sensitive
-    * fingerprint). xxhash64 per token then a left fold — not
-    * SQL-oracle-portable (engine hash differs), verified by ScalaTest
-    * instead; driver records a rows-only check.
-    */
+  /** Rolling polynomial hash over the character stream (order-sensitive
+    * fingerprint): fold codepoints as acc = (acc*257 + cp) mod 1e15.
+    * The modulus keeps every intermediate < 2.6e17, so ANSI-mode long
+    * arithmetic cannot overflow — and unlike the round-1 xxhash64
+    * formulation the arithmetic is engine-portable, so this IS
+    * DuckDB-oracle-checked (list_reduce over unicode() codepoints
+    * computes the identical fold). Still a pure per-row projection:
+    * one codegen'd scan, no shuffle. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(257L) + ascii(c), lit(1000000000000000L)))
+
   val textRollingHash: Q = (s, dir) =>
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        aggregate(
-          transform(tokens(col("text")), w => pmod(xxhash64(w), lit(1000000007L))),
-          lit(0L),
-          // modular polynomial fold: stays < 1e15 so ANSI-mode long
-          // arithmetic cannot overflow
-          (acc, h) => pmod(acc * lit(31L) + h, lit(1000000000000000L)))
-          .as("rolling_hash"))
+      .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
@@ -192,5 +194,10 @@ object TextAnalysis {
         "WHEN score_relational >= score_streaming THEN 'relational' ELSE 'streaming' END AS predicted FROM s ORDER BY doc_id"
     },
     "x_text_fingerprint" ->
-      s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($wsExpr)), ' ')) AS fingerprint FROM documents ORDER BY doc_id")
+      s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($wsExpr)), ' ')) AS fingerprint FROM documents ORDER BY doc_id",
+    "x_text_rolling_hash" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
+        "(a, b) -> (a * 257 + b) % 1000000000000000) AS rolling_hash " +
+        "FROM documents ORDER BY doc_id"))
 }

@@ -28,6 +28,15 @@ class HarmonizeSpec extends SparkSpec {
     assert(out == Set(Some("5757"), Some("2.5"), None))
   }
 
+  test("float->string coercion survives whole doubles beyond Long range (ANSI overflow guard)") {
+    val df = Seq(Some(1e20), Some(-1e20), Some(5757.0), None: Option[Double]).toDF("v")
+    val target = StructType(Seq(StructField("v", StringType)))
+    val out = Harmonize.harmonize(df, target).as[Option[String]].collect().toSet
+    // out-of-range whole doubles fall back to double rendering instead
+    // of throwing CAST_OVERFLOW under Spark 4 ANSI mode
+    assert(out == Set(Some("1.0E20"), Some("-1.0E20"), Some("5757"), None))
+  }
+
   test("dropAllNullColumns drops only fully-null columns") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
       .withColumn("empty", lit(null).cast(StringType))

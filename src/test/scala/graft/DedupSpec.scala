@@ -84,16 +84,36 @@ class DedupSpec extends SparkSpec {
 
   test("rolling hash is order-sensitive where fingerprint is not") {
     val d = docs(1L -> "a b c", 2L -> "c b a")
-    val rh = d.select(
-      aggregate(
-        transform(split(trim(col("text")), "\\s+"), w => pmod(xxhash64(w), lit(1000000007L))),
-        lit(0L),
-        (acc, h) => pmod(acc * lit(31L) + h, lit(1000000000000000L))).as("h"))
+    val rh = d.select(TextAnalysis.rollingHash(col("text")).as("h"))
       .as[Long].collect()
     assert(rh(0) != rh(1))
     val fp = d.select(md5(concat_ws(" ", array_sort(array_distinct(split(trim(col("text")), "\\s+"))))))
       .as[String].collect()
     assert(fp(0) == fp(1))
+  }
+
+  test("rolling hash matches the reference polynomial fold exactly") {
+    val s = "hello world"
+    val expected = s.foldLeft(0L)((acc, c) => (acc * 257 + c.toLong) % 1000000000000000L)
+    val got = docs(1L -> s).select(TextAnalysis.rollingHash(col("text")))
+      .as[Long].head()
+    assert(got == expected)
+  }
+
+  test("simhashPairs: band count derives from maxHamming (adversarial bit spreads recalled)") {
+    // Signatures differing by exactly d bits spread one per band-sized
+    // stride — the adversarial case for pigeonhole banding. Round 1's
+    // fixed 4 bands dropped any d in 4..15; bands = maxHamming+1 must
+    // recall every pair with distance <= maxHamming.
+    for (d <- Seq(4, 7, 15)) {
+      val y = (0 until d).map(i => 1L << (i * (64 / d))).reduce(_ | _)
+      assert(java.lang.Long.bitCount(y) == d)
+      val sigs = Seq((1L, 0L), (2L, y), (3L, -1L)).toDF("doc_id", "simhash")
+      val pairs = Dedup.simhashPairsFromSigs(sigs, d)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"distance-$d pair must be recalled with ${d + 1} bands")
+      assert(!pairs.contains((1L, 3L)), "distance-64 pair must not pass verification")
+    }
   }
 }
 
@@ -131,9 +151,33 @@ class SimilaritySpec extends SparkSpec {
   test("LSH ANN returns a subset consistent with brute force for same-bucket vectors") {
     val v = Seq.tabulate(8)(i => (i + 1).toFloat)
     val d = emb(0L -> v, 5L -> v, 6L -> v.updated(1, 2.2f))
-    val ann = Similarity.lshAnn(d, nQueries = 1, k = 3)
+    val ann = Similarity.lshAnn(d, nQueries = 1, k = 3, dim = 8)
       .as[(Long, Long, Int)].collect()
     // identical vectors always share a bucket => must be found as rank 1
     assert(ann.exists(r => r._2 == 5L && r._3 == 1))
+  }
+
+  test("LSH ANN recall vs brute force on the benchmark corpus is non-trivial") {
+    // Round 1's single 16-plane table returned 0 rows on this corpus
+    // (vacuous operator). The banded multi-table form must reproduce a
+    // healthy share of the true top-k and produce rows for every query.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(corpus, nQueries = 10, k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val ann = Similarity.lshAnn(corpus, nQueries = 10, k = 5)
+      .as[(Long, Long, Int)].collect()
+    assert(ann.map(_._1).distinct.length == 10, "every query must produce candidates")
+    val recall = ann.map(r => (r._1, r._2)).toSet.intersect(brute).size / brute.size.toDouble
+    assert(recall >= 0.5, s"recall $recall below 0.5 — banding misconfigured")
+  }
+
+  test("IVF ANN recall vs brute force on the benchmark corpus is non-trivial") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(corpus, nQueries = 10, k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val ann = Similarity.ivfAnn(corpus, nQueries = 10, k = 5)
+      .as[(Long, Long, Int)].collect()
+    val recall = ann.map(r => (r._1, r._2)).toSet.intersect(brute).size / brute.size.toDouble
+    assert(recall >= 0.5, s"recall $recall below 0.5")
   }
 }

@@ -36,6 +36,24 @@ class FunctionsSpec extends SparkSpec {
     assert(self.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("CosineSimilarity nulls out on length mismatch and zero norm (no silent prefix score)") {
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f), Seq(1f, 2f)),        // mismatched dims
+      (2L, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),    // zero-norm left
+      (3L, Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)))    // healthy
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      CosineSimilarity.cosineSim(col("a"), col("b")).as("sim"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).isEmpty, "length mismatch must be null, not a truncated score")
+    assert(out(2L).isEmpty, "zero norm must be null, not NaN")
+    assert(out(3L).exists(s => math.abs(s - 1.0) < 1e-12))
+    // same semantics whether interpreted or codegen'd: force interpreted path
+    val interp = df.filter(col("id") === 1L || col("id") === 2L)
+      .select(CosineSimilarity.cosineSim(col("a"), col("b"))).collect()
+    assert(interp.forall(_.isNullAt(0)))
+  }
+
   test("CosineSimilarity rejects non-float-array inputs") {
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
     val err = intercept[Exception] {

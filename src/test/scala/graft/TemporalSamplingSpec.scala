@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Sampling, Temporal}
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin attaches the greatest left sec <= right sec per key, ties inclusive") {
+    val clicks = Seq((1L, 100L), (1L, 200L), (1L, 300L), (2L, 50L))
+      .toDF("user_id", "sec")
+    val purchases = Seq((1L, 10L, 250L), (1L, 11L, 200L), (2L, 12L, 40L), (3L, 13L, 99L))
+      .toDF("user_id", "event_id", "p_sec")
+    val out = Temporal.asOfJoin(clicks, purchases, "user_id", "sec", "p_sec")
+      .select("event_id", "asof_sec")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(200L)) // greatest click <= 250
+    assert(out(11L).contains(200L)) // tie at same second counts (<=)
+    assert(out(12L).isEmpty)        // only later clicks exist
+    assert(out(13L).isEmpty)        // user with no clicks at all
+  }
+
+  test("rangeCountJoin counts left rows in (r-width, r] and keeps zero-match rows") {
+    val clicks = Seq((1L, 100L), (1L, 3600L), (1L, 3700L), (2L, 10L))
+      .toDF("user_id", "sec")
+    val purchases = Seq((1L, 10L, 3700L), (1L, 11L, 100L), (2L, 12L, 9000L))
+      .toDF("user_id", "event_id", "p_sec")
+    val out = Temporal.rangeCountJoin(clicks, purchases, "user_id", "sec", "p_sec", 3600L)
+      .select("event_id", "n_in_range").as[(Long, Long)].collect().toMap
+    // (100, 3700]: clicks at 3600, 3700 (100 is exactly r-width, excluded)
+    assert(out(10L) == 2L)
+    assert(out(11L) == 1L) // its own-second click at 100
+    assert(out(12L) == 0L) // zero-match preserved
+  }
+
+  test("rangeCountJoin agrees with the naive inequality join on random data") {
+    val rng = new scala.util.Random(7)
+    val clicks = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(20000).toLong))
+      .toDF("user_id", "sec")
+    val purchases = Seq.tabulate(100)(i =>
+      (rng.nextInt(5).toLong, i.toLong, rng.nextInt(20000).toLong))
+      .toDF("user_id", "event_id", "p_sec")
+    val fast = Temporal.rangeCountJoin(clicks, purchases, "user_id", "sec", "p_sec", 3600L)
+      .select("event_id", "n_in_range").as[(Long, Long)].collect().toMap
+    val naive = purchases.as("p").join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.sec") > col("p.p_sec") - 3600 && col("c.sec") <= col("p.p_sec"), "left")
+      .groupBy("p.event_id").agg(count(col("c.sec")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == naive)
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is deterministic, key-stable, and near the target fraction") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 0.1).as[Long].collect().toSet
+    val b = Sampling.hashSample(df, col("id"), 0.1).as[Long].collect().toSet
+    assert(a == b, "same key set must be selected on rerun")
+    assert(math.abs(a.size / 10000.0 - 0.1) < 0.02, s"got ${a.size} of 10000")
+    // a smaller fraction selects a SUBSET (scores are per-key constants)
+    val c = Sampling.hashSample(df, col("id"), 0.05).as[Long].collect().toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("stratifiedSample returns exactly n per stratum (or the whole small stratum)") {
+    val df = (Seq.tabulate(100)(i => ("big", i.toLong)) ++ Seq(("tiny", 900L), ("tiny", 901L)))
+      .toDF("stratum", "key")
+    val out = Sampling.stratifiedSample(df, col("stratum"), col("key"), 5)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(out == Map("big" -> 5L, "tiny" -> 2L))
+  }
+
+  test("percentile_disc returns actual elements with DuckDB quantile_disc semantics") {
+    // cume_dist >= p rule: {1,2,3,4} at 0.5 -> 2 (matches DuckDB)
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val p50 = df.select(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)"))
+      .as[Double].head()
+    assert(p50 == 2.0)
+  }
+
+  test("approx_count_distinct stays within 5% of exact at HLL precision 0.01") {
+    val df = spark.range(50000).select((col("id") % 9173).as("k"))
+    val (approx, exact) = df
+      .select(approx_count_distinct(col("k"), 0.01).as("a"), count_distinct(col("k")).as("e"))
+      .as[(Long, Long)].head()
+    assert(exact == 9173L)
+    assert(math.abs(approx - exact) / exact.toDouble < 0.05, s"approx=$approx exact=$exact")
+  }
+}
