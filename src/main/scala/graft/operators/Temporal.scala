@@ -44,19 +44,24 @@ object Temporal {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftSec: String, rightSec: String): DataFrame = {
     val rightCols = right.columns.toSeq
-    val l = left.select(col(key), col(leftSec).as("__sec"), lit(0).as("__kind"),
-      typedLit[Option[Long]](None).as("__rid"))
-    val rWithId = right.withColumn("__rid", monotonically_increasing_id())
-    val r = rWithId.select(col(key), col(rightSec).as("__sec"), lit(1).as("__kind"),
-      col("__rid"))
+    val carried = rightCols.filterNot(_ == key)
+    val rTypes = right.schema.map(f => f.name -> f.dataType).toMap
+    // Right rows carry their full payload through the union; left rows
+    // pad it with typed nulls. No row id, no join-back — the output is
+    // produced directly by the one windowed pass (a second join on a
+    // synthetic id would be a whole extra shuffle at scale).
+    val l = left.select(
+      col(key) +: col(leftSec).as("__sec") +: lit(0).as("__kind") +:
+        carried.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+    val r = right.select(
+      col(key) +: col(rightSec).as("__sec") +: lit(1).as("__kind") +:
+        carried.map(col): _*)
     val w = Window.partitionBy(key).orderBy("__sec", "__kind")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = l.unionByName(r)
+    l.unionByName(r)
       .withColumn("__asof",
         last(when(col("__kind") === 0, col("__sec")), ignoreNulls = true).over(w))
       .filter(col("__kind") === 1)
-      .select(col("__rid"), col("__asof"))
-    rWithId.join(merged, Seq("__rid"))
       .select((rightCols.map(col) :+ col("__asof").as("asof_sec")): _*)
   }
 

@@ -148,7 +148,65 @@ object TextAnalysis {
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
+    * §A1.1 shape): duplicate word-3-gram fraction and most-frequent-
+    * token share. Everything is per-row higher-order-function work over
+    * the token array — no explode, no shuffle; ratios are single IEEE
+    * divisions of ints so the oracle is exact. The inner
+    * count-per-distinct-token scan is O(|distinct| * |tokens|) per
+    * document, which is bounded by document length, not corpus size —
+    * still embarrassingly parallel at 100 TB. */
+  val textRepetition: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .withColumn("grams",
+        when(size(col("ws")) >= 3, expr(
+          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3)))")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("grams"))) / size(col("grams")))
+          .as("dup_3gram_ratio"),
+        (array_max(transform(array_distinct(col("ws")),
+          t => size(filter(col("ws"), w => w === t)))) / size(col("ws")))
+          .as("top_token_ratio"))
+      .orderBy("doc_id")
+
+  /** Portable SimHash (32-bit): the engine-neutral companion to
+    * [[Dedup.simhash]] — token hash is the character-polynomial
+    * (acc*31 + cp) mod 2^32 instead of xxhash64, so DuckDB can compute
+    * the identical signature and the whole simhash pipeline gets a
+    * hash-checked oracle (the 64-bit xxhash variant keeps the
+    * rows-only check + property specs). Same one-scan shape: explode
+    * distinct tokens, 32 conditional bit-vote sums, pack bits. */
+  /** Portable 32-bit token hash: character polynomial mod 2^32. */
+  def charPolyHash32(tok: Column): Column =
+    aggregate(
+      filter(split(tok, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(4294967296L)))
+
+  def simhash32(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), charPolyHash32(col("tok")).as("h"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash32"))
+  }
+
+  val textSimhashPortable: Q = (s, dir) =>
+    simhash32(t(s, dir, "documents")).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "x_text_repetition" -> textRepetition,
+    "x_dedup_simhash_portable" -> textSimhashPortable,
     "x_text_tokens" -> textTokens,
     "x_text_tokens_bpe" -> textTokensBpe,
     "x_text_quality" -> textQuality,
@@ -199,5 +257,26 @@ object TextAnalysis {
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
         "(a, b) -> (a * 257 + b) % 1000000000000000) AS rolling_hash " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id"),
+    "x_text_repetition" ->
+      (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
+        "g AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 3 THEN " +
+        "list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END AS grams FROM w) " +
+        "SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens, CAST(len(list_distinct(ws)) AS INT) AS n_distinct, " +
+        "1.0 - CAST(len(list_distinct(grams)) AS INT) / CAST(len(grams) AS INT) AS dup_3gram_ratio, " +
+        "CAST(list_max(list_transform(list_distinct(ws), t -> len(list_filter(ws, x -> x = t)))) AS INT) / CAST(len(ws) AS INT) AS top_token_ratio " +
+        "FROM g ORDER BY doc_id"),
+    "x_dedup_simhash_portable" -> {
+      val th = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 4294967296)"
+      val bitSums = (0 until 32).map(i =>
+        s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+      val sig = (0 until 32).map(i =>
+        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"WITH tk AS (SELECT doc_id, unnest(list_distinct($wsExpr)) AS tok FROM documents), " +
+        s"h AS (SELECT doc_id, $th AS th FROM tk), " +
+        s"s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id) " +
+        s"SELECT doc_id, CAST($sig AS BIGINT) AS simhash32 FROM s ORDER BY doc_id"
+    })
 }

@@ -92,6 +92,41 @@ class DedupSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+  test("portable simhash32: order-insensitive, discriminates unrelated docs, matches oracle arithmetic") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "delta gamma beta alpha",
+      3L -> "completely different words here")
+    val sig = TextAnalysis.simhash32(d).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L), "token order must not change the signature")
+    assert(sig(1L) != sig(3L))
+    assert(sig.values.forall(s => s >= 0 && s < (1L << 32)), "32-bit signature range")
+    // scalar check of the polynomial: hash("ab") = (0*31+97)*31+98 mod 2^32
+    val h = d.limit(1).select(TextAnalysis.charPolyHash32(lit("ab")))
+      .as[Long].head()
+    assert(h == (97L * 31 + 98) % 4294967296L)
+  }
+
+  test("repetition signals: duplicated content scores high, varied content low") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam",
+      2L -> "one two three four five six")
+    val out = TextAnalysis.textRepetition(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_distinct", "dup_3gram_ratio", "top_token_ratio"))
+    // planted check on local frames via the same expressions
+    val ws = split(trim(col("text")), "\\s+")
+    val grams = expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', slice(ws, i+1, 3)))")
+    val scored = d.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(grams)) / size(grams)).as("dup"),
+        (array_max(transform(array_distinct(col("ws")),
+          t => size(filter(col("ws"), w => w === t)))) / size(col("ws"))).as("top"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scored(1L)._1 == 0.75 && scored(1L)._2 == 1.0) // 4 grams, 1 distinct
+    assert(scored(2L)._1 == 0.0 && scored(2L)._2 == 1.0 / 6.0)
+  }
+
   test("rolling hash matches the reference polynomial fold exactly") {
     val s = "hello world"
     val expected = s.foldLeft(0L)((acc, c) => (acc * 257 + c.toLong) % 1000000000000000L)
