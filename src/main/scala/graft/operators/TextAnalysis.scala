@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -204,7 +205,50 @@ object TextAnalysis {
   val textSimhashPortable: Q = (s, dir) =>
     simhash32(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Distinct word n-grams as an array column (empty when too short).
+    * Built from Column-level functions (not an expr string) so it
+    * composes with any input expression, not just a column named ws. */
+  def wordNgrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Benchmark decontamination: count, per corpus document, the
+    * distinct 4-grams it shares with an eval set (here: doc_id < 10 —
+    * the stand-in for a held-out benchmark). The eval side's distinct
+    * grams are BROADCAST (an eval suite is tiny next to a 100 TB
+    * corpus), so the corpus side never shuffles: one scan, explode,
+    * broadcast-hash semi-match, partial-aggregated count per doc.
+    * Training pipelines drop (or flag) every hit before training. */
+  val textContamination: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 4)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
+    grams.filter(col("doc_id") >= 10)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Dataset-mix statistics: per-source doc/token counts and each
+    * source's share of total tokens — the bookkeeping behind sampling
+    * weights when mixing sources into a training run. One partial-
+    * aggregated groupBy + a scalar total via window; the share is a
+    * single IEEE division of two exact longs, so it oracle-checks. */
+  val textMixStats: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens") / sum("n_tokens").over(Window.partitionBy()))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "x_text_contamination" -> textContamination,
+    "x_text_mix_stats" -> textMixStats,
     "x_text_repetition" -> textRepetition,
     "x_dedup_simhash_portable" -> textSimhashPortable,
     "x_text_tokens" -> textTokens,
@@ -258,6 +302,18 @@ object TextAnalysis {
         "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
         "(a, b) -> (a * 257 + b) % 1000000000000000) AS rolling_hash " +
         "FROM documents ORDER BY doc_id"),
+    "x_text_contamination" ->
+      (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g FROM w, unnest(range(1, len(ws)-2)) AS u(i) WHERE len(ws) >= 4), " +
+        "e AS (SELECT DISTINCT g FROM g WHERE doc_id < 10) " +
+        "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams FROM g JOIN e USING (g) " +
+        "WHERE g.doc_id >= 10 GROUP BY g.doc_id ORDER BY doc_id"),
+    "x_text_mix_stats" ->
+      (s"WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"CAST(SUM(len($wsExpr)) AS BIGINT) AS n_tokens FROM documents GROUP BY source) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "n_tokens / CAST(SUM(n_tokens) OVER () AS BIGINT) AS token_share " +
+        "FROM s ORDER BY source"),
     "x_text_repetition" ->
       (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
         "g AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 3 THEN " +
