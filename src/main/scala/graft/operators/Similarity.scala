@@ -105,26 +105,20 @@ object Similarity {
         Seq.fill(PlanesPerTable)(Seq.fill(dim)(rng.nextFloat() - 0.5f)))
     })
 
-  /** Per-table sign-bit LSH bucket ids, as an array of (table, bucket)
-    * structs for explode. A single 16-plane table (round 1) needed 16
-    * simultaneous sign agreements — even true near neighbors rarely
-    * survive, and the benchmark returned 0 rows. Banding fixes recall
-    * the same way minhashLsh's bands do: a pair is a candidate if it
-    * agrees on ALL bits of ANY table (AND within a table, OR across
-    * tables). At cos θ similarity, P(candidate) = 1-(1-(1-θ/π)^8)^8 —
-    * ~0.97 at cosine 0.9, while an unrelated pair (~cos 0) collides at
-    * ~8/256 per table. The sign of cosine equals the sign of the dot
-    * product (norms positive), so each bit is one native codegen'd
-    * cosine against a constant plane literal. */
-  def lshBuckets(v: Column, dim: Int = PlaneDims): Column = {
-    import graft.functions.CosineSimilarity.cosineSim
-    array(tablePlanes(dim).zipWithIndex.map { case (planes, ti) =>
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        when(cosineSim(v, typedlit(p)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(ti).as("tbl"), bucket.as("bucket"))
-    }: _*)
-  }
+  /** Per-table sign-bit LSH bucket ids (index = table). A single
+    * 16-plane table (round 1) needed 16 simultaneous sign agreements —
+    * even true near neighbors rarely survive, and the benchmark
+    * returned 0 rows. Banding fixes recall the same way minhashLsh's
+    * bands do: a pair is a candidate if it agrees on ALL bits of ANY
+    * table (AND within a table, OR across tables). At cos θ
+    * similarity, P(candidate) = 1-(1-(1-θ/π)^8)^8 — ~0.97 at cosine
+    * 0.9, while an unrelated pair (~cos 0) collides at ~8/256 per
+    * table. All 64 sign bits come from ONE fused kernel expression
+    * ([[graft.functions.SignBuckets]]) that decodes the vector once —
+    * composing 64 scalar cosine calls re-decoded the ArrayData per
+    * call and computed 64 needless norms. */
+  def lshBuckets(v: Column, dim: Int = PlaneDims): Column =
+    graft.functions.SignBuckets.signBuckets(v, tablePlanes(dim))
 
   /** LSH-bucketed ANN with multi-probe: candidate pairs agree on all
     * PlanesPerTable sign bits of at least one of NumTables tables
@@ -143,8 +137,7 @@ object Similarity {
     * scored. */
   def lshAnn(emb: DataFrame, nQueries: Int, k: Int, dim: Int = PlaneDims): DataFrame = {
     val banded = emb
-      .select(col("vec_id"), explode(lshBuckets(col("embedding"), dim)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), posexplode(lshBuckets(col("embedding"), dim)).as(Seq("tbl", "bucket")))
     val flips = array((-1 until PlanesPerTable).map(i =>
       if (i < 0) lit(0) else lit(1 << i)): _*)
     val qb = banded.filter(col("vec_id") < nQueries)

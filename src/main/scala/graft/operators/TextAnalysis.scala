@@ -222,8 +222,13 @@ object TextAnalysis {
     * broadcast-hash semi-match, partial-aggregated count per doc.
     * Training pipelines drop (or flag) every hit before training. */
   val textContamination: Q = (s, dir) => {
+    // tokens() must be materialized as a column BEFORE wordNgrams:
+    // references to `ws` inside the transform lambda are re-evaluated
+    // per element, so passing the split expression directly re-splits
+    // the text once per gram (measured 5s -> 0.6s at sf0.1).
     val grams = t(s, dir, "documents")
-      .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), 4)).as("g"))
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(wordNgrams(col("ws"), 4)).as("g"))
     val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
     grams.filter(col("doc_id") >= 10)
       .join(broadcast(evalGrams), Seq("g"))
