@@ -206,6 +206,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall below 0.5 — banding misconfigured")
   }
 
+  test("int8-quantized top-k closely tracks exact top-k on the benchmark corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(corpus, nQueries = 10, k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val quant = Similarity.quantizedTopK(corpus, nQueries = 10, k = 5)
+      .as[(Long, Long, Int)].collect()
+    assert(quant.length == 50)
+    val overlap = quant.map(r => (r._1, r._2)).toSet.intersect(brute).size / 50.0
+    assert(overlap >= 0.7, s"quantization distorted ranking too much: overlap $overlap")
+    // zero vectors must quantize to all-zero ints, not throw
+    val z = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, -2f))).toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(z).select("q").as[Seq[Int]].collect()
+    assert(qz.contains(Seq(0, 0)))
+  }
+
   test("IVF ANN recall vs brute force on the benchmark corpus is non-trivial") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.cosineTopK(corpus, nQueries = 10, k = 5)

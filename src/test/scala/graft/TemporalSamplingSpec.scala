@@ -33,6 +33,22 @@ class TemporalSpec extends SparkSpec {
     assert(out(12L) == 0L) // zero-match preserved
   }
 
+  test("asOfJoin agrees with the naive max-subquery formulation on random data") {
+    val rng = new scala.util.Random(11)
+    val clicks = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(20000).toLong))
+      .toDF("user_id", "sec")
+    val purchases = Seq.tabulate(100)(i =>
+      (rng.nextInt(5).toLong, i.toLong, rng.nextInt(20000).toLong))
+      .toDF("user_id", "event_id", "p_sec")
+    val fast = Temporal.asOfJoin(clicks, purchases, "user_id", "sec", "p_sec")
+      .select("event_id", "asof_sec").as[(Long, Option[Long])].collect().toMap
+    val naive = purchases.as("p").join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("c.sec") <= col("p.p_sec"), "left")
+      .groupBy("p.event_id").agg(max(col("c.sec")).as("asof"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast == naive)
+  }
+
   test("rangeCountJoin agrees with the naive inequality join on random data") {
     val rng = new scala.util.Random(7)
     val clicks = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(20000).toLong))
