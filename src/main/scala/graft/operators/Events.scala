@@ -53,9 +53,57 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** Sessionization via the BUILT-IN session_window aggregation — the
+    * Spark-native form of [[eventsSessionize]]'s lag/cumsum (and the
+    * only form that also runs under Structured Streaming with state
+    * cleanup for free). Boundary nuance the oracle mirrors: a session
+    * window is [event, event+gap) with an EXCLUSIVE end, so a gap of
+    * exactly 30 min starts a new session (>= in the oracle's lag
+    * split), whereas the lag formulation above splits only on > 30
+    * min. Session start is emitted as epoch seconds so the compare is
+    * timezone-proof. */
+  val eventsSessionWindow: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("ts_sec", tsSec)
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(col("ts_sec")), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").cast(LongType).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Per-user click/purchase timeline via typed COGROUP — the
+    * Dataset-API surface for "merge two grouped streams with arbitrary
+    * logic" (SURVEY §2.10's per-group apply, beyond what joins
+    * express). One shuffle per side on user_id; group pairs stream
+    * through the function without materializing either side globally.
+    * The logic here is deliberately aggregate-shaped so a FULL OUTER
+    * JOIN oracle can verify the cogroup plumbing exactly. */
+  val eventsCogroup: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), tsSec.as("sec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec")).as[(Long, Long)]
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec")).as[(Long, Long)]
+    clicks.groupByKey(_._1).cogroup(purchases.groupByKey(_._1)) { (uid, cs, ps) =>
+      var nC = 0L; var firstC = Long.MaxValue
+      cs.foreach { c => nC += 1; if (c._2 < firstC) firstC = c._2 }
+      var nP = 0L; var firstP = Long.MaxValue
+      ps.foreach { p => nP += 1; if (p._2 < firstP) firstP = p._2 }
+      Iterator((uid, nC, nP,
+        if (nC > 0) Some(firstC) else None,
+        if (nP > 0) Some(firstP) else None))
+    }.toDF("user_id", "n_clicks", "n_purchases", "first_click_sec", "first_purchase_sec")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_events_hourly" -> eventsHourly,
-    "x_events_sessionize" -> eventsSessionize)
+    "x_events_sessionize" -> eventsSessionize,
+    "x_events_session_window" -> eventsSessionWindow,
+    "x_events_cogroup" -> eventsCogroup)
 
   val oracles: Map[String, String] = Map(
     "x_events_hourly" ->
@@ -67,5 +115,20 @@ object EventsOps {
         "s AS (SELECT user_id, CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL " +
         "OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800 THEN 1 ELSE 0 END AS new_sess FROM e) " +
         "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, CAST(COUNT(*) AS BIGINT) AS n_events " +
-        "FROM s GROUP BY user_id ORDER BY user_id"))
+        "FROM s GROUP BY user_id ORDER BY user_id"),
+    "x_events_session_window" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "s AS (SELECT user_id, sec, CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL " +
+        "OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "g AS (SELECT user_id, sec, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM s) " +
+        "SELECT user_id, CAST(MIN(sec) AS BIGINT) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "x_events_cogroup" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks, MIN(sec) AS first_click_sec FROM e WHERE event_type = 'click' GROUP BY user_id), " +
+        "p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases, MIN(sec) AS first_purchase_sec FROM e WHERE event_type = 'purchase' GROUP BY user_id) " +
+        "SELECT COALESCE(c.user_id, p.user_id) AS user_id, " +
+        "COALESCE(n_clicks, 0) AS n_clicks, COALESCE(n_purchases, 0) AS n_purchases, " +
+        "first_click_sec, first_purchase_sec " +
+        "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id ORDER BY user_id"))
 }

@@ -99,7 +99,21 @@ object Sampling {
         count_distinct(col("l_partkey")).as("n_exact"))
       .orderBy("l_returnflag")
 
+  /** Sketch-based percentiles (rows-only driver check; the sketch is
+    * engine-specific by nature). approx_percentile at accuracy 10000
+    * holds bounded state per group regardless of group size — the
+    * 100 TB replacement for percentile_disc's exact sorted buffers;
+    * SamplingSpec bounds its error against the exact form. */
+  val statsApproxQuantiles: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("approx"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "x_stats_approx_quantiles" -> statsApproxQuantiles,
     "x_sample_hash" -> sampleHash,
     "x_sample_stratified" -> sampleStratified,
     "x_stats_quantiles" -> statsQuantiles,

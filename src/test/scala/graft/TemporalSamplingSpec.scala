@@ -97,6 +97,15 @@ class SamplingSpec extends SparkSpec {
     assert(p50 == 2.0)
   }
 
+  test("approx_percentile stays within 1% of the exact discrete percentile") {
+    val out = Sampling.statsApproxQuantiles(spark, "/root/testdata/sf0.001")
+      .selectExpr("approx[0] AS a50", "exact_p50").as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a50, e50) =>
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"approx $a50 vs exact $e50")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact at HLL precision 0.01") {
     val df = spark.range(50000).select((col("id") % 9173).as("k"))
     val (approx, exact) = df
