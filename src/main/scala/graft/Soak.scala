@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Sampling, Similarity, Temporal, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Soak harness: times the scale-path operators on synthetic data 1-2
+  * orders of magnitude beyond the sf0.1 bench, to show cost curves are
+  * linear where SCALE.md claims they are (run:
+  * `sbt "runMain graft.Soak [multiplier]"`, default 1 → 2M events /
+  * 200k vectors / 200k docs). Data is generated deterministically on
+  * the executors (spark.range + arithmetic) — no driver-side
+  * materialization, so the harness itself follows the no-collect rule.
+  * Results are recorded in BENCH_NOTES.md per round.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nEvents = 2000000L * mult
+    val nVecs = 200000L * mult
+    val nDocs = 200000L * mult
+
+    // events: 10k users, ~23 days of second-resolution activity, 5% clicks->purchases
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      pmod(col("id") * 7919, lit(10000)).as("user_id"),
+      (col("id") % 2000000L).as("sec"),
+      when(pmod(col("id"), lit(20)) === 0, "purchase")
+        .when(pmod(col("id"), lit(3)) === 0, "click")
+        .otherwise("view").as("event_type"))
+    val clicks = events.filter(col("event_type") === "click").select("user_id", "sec")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec").as("p_sec"))
+
+    // embeddings: 64-dim deterministic pseudo-random directions
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> CAST(sin(id * 13 + i * 31) AS FLOAT))")
+        .as("embedding"))
+
+    // documents: ~40-token synthetic text with a shared vocabulary
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 39), " +
+        "i -> concat('w', pmod(id * 31 + i * 17, 2000))))").as("text"))
+
+    // noop sink: forces EVERY column to be computed (count() would let
+    // Catalyst prune the projection and time only the scan)
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"SOAK $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    time("asof_join") {
+      Temporal.asOfJoin(clicks, purchases, "user_id", "sec", "p_sec")
+    }
+    time("range_count_join") {
+      Temporal.rangeCountJoin(clicks, purchases, "user_id", "sec", "p_sec", 3600L)
+    }
+    time("lsh_ann") { Similarity.lshAnn(vecs, nQueries = 10, k = 5) }
+    time("quantized_topk") { Similarity.quantizedTopK(vecs, nQueries = 10, k = 5) }
+    time("hash_sample") { Sampling.hashSample(docs, col("doc_id"), 0.1) }
+    time("simhash32") { TextAnalysis.simhash32(docs) }
+    val repetition = TextAnalysis.textRepetition
+    time("repetition") {
+      docs.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+        .select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(TextAnalysis.wordNgrams(col("ws"), 3))) /
+            size(TextAnalysis.wordNgrams(col("ws"), 3))).as("dup3"))
+    }
+    spark.stop()
+  }
+}

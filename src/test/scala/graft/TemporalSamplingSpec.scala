@@ -98,12 +98,28 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("approx_percentile stays within 1% of the exact discrete percentile") {
-    val out = Sampling.statsApproxQuantiles(spark, "/root/testdata/sf0.001")
-      .selectExpr("approx[0] AS a50", "exact_p50").as[(Double, Double)].collect()
-    assert(out.nonEmpty)
-    out.foreach { case (a50, e50) =>
-      assert(math.abs(a50 - e50) / e50 < 0.01, s"approx $a50 vs exact $e50")
+    val dir = "/root/testdata/sf0.001"
+    val approx = Sampling.statsApproxQuantiles(spark, dir)
+      .selectExpr("l_returnflag", "approx[0] AS a50")
+      .as[(String, Double)].collect().toMap
+    val exact = Sampling.statsQuantiles(spark, dir)
+      .select("l_returnflag", "p50").as[(String, Double)].collect().toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    approx.foreach { case (k, a50) =>
+      assert(math.abs(a50 - exact(k)) / exact(k) < 0.01, s"$k: approx $a50 vs exact ${exact(k)}")
     }
+  }
+
+  test("window rank-pick percentiles equal percentile_disc aggregates") {
+    val df = Seq.tabulate(101)(i => ("g", (i * 7 % 101).toDouble))
+      .toDF("g", "x")
+    val win = Sampling.discretePercentiles(df, "g", "x", Seq(0.5 -> "p50", 0.95 -> "p95"))
+      .select("p50", "p95").as[(Double, Double)].head()
+    val agg = df.groupBy("g").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").as("p50"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)").as("p95"))
+      .select("p50", "p95").as[(Double, Double)].head()
+    assert(win == agg)
   }
 
   test("approx_count_distinct stays within 5% of exact at HLL precision 0.01") {
