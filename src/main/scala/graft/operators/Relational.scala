@@ -450,6 +450,21 @@ object Relational {
         "measure", "value_c")
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
+  /** R7: pivot long->wide — the inverse of the melt the reference
+    * leans on (beyond the reference, which only unpivots; rounds out
+    * §2.8). Pivot values are DECLARED, not discovered: passing the
+    * list skips the extra distinct job Spark otherwise runs, which at
+    * 100 TB is a full scan you don't want hidden inside a reshape. */
+  val r7Pivot: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"))
+      .orderBy("l_returnflag")
+
   /** R3: explode a split list column (get_chembl_targets.py:23-27). */
   val r3Explode: Q = (s, dir) =>
     t(s, dir, "part")
@@ -636,6 +651,7 @@ object Relational {
     "u2_union_distinct" -> u2UnionDistinct,
     "r1_melt" -> r1Melt,
     "r3_explode" -> r3Explode,
+    "r7_pivot" -> r7Pivot,
     "r4_json_flatten" -> r4JsonFlatten,
     "r6_record_parse" -> r6RecordParse,
     "f1_regexp_chain" -> f1RegexpChain,
@@ -768,6 +784,10 @@ object Relational {
       "SELECT * FROM (SELECT l_orderkey, l_linenumber, 'qty_c' AS measure, CAST(floor(l_quantity * 100) AS BIGINT) AS value_c FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'price_c', CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'disc_c', CAST(floor(l_discount * 100) AS BIGINT) FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'tax_c', CAST(floor(l_tax * 100) AS BIGINT) FROM lineitem) ORDER BY l_orderkey, l_linenumber, measure",
     "r3_explode" ->
       "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) GROUP BY word ORDER BY word",
+    "r7_pivot" ->
+      ("SELECT l_returnflag, CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f, " +
+        "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "r4_json_flatten" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
     "r6_record_parse" ->
