@@ -38,7 +38,12 @@ object Dedup {
 
   /** Pairwise Jaccard over distinct shingles via inverted-index join:
     * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|. */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
+    // Materialize the shingle index once: it feeds the count aggregate
+    // plus BOTH self-join sides, and Spark does not reuse the
+    // explode+distinct subtree across them (no ReusedExchange in the
+    // plan — verified), so without this the index is built three times.
+    val sh = sh0.localCheckpoint()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -84,8 +89,15 @@ object Dedup {
     * Jaccard. This is the 100 TB near-dup path: candidate generation
     * cost is linear in corpus size, not quadratic. */
   def minhashLsh(docs: DataFrame, minJaccard: Double): DataFrame = {
+    // The signature frame feeds both band self-join sides and Spark
+    // re-executes the shared subtree (no ReusedExchange — self-join
+    // sides canonicalize differently), so materialize it once: this IS
+    // the "build the LSH index" step, 8 bytes x NumHashes per doc.
+    // The wide shingle frame is deliberately NOT checkpointed — its
+    // rows are large and recomputing the scan-side pipeline is cheaper
+    // than materializing it (measured +1s at sf0.1).
     val sh = shingles(docs)
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignatures(sh).localCheckpoint()
     val numBands = NumHashes / BandRows
     val bandCols = (0 until numBands).map { b =>
       val rows = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
@@ -153,6 +165,10 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31] (got $maxHamming): bands need >= 2 bits each")
     val numBands = maxHamming + 1
+    // one row + 8 bytes per doc; materialized once so the band
+    // self-join's two sides don't each recompute the 64-bit-vote
+    // aggregation over the exploded token stream
+    val sigC = sig.localCheckpoint()
     val bandCols = (0 until numBands).map { b =>
       val lo = b * 64 / numBands
       val width = (b + 1) * 64 / numBands - lo
@@ -160,7 +176,7 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val banded = sigC.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))

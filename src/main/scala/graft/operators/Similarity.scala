@@ -136,8 +136,12 @@ object Similarity {
     * 8-bit) key — linear, never quadratic — and only candidates are
     * scored. */
   def lshAnn(emb: DataFrame, nQueries: Int, k: Int, dim: Int = PlaneDims): DataFrame = {
+    // materialize the bucket index once (NumTables ints per vector):
+    // it feeds both candidate-join sides, and without this the
+    // SignBuckets kernel re-hashes the whole corpus for each
     val banded = emb
       .select(col("vec_id"), posexplode(lshBuckets(col("embedding"), dim)).as(Seq("tbl", "bucket")))
+      .localCheckpoint()
     val flips = array((-1 until PlanesPerTable).map(i =>
       if (i < 0) lit(0) else lit(1 << i)): _*)
     val qb = banded.filter(col("vec_id") < nQueries)
