@@ -43,6 +43,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "regexp_count(str, regexp) takes two arguments")
         RegexpCount(args.head, args(1))
+      }),
+    (FunctionIdentifier("argmax_cosine"),
+      new ExpressionInfo(classOf[ArgMaxCosine].getName, "argmax_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "argmax_cosine(vec, centroid_matrix) takes two arguments")
+        ArgMaxCosine(args.head, args(1))
+      }),
+    (FunctionIdentifier("sign_buckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sign_buckets(vec, plane_tensor) takes two arguments")
+        SignBuckets(args.head, args(1))
       }))
 
   /** Register into a live session (uses the classic session's registry

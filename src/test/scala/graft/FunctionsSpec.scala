@@ -93,6 +93,22 @@ class FunctionsSpec extends SparkSpec {
     assert(sims == Seq(0.0, 1.0))
   }
 
+  test("argmax_cosine and sign_buckets registered as SQL functions") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Tuple1(Seq(0f, 1f))).toDF("v").createOrReplaceTempView("sqlfn_vecs")
+    // nearest centroid of (0,1) among [(1,0), (0,1)] is index 1
+    val am = spark.sql(
+      "SELECT argmax_cosine(v, array(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(0 AS FLOAT), CAST(1 AS FLOAT)))) AS c FROM sqlfn_vecs")
+      .as[Int].head()
+    assert(am == 1)
+    // one table with one plane (0,1): dot > 0 -> bucket bit set
+    val sb = spark.sql(
+      "SELECT sign_buckets(v, array(array(array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))))) AS b FROM sqlfn_vecs")
+      .as[Seq[Int]].head()
+    assert(sb == Seq(1))
+  }
+
   test("TopK aggregator: bounded buffer, ordered output, tiebreak by id") {
     val data = Seq(
       (1L, 0.9, 100L), (1L, 0.9, 50L), (1L, 0.1, 1L), (1L, 0.5, 2L),
