@@ -72,6 +72,20 @@ object Soak {
     time("quantized_topk") { Similarity.quantizedTopK(vecs, nQueries = 10, k = 5) }
     time("hash_sample") { Sampling.hashSample(docs, col("doc_id"), 0.1) }
     time("simhash32") { TextAnalysis.simhash32(docs) }
+    // skewed variant: one hot user owns ~25% of all events — the AQE
+    // skew-split + bucketized-rewrite path must complete without a
+    // straggler dominating (compare against the uniform numbers above)
+    val skewed = events.withColumn("user_id",
+      when(pmod(col("event_id"), lit(4)) === 0, 0L).otherwise(col("user_id")))
+    val skClicks = skewed.filter(col("event_type") === "click").select("user_id", "sec")
+    val skPurchases = skewed.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec").as("p_sec"))
+    time("asof_join_skewed") {
+      Temporal.asOfJoin(skClicks, skPurchases, "user_id", "sec", "p_sec")
+    }
+    time("range_count_join_skewed") {
+      Temporal.rangeCountJoin(skClicks, skPurchases, "user_id", "sec", "p_sec", 3600L)
+    }
     val repetition = TextAnalysis.textRepetition
     time("repetition") {
       docs.select(col("doc_id"),

@@ -230,10 +230,11 @@ object Similarity {
     // the query's own similarity to each cell's members' mean — reuse
     // assignment by scoring query against one representative per cell
     // (the cell's lowest vec_id) to keep the probe cheap.
-    val reps = corpus.withColumn("rk",
-        row_number().over(Window.partitionBy("cell").orderBy("neighbor_id")))
-      .filter(col("rk") === 1)
-      .select(col("cell"), col("c_emb").as("rep_emb"))
+    // one representative per cell via a partial-aggregated min_by —
+    // a full window sort of the corpus just to take rank 1 per cell
+    // shuffles every row; min_by ships one row per (task, cell)
+    val reps = corpus.groupBy("cell")
+      .agg(min_by(col("c_emb"), col("neighbor_id")).as("rep_emb"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probes = q.crossJoin(broadcast(reps))
