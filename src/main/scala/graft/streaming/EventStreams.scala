@@ -64,6 +64,33 @@ object EventStreams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based sessionization via the BUILT-IN session_window
+    * aggregation — the declarative alternative to [[sessionize]]'s
+    * explicit keyed state (same operator the batch
+    * `x_events_session_window` query uses, so batch and stream share
+    * semantics). The watermark both admits late events and evicts
+    * closed-session state; merging of overlapping windows is the
+    * engine's job, not ours. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Windowed sketch percentiles over the value stream: hourly p50/p95
+    * via approx_percentile — the sketch (fixed-size state) is the only
+    * viable shape for percentiles under unbounded input; exact sorted
+    * buffers would grow with the window's event count. */
+  def hourlyValueQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p"))
+      .select(col("w.start").as("hour"),
+        col("p").getItem(0).as("p50"), col("p").getItem(1).as("p95"))
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState): a new session starts after >30 min of
     * inactivity; emits the running session/event count per user.

@@ -30,6 +30,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows: built-in session_window merges within gap, splits across") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // session windows merge, so streaming supports only Append output:
+    // results emit once the watermark passes a session's end. A far-
+    // future sentinel event advances the watermark to flush the rest.
+    val q = EventStreams.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0),
+        Event(2, ts(10), 1, "click", 0),   // within 30 min: same session
+        Event(3, ts(100), 1, "click", 0),  // 90-min gap: new session
+        Event(4, ts(0), 2, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(99, ts(100000), 99, "view", 0)) // watermark flush
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .select("user_id", "n_events").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows(1L) == Seq(1L, 2L)) // one 2-event session + one 1-event session
+      assert(rows(2L) == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("hourlyValueQuantiles: sketch percentiles per tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyValueQuantiles(input.toDF())
+      .writeStream.format("memory").queryName("quant")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1 to 100).map(i => Event(i.toLong, ts(i % 50), 1, "view", i.toDouble)): _*)
+      q.processAllAvailable()
+      val (p50, p95) = spark.table("quant").select("p50", "p95")
+        .as[(Double, Double)].head()
+      assert(p50 >= 40.0 && p50 <= 60.0, s"p50=$p50")
+      assert(p95 >= 90.0 && p95 <= 100.0, s"p95=$p95")
+    } finally q.stop()
+  }
+
   test("attributePurchases: stream-stream join within the 1h window only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
