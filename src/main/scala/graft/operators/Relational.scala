@@ -508,13 +508,25 @@ object Relational {
     * dense id (W1). Exercises the same operator chain as
     * build_experiment_tables + combine_pset_tables end to end. */
   val q0Spine: Q = (s, dir) => {
+    // Co-partition the fact table ONCE on the composite key and
+    // materialize it: both melts derive from it (one scan, not two)
+    // and — because Expand preserves partitioning and localCheckpoint
+    // preserves the partitioning metadata — their re-join needs ZERO
+    // shuffle exchanges (verified: no ShuffleExchange under the join).
+    // This is the "partition once, join many" rule SCALE.md prescribes
+    // for the reference's dose/viability shape.
     val li = t(s, dir, "lineitem")
-    // two separate wide frames melted independently then re-joined —
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        cents(col("l_quantity")).as("qty_c0"),
+        cents(col("l_extendedprice")).as("price_c0"))
+      .repartition(col("l_orderkey"), col("l_linenumber"))
+      .localCheckpoint()
+    // two separate frames melted independently then re-joined —
     // the dose/viability shape (one melt each, no shared-Expand
     // double computation)
     val dose = li.select(
       col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-      cents(col("l_quantity")).as("qty_c"))
+      col("qty_c0").as("qty_c"))
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
         Array(col("qty_c")), "measure", "value_c")
@@ -522,7 +534,7 @@ object Relational {
         col("value_c").as("qty_c"))
     val resp = li.select(
       col("l_orderkey"), col("l_linenumber"),
-      cents(col("l_extendedprice")).as("price_c"))
+      col("price_c0").as("price_c"))
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("price_c")), "measure", "value_c")
