@@ -257,7 +257,18 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Canonical-id assignment over the verified Jaccard near-dup pairs
+    * — the step that turns pairwise matches into keep/drop decisions.
+    * Oracle-checked: DuckDB computes the same components via a
+    * recursive-CTE transitive closure (viable at oracle scale; the
+    * Spark side is the iterative min-label loop that scales). */
+  val dedupClusters: Q = (s, dir) =>
+    canonicalClusters(
+      jaccardPairs(shingles(t(s, dir, "documents")), 0.5))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "x_dedup_clusters" -> dedupClusters,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -280,7 +291,18 @@ object Dedup {
     // (near-dups in this corpus sit well above the threshold, where
     // miss probability (1-j^4)^8 is < 1e-3).
     "x_dedup_minhash_lsh" -> ngramJaccardOracle,
-    "x_dedup_ngram_jaccard" -> ngramJaccardOracle)
+    "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "x_dedup_clusters" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "pairs AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5), " +
+        "ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
+        "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src) " +
+        "SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a ORDER BY doc_id"))
 
   private lazy val ngramJaccardOracle: String =
       ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
