@@ -126,6 +126,63 @@ object Dedup {
   val dedupMinhashLsh: Q = (s, dir) =>
     minhashLsh(t(s, dir, "documents"), 0.5).orderBy("doc_a", "doc_b")
 
+  /** (doc_id, band, bh) LSH band index — the frame a production
+    * pipeline materializes to parquet once per corpus. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(shingles(docs))
+    val numBands = NumHashes / BandRows
+    val bandCols = (0 until numBands).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Incremental near-dup: match a NEW batch against an EXISTING
+    * corpus — the daily-ingest flow, where re-deduping the whole
+    * corpus per batch (quadratic over days) is exactly what an
+    * indexed pipeline avoids. The new batch's bands are BROADCAST
+    * (a day's ingest is small next to the accumulated corpus), the
+    * corpus band index streams through the join unshuffled, and only
+    * candidate pairs are verified with exact Jaccard. Returns
+    * (new_id, corpus_id, jaccard); new-batch-internal duplicates are
+    * deliberately out of scope here (run [[minhashLsh]] on the batch
+    * for those). */
+  def minhashLshIncremental(newDocs: DataFrame, corpusDocs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val newBands = minhashBands(newDocs)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val corpusBands = minhashBands(corpusDocs)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+    val cand = corpusBands.join(broadcast(newBands), Seq("band", "bh"))
+      .select("new_id", "corpus_id").distinct()
+    val newSets = shingles(newDocs).groupBy("doc_id")
+      .agg(collect_set("shingle").as("set_n"))
+      .select(col("doc_id").as("new_id"), col("set_n"))
+    val corpusSets = shingles(corpusDocs).groupBy("doc_id")
+      .agg(collect_set("shingle").as("set_c"))
+      .select(col("doc_id").as("corpus_id"), col("set_c"))
+    cand
+      .join(broadcast(newSets), Seq("new_id"))
+      .join(corpusSets, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (size(array_intersect(col("set_n"), col("set_c"))).cast("double") /
+          size(array_union(col("set_n"), col("set_c")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Driver query: docs 0-9 play "today's batch", the rest the
+    * corpus (a fixed 10-doc batch at every scale factor, so the
+    * broadcast side stays batch-sized as the corpus grows). */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    minhashLshIncremental(
+      docs.filter(col("doc_id") < 10),
+      docs.filter(col("doc_id") >= 10), 0.5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** SimHash: 64-bit signature; bit i set iff the sum of (+1/-1) votes
     * from token hashes is positive. One scan, 64 conditional sums. */
   def simhash(docs: DataFrame): DataFrame = {
@@ -268,6 +325,7 @@ object Dedup {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "x_dedup_incremental" -> dedupIncremental,
     "x_dedup_clusters" -> dedupClusters,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -292,6 +350,17 @@ object Dedup {
     // miss probability (1-j^4)^8 is < 1e-3).
     "x_dedup_minhash_lsh" -> ngramJaccardOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // same full-recall-LSH argument as x_dedup_minhash_lsh, restricted
+    // to the new-batch x corpus pair space
+    "x_dedup_incremental" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, CAST(COUNT(*) AS BIGINT) AS common " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < 10 AND b.doc_id >= 10 GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT new_id, corpus_id, common / (ca.n_sh + cb.n_sh - common) AS jaccard " +
+        "FROM com JOIN cnt ca ON com.new_id = ca.doc_id JOIN cnt cb ON com.corpus_id = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5 ORDER BY new_id, corpus_id"),
     "x_dedup_clusters" ->
       ("WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +

@@ -40,6 +40,18 @@ class DedupSpec extends SparkSpec {
     assert(!ml.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental minhash LSH matches new batch against corpus only") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val corpus = docs(10L -> base, 11L -> ((1 to 40).map(i => s"zzz$i").mkString(" ")))
+    val batch = docs(1L -> nearDup, 2L -> nearDup, // batch-internal dup: out of scope
+      3L -> ((1 to 40).map(i => s"qqq$i").mkString(" ")))
+    val found = Dedup.minhashLshIncremental(batch, corpus, 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(found == Set((1L, 10L), (2L, 10L)),
+      "near-dups vs corpus found; batch-internal and unrelated pairs excluded")
+  }
+
   test("simhash: identical docs agree; token order does not matter; unrelated docs differ") {
     val d = docs(
       1L -> "alpha beta gamma delta",
