@@ -218,18 +218,21 @@ object Dedup {
 
   /** Banding + verification stage over precomputed (doc_id, simhash)
     * signatures (separated so the pigeonhole guarantee is testable on
-    * exact bit patterns). */
-  def simhashPairsFromSigs(sig: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 31,
-      s"maxHamming must be in [0, 31] (got $maxHamming): bands need >= 2 bits each")
+    * exact bit patterns). `sigBits` must match the signature width:
+    * banding a 32-bit signature as 64 bits would make the upper bands
+    * all-zero — every pair a candidate. */
+  def simhashPairsFromSigs(sig: DataFrame, maxHamming: Int,
+      sigBits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= sigBits / 2 - 1,
+      s"maxHamming must be in [0, ${sigBits / 2 - 1}] (got $maxHamming): bands need >= 2 bits each")
     val numBands = maxHamming + 1
     // one row + 8 bytes per doc; materialized once so the band
     // self-join's two sides don't each recompute the 64-bit-vote
     // aggregation over the exploded token stream
     val sigC = sig.localCheckpoint()
     val bandCols = (0 until numBands).map { b =>
-      val lo = b * 64 / numBands
-      val width = (b + 1) * 64 / numBands - lo
+      val lo = b * sigBits / numBands
+      val width = (b + 1) * sigBits / numBands - lo
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(b).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
@@ -249,6 +252,18 @@ object Dedup {
 
   val dedupSimhashPairs: Q = (s, dir) =>
     simhashPairs(t(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")
+
+  /** Portable-signature variant of the pairs operator: same banding +
+    * bit_count verification over the 32-bit char-polynomial simhash,
+    * which DuckDB can recompute exactly — so the whole near-dup-pairs
+    * shape (banding included) gets a hash-checked oracle, with the
+    * 64-bit xxhash variant keeping the property-spec coverage. */
+  val dedupSimhashPairsPortable: Q = (s, dir) =>
+    simhashPairsFromSigs(
+      TextAnalysis.simhash32(t(s, dir, "documents"))
+        .withColumnRenamed("simhash32", "simhash"),
+      maxHamming = 3, sigBits = 32)
+      .orderBy("doc_a", "doc_b")
 
   /** MinHash near-dup via Spark ML's built-in MinHashLSH — the
     * "compose existing ops" alternative (SURVEY §7.3 preference (a))
@@ -333,6 +348,7 @@ object Dedup {
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
     "x_dedup_simhash" -> dedupSimhash,
     "x_dedup_simhash_pairs" -> dedupSimhashPairs,
+    "x_dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "x_dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
@@ -351,6 +367,16 @@ object Dedup {
     // miss probability (1-j^4)^8 is < 1e-3).
     "x_dedup_minhash_lsh" -> ngramJaccardOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // exact by construction: the maxHamming+1-band pigeonhole
+    // guarantees recall, verification is exact bit_count — so the
+    // banded output EQUALS the all-pairs form the oracle computes
+    "x_dedup_simhash_pairs_portable" ->
+      (TextAnalysis.simhash32SqlCtes +
+        s", sg AS (SELECT doc_id, ${TextAnalysis.simhash32SqlExpr} AS sig FROM s) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
+        "FROM sg a JOIN sg b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY doc_a, doc_b"),
     // same full-recall-LSH argument as x_dedup_minhash_lsh, restricted
     // to the new-batch x corpus pair space
     "x_dedup_incremental" ->

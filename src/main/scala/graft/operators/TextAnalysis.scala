@@ -327,17 +327,25 @@ object TextAnalysis {
         "1.0 - CAST(len(list_distinct(grams)) AS INT) / CAST(len(grams) AS INT) AS dup_3gram_ratio, " +
         "CAST(list_max(list_transform(list_distinct(ws), t -> len(list_filter(ws, x -> x = t)))) AS INT) / CAST(len(ws) AS INT) AS top_token_ratio " +
         "FROM g ORDER BY doc_id"),
-    "x_dedup_simhash_portable" -> {
-      val th = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
-        "(a, b) -> (a * 31 + b) % 4294967296)"
-      val bitSums = (0 until 32).map(i =>
-        s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
-      val sig = (0 until 32).map(i =>
-        s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"WITH tk AS (SELECT doc_id, unnest(list_distinct($wsExpr)) AS tok FROM documents), " +
-        s"h AS (SELECT doc_id, $th AS th FROM tk), " +
-        s"s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id) " +
-        s"SELECT doc_id, CAST($sig AS BIGINT) AS simhash32 FROM s ORDER BY doc_id"
-    })
+    "x_dedup_simhash_portable" ->
+      (simhash32SqlCtes + " SELECT doc_id, " + simhash32SqlExpr +
+        " AS simhash32 FROM s ORDER BY doc_id"))
+
+  /** DuckDB rendering of [[simhash32]], shared with the portable
+    * pairs oracle in [[Dedup]]: the WITH-clause prefix and the final
+    * signature expression over alias `s`. */
+  private[operators] lazy val simhash32SqlCtes: String = {
+    val th = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 4294967296)"
+    val bitSums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    s"WITH tk AS (SELECT doc_id, unnest(list_distinct($wsExpr)) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, $th AS th FROM tk), " +
+      s"s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)"
+  }
+
+  private[operators] lazy val simhash32SqlExpr: String =
+    "CAST(" + (0 until 32).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ") + " AS BIGINT)"
 }
