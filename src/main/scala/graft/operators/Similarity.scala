@@ -180,7 +180,15 @@ object Similarity {
     * centroid set is broadcast (small); the corpus is never shuffled
     * except the one groupBy that builds cell assignments.
     */
-  def ivfIndex(emb: DataFrame, nCentroids: Int, iters: Int = 2): DataFrame = {
+  def ivfIndex(emb: DataFrame, nCentroids: Int, iters: Int = 2): DataFrame =
+    ivfIndexWithCentroids(emb, nCentroids, iters)._1
+
+  /** Returns (assignments, final centroids). The centroid set always
+    * fits on the driver (nCentroids * dim floats) — it IS the
+    * coarse quantizer a production IVF ships alongside the cell
+    * assignment. */
+  def ivfIndexWithCentroids(emb: DataFrame, nCentroids: Int,
+      iters: Int = 2): (DataFrame, Seq[(Long, Seq[Float])]) = {
     val e = emb.select(col("vec_id"), col("embedding"))
     var centroids: Seq[(Long, Seq[Float])] = e.filter(col("vec_id") < nCentroids)
       .collect()
@@ -197,7 +205,7 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
     }
-    assignCells(e, centroids)
+    (assignCells(e, centroids), centroids)
   }
 
   /** Nearest centroid per vector. The centroid set is always tiny
@@ -223,18 +231,14 @@ object Similarity {
       nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
     val e = emb.select(col("vec_id"), col("embedding"))
-    val assigned = ivfIndex(emb, nCentroids)
+    val (assigned, centroids) = ivfIndexWithCentroids(emb, nCentroids)
     val corpus = e.join(assigned, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cell"))
-    // centroids implied by assignment: probe cells = nProbe nearest by
-    // the query's own similarity to each cell's members' mean — reuse
-    // assignment by scoring query against one representative per cell
-    // (the cell's lowest vec_id) to keep the probe cheap.
-    // one representative per cell via a partial-aggregated min_by —
-    // a full window sort of the corpus just to take rank 1 per cell
-    // shuffles every row; min_by ships one row per (task, cell)
-    val reps = corpus.groupBy("cell")
-      .agg(min_by(col("c_emb"), col("neighbor_id")).as("rep_emb"))
+    // probe the nProbe cells whose ACTUAL k-means centroids are
+    // nearest the query — the coarse quantizer is driver-held, so the
+    // probe scoring is a tiny broadcast cross join (queries x cells)
+    import e.sparkSession.implicits._
+    val reps = centroids.toDF("cell", "rep_emb")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probes = q.crossJoin(broadcast(reps))
