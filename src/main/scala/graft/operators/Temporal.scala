@@ -86,7 +86,13 @@ object Temporal {
       leftSec: String, rightSec: String, width: Long): DataFrame = {
     val l = left.select(col(key), col(leftSec).as("__lsec"))
       .withColumn("__bucket", expr(s"__lsec div $width"))
+    // The synthetic row id feeds BOTH the probe side and the restore
+    // join, and Spark re-executes the subtree per consumer;
+    // monotonically_increasing_id is partitioning-dependent, so the two
+    // executions could disagree on ids under AQE re-planning — the ids
+    // must be materialized ONCE to be a join key at all.
     val rWithId = right.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
     val probes = rWithId
       .select(col("__rid"), col(key), col(rightSec).as("__rsec"))
       .withColumn("__bucket",
