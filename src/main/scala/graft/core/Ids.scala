@@ -42,10 +42,19 @@ object Ids {
     *  3. id = offset + local index + 1 — dense 1..n in sort order.
     */
   def denseId(df: DataFrame, sortCols: Seq[Column], idCol: String = "id"): DataFrame = {
+    // Materialized ONCE: the id-tagged frame feeds both the offset
+    // aggregation and the final join, Spark re-executes shared
+    // subtrees (no ReusedExchange here — verified), and
+    // monotonically_increasing_id is partitioning-dependent, so two
+    // executions are only consistent while re-planning is perfectly
+    // deterministic — a guarantee AQE does not make. Pinning the rows
+    // also halves the work (the sort ran twice before); classic
+    // rdd.zipWithIndex pins the same way by operating on one RDD.
     val sorted = df.orderBy(sortCols: _*)
       .withColumn("__m", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__m"), 33).cast(LongType))
       .withColumn("__local", col("__m").bitwiseAND((1L << 33) - 1))
+      .localCheckpoint()
     val offsets = sorted.groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
