@@ -87,12 +87,13 @@ object Multimodal {
     records.mapPartitions { it =>
       // per-partition model init would happen here
       it.map { r =>
-        val emb = Array.tabulate(dim) { d =>
-          val stride = r.payload.iterator.zipWithIndex
-            .filter(_._2 % dim == d).map(_._1.toInt).sum
-          (stride % 1000) / 1000.0f
-        }
-        MediaFeature(r.doc_id, emb)
+        // one pass over the payload (the iterator/filter formulation
+        // re-scanned it once per output dimension)
+        val sums = new Array[Int](dim)
+        var i = 0
+        while (i < r.payload.length) { sums(i % dim) += r.payload(i).toInt; i += 1 }
+        MediaFeature(r.doc_id,
+          Array.tabulate(dim)(d => (sums(d) % 1000) / 1000.0f))
       }
     }
   }
