@@ -140,6 +140,33 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Per-ROW minhash band index: identical signatures/bands to
+    * [[minhashBands]] (same shingle set, same seeded xxhash64, same
+    * band hashing) but computed entirely with per-row higher-order
+    * functions — no explode, no groupBy. That makes it legal in a
+    * STREAMING context (stateless projection; aggregations would force
+    * update/complete output modes) and useful in batch wherever a
+    * map-only pipeline matters more than sharing the exploded shingle
+    * frame. */
+  def rowMinhashBands(docs: DataFrame): DataFrame = {
+    // token array bound to a column BEFORE wordNgrams — expressions
+    // referenced inside HOF lambdas are re-evaluated per element
+    val withSh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__ws"))
+      .select(col("doc_id"), TextAnalysis.wordNgrams(col("__ws"), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sigCols = (0 until NumHashes).map(i =>
+      array_min(transform(col("__sh"), s => xxhash64(lit(i), s))).as(s"m$i"))
+    val sig = withSh.select(col("doc_id") +: sigCols: _*)
+    val numBands = NumHashes / BandRows
+    val bandCols = (0 until numBands).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Incremental near-dup: match a NEW batch against an EXISTING
     * corpus — the daily-ingest flow, where re-deduping the whole
     * corpus per batch (quadratic over days) is exactly what an

@@ -91,6 +91,29 @@ object EventStreams {
       .select(col("w.start").as("hour"),
         col("p").getItem(0).as("p50"), col("p").getItem(1).as("p95"))
 
+  /** STREAM-STATIC join: flag incoming documents whose LSH bands
+    * collide with a static corpus index — streaming near-dup candidate
+    * detection against yesterday's corpus. Stream-static inner joins
+    * are STATELESS (no watermark, no state store): each micro-batch
+    * probes the static side and moves on — the only join class that
+    * costs nothing to keep running forever. The stream side uses the
+    * per-row (aggregation-free) minhash so the whole stream plan stays
+    * append-mode; the static index is pinned once instead of being
+    * recomputed every micro-batch. Emits (doc_id, corpus_id)
+    * candidates — a pair can appear once per colliding band (streaming
+    * dropDuplicates would hold unbounded state, defeating the
+    * stateless point; the downstream batch verifier dedupes for
+    * free). */
+  def nearDupCandidates(docStream: DataFrame, corpusDocs: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val corpusIndex = Dedup.minhashBands(corpusDocs)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+      .localCheckpoint()
+    Dedup.rowMinhashBands(docStream)
+      .join(corpusIndex, Seq("band", "bh"))
+      .select(col("doc_id"), col("corpus_id"))
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState): a new session starts after >30 min of
     * inactivity; emits the running session/event count per user.

@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: stream-static join flags corpus collisions, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val unrelated = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val corpus = Seq((100L, base), (101L, unrelated)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupCandidates(
+        input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("near_dup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, nearDup), (2L, (1 to 40).map(i => s"qqq$i").mkString(" ")))
+      q.processAllAvailable()
+      val pairs = spark.table("near_dup").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 100L)), "near-dup of corpus doc must be flagged")
+      assert(!pairs.exists(_._1 == 2L), "unrelated stream doc must not collide")
+      // same bands as the batch index: the streaming candidates match
+      // what the batch incremental path verifies
+      val batch = graft.operators.Dedup.minhashLshIncremental(
+        Seq((1L, nearDup)).toDF("doc_id", "text"), corpus, 0.5)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(batch == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("attributePurchases: stream-stream join within the 1h window only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
