@@ -110,6 +110,17 @@ object TextAnalysis {
       .select("doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted")
       .orderBy("doc_id")
 
+  /** Classifier evaluation against the `lang` ground-truth column: the
+    * confusion matrix of the language-ID profiles — the eval loop a
+    * training pipeline runs after any labeling pass. One partial-
+    * aggregated groupBy over (truth, prediction); cells are exact
+    * counts, so the oracle is exact. */
+  val textEvalConfusion: Q = (s, dir) =>
+    classify(t(s, dir, "documents"), "text", langProfiles)
+      .groupBy(col("lang").as("truth"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("truth", "predicted")
+
   /** Topic-ID over domain profiles — exercises varied argmax. */
   val topicProfiles: Seq[(String, Seq[String])] = Seq(
     "relational" -> Seq("table", "row", "column", "join", "key"),
@@ -266,6 +277,7 @@ object TextAnalysis {
       .orderBy("source")
 
   val queries: Map[String, Q] = Map(
+    "x_text_eval_confusion" -> textEvalConfusion,
     "x_text_contamination" -> textContamination,
     "x_text_mix_stats" -> textMixStats,
     "x_text_repetition" -> textRepetition,
@@ -305,6 +317,17 @@ object TextAnalysis {
         "CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de' " +
         "WHEN score_en >= score_es AND score_en >= score_fr THEN 'en' " +
         "WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS predicted FROM s ORDER BY doc_id"
+    },
+    "x_text_eval_confusion" -> {
+      val p = langProfiles.toMap
+      s"WITH s AS (SELECT doc_id, lang, ${hitsSql(wsExpr, p("de"))} AS score_de, ${hitsSql(wsExpr, p("en"))} AS score_en, " +
+        s"${hitsSql(wsExpr, p("es"))} AS score_es, ${hitsSql(wsExpr, p("fr"))} AS score_fr FROM documents), " +
+        "pr AS (SELECT lang AS truth, " +
+        "CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de' " +
+        "WHEN score_en >= score_es AND score_en >= score_fr THEN 'en' " +
+        "WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS predicted FROM s) " +
+        "SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM pr " +
+        "GROUP BY truth, predicted ORDER BY truth, predicted"
     },
     "x_text_topicid" -> {
       val p = topicProfiles.toMap
