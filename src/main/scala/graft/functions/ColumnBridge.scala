@@ -14,6 +14,20 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Release the cached blocks behind a `localCheckpoint()`ed Dataset.
+    * Spark exposes no public API to free a local checkpoint (blocks
+    * otherwise live until the RDD is GC'd and the ContextCleaner runs),
+    * which leaks executor memory in iterative loops that checkpoint per
+    * round (e.g. connected-components label propagation). The
+    * checkpointed plan is a `LogicalRDD` wrapping the cached RDD —
+    * unpersist that RDD directly. No-op for non-checkpointed plans. */
+  def unpersistCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.asInstanceOf[Dataset[_]].queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,

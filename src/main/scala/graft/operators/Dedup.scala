@@ -336,34 +336,50 @@ object Dedup {
   /** Canonical-id assignment over near-dup pairs: connected components
     * by iterative min-label propagation (driver-controlled loop, each
     * step a groupBy-min join — the standard Spark CC shape; converges
-    * in O(diameter) rounds, and near-dup clusters are shallow). */
+    * in O(diameter) rounds, and near-dup clusters are shallow).
+    *
+    * Loop discipline (the part that matters at depth):
+    *  - ONE Spark job per round: the changed flag is computed inside
+    *    the propagation projection, the round's frame is marked for a
+    *    LAZY local checkpoint, and the single `count` action both
+    *    materializes the checkpoint blocks and reads the flag — no
+    *    second convergence job re-joining old vs new labels.
+    *  - The previous round's checkpoint blocks are unpersisted as soon
+    *    as the new round is pinned (Spark has no public release API for
+    *    local checkpoints; GraftColumnBridge.unpersistCheckpoint frees
+    *    the LogicalRDD's cache), so peak pinned memory is 2 rounds of
+    *    labels + the edge list, not O(rounds).
+    * A large-star/small-star rewrite would cut round COUNT for deep
+    * graphs; near-dup cluster graphs are shallow (diameter ~ chain
+    * length of borderline pairs), so fewer-jobs-per-round dominates. */
   def canonicalClusters(pairs: DataFrame): DataFrame = {
-    // Pin the edge list: every label-propagation round AND every
-    // convergence count re-executes `edges`' lineage otherwise — for
-    // x_dedup_clusters that lineage is the whole Jaccard pipeline,
-    // re-run ~2x per iteration.
-    // Pin the edge list once: every label-propagation round AND every
-    // convergence count re-executes `edges`' lineage otherwise — for
-    // x_dedup_clusters that lineage is the whole Jaccard pipeline
+    import org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint
+    // Pin the edge list once: every label-propagation round re-executes
+    // `edges`' lineage otherwise — for x_dedup_clusters that lineage is
+    // the whole Jaccard pipeline, re-run per iteration
     // (isolated warm timing at sf0.1: 3.7s pinned vs 7.3s unpinned).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
       val next = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint() // truncate lineage per iteration
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("chg"))
+        .localCheckpoint(eager = false) // materialized by the count below
+      changed = next.filter(col("chg")).count()
+      unpersistCheckpoint(labels)
       labels = next
     }
-    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+    val out = labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+    unpersistCheckpoint(edges) // converged labels no longer depend on it
+    out
   }
 
   /** Canonical-id assignment over the verified Jaccard near-dup pairs

@@ -130,12 +130,18 @@ object Sampling {
     * engine-specific by nature). approx_percentile at accuracy 10000
     * holds bounded state per group regardless of group size — the
     * 100 TB replacement for percentile_disc's exact sorted buffers;
-    * SamplingSpec bounds its error against the exact form. */
+    * TemporalSamplingSpec bounds its error against the exact form.
+    * The sketch array is projected to SCALAR columns: the driver's
+    * gate sorts/hashes every output column, and an array column is
+    * unsortable on the pandas side (the one red row in r2). */
   val statsApproxQuantiles: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("approx"))
+      .select(col("l_returnflag"),
+        col("approx").getItem(0).as("p50_approx"),
+        col("approx").getItem(1).as("p95_approx"))
       .orderBy("l_returnflag")
 
   val queries: Map[String, Q] = Map(

@@ -51,9 +51,15 @@ object Cellosaurus {
       .agg(concat_ws("|||",
         transform(array_sort(collect_list(struct(col("line_no"), col("value")))),
           s => s.getField("value"))).as("value"))
-    // pivot codes to columns, lower-cased; ID -> identifier, AC -> accession
+    // pivot codes to columns, lower-cased; ID -> identifier, AC -> accession.
+    // Pivot values are DECLARED: the code set is closed (the reference's
+    // final projection build_cellosaurus.py:88-89 keeps exactly ID/AC +
+    // Codes; AG/DT are parsed then dropped per build_cellosaurus.py:70),
+    // so passing them skips the hidden distinct-values collect job an
+    // undeclared pivot runs first — same rule r7Pivot documents.
+    val pivotCodes = Seq("ID", "AC", "AG", "DT") ++ Codes.map(_.toUpperCase)
     val pivoted = grouped.groupBy("rec")
-      .pivot("code")
+      .pivot("code", pivotCodes)
       .agg(first("value"))
     val renames = pivoted.columns.map {
       case "ID" => "identifier"

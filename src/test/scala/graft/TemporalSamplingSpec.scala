@@ -100,7 +100,7 @@ class SamplingSpec extends SparkSpec {
   test("approx_percentile stays within 1% of the exact discrete percentile") {
     val dir = "/root/testdata/sf0.001"
     val approx = Sampling.statsApproxQuantiles(spark, dir)
-      .selectExpr("l_returnflag", "approx[0] AS a50")
+      .select("l_returnflag", "p50_approx")
       .as[(String, Double)].collect().toMap
     val exact = Sampling.statsQuantiles(spark, dir)
       .select("l_returnflag", "p50").as[(String, Double)].collect().toMap
