@@ -211,6 +211,59 @@ object Dedup {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Incremental near-dup against a PRE-BUILT corpus band index (the
+    * parquet artifact [[IndexStore.buildMinhashIndex]] writes) — the
+    * true daily-ingest shape: the corpus is never re-shingled or
+    * re-signed per batch. Verification joins back to corpus DOCS, but
+    * semi-join-pruned to the candidate set first, so its cost is
+    * O(candidates), not O(corpus) — at 100 TB that prune is the
+    * difference between reading a few documents and re-scanning the
+    * archive. Output equals [[minhashLshIncremental]] (same bands,
+    * same exact-Jaccard verification); IndexStoreSpec checks it. */
+  def minhashLshIncrementalIndexed(newDocs: DataFrame, corpusDocs: DataFrame,
+      corpusBands: DataFrame, minJaccard: Double): DataFrame = {
+    val newBands = minhashBands(newDocs)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    // candidate pairs feed the semi-join prune AND the verification
+    // join — pin the (tiny) frame rather than probing the index twice
+    val cand = corpusBands
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+      .join(broadcast(newBands), Seq("band", "bh"))
+      .select("new_id", "corpus_id").distinct()
+      .localCheckpoint()
+    val newSets = shingles(newDocs).groupBy("doc_id")
+      .agg(collect_set("shingle").as("set_n"))
+      .select(col("doc_id").as("new_id"), col("set_n"))
+    val candDocs = corpusDocs.join(
+      broadcast(cand.select(col("corpus_id").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val corpusSets = shingles(candDocs).groupBy("doc_id")
+      .agg(collect_set("shingle").as("set_c"))
+      .select(col("doc_id").as("corpus_id"), col("set_c"))
+    cand
+      .join(broadcast(newSets), Seq("new_id"))
+      .join(corpusSets, Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (size(array_intersect(col("set_n"), col("set_c"))).cast("double") /
+          size(array_union(col("set_n"), col("set_c")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Driver query for the artifact flow: build the corpus band index
+    * to parquet once, reload it, run the batch against it. Same oracle
+    * as [[dedupIncremental]] — the indexed path must produce the
+    * identical result. */
+  val dedupIncrementalIndexed: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val path = IndexStore.defaultPath("minhash", dir)
+    IndexStore.buildMinhashIndex(corpus, path)
+    minhashLshIncrementalIndexed(
+      docs.filter(col("doc_id") < 10), corpus,
+      IndexStore.loadMinhashIndex(s, path), 0.5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** SimHash: 64-bit signature; bit i set iff the sum of (+1/-1) votes
     * from token hashes is positive. One scan, 64 conditional sums. */
   def simhash(docs: DataFrame): DataFrame = {
@@ -394,6 +447,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "x_dedup_incremental" -> dedupIncremental,
+    "x_dedup_incremental_indexed" -> dedupIncrementalIndexed,
     "x_dedup_clusters" -> dedupClusters,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -430,16 +484,11 @@ object Dedup {
         "FROM sg a JOIN sg b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.sig, b.sig)) <= 1 ORDER BY doc_a, doc_b"),
     // same full-recall-LSH argument as x_dedup_minhash_lsh, restricted
-    // to the new-batch x corpus pair space
-    "x_dedup_incremental" ->
-      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
-        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
-        "com AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, CAST(COUNT(*) AS BIGINT) AS common " +
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < 10 AND b.doc_id >= 10 GROUP BY a.doc_id, b.doc_id) " +
-        "SELECT new_id, corpus_id, common / (ca.n_sh + cb.n_sh - common) AS jaccard " +
-        "FROM com JOIN cnt ca ON com.new_id = ca.doc_id JOIN cnt cb ON com.corpus_id = cb.doc_id " +
-        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5 ORDER BY new_id, corpus_id"),
+    // to the new-batch x corpus pair space; the indexed variant runs
+    // the identical bands + verification from the parquet artifact, so
+    // it shares the oracle
+    "x_dedup_incremental" -> incrementalOracle,
+    "x_dedup_incremental_indexed" -> incrementalOracle,
     "x_dedup_clusters" ->
       ("WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
@@ -451,6 +500,16 @@ object Dedup {
         "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
         "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src) " +
         "SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a ORDER BY doc_id"))
+
+  private lazy val incrementalOracle: String =
+    ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+      "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+      "com AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, CAST(COUNT(*) AS BIGINT) AS common " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < 10 AND b.doc_id >= 10 GROUP BY a.doc_id, b.doc_id) " +
+      "SELECT new_id, corpus_id, common / (ca.n_sh + cb.n_sh - common) AS jaccard " +
+      "FROM com JOIN cnt ca ON com.new_id = ca.doc_id JOIN cnt cb ON com.corpus_id = cb.doc_id " +
+      "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5 ORDER BY new_id, corpus_id")
 
   private lazy val ngramJaccardOracle: String =
       ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +

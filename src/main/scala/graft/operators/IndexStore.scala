@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed index artifacts for the dedup/ANN operators.
+  *
+  * The inline query paths materialize their index frames with
+  * `localCheckpoint()` — correct at local[32], but checkpoint blocks
+  * die with an executor on a real cluster (no lineage to rebuild) and
+  * with the session either way. At corpus scale these indices are
+  * build-once / query-many artifacts, so this module gives each one a
+  * durable form: `build*Index(..., path)` writes parquet,
+  * `load*Index(spark, path)` reads it back, and the `*FromIndex`
+  * query shapes run the search stage against the loaded frame.
+  * IndexStoreSpec checks every from-index path produces output equal
+  * to its inline twin.
+  *
+  * Index sizes (why parquet is cheap here): minhash bands are 8 ints +
+  * a long per doc, simhash one long per doc, LSH buckets NumTables
+  * ints per vector, IVF one cell id per vector + centroids (tiny).
+  * None of them store payloads — verification joins back to the
+  * corpus table, pruned to candidates.
+  */
+object IndexStore {
+
+  /** Canonical scratch location for a (kind, source-dir) index build —
+    * keyed by the data dir so different scale factors never collide. */
+  def defaultPath(kind: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_index/${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  // ---- MinHash LSH band index: (doc_id, band, bh) ----
+
+  def buildMinhashIndex(docs: DataFrame, path: String): Unit =
+    Dedup.minhashBands(docs)
+      .write.mode("overwrite").parquet(path)
+
+  def loadMinhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  // ---- SimHash signature index: (doc_id, simhash) ----
+
+  def buildSimhashIndex(docs: DataFrame, path: String): Unit =
+    Dedup.simhash(docs)
+      .write.mode("overwrite").parquet(path)
+
+  def loadSimhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Near-dup pairs over a corpus whose signatures were indexed ahead
+    * of time — the banding + verification stage only. */
+  def simhashPairsFromIndex(spark: SparkSession, path: String,
+      maxHamming: Int): DataFrame =
+    Dedup.simhashPairsFromSigs(loadSimhashIndex(spark, path), maxHamming)
+
+  // ---- LSH ANN bucket index: (vec_id, tbl, bucket) ----
+
+  def buildLshIndex(emb: DataFrame, path: String,
+      dim: Int = Similarity.PlaneDims): Unit =
+    Similarity.lshBandIndex(emb, dim)
+      .write.mode("overwrite").parquet(path)
+
+  def loadLshIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def lshAnnFromIndex(emb: DataFrame, spark: SparkSession, path: String,
+      nQueries: Int, k: Int): DataFrame =
+    Similarity.lshSearch(emb, loadLshIndex(spark, path), nQueries, k)
+
+  // ---- IVF index: assignments (vec_id, cell) + centroids (cell, centroid) ----
+
+  def buildIvfIndex(emb: DataFrame, path: String, nCentroids: Int,
+      iters: Int = 2): Unit = {
+    import emb.sparkSession.implicits._
+    val (assigned, centroids) = Similarity.ivfIndexWithCentroids(emb, nCentroids, iters)
+    assigned.write.mode("overwrite").parquet(s"$path/assignments")
+    centroids.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** (assignments frame, driver-held centroid set). The centroid
+    * collect is nCentroids * dim floats — the coarse quantizer, always
+    * driver-sized. */
+  def loadIvfIndex(spark: SparkSession, path: String): (DataFrame, Seq[(Long, Seq[Float])]) = {
+    val assigned = spark.read.parquet(s"$path/assignments")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    (assigned, centroids)
+  }
+
+  def ivfAnnFromIndex(emb: DataFrame, spark: SparkSession, path: String,
+      nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val (assigned, centroids) = loadIvfIndex(spark, path)
+    Similarity.ivfSearch(emb, assigned, centroids, nQueries, k, nProbe)
+  }
+}

@@ -41,10 +41,15 @@ object Relational {
     t(s, dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
 
   /** S1+K2: CSV sink + scan roundtrip with header and explicit schema
-    * (read_pset.py:80-81; combine_pset_tables.py:162-163). */
+    * (read_pset.py:80-81; combine_pset_tables.py:162-163). The write
+    * leg is GZIP-compressed — the reference's primary input is
+    * `.csv.gz` (read_pset.py:69-72 strips the suffix), so the gate row
+    * itself proves transparent-gz scan: the part files carry the
+    * `.csv.gz` extension and Spark decodes by extension on read. */
   val s1CsvRoundtrip: Q = (s, dir) => {
     val path = tmpDir("csv")
-    t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(path)
+    t(s, dir, "nation").write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(path)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),

@@ -139,9 +139,22 @@ object Similarity {
     // materialize the bucket index once (NumTables ints per vector):
     // it feeds both candidate-join sides, and without this the
     // SignBuckets kernel re-hashes the whole corpus for each
-    val banded = emb
-      .select(col("vec_id"), posexplode(lshBuckets(col("embedding"), dim)).as(Seq("tbl", "bucket")))
-      .localCheckpoint()
+    val banded = lshBandIndex(emb, dim).localCheckpoint()
+    lshSearch(emb, banded, nQueries, k)
+  }
+
+  /** The (vec_id, tbl, bucket) LSH bucket index — the frame a
+    * production pipeline materializes to parquet once per corpus
+    * ([[IndexStore.buildLshIndex]]). */
+  def lshBandIndex(emb: DataFrame, dim: Int = PlaneDims): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(lshBuckets(col("embedding"), dim)).as(Seq("tbl", "bucket")))
+
+  /** Search stage over a prebuilt bucket index (inline-checkpointed in
+    * [[lshAnn]], parquet-loaded in [[IndexStore.lshAnnFromIndex]]) —
+    * identical plan either way, so the two paths are spec-checked
+    * equal. */
+  def lshSearch(emb: DataFrame, banded: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val flips = array((-1 until PlanesPerTable).map(i =>
       if (i < 0) lit(0) else lit(1 << i)): _*)
     val qb = banded.filter(col("vec_id") < nQueries)
@@ -167,9 +180,17 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  val simLshAnn: Q = (s, dir) =>
-    lshAnn(t(s, dir, "embeddings"), nQueries = 10, k = 5)
+  /** Driver query runs the ARTIFACT flow — build the bucket index to
+    * parquet, reload, search — because that is the production shape at
+    * corpus scale (index once, query many); IndexStoreSpec checks it
+    * equals the inline [[lshAnn]]. */
+  val simLshAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = IndexStore.defaultPath("lsh", dir)
+    IndexStore.buildLshIndex(emb, path)
+    lshSearch(emb, IndexStore.loadLshIndex(s, path), nQueries = 10, k = 5)
       .orderBy("query_id", "rank")
+  }
 
   /** IVF (inverted-file) ANN — the other standard scale path:
     * partition the corpus into cells around k-means centroids
@@ -229,9 +250,19 @@ object Similarity {
     * against brute force); rows-only driver check. */
   def ivfAnn(emb: DataFrame, nQueries: Int, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val (assigned, centroids) = ivfIndexWithCentroids(emb, nCentroids)
+    ivfSearch(emb, assigned, centroids, nQueries, k, nProbe)
+  }
+
+  /** Search stage over a prebuilt IVF index (inline in [[ivfAnn]],
+    * parquet-loaded in [[IndexStore.ivfAnnFromIndex]]) — skips the
+    * k-means build entirely, which is the point of shipping the index
+    * as an artifact. */
+  def ivfSearch(emb: DataFrame, assigned: DataFrame,
+      centroids: Seq[(Long, Seq[Float])], nQueries: Int, k: Int,
+      nProbe: Int = 2): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
     val e = emb.select(col("vec_id"), col("embedding"))
-    val (assigned, centroids) = ivfIndexWithCentroids(emb, nCentroids)
     val corpus = e.join(assigned, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cell"))
     // probe the nProbe cells whose ACTUAL k-means centroids are
@@ -258,9 +289,16 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  val simIvfAnn: Q = (s, dir) =>
-    ivfAnn(t(s, dir, "embeddings"), nQueries = 10, k = 5)
+  /** Same artifact flow as [[simLshAnn]]: k-means index built + written
+    * once, search runs from the loaded assignments + centroids. */
+  val simIvfAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = IndexStore.defaultPath("ivf", dir)
+    IndexStore.buildIvfIndex(emb, path, nCentroids = 8)
+    val (assigned, centroids) = IndexStore.loadIvfIndex(s, path)
+    ivfSearch(emb, assigned, centroids, nQueries = 10, k = 5)
       .orderBy("query_id", "rank")
+  }
 
   /** Per-vector symmetric int8 quantization: q_i = floor(x_i / max|x|
     * * 127), plus the integer norm. 4x memory/bandwidth reduction —

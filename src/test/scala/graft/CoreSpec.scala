@@ -80,3 +80,24 @@ class AuditSpec extends SparkSpec {
     assert(rows == Set((1, 10L), (2, 20L)))
   }
 }
+
+/** S1 evidence: the reference's primary input is a single `.csv.gz`
+  * file per table (read_pset.py:69-72, 80-81). Spark must read such a
+  * file transparently by extension — no decompression step. */
+class CsvGzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single .csv.gz file scans transparently with header + schema") {
+    val dir = java.nio.file.Files.createTempDirectory("csvgz")
+    val f = dir.resolve("cells.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    out.write("name,tissue,n\nc1,lung,3\nc2,breast,NA\n".getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.option("header", "true").option("nullValue", "NA")
+      .csv(f.toString)
+    val rows = df.select("name", "tissue", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSet == Set(("c1", "lung", Some("3")), ("c2", "breast", None)))
+  }
+}

@@ -163,6 +163,39 @@ class DedupSpec extends SparkSpec {
       assert(!pairs.contains((1L, 3L)), "distance-64 pair must not pass verification")
     }
   }
+
+  test("64-bit simhash + banded pairs equal locally-derived expected output on the real corpus") {
+    // The 64-bit family is rows-only at the driver gate (xxhash64 is
+    // not DuckDB-expressible), so derive its expected output HERE:
+    // per-token hashes come from the xxhash64 primitive alone; the
+    // vote-fold, threshold, banding and verification — everything the
+    // operator adds — are recomputed in local Scala and compared
+    // exactly, on the full sf0.001 corpus rather than planted fixtures.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = corpus.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .as[(Long, Long)].collect()
+    val expected: Map[Long, Long] = toks.groupBy(_._1).map { case (id, hs) =>
+      var sig = 0L
+      for (i <- 0 until 64) {
+        val votes = hs.iterator.map(t => if (((t._2 >> i) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) sig |= (1L << i)
+      }
+      id -> sig
+    }
+    val actual = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    assert(actual == expected)
+    val ids = expected.keys.toSeq.sorted
+    val expectedPairs = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator
+      a = ids(i); b = ids(j)
+      if java.lang.Long.bitCount(expected(a) ^ expected(b)) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashPairs(corpus, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == expectedPairs && banded.nonEmpty)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
