@@ -114,6 +114,34 @@ object EventStreams {
       .select(col("doc_id"), col("corpus_id"))
   }
 
+  /** Idempotent per-batch parquet sink — the exactly-once pattern for
+    * foreachBatch output. Structured Streaming guarantees foreachBatch
+    * AT-LEAST-once: after a failure the engine replays the last
+    * uncommitted batch with the SAME batchId. Writing each batch into
+    * its own `batch_id=` partition with DYNAMIC partition overwrite
+    * makes the replay rewrite exactly that partition — duplicates are
+    * structurally impossible, and no read-before-write dedup state is
+    * needed (the property a 100 TB/day sink must have: idempotence by
+    * layout, not by lookup). */
+  def idempotentParquetSink(path: String)(batch: DataFrame, batchId: Long): Unit =
+    batch
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** [[nearDupCandidates]] wired to the idempotent sink: candidates
+    * land in `path` partitioned by micro-batch, checkpointed at
+    * `checkpointDir`; batch replays rewrite their own partition. */
+  def nearDupCandidatesToParquet(docStream: DataFrame, corpusDocs: DataFrame,
+      path: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    nearDupCandidates(docStream, corpusDocs)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentParquetSink(path) _)
+      .start()
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState): a new session starts after >30 min of
     * inactivity; emits the running session/event count per user.

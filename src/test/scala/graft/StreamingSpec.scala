@@ -4,6 +4,7 @@ import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Event, SessionUpdate}
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -96,6 +97,40 @@ class StreamingSpec extends SparkSpec {
         .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
       assert(batch == Set((1L, 100L)))
     } finally q.stop()
+  }
+
+  test("idempotentParquetSink: a replayed batch produces no duplicate output rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("sink").toString + "/cands"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupCandidatesToParquet(
+      input.toDF().toDF("doc_id", "text"), corpus, out, ckpt)
+    try {
+      input.addData((1L, nearDup))
+      q.processAllAvailable()
+      input.addData((2L, nearDup))
+      q.processAllAvailable()
+    } finally q.stop()
+    val once = spark.read.parquet(out)
+      .select("doc_id", "corpus_id", "batch_id").collect().toSet
+    assert(once.map(r => r.getLong(0)) == Set(1L, 2L))
+
+    // Simulate the engine's failure semantics: foreachBatch replays the
+    // last batch with the SAME batchId. Re-invoking the sink with
+    // batch 1's content and id must leave the output set unchanged.
+    val replayBatch = graft.operators.Dedup.rowMinhashBands(
+        Seq((2L, nearDup)).toDF("doc_id", "text"))
+      .join(graft.operators.Dedup.minhashBands(corpus)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bh")), Seq("band", "bh"))
+      .select(col("doc_id"), col("corpus_id"))
+    EventStreams.idempotentParquetSink(out)(replayBatch, 1L)
+    val afterReplay = spark.read.parquet(out)
+      .select("doc_id", "corpus_id", "batch_id").collect().toSet
+    assert(afterReplay == once, "replaying a batch must not change the committed output")
   }
 
   test("attributePurchases: stream-stream join within the 1h window only") {
