@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // fuse size(regexp_extract_all(s, p, 0)) -> regexp_count(s, p)
     ext.injectOptimizerRule(_ => FuseRegexpCount)
+    // naive bounded-range join -> two-bucket equi-join (kills the
+    // BroadcastNestedLoopJoin a pure-inequality condition forces)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 
