@@ -30,9 +30,19 @@ object Curation {
   val MinTokens = 30
 
   /** docs with doc_id < evalSplit play the held-out benchmark; the
-    * rest are the training corpus being curated. */
+    * rest are the training corpus being curated.
+    *
+    * `nearDupPairs` generates the verified near-dup pairs
+    * (docs, minJaccard) => (doc_a, doc_b, ...). Default is
+    * [[Dedup.minhashLsh]] — banded equi-join candidates, exact-Jaccard
+    * verification — the linear-candidate-cost 100 TB path. The exact
+    * inverted-index form ([[exactPairs]]) stays available for oracle
+    * cross-checks; both are output-identical at the 0.5 threshold
+    * (LSH recall is full there — see the x_dedup_minhash_lsh oracle
+    * note), which CurationSpec asserts on both wirings. */
   def curate(docs: DataFrame, evalSplit: Long = 10L,
-      minTokens: Int = MinTokens): DataFrame = {
+      minTokens: Int = MinTokens,
+      nearDupPairs: (DataFrame, Double) => DataFrame = Dedup.minhashLsh): DataFrame = {
     // per-row gates: language argmax + token-count floor, one scan
     val base = TextAnalysis.classify(docs.filter(col("doc_id") >= evalSplit),
         "text", TextAnalysis.langProfiles)
@@ -43,7 +53,7 @@ object Curation {
     // near-dup canonical drop over the survivors: keep each cluster's
     // min-id member
     val dupDrop = Dedup.canonicalClusters(
-        Dedup.jaccardPairs(Dedup.shingles(base.select("doc_id", "text")), 0.5))
+        nearDupPairs(base.select("doc_id", "text"), 0.5))
       .filter(col("doc_id") =!= col("canonical_id"))
       .select("doc_id")
     // decontamination: any corpus doc sharing a 4-gram with the eval
@@ -64,6 +74,11 @@ object Curation {
         sum(size(col("ws")).cast(LongType)).as("n_tokens"))
       .orderBy("source")
   }
+
+  /** Exact inverted-index pair generation (quadratic candidate space)
+    * — the oracle-shaped cross-check wiring for [[curate]]. */
+  val exactPairs: (DataFrame, Double) => DataFrame =
+    (docs, j) => Dedup.jaccardPairs(Dedup.shingles(docs), j)
 
   val pipelineCuration: Q = (s, dir) => curate(t(s, dir, "documents"))
 

@@ -31,4 +31,13 @@ class CurationSpec extends SparkSpec {
     // token accounting is exact: doc 22 and 25 are the survivors
     assert(out("src_a")._2 == 38L && out("src_b")._2 == 38L)
   }
+
+  test("LSH (default) and exact-pairs wirings produce identical curation output") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Curation.curate(docs).as[(String, Long, Long)].collect().toSet
+    val exact = Curation.curate(docs, nearDupPairs = Curation.exactPairs)
+      .as[(String, Long, Long)].collect().toSet
+    assert(lsh == exact, "full-recall LSH must match the exact inverted-index path")
+    assert(lsh.nonEmpty)
+  }
 }
