@@ -14,6 +14,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param finalDir     consolidated output tables (parquet)
   * @param compoundMeta curated (name, compound_uid) metadata
   *                     (drugs_with_ids — combine_pset_tables.py:73-81)
+  *
+  * Phase-5 inputs (meta/statistics tables from gene-signature exports —
+  * build_meta_tables.py, build_gene_compound_tissue_dataset_tables.py):
+  * @param gctSignature      gene-compound-tissue signature export
+  * @param gcdSignature      gene-compound-dataset signature export
+  * @param geneSignatures    per-dataset GCTD signature exports (one
+  *                          frame; rows filtered per PSet by `dataset`)
+  * @param compoundNamePatch corrected (drugid, unique.drugid, dataset)
+  *                          names (build_meta_tables.py:199-208)
+  * @param gencode           Gencode annotation for genomic coordinates
+  *                          (map_genes_to_genomic_coordinates.py:20-68)
+  *
+  * Phase-6 inputs (external-enrichment snapshots — the pre-fetched API
+  * dumps the reference consumes, build_target_tables.py:41-59,
+  * build_clinical_trial_tables.py:30-74):
+  * @param chemblTargets    (name, compound_id, uniprot_id)
+  * @param drugbankTargets  (name, compound_name, uniprot_id)
+  * @param uniprotToEnsembl (uniprot_id, ensembl_id) mapping
+  * @param clinicalStudies  (nct, link, status, compound_name)
   */
 final case class PipelineConfig(
     rawDir: String,
@@ -23,7 +42,16 @@ final case class PipelineConfig(
     cellosaurusPath: Option[String] = None,
     cellSynonymMeta: Option[DataFrame] = None,
     tissueSynonymMeta: Option[DataFrame] = None,
-    compoundSynonymMeta: Option[DataFrame] = None)
+    compoundSynonymMeta: Option[DataFrame] = None,
+    gctSignature: Option[DataFrame] = None,
+    gcdSignature: Option[DataFrame] = None,
+    geneSignatures: Option[DataFrame] = None,
+    compoundNamePatch: Option[DataFrame] = None,
+    gencode: Option[DataFrame] = None,
+    chemblTargets: Option[DataFrame] = None,
+    drugbankTargets: Option[DataFrame] = None,
+    uniprotToEnsembl: Option[DataFrame] = None,
+    clinicalStudies: Option[DataFrame] = None)
 
 object Pipeline {
 
@@ -65,6 +93,66 @@ object Pipeline {
     // Phase 4: Cellosaurus enrichment
     cfg.cellosaurusPath.foreach { path =>
       writeFinal("cellosaurus", Cellosaurus.build(spark, path, tables("cell")))
+    }
+
+    // Phase 5: meta/statistics tables from gene-signature exports (E4).
+    // Count-shaped audits reuse the DataFrame audit channel as one-row
+    // frames so a single callback observes every phase.
+    import spark.implicits._
+    val countAudit: (String, Long) => Unit =
+      (what, n) => audit(what, Seq(n).toDF("n_unmatched"))
+
+    cfg.gctSignature.foreach { sig =>
+      writeFinal("gene_compound_tissue", MetaBuilders.buildGeneCompoundTissue(
+        sig, tables("gene"), tables("compound"), tables("tissue")))
+    }
+    cfg.gcdSignature.foreach { sig =>
+      writeFinal("gene_compound_dataset", MetaBuilders.buildGeneCompoundDataset(
+        sig, tables("gene"), tables("compound"), tables("dataset"),
+        cfg.compoundNamePatch, countAudit))
+    }
+    cfg.geneSignatures.foreach { sig =>
+      val perPset = cfg.psetNames.map(
+        MetaBuilders.buildGeneCompoundTissueDatasetPerPset(sig, _))
+      writeFinal("gene_compound_tissue_dataset",
+        MetaBuilders.buildGeneCompoundTissueDataset(perPset, tables("gene"),
+          tables("compound"), tables("tissue"), tables("dataset"), countAudit))
+    }
+    cfg.gencode.foreach { gc =>
+      // staged through workDir: gene_annotation.parquet cannot be
+      // overwritten while the enrichment plan still reads it lazily
+      val before = tables("gene_annotation").count()
+      val staged = s"${cfg.workDir}/gene_annotation_enriched.parquet"
+      MetaBuilders.mapGenomicCoordinates(
+          tables("gene_annotation"), tables("gene"), gc)
+        .write.mode("overwrite").parquet(staged)
+      val enriched = spark.read.parquet(staged)
+      // reference raises if the join mangles rows
+      // (map_genes_to_genomic_coordinates.py:60-64)
+      require(enriched.count() == before,
+        s"genomic-coordinate join changed gene_annotation row count ($before -> ${enriched.count()})")
+      writeFinal("gene_annotation", enriched)
+    }
+
+    // Phase 6: external-enrichment tables (E5) — targets from
+    // ChEMBL+DrugBank snapshots, clinical trials; compound links
+    // resolve through the phase-3 compound_synonym table.
+    for (ch <- cfg.chemblTargets; db <- cfg.drugbankTargets) {
+      writeFinal("target", EnrichmentBuilders.buildTarget(ch, db))
+      tables.get("compound_synonym").foreach { syn =>
+        writeFinal("compound_target",
+          EnrichmentBuilders.buildCompoundTarget(ch, db, tables("target"), syn))
+      }
+      cfg.uniprotToEnsembl.foreach { u2e =>
+        writeFinal("gene_target", EnrichmentBuilders.buildGeneTarget(
+          ch, db, tables("target"), u2e, tables("gene")))
+      }
+    }
+    for (studies <- cfg.clinicalStudies; syn <- tables.get("compound_synonym")) {
+      val (trials, compoundTrial) =
+        EnrichmentBuilders.buildClinicalTrialTables(studies, syn)
+      writeFinal("clinical_trial", trials)
+      writeFinal("compound_trial", compoundTrial)
     }
 
     tables
