@@ -86,6 +86,20 @@ object Soak {
     time("range_count_join_skewed") {
       Temporal.rangeCountJoin(skClicks, skPurchases, "user_id", "sec", "p_sec", 3600L)
     }
+    // pathological key: ONE user owns 90% of all events — the plain
+    // window serializes on it; the bucketed+stitch form caps window
+    // partitions at one bucket of the hot key
+    val hot = events.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) < 9, 0L).otherwise(col("user_id")))
+    val hotClicks = hot.filter(col("event_type") === "click").select("user_id", "sec")
+    val hotPurchases = hot.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec").as("p_sec"))
+    time("asof_join_hot90_plain") {
+      Temporal.asOfJoin(hotClicks, hotPurchases, "user_id", "sec", "p_sec")
+    }
+    time("asof_join_hot90_bucketed") {
+      Temporal.asOfJoinBucketed(hotClicks, hotPurchases, "user_id", "sec", "p_sec", 3600L)
+    }
     val repetition = TextAnalysis.textRepetition
     time("repetition") {
       docs.select(col("doc_id"),

@@ -9,10 +9,54 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * through the public Column API. This is the standard extension-point
   * gap in Spark 4's Column/ColumnNode split; no Spark internals are
   * modified.
+  *
+  * Version gating: everything here leans on `private[sql]` surface
+  * that Spark may move between minor versions. When the compiled
+  * bridge meets a Spark where an internal moved (LinkageError at call
+  * time), the OPTIONAL path — [[unpersistCheckpoint]], a memory
+  * optimization — degrades to a logged no-op instead of taking the
+  * query down; the REQUIRED paths (column/expression/registerFunction,
+  * without which custom expressions cannot exist at all) rethrow with
+  * a message naming the moved internal. `forceDegraded` lets the spec
+  * exercise the fallback without an incompatible Spark on the
+  * classpath.
   */
 object GraftColumnBridge {
-  def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Test hook: simulates the internal surface having moved. */
+  @volatile var forceDegraded: Boolean = false
+
+  @volatile private var warned: Boolean = false
+
+  /** True when the fallback path was taken at least once (spec probe). */
+  @volatile var degradedObserved: Boolean = false
+
+  private def warnOnce(what: String, e: Throwable): Unit = {
+    degradedObserved = true
+    if (!warned) {
+      warned = true
+      log.warn(s"GraftColumnBridge: $what unavailable on this Spark build " +
+        s"(${if (e == null) "forced by test hook" else e.toString}); " +
+        "degrading to no-op — local checkpoints will be released by GC only")
+    }
+  }
+
+  def column(e: Expression): Column =
+    try ExpressionUtils.column(e)
+    catch { case le: LinkageError =>
+      throw new IllegalStateException(
+        "GraftColumnBridge: ExpressionUtils.column moved in this Spark build; " +
+          "custom graft expressions cannot be exposed as Columns", le)
+    }
+
+  def expression(c: Column): Expression =
+    try ExpressionUtils.expression(c)
+    catch { case le: LinkageError =>
+      throw new IllegalStateException(
+        "GraftColumnBridge: ExpressionUtils.expression moved in this Spark build", le)
+    }
 
   /** Release the cached blocks behind a `localCheckpoint()`ed Dataset.
     * Spark exposes no public API to free a local checkpoint (blocks
@@ -20,19 +64,30 @@ object GraftColumnBridge {
     * which leaks executor memory in iterative loops that checkpoint per
     * round (e.g. connected-components label propagation). The
     * checkpointed plan is a `LogicalRDD` wrapping the cached RDD —
-    * unpersist that RDD directly. No-op for non-checkpointed plans. */
+    * unpersist that RDD directly. No-op for non-checkpointed plans, and
+    * a logged no-op when the internal plan class moved: the loop then
+    * merely holds blocks until GC, it does not fail. */
   def unpersistCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
-    ds.asInstanceOf[Dataset[_]].queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    if (forceDegraded) warnOnce("unpersistCheckpoint", null)
+    else
+      try
+        ds.asInstanceOf[Dataset[_]].queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      catch { case le: LinkageError => warnOnce("unpersistCheckpoint", le) }
 
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
+    try
+      spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    catch { case le: LinkageError =>
+      throw new IllegalStateException(
+        "GraftColumnBridge: functionRegistry surface moved in this Spark build", le)
+    }
 }

@@ -405,33 +405,47 @@ object Dedup {
     * A large-star/small-star rewrite would cut round COUNT for deep
     * graphs; near-dup cluster graphs are shallow (diameter ~ chain
     * length of borderline pairs), so fewer-jobs-per-round dominates. */
-  def canonicalClusters(pairs: DataFrame): DataFrame = {
+  /** @param reliable pin each round with a checkpoint-dir-backed
+    *   `checkpoint()` instead of `localCheckpoint()`. Local checkpoints
+    *   store blocks on executors only — on a real cluster, losing one
+    *   executor mid-loop kills the query (blocks are not recomputable:
+    *   the lineage was truncated). A reliable checkpoint writes rounds
+    *   to the fault-tolerant checkpoint dir (HDFS/S3 in production), so
+    *   the loop survives executor loss at the cost of a filesystem
+    *   round-trip per iteration. Requires
+    *   `spark.sparkContext.setCheckpointDir(...)`; stale round files
+    *   are GC-cleaned when
+    *   `spark.cleaner.referenceTracking.cleanCheckpoints` is set. */
+  def canonicalClusters(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint
+    def pin(df: DataFrame, eager: Boolean = true): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    // executor-memory release only matters for local-checkpoint blocks;
+    // reliable rounds live as files owned by the checkpoint manager
+    def release(df: DataFrame): Unit = if (!reliable) unpersistCheckpoint(df)
     // Pin the edge list once: every label-propagation round re-executes
     // `edges`' lineage otherwise — for x_dedup_clusters that lineage is
     // the whole Jaccard pipeline, re-run per iteration
     // (isolated warm timing at sf0.1: 3.7s pinned vs 7.3s unpinned).
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val edges = pin(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a"))))
+    var labels = pin(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
-      val next = labels.join(prop, col("node") === col("src"), "left")
+      val next = pin(labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          coalesce(col("nbr_label") < col("label"), lit(false)).as("chg"))
-        .localCheckpoint(eager = false) // materialized by the count below
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("chg")),
+        eager = false) // materialized by the count below
       changed = next.filter(col("chg")).count()
-      unpersistCheckpoint(labels)
+      release(labels)
       labels = next
     }
     val out = labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
-    unpersistCheckpoint(edges) // converged labels no longer depend on it
+    release(edges) // converged labels no longer depend on it
     out
   }
 
@@ -445,6 +459,13 @@ object Dedup {
       jaccardPairs(shingles(t(s, dir, "documents")), 0.5))
       .orderBy("doc_id")
 
+  // The 64-bit xxhash simhash rows (dedupSimhash/dedupSimhashPairs)
+  // are NOT in the gate: xxhash64 is not DuckDB-expressible, so they
+  // could only ever be rows-only checks, while their portable 32-bit
+  // twins run the IDENTICAL banding + verification shape under a full
+  // hash-checked oracle. The 64-bit forms stay the production path
+  // (wider signature, fewer collisions) with derived-expectation
+  // coverage in DedupSpec.
   val queries: Map[String, Q] = Map(
     "x_dedup_incremental" -> dedupIncremental,
     "x_dedup_incremental_indexed" -> dedupIncrementalIndexed,
@@ -452,8 +473,6 @@ object Dedup {
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
-    "x_dedup_simhash" -> dedupSimhash,
-    "x_dedup_simhash_pairs" -> dedupSimhashPairs,
     "x_dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "x_dedup_embedding" -> dedupEmbedding)
 

@@ -65,6 +65,61 @@ object Temporal {
       .select((rightCols.map(col) :+ col("__asof").as("asof_sec")): _*)
   }
 
+  /** Pathological-hot-key as-of join: identical semantics to
+    * [[asOfJoin]], but the window partitions on (key, coarse time
+    * bucket) instead of key alone, with a boundary-stitch pass.
+    *
+    * Why: per-key ordering is inherently serial per window partition,
+    * and AQE cannot split a window partition — so with [[asOfJoin]]
+    * one key owning 90% of the rows bounds wall-clock by that key's
+    * own single-partition sort. Bucketing caps every window partition
+    * at one bucket's rows; the serial floor becomes
+    * O(rows-per-bucket), independent of how hot the key is.
+    *
+    * Stitch: within a bucket the running `last(left)` window is
+    * oblivious to earlier buckets, so a right row whose nearest prior
+    * left sits in an earlier bucket needs a carry-in. The carry frame
+    * is one row per (key, bucket) — max left sec per bucket, then a
+    * strictly-prior running max over the per-key bucket sequence (a
+    * window over the TINY aggregate, O(#buckets) serial work, not
+    * O(#rows)) — joined back on (key, bucket) and coalesced under the
+    * local result. Any left row in an earlier bucket has sec strictly
+    * below the current bucket's floor, so carry-ins never violate the
+    * <= bound and local results always beat them when present. */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftSec: String, rightSec: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    val rightCols = right.columns.toSeq
+    val carried = rightCols.filterNot(_ == key)
+    val rTypes = right.schema.map(f => f.name -> f.dataType).toMap
+    val l = left.select(
+      col(key) +: col(leftSec).as("__sec") +: lit(0).as("__kind") +:
+        carried.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+    val r = right.select(
+      col(key) +: col(rightSec).as("__sec") +: lit(1).as("__kind") +:
+        carried.map(col): _*)
+    val u = l.unionByName(r)
+      .withColumn("__bucket", expr(s"__sec div $bucketWidth"))
+    val wLocal = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy("__sec", "__kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localized = u.withColumn("__asof_local",
+      last(when(col("__kind") === 0, col("__sec")), ignoreNulls = true).over(wLocal))
+    // carry frame: last left sec per populated (key, bucket), then the
+    // strictly-prior running max across each key's bucket sequence
+    val bucketLast = u.groupBy(col(key), col("__bucket"))
+      .agg(max(when(col("__kind") === 0, col("__sec"))).as("__last_left"))
+    val wCarry = Window.partitionBy(key).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketLast.withColumn("__carry",
+        max("__last_left").over(wCarry))
+      .select(col(key), col("__bucket"), col("__carry"))
+    localized.join(carry, Seq(key, "__bucket"), "left")
+      .filter(col("__kind") === 1)
+      .select((rightCols.map(col) :+
+        coalesce(col("__asof_local"), col("__carry")).as("asof_sec")): _*)
+  }
+
   /** Purchase-to-last-click attribution as an as-of join: each
     * purchase gets the second of the user's most recent click at or
     * before it. */
@@ -117,9 +172,38 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** Naive-form range join, exercised THROUGH the optimizer rule: the
+    * query is written as the obvious inequality-only inner join — the
+    * shape Spark would otherwise plan as BroadcastNestedLoopJoin — and
+    * [[graft.plans.RangeJoinRewrite]] (registered here into the live
+    * session, as a user would via spark.sql.extensions) turns it into
+    * the two-bucket equi-join. Keyless on purpose: a cross-side
+    * equality would give Spark an equi key and the rule would
+    * correctly decline. Semantics: clicks across ALL users in the
+    * hour before each purchase (global temporal click density). */
+  val eventsRangeNaive: Q = (s, dir) => {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+    val clicks = e.filter(col("event_type") === "click").select(col("sec").as("c_sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec").as("p_sec"))
+    // bounded column (c_sec) on the LEFT child — the shape the rule
+    // rewrites (left gains the bucket column; right gets the 2-bucket
+    // explode, duplicating the smaller purchase side, not the clicks)
+    clicks.join(purchases,
+        col("c_sec") > col("p_sec") - 3600L && col("c_sec") <= col("p_sec"))
+      .groupBy("user_id", "event_id", "p_sec")
+      .agg(count(lit(1)).as("n_clicks_global"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_events_asof" -> eventsAsof,
-    "x_events_range_count" -> eventsRangeCount)
+    "x_events_range_count" -> eventsRangeCount,
+    "x_events_range_naive" -> eventsRangeNaive)
 
   private val eventsCte =
     "WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
@@ -136,5 +220,12 @@ object Temporal {
       (eventsCte +
         "SELECT p.user_id, p.event_id, p.sec AS p_sec, " +
         "CAST((SELECT COUNT(*) FROM c WHERE c.user_id = p.user_id AND c.sec > p.sec - 3600 AND c.sec <= p.sec) AS BIGINT) AS n_clicks " +
-        "FROM p ORDER BY user_id, event_id"))
+        "FROM p ORDER BY user_id, event_id"),
+    // inner join: zero-match purchases drop on both sides
+    "x_events_range_naive" ->
+      (eventsCte +
+        "SELECT p.user_id, p.event_id, p.sec AS p_sec, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_clicks_global " +
+        "FROM p JOIN c ON c.sec > p.sec - 3600 AND c.sec <= p.sec " +
+        "GROUP BY p.user_id, p.event_id, p.sec ORDER BY p.user_id, p.event_id"))
 }

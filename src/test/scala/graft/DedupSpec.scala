@@ -94,6 +94,20 @@ class DedupSpec extends SparkSpec {
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("canonical clusters: reliable-checkpoint mode equals local-checkpoint mode") {
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("cc-ckpt").toString)
+    // multi-round convergence: a 5-chain plus an isolated pair
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.canonicalClusters(chain).as[(Long, Long)].collect().toMap
+    val rel = Dedup.canonicalClusters(chain, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    assert(rel == local)
+    assert(rel == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("rolling hash is order-sensitive where fingerprint is not") {
     val d = docs(1L -> "a b c", 2L -> "c b a")
     val rh = d.select(TextAnalysis.rollingHash(col("text")).as("h"))

@@ -130,4 +130,18 @@ class FunctionsSpec extends SparkSpec {
       .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
     assert(a == b)
   }
+
+  test("GraftColumnBridge degrades unpersistCheckpoint to a logged no-op when gated") {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    val df = spark.range(5).toDF("id").localCheckpoint()
+    GraftColumnBridge.forceDegraded = true
+    try {
+      GraftColumnBridge.unpersistCheckpoint(df) // must not throw
+      assert(GraftColumnBridge.degradedObserved,
+        "fallback path must record that it was taken")
+      assert(df.count() == 5, "frame stays usable after the no-op release")
+    } finally GraftColumnBridge.forceDegraded = false
+    // healthy path still works after the gate clears
+    GraftColumnBridge.unpersistCheckpoint(df)
+  }
 }

@@ -45,6 +45,32 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(actual.sameElements(expected) && expected.nonEmpty)
   }
 
+  test("x_events_range_naive gate query: rule registers in-session, no BNLJ, oracle shape") {
+    import graft.operators.Temporal
+    val s = spark.newSession()
+    val df = Temporal.eventsRangeNaive(s, "/root/testdata/sf0.001")
+    assert(s.experimental.extraOptimizations.contains(RangeJoinRewrite))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "gate query must run through the bucketed rewrite")
+    // equivalence vs an un-rewritten session running the same naive join
+    val plain = spark.newSession()
+    val e = graft.core.Tables.t(plain, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    val clicks = e.filter(col("event_type") === "click").select(col("sec").as("c_sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec").as("p_sec"))
+    val expected = purchases.join(clicks,
+        col("c_sec") > col("p_sec") - 3600L && col("c_sec") <= col("p_sec"))
+      .groupBy("user_id", "event_id", "p_sec")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val actual = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(actual.sameElements(expected) && expected.nonEmpty)
+  }
+
   test("joins that already have a cross-side equality are left alone") {
     val opt = spark.newSession()
     opt.experimental.extraOptimizations = Seq(RangeJoinRewrite)

@@ -33,6 +33,44 @@ class TemporalSpec extends SparkSpec {
     assert(out(12L) == 0L) // zero-match preserved
   }
 
+  test("asOfJoinBucketed equals asOfJoin on hot-keyed random data, any bucket width") {
+    val rng = new scala.util.Random(13)
+    // 90% of rows land on user 0 — the pathological key the bucketed
+    // form exists for
+    def hotKey(): Long = if (rng.nextInt(10) == 0) rng.nextInt(5).toLong + 1 else 0L
+    val clicks = Seq.fill(400)((hotKey(), rng.nextInt(50000).toLong))
+      .toDF("user_id", "sec")
+    val purchases = Seq.tabulate(150)(i => (hotKey(), i.toLong, rng.nextInt(50000).toLong))
+      .toDF("user_id", "event_id", "p_sec")
+    val plain = Temporal.asOfJoin(clicks, purchases, "user_id", "sec", "p_sec")
+      .select("event_id", "asof_sec").as[(Long, Option[Long])].collect().toMap
+    // widths below/at/above the data span: single-row buckets, carries
+    // across many empty buckets, and one-bucket degeneration
+    for (width <- Seq(1L, 777L, 3600L, 1000000L)) {
+      val bucketed = Temporal.asOfJoinBucketed(
+          clicks, purchases, "user_id", "sec", "p_sec", width)
+        .select("event_id", "asof_sec").as[(Long, Option[Long])].collect().toMap
+      assert(bucketed == plain, s"bucketWidth=$width")
+    }
+  }
+
+  test("asOfJoinBucketed: ties inclusive, cross-bucket carry, no-prior null") {
+    val clicks = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("user_id", "sec")
+    val purchases = Seq(
+      (1L, 10L, 200L),  // tie at same second, same bucket
+      (1L, 11L, 9999L), // nearest left is many empty buckets back
+      (2L, 12L, 40L),   // only later clicks
+      (3L, 13L, 70L))   // no clicks at all
+      .toDF("user_id", "event_id", "p_sec")
+    val out = Temporal.asOfJoinBucketed(
+        clicks, purchases, "user_id", "sec", "p_sec", 60L)
+      .select("event_id", "asof_sec").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(200L))
+    assert(out(11L).contains(200L))
+    assert(out(12L).isEmpty)
+    assert(out(13L).isEmpty)
+  }
+
   test("asOfJoin agrees with the naive max-subquery formulation on random data") {
     val rng = new scala.util.Random(11)
     val clicks = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(20000).toLong))
