@@ -100,6 +100,34 @@ object Soak {
     time("asof_join_hot90_bucketed") {
       Temporal.asOfJoinBucketed(hotClicks, hotPurchases, "user_id", "sec", "p_sec", 3600L)
     }
+    // end-to-end curation (post-LSH wiring), two sizes of the SAME
+    // corpus family to measure scaling directly (100k = 20x the sf0.1
+    // gate corpus). Structure mirrors production near-dup topology:
+    // 5-doc clusters with group-disjoint vocabularies (within-group
+    // jaccard ~0.87, cross-group ~0.02), so cluster graphs stay
+    // SHALLOW — see BENCH_NOTES r5 for why a progression-patterned
+    // vocab instead chains the whole corpus into one ring (CC rounds
+    // = ring diameter, 630s at 100k: a min-label worst case, not a
+    // curation cost). Stopword prefix keeps the language gate honest.
+    def curationCorpus(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(5))).as("source"),
+      expr("concat_ws(' ', 'the', 'a', 'of', 'and', transform(sequence(0, 39), " +
+        "i -> concat('g', id div 5, '_w', i)), concat('u', id))").as("text"))
+    time("curation_25k") { graft.operators.Curation.curate(curationCorpus(25000L * mult)) }
+    time("curation_100k") { graft.operators.Curation.curate(curationCorpus(100000L * mult)) }
+    // adversarial topology: progression-patterned vocab (2000 offsets,
+    // step 17) chains the WHOLE corpus into one near-dup ring — CC
+    // convergence is bounded by ring diameter (~143 rounds of
+    // min-label without pointer-jumping: 630s measured; the jump
+    // collapses it to O(log diameter) rounds)
+    val ringDocs = spark.range(100000L * mult).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(5))).as("source"),
+      expr("concat_ws(' ', 'the', 'a', 'of', 'and', transform(sequence(0, 39), " +
+        "i -> concat('w', pmod(id * 31 + i * 17, 2000))))").as("text"))
+    time("curation_ring_100k") { graft.operators.Curation.curate(ringDocs) }
+
     val repetition = TextAnalysis.textRepetition
     time("repetition") {
       docs.select(col("doc_id"),

@@ -415,8 +415,18 @@ object Dedup {
     *   round-trip per iteration. Requires
     *   `spark.sparkContext.setCheckpointDir(...)`; stale round files
     *   are GC-cleaned when
-    *   `spark.cleaner.referenceTracking.cleanCheckpoints` is set. */
-  def canonicalClusters(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+    *   `spark.cleaner.referenceTracking.cleanCheckpoints` is set.
+    * @param shortcut pointer-jumping: after the neighbor-min step each
+    *   round also applies `label <- label(label)`, so labels hop two
+    *   levels per round and convergence needs O(log diameter) rounds
+    *   instead of O(diameter). Near-dup graphs are usually shallow,
+    *   where this costs one extra (cheap, label-sized) join per round
+    *   for nothing — but a CHAIN topology (each doc borderline-similar
+    *   to the next; measured on a ring-patterned synthetic corpus,
+    *   BENCH_NOTES r5) makes the plain loop's round count the whole
+    *   runtime, and the jump collapses it. */
+  def canonicalClusters(pairs: DataFrame, reliable: Boolean = false,
+      shortcut: Boolean = true): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint
     def pin(df: DataFrame, eager: Boolean = true): DataFrame =
       if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
@@ -435,12 +445,33 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
-      val next = pin(labels.join(prop, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          coalesce(col("nbr_label") < col("label"), lit(false)).as("chg")),
+      val stepped = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      var steppedPin: DataFrame = null
+      val next = pin(
+        if (!shortcut)
+          stepped.select(col("node"), col("label"),
+            (col("label") < col("__old")).as("chg"))
+        else {
+          // label(label) lookup on the post-step frame; pinned EAGERLY:
+          // a lazy localCheckpoint does NOT truncate the logical plan
+          // until materialized, so self-joining a lazily-pinned frame
+          // SQUARES the plan (and its Catalyst size estimate) per round
+          // — ~25 rounds in, stats estimation overflows BigInteger.
+          // Eager pinning costs one extra job per round; with the jump
+          // the round count is logarithmic, so that is cheap.
+          val s = pin(stepped)
+          steppedPin = s
+          s.join(s.select(col("node").as("__jn"), col("label").as("__jl")),
+              col("label") === col("__jn"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("__jl"), col("label"))).as("label"),
+              (least(col("label"), coalesce(col("__jl"), col("label"))) < col("__old")).as("chg"))
+        },
         eager = false) // materialized by the count below
       changed = next.filter(col("chg")).count()
+      if (steppedPin != null) release(steppedPin) // next is materialized now
       release(labels)
       labels = next
     }

@@ -172,6 +172,20 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** The same attribution query through [[asOfJoinBucketed]] — the
+    * hot-key stitch path under the SAME hash-checked oracle as
+    * x_events_asof (output-identity is the operator's contract). */
+  val eventsAsofBucketed: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+    val clicks = e.filter(col("event_type") === "click").select(col("user_id"), col("sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec").as("p_sec"))
+    asOfJoinBucketed(clicks, purchases, "user_id", "sec", "p_sec", 3600L)
+      .select(col("user_id"), col("event_id"), col("p_sec"), col("asof_sec").as("c_sec"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Naive-form range join, exercised THROUGH the optimizer rule: the
     * query is written as the obvious inequality-only inner join — the
     * shape Spark would otherwise plan as BroadcastNestedLoopJoin — and
@@ -202,6 +216,7 @@ object Temporal {
 
   val queries: Map[String, Q] = Map(
     "x_events_asof" -> eventsAsof,
+    "x_events_asof_bucketed" -> eventsAsofBucketed,
     "x_events_range_count" -> eventsRangeCount,
     "x_events_range_naive" -> eventsRangeNaive)
 
@@ -210,12 +225,17 @@ object Temporal {
       "p AS (SELECT user_id, event_id, sec FROM e WHERE event_type = 'purchase'), " +
       "c AS (SELECT user_id, sec FROM e WHERE event_type = 'click') "
 
+  private val asofOracle =
+    eventsCte +
+      "SELECT p.user_id, p.event_id, p.sec AS p_sec, " +
+      "(SELECT MAX(c.sec) FROM c WHERE c.user_id = p.user_id AND c.sec <= p.sec) AS c_sec " +
+      "FROM p ORDER BY user_id, event_id"
+
   val oracles: Map[String, String] = Map(
-    "x_events_asof" ->
-      (eventsCte +
-        "SELECT p.user_id, p.event_id, p.sec AS p_sec, " +
-        "(SELECT MAX(c.sec) FROM c WHERE c.user_id = p.user_id AND c.sec <= p.sec) AS c_sec " +
-        "FROM p ORDER BY user_id, event_id"),
+    "x_events_asof" -> asofOracle,
+    // output-identity with the plain form is the bucketed operator's
+    // contract — same oracle
+    "x_events_asof_bucketed" -> asofOracle,
     "x_events_range_count" ->
       (eventsCte +
         "SELECT p.user_id, p.event_id, p.sec AS p_sec, " +
