@@ -50,11 +50,10 @@ object Ids {
     // deterministic — a guarantee AQE does not make. Pinning the rows
     // also halves the work (the sort ran twice before); classic
     // rdd.zipWithIndex pins the same way by operating on one RDD.
-    val sorted = df.orderBy(sortCols: _*)
+    val sorted = Materialize.pin(df.orderBy(sortCols: _*)
       .withColumn("__m", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__m"), 33).cast(LongType))
-      .withColumn("__local", col("__m").bitwiseAND((1L << 33) - 1))
-      .localCheckpoint()
+      .withColumn("__local", col("__m").bitwiseAND((1L << 33) - 1)))
     val offsets = sorted.groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",

@@ -25,12 +25,21 @@ object GraftColumnBridge {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Test hook: simulates the internal surface having moved. */
+  /** Test hook: simulates the internal surface having moved.
+    *
+    * The hooks below are GLOBAL mutable state on a shared object and
+    * are meant for single-threaded spec use only: a spec that sets
+    * `forceDegraded` must clear BOTH flags in its `finally` block,
+    * since any suite exercising checkpoint loops concurrently would
+    * otherwise see its unpersists silently no-op (benign — blocks are
+    * then merely held until GC) and a later probe of
+    * `degradedObserved` could not tell which call degraded. */
   @volatile var forceDegraded: Boolean = false
 
   @volatile private var warned: Boolean = false
 
-  /** True when the fallback path was taken at least once (spec probe). */
+  /** True when the fallback path was taken at least once (spec probe;
+    * never reset by production code — specs reset it themselves). */
   @volatile var degradedObserved: Boolean = false
 
   private def warnOnce(what: String, e: Throwable): Unit = {

@@ -34,15 +34,26 @@ object Curation {
     *
     * `nearDupPairs` generates the verified near-dup pairs
     * (docs, minJaccard) => (doc_a, doc_b, ...). Default is
-    * [[Dedup.minhashLsh]] — banded equi-join candidates, exact-Jaccard
-    * verification — the linear-candidate-cost 100 TB path. The exact
-    * inverted-index form ([[exactPairs]]) stays available for oracle
-    * cross-checks; both are output-identical at the 0.5 threshold
-    * (LSH recall is full there — see the x_dedup_minhash_lsh oracle
-    * note), which CurationSpec asserts on both wirings. */
+    * [[Dedup.minhashLsh]] at its 8x4 banding — banded equi-join
+    * candidates, exact-Jaccard verification — the
+    * linear-candidate-cost 100 TB path. Recall caveat (this is a
+    * property of banding, not of the threshold): 8 bands x 4 rows
+    * gives a pair at Jaccard j a candidate probability of
+    * 1-(1-j^4)^8 — only ~0.40 at j=0.5, >0.999 by j~0.85. On the
+    * gate corpora the two wirings ARE output-identical (CurationSpec
+    * and the x_dedup_minhash_lsh oracle assert it) because their
+    * near-dup clusters sit at ~0.87 Jaccard, far above the band
+    * knee; that identity is an empirical fact about those corpora,
+    * NOT a general contract. On corpora with borderline pairs
+    * (0.5 <= j < ~0.8) the LSH default will under-deduplicate
+    * relative to [[exactPairs]] — use [[highRecallPairs]] (64x2
+    * banding: ~0.9999 at j=0.5, at the cost of a wider candidate
+    * set) or [[exactPairs]] (exact, quadratic candidates) when
+    * borderline recall matters more than candidate cost. */
   def curate(docs: DataFrame, evalSplit: Long = 10L,
       minTokens: Int = MinTokens,
-      nearDupPairs: (DataFrame, Double) => DataFrame = Dedup.minhashLsh): DataFrame = {
+      nearDupPairs: (DataFrame, Double) => DataFrame =
+        (d, j) => Dedup.minhashLsh(d, j)): DataFrame = {
     // per-row gates: language argmax + token-count floor, one scan
     val base = TextAnalysis.classify(docs.filter(col("doc_id") >= evalSplit),
         "text", TextAnalysis.langProfiles)
@@ -79,6 +90,14 @@ object Curation {
     * — the oracle-shaped cross-check wiring for [[curate]]. */
   val exactPairs: (DataFrame, Double) => DataFrame =
     (docs, j) => Dedup.jaccardPairs(Dedup.shingles(docs), j)
+
+  /** High-recall LSH wiring: 64 hashes x 2-row bands = 32 bands, so a
+    * borderline pair at j=0.5 is a candidate w.p. ~1-(0.75)^32 ~=
+    * 0.9999 (vs ~0.40 for the 8x4 default). Still linear candidate
+    * cost — the extra bands widen the candidate set (more verify
+    * work), they do not reintroduce the quadratic pair space. */
+  val highRecallPairs: (DataFrame, Double) => DataFrame =
+    (docs, j) => Dedup.minhashLsh(docs, j, numHashes = 64, bandRows = 2)
 
   val pipelineCuration: Q = (s, dir) => curate(t(s, dir, "documents"))
 

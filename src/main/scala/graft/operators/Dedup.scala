@@ -43,7 +43,7 @@ object Dedup {
     // plus BOTH self-join sides, and Spark does not reuse the
     // explode+distinct subtree across them (no ReusedExchange in the
     // plan — verified), so without this the index is built three times.
-    val sh = sh0.localCheckpoint()
+    val sh = graft.core.Materialize.pin(sh0)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -73,13 +73,14 @@ object Dedup {
   val NumHashes = 32
   val BandRows = 4 // => 8 bands
 
-  /** MinHash signatures in ONE pass over the (doc, shingle) rows: 32
-    * independent min aggregates, each over a differently-seeded
-    * xxhash64 of the shingle — no seed-expansion explode (which would
-    * multiply shuffle input 32x), partial aggregation shrinks each map
-    * task to one row per doc. Signature columns m0..m31. */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
+  /** MinHash signatures in ONE pass over the (doc, shingle) rows:
+    * `numHashes` independent min aggregates, each over a
+    * differently-seeded xxhash64 of the shingle — no seed-expansion
+    * explode (which would multiply shuffle input `numHashes`x),
+    * partial aggregation shrinks each map task to one row per doc.
+    * Signature columns m0..m{numHashes-1}. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -87,8 +88,22 @@ object Dedup {
   /** MinHash + LSH banding: band hash = xxhash64 of the band's rows;
     * candidates = equi-join on (band, band_hash); verified with true
     * Jaccard. This is the 100 TB near-dup path: candidate generation
-    * cost is linear in corpus size, not quadratic. */
-  def minhashLsh(docs: DataFrame, minJaccard: Double): DataFrame = {
+    * cost is linear in corpus size, not quadratic.
+    *
+    * Recall is set by the banding scheme, NOT by `minJaccard`: with
+    * `b` bands of `r` rows, a pair at true Jaccard `j` becomes a
+    * candidate with probability `1 - (1 - j^r)^b` (verification then
+    * makes precision exact). The 32x(8x4) default gives ~0.40 at
+    * j=0.5 rising to >0.999 by j~0.85 — i.e. borderline pairs just
+    * above the threshold MAY be missed; pairs well above it are
+    * essentially never missed. Callers that need near-full recall AT
+    * a 0.5 threshold should pass `numHashes=64, bandRows=2` (32
+    * bands: ~0.9999 at j=0.5) and pay the wider candidate set, or
+    * run [[jaccardPairs]] for exactness. */
+  def minhashLsh(docs: DataFrame, minJaccard: Double,
+      numHashes: Int = NumHashes, bandRows: Int = BandRows): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"bandRows ($bandRows) must divide numHashes ($numHashes)")
     // Materialize the shared index frames once — Spark re-executes
     // shared subtrees here (no ReusedExchange; self-join sides
     // canonicalize differently): the shingle index feeds the signature
@@ -97,11 +112,11 @@ object Dedup {
     // step (8 bytes x NumHashes per doc for signatures). Isolated
     // timing on a quiet host: 2.5s -> 2.0s at sf0.1 with both
     // checkpoints vs signature-only.
-    val sh = shingles(docs).localCheckpoint()
-    val sig = minhashSignatures(sh).localCheckpoint()
-    val numBands = NumHashes / BandRows
+    val sh = graft.core.Materialize.pin(shingles(docs))
+    val sig = graft.core.Materialize.pin(minhashSignatures(sh, numHashes))
+    val numBands = numHashes / bandRows
     val bandCols = (0 until numBands).map { b =>
-      val rows = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      val rows = (0 until bandRows).map(r => col(s"m${b * bandRows + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -226,11 +241,10 @@ object Dedup {
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     // candidate pairs feed the semi-join prune AND the verification
     // join — pin the (tiny) frame rather than probing the index twice
-    val cand = corpusBands
+    val cand = graft.core.Materialize.pin(corpusBands
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
       .join(broadcast(newBands), Seq("band", "bh"))
-      .select("new_id", "corpus_id").distinct()
-      .localCheckpoint()
+      .select("new_id", "corpus_id").distinct())
     val newSets = shingles(newDocs).groupBy("doc_id")
       .agg(collect_set("shingle").as("set_n"))
       .select(col("doc_id").as("new_id"), col("set_n"))
@@ -309,7 +323,7 @@ object Dedup {
     // one row + 8 bytes per doc; materialized once so the band
     // self-join's two sides don't each recompute the 64-bit-vote
     // aggregation over the exploded token stream
-    val sigC = sig.localCheckpoint()
+    val sigC = graft.core.Materialize.pin(sig)
     val bandCols = (0 until numBands).map { b =>
       val lo = b * sigBits / numBands
       val width = (b + 1) * sigBits / numBands - lo
@@ -428,11 +442,16 @@ object Dedup {
   def canonicalClusters(pairs: DataFrame, reliable: Boolean = false,
       shortcut: Boolean = true): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint
+    // the session-wide Materialize.ReliableConf knob also flips the
+    // loop into reliable mode — the explicit param is the per-call
+    // override (can only strengthen; conf=true wins over param=false
+    // so one session setting makes a whole job fault-tolerant)
+    val rel = reliable || graft.core.Materialize.isReliable(pairs.sparkSession)
     def pin(df: DataFrame, eager: Boolean = true): DataFrame =
-      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (rel) df.checkpoint(eager) else df.localCheckpoint(eager)
     // executor-memory release only matters for local-checkpoint blocks;
     // reliable rounds live as files owned by the checkpoint manager
-    def release(df: DataFrame): Unit = if (!reliable) unpersistCheckpoint(df)
+    def release(df: DataFrame): Unit = if (!rel) unpersistCheckpoint(df)
     // Pin the edge list once: every label-propagation round re-executes
     // `edges`' lineage otherwise — for x_dedup_clusters that lineage is
     // the whole Jaccard pipeline, re-run per iteration

@@ -520,12 +520,11 @@ object Relational {
     // shuffle exchanges (verified: no ShuffleExchange under the join).
     // This is the "partition once, join many" rule SCALE.md prescribes
     // for the reference's dose/viability shape.
-    val li = t(s, dir, "lineitem")
+    val li = graft.core.Materialize.pin(t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
         cents(col("l_quantity")).as("qty_c0"),
         cents(col("l_extendedprice")).as("price_c0"))
-      .repartition(col("l_orderkey"), col("l_linenumber"))
-      .localCheckpoint()
+      .repartition(col("l_orderkey"), col("l_linenumber")))
     // two separate frames melted independently then re-joined —
     // the dose/viability shape (one melt each, no shared-Expand
     // double computation)

@@ -139,7 +139,7 @@ object Similarity {
     // materialize the bucket index once (NumTables ints per vector):
     // it feeds both candidate-join sides, and without this the
     // SignBuckets kernel re-hashes the whole corpus for each
-    val banded = lshBandIndex(emb, dim).localCheckpoint()
+    val banded = graft.core.Materialize.pin(lshBandIndex(emb, dim))
     lshSearch(emb, banded, nQueries, k)
   }
 

@@ -36,6 +36,15 @@ object Temporal {
   /** ts arrives as raw nanos (LongType — see Tables.t). */
   private def tsSec = expr("ts div 1000000000")
 
+  /** Integer FLOOR division (`div` truncates toward zero, so for
+    * negative seconds bucket 0 would span (-w, w) — twice the intended
+    * width — breaking the one-earlier-bucket bound both rewrites rely
+    * on). Floor division keeps every bucket exactly `w` wide for ALL
+    * integral seconds: `l in (r-w, r]  =>  floorDiv(l) in
+    * {floorDiv(r), floorDiv(r)-1}` holds with no sign caveat. */
+  private def floorDiv(c: String, w: Long): String =
+    s"(($c div $w) - (CASE WHEN $c % $w < 0 THEN 1 ELSE 0 END))"
+
   /** As-of join: attach to each `right` row (at r_sec) the greatest
     * `leftSec` <= r_sec within the same `key` partition. Returns the
     * right frame + `asof_sec` column (null when no prior left row).
@@ -83,9 +92,11 @@ object Temporal {
     * strictly-prior running max over the per-key bucket sequence (a
     * window over the TINY aggregate, O(#buckets) serial work, not
     * O(#rows)) — joined back on (key, bucket) and coalesced under the
-    * local result. Any left row in an earlier bucket has sec strictly
-    * below the current bucket's floor, so carry-ins never violate the
-    * <= bound and local results always beat them when present. */
+    * local result. Buckets come from FLOOR division (see [[floorDiv]]),
+    * so for ALL integral seconds — negative included — any left row in
+    * an earlier bucket has sec strictly below the current bucket's
+    * floor: carry-ins never violate the <= bound and local results
+    * always beat them when present. */
   def asOfJoinBucketed(left: DataFrame, right: DataFrame, key: String,
       leftSec: String, rightSec: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
@@ -99,7 +110,7 @@ object Temporal {
       col(key) +: col(rightSec).as("__sec") +: lit(1).as("__kind") +:
         carried.map(col): _*)
     val u = l.unionByName(r)
-      .withColumn("__bucket", expr(s"__sec div $bucketWidth"))
+      .withColumn("__bucket", expr(floorDiv("__sec", bucketWidth)))
     val wLocal = Window.partitionBy(col(key), col("__bucket"))
       .orderBy("__sec", "__kind")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -140,18 +151,19 @@ object Temporal {
   def rangeCountJoin(left: DataFrame, right: DataFrame, key: String,
       leftSec: String, rightSec: String, width: Long): DataFrame = {
     val l = left.select(col(key), col(leftSec).as("__lsec"))
-      .withColumn("__bucket", expr(s"__lsec div $width"))
+      .withColumn("__bucket", expr(floorDiv("__lsec", width)))
     // The synthetic row id feeds BOTH the probe side and the restore
     // join, and Spark re-executes the subtree per consumer;
     // monotonically_increasing_id is partitioning-dependent, so the two
     // executions could disagree on ids under AQE re-planning — the ids
     // must be materialized ONCE to be a join key at all.
-    val rWithId = right.withColumn("__rid", monotonically_increasing_id())
-      .localCheckpoint()
+    val rWithId = graft.core.Materialize.pin(
+      right.withColumn("__rid", monotonically_increasing_id()))
     val probes = rWithId
       .select(col("__rid"), col(key), col(rightSec).as("__rsec"))
       .withColumn("__bucket",
-        explode(array(expr(s"__rsec div $width"), expr(s"__rsec div $width - 1"))))
+        explode(array(expr(floorDiv("__rsec", width)),
+          expr(s"${floorDiv("__rsec", width)} - 1"))))
     val hits = probes.join(l, Seq(key, "__bucket"))
       .filter(col("__lsec") > col("__rsec") - width && col("__lsec") <= col("__rsec"))
       .groupBy("__rid").agg(count(lit(1)).as("__n"))
@@ -189,16 +201,21 @@ object Temporal {
   /** Naive-form range join, exercised THROUGH the optimizer rule: the
     * query is written as the obvious inequality-only inner join — the
     * shape Spark would otherwise plan as BroadcastNestedLoopJoin — and
-    * [[graft.plans.RangeJoinRewrite]] (registered here into the live
-    * session, as a user would via spark.sql.extensions) turns it into
-    * the two-bucket equi-join. Keyless on purpose: a cross-side
+    * [[graft.plans.RangeJoinRewrite]] turns it into the two-bucket
+    * equi-join. The rule is registered into a dedicated child session
+    * (`newSession()` — shared SparkContext, isolated session state),
+    * not the caller's: mutating the caller's
+    * `experimental.extraOptimizations` would leak the rule into every
+    * subsequent query on that session, and the contains/append is a
+    * non-atomic check-then-act under concurrent submission. A
+    * production deployment registers it once via
+    * `spark.sql.extensions` instead. Keyless on purpose: a cross-side
     * equality would give Spark an equi key and the rule would
     * correctly decline. Semantics: clicks across ALL users in the
     * hour before each purchase (global temporal click density). */
-  val eventsRangeNaive: Q = (s, dir) => {
-    if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  val eventsRangeNaive: Q = (s0, dir) => {
+    val s = s0.newSession()
+    s.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
     val e = t(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
     val clicks = e.filter(col("event_type") === "click").select(col("sec").as("c_sec"))

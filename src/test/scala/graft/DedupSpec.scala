@@ -108,6 +108,36 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("LSH banding sets recall: 64x2 banding recovers borderline pairs the 8x4 default misses") {
+    // 30 independent planted pairs, each at Jaccard 15/29 ~= 0.517 —
+    // just above the 0.5 threshold, in the band knee where the 8x4
+    // default's candidate probability is only 1-(1-0.517^4)^8 ~= 0.45.
+    // 24 words, first 17 shared => 22 shingles/doc, 15 common,
+    // J = 15/(44-15) = 0.517. Per-pair vocab disjoint across pairs.
+    val rows = (0 until 30).flatMap { p =>
+      val shared = (1 to 17).map(i => s"p${p}w$i")
+      val a = shared ++ (18 to 24).map(i => s"p${p}a$i")
+      val b = shared ++ (18 to 24).map(i => s"p${p}b$i")
+      Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" ")))
+    }
+    val d = rows.toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val truth = pairsOf(Dedup.jaccardPairs(Dedup.shingles(d), 0.5))
+    assert(truth == (0 until 30).map(p => (p * 2L, p * 2L + 1)).toSet,
+      "exact path must find every planted borderline pair")
+    val byDefault = pairsOf(Dedup.minhashLsh(d, 0.5))
+    val byHighRecall = pairsOf(Dedup.minhashLsh(d, 0.5, numHashes = 64, bandRows = 2))
+    // verification makes precision exact for BOTH bandings
+    assert(byDefault.subsetOf(truth) && byHighRecall.subsetOf(truth))
+    // the documented behavior: default banding misses borderline pairs;
+    // 64x2 banding (candidate prob ~0.9999 at j=0.5) recovers them
+    assert(byDefault.size < truth.size,
+      s"expected the 8x4 default to miss borderline pairs, found ${byDefault.size}/30")
+    assert(byHighRecall == truth,
+      s"64x2 banding should recover all 30 borderline pairs, found ${byHighRecall.size}")
+  }
+
   test("rolling hash is order-sensitive where fingerprint is not") {
     val d = docs(1L -> "a b c", 2L -> "c b a")
     val rh = d.select(TextAnalysis.rollingHash(col("text")).as("h"))

@@ -140,7 +140,12 @@ class FunctionsSpec extends SparkSpec {
       assert(GraftColumnBridge.degradedObserved,
         "fallback path must record that it was taken")
       assert(df.count() == 5, "frame stays usable after the no-op release")
-    } finally GraftColumnBridge.forceDegraded = false
+    } finally {
+      GraftColumnBridge.forceDegraded = false
+      // reset the probe too, so no later assertion can confuse THIS
+      // forced degradation with a real one it is trying to detect
+      GraftColumnBridge.degradedObserved = false
+    }
     // healthy path still works after the gate clears
     GraftColumnBridge.unpersistCheckpoint(df)
   }

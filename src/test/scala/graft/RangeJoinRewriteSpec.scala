@@ -45,11 +45,14 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(actual.sameElements(expected) && expected.nonEmpty)
   }
 
-  test("x_events_range_naive gate query: rule registers in-session, no BNLJ, oracle shape") {
+  test("x_events_range_naive gate query: rule fires without touching the caller's session, no BNLJ, oracle shape") {
     import graft.operators.Temporal
     val s = spark.newSession()
     val df = Temporal.eventsRangeNaive(s, "/root/testdata/sf0.001")
-    assert(s.experimental.extraOptimizations.contains(RangeJoinRewrite))
+    // the query isolates the rule in its own child session — the
+    // CALLER's optimizer list must stay untouched (no rule leakage
+    // into subsequent queries on s)
+    assert(!s.experimental.extraOptimizations.contains(RangeJoinRewrite))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "gate query must run through the bucketed rewrite")
