@@ -54,13 +54,19 @@ object Curation {
       minTokens: Int = MinTokens,
       nearDupPairs: (DataFrame, Double) => DataFrame =
         (d, j) => Dedup.minhashLsh(d, j)): DataFrame = {
-    // per-row gates: language argmax + token-count floor, one scan
-    val base = TextAnalysis.classify(docs.filter(col("doc_id") >= evalSplit),
+    // per-row gates: language argmax + token-count floor, one scan —
+    // pinned, because THREE consumers re-execute it otherwise (the
+    // near-dup branch, the contamination branch, and the final
+    // accounting join), i.e. three language classifications of the
+    // whole corpus instead of one (isolated timing at sf0.1:
+    // 9.2s -> 8.9s cold, 4.8s -> 4.2s warm with the pin)
+    val base = graft.core.Materialize.pin(
+      TextAnalysis.classify(docs.filter(col("doc_id") >= evalSplit),
         "text", TextAnalysis.langProfiles)
       .filter(col("predicted") === "en")
       .withColumn("ws", TextAnalysis.tokens(col("text")))
       .filter(size(col("ws")) >= minTokens)
-      .select(col("doc_id"), col("source"), col("text"), col("ws"))
+      .select(col("doc_id"), col("source"), col("text"), col("ws")))
     // near-dup canonical drop over the survivors: keep each cluster's
     // min-id member
     val dupDrop = Dedup.canonicalClusters(

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Growing-index streaming ingest — the continuous form of the daily
+  * near-dup flow ([[graft.operators.Dedup.minhashLshIncrementalIndexed]],
+  * reference workload: fresh crawl batches arriving forever).
+  *
+  * Each micro-batch of (doc_id, source, text):
+  *   1. is matched against ALL previously ingested docs through the
+  *      accumulated parquet band index (broadcast batch bands probe
+  *      the index; only candidates are verified with exact Jaccard —
+  *      the corpus is never re-shingled),
+  *   2. has its verified pairs, its docs, and its bands written to
+  *      their stores, each into a `batch_id=<id>` partition with
+  *      dynamic partition overwrite (the
+  *      [[EventStreams.idempotentParquetSink]] exactly-once layout).
+  *
+  * Replay safety: foreachBatch is at-least-once — a crashed batch is
+  * replayed with the SAME batchId. Two properties make the replay a
+  * true no-op: (a) every write targets the replayed batch's own
+  * partition, so it overwrites only itself; (b) the corpus/index reads
+  * FILTER OUT the current batchId, so a replay whose first attempt
+  * already appended its docs does not match the batch against itself
+  * (self-pairs at jaccard 1.0 would otherwise appear only on the
+  * retry path — the nastiest kind of once-in-a-blue-moon corruption).
+  *
+  * At 100 TB: state lives entirely in parquet (no streaming state
+  * store — the query is stateless), the per-batch broadcast is
+  * batch-sized, and the index probe is an equi-join on (band, bh)
+  * that partition-prunes nothing today but can bucket the index store
+  * by `bh` when the corpus outgrows a shuffle-free scan. Compaction
+  * of the `batch_id=` partition forest (thousands of small files
+  * after months of batches) is an offline concern:
+  * `spark.read.parquet(store).repartition(n).write` on a schedule,
+  * exactly like any streaming-sink table maintenance.
+  */
+object DocIngest {
+
+  val PairsSchema: StructType = StructType(Seq(
+    StructField("new_id", LongType), StructField("corpus_id", LongType),
+    StructField("jaccard", DoubleType)))
+
+  private def exists(df: DataFrame, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** One micro-batch step, exposed for spec-level direct use: pairs of
+    * `batch` vs the docs accumulated in `docsPath`/`indexPath` from
+    * OTHER batches, then idempotent appends of pairs, docs, and bands. */
+  def ingestBatch(batch: DataFrame, batchId: Long, docsPath: String,
+      indexPath: String, pairsPath: String, minJaccard: Double): Unit = {
+    val s = batch.sparkSession
+    // the batch feeds pair generation AND two appends — pin it so the
+    // (possibly expensive) stream source is consumed once
+    val b = graft.core.Materialize.pin(batch)
+    val pairs =
+      if (exists(b, docsPath) && exists(b, indexPath)) {
+        val prior = col("batch_id") =!= batchId // replay: exclude own docs
+        val corpus = s.read.parquet(docsPath).filter(prior)
+          .select("doc_id", "text")
+        val bands = s.read.parquet(indexPath).filter(prior)
+          .select("doc_id", "band", "bh")
+        Dedup.minhashLshIncrementalIndexed(b, corpus, bands, minJaccard)
+      } else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        PairsSchema)
+    EventStreams.idempotentParquetSink(pairsPath)(pairs, batchId)
+    EventStreams.idempotentParquetSink(docsPath)(b, batchId)
+    EventStreams.idempotentParquetSink(indexPath)(Dedup.minhashBands(b), batchId)
+  }
+
+  /** Start the ingest stream. `docStream` must carry at least
+    * (doc_id, text); extra columns ride along into the docs store. */
+  def start(docStream: DataFrame, docsPath: String, indexPath: String,
+      pairsPath: String, checkpointDir: String,
+      minJaccard: Double = 0.5): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, docsPath, indexPath, pairsPath, minJaccard))
+      .start()
+}
