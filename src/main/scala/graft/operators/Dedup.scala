@@ -400,6 +400,66 @@ object Dedup {
   val dedupEmbedding: Q = (s, dir) =>
     embeddingNearDups(t(s, dir, "embeddings"), 0.4).orderBy("vec_a", "vec_b")
 
+  /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, generate
+    * near-dup pairs WITHIN each cluster only, then canonical-drop via
+    * connected components. The scale point: pair generation is
+    * sum-over-cells |cell|^2, not |corpus|^2 — with balanced cells
+    * that is a 1/nCentroids quadratic-cost cut, and the only shuffle
+    * keys on the (small) cell id. Precision is exact (every candidate
+    * verified with true cosine); recall is what clustering spends:
+    * a pair whose members land in different cells is MISSED. That is
+    * the documented SemDeDup tradeoff, not an accident — `probes > 1`
+    * assigns each vector to its `probes` nearest cells (candidates
+    * union over shared cells), trading candidate volume for boundary
+    * recall. On the gate corpora the output is empirically identical
+    * to the exact quadratic path at threshold 0.4 (near-dup embedding
+    * pairs sit far inside cell interiors); that identity is a
+    * property of those corpora, NOT a general contract.
+    *
+    * Output: (vec_id, canonical_id) for every vector in a near-dup
+    * cluster, min id canonical — same shape as [[canonicalClusters]].
+    */
+  def semanticDedup(emb: DataFrame, minSim: Double, nCentroids: Int = 8,
+      probes: Int = 1): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    require(probes >= 1, s"probes must be >= 1 (got $probes)")
+    val (assigned1, centroids) = Similarity.ivfIndexWithCentroids(emb, nCentroids)
+    val assigned =
+      if (probes == 1) assigned1
+      else {
+        // multi-probe assignment: rank ALL cells per vector and keep
+        // the top `probes`. |corpus| x |cells| rows through a window —
+        // acceptable as a one-time assignment pass, but this is the
+        // expensive formulation (see Similarity.assignCells); keep
+        // probes small.
+        import emb.sparkSession.implicits._
+        val reps = broadcast(centroids.toDF("cell", "rep"))
+        emb.select(col("vec_id"), col("embedding")).crossJoin(reps)
+          .select(col("vec_id"), col("cell"),
+            cosineSim(col("embedding"), col("rep")).as("sim"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+              .orderBy(col("sim").desc, col("cell"))))
+          .filter(col("rk") <= probes)
+          .select("vec_id", "cell")
+      }
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned, Seq("vec_id"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("cell"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("cell"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosineSim(col("emb_a"), col("emb_b")) >= minSim)
+      // multi-probe: the same pair can collide in several shared cells
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).distinct()
+    canonicalClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+  }
+
+  val dedupSemantic: Q = (s, dir) =>
+    semanticDedup(t(s, dir, "embeddings"), 0.4).orderBy("vec_id")
+
   /** Canonical-id assignment over near-dup pairs: connected components
     * by iterative min-label propagation (driver-controlled loop, each
     * step a groupBy-min join — the standard Spark CC shape; converges

@@ -108,6 +108,50 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("semanticDedup: exact precision, multi-probe recall, identity on tight clusters") {
+    // planted tight clusters: 6 groups of 4 vectors, each group = a
+    // distinct orthogonal-ish base + tiny per-member noise (within-group
+    // cosine ~0.999, cross-group well below threshold). The SemDeDup
+    // premise — near-dups sit deep inside k-means cells — holds by
+    // construction, so cluster-scoped dedup must equal the exact
+    // quadratic path.
+    val dim = 16
+    val tight = (0 until 6).flatMap { g =>
+      (0 until 4).map { m =>
+        val v = Seq.tabulate(dim)(d =>
+          (if (d % 6 == g) 10f else 0.2f * (((g * 7 + d) % 5) - 2)) +
+            0.01f * (((g * 13 + m * 31 + d * 3) % 7) - 3))
+        (g * 4L + m, v)
+      }
+    }.toDF("vec_id", "embedding")
+    def clustersOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTight = clustersOf(Dedup.canonicalClusters(
+      Dedup.embeddingNearDups(tight, 0.9)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+    assert(exactTight.map(_._1).size == 6 * 4 && exactTight.map(_._2).size == 6,
+      "all 24 members clustered into 6 groups")
+    val semTight = clustersOf(Dedup.semanticDedup(tight, 0.9, nCentroids = 6))
+    assert(semTight == exactTight,
+      "tight clusters: cell-scoped dedup equals the exact path")
+
+    // real gate corpus at the loose 0.4 threshold: pairs span cells, so
+    // recall is partial (the documented SemDeDup tradeoff) — precision
+    // stays exact, and probes=2 strictly improves boundary recall
+    val emb = graft.core.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = clustersOf(Dedup.canonicalClusters(
+      Dedup.embeddingNearDups(emb, 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+    val p1 = clustersOf(Dedup.semanticDedup(emb, 0.4, nCentroids = 8))
+    val p2 = clustersOf(Dedup.semanticDedup(emb, 0.4, nCentroids = 8, probes = 2))
+    // every clustered vector the cell-scoped path finds is genuinely a
+    // near-dup member (its doc set is a subset of the exact path's)
+    assert(p1.map(_._1).subsetOf(exact.map(_._1)))
+    assert(p2.map(_._1).subsetOf(exact.map(_._1)))
+    assert(p1.map(_._1).subsetOf(p2.map(_._1)) && p2.size > p1.size,
+      s"multi-probe must recover boundary members (p1=${p1.size}, p2=${p2.size})")
+  }
+
   test("LSH banding sets recall: 64x2 banding recovers borderline pairs the 8x4 default misses") {
     // 30 independent planted pairs, each at Jaccard 15/29 ~= 0.517 —
     // just above the 0.5 threshold, in the band knee where the 8x4

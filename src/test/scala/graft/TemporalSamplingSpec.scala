@@ -71,6 +71,38 @@ class TemporalSpec extends SparkSpec {
     assert(out(13L).isEmpty)
   }
 
+  test("bucketed operators handle negative seconds (floor-division buckets, every width)") {
+    // pre-epoch timestamps: with truncating division bucket 0 would
+    // span (-w, w) — twice the intended width — voiding the documented
+    // per-bucket serial bound; floorDiv keeps every bucket exactly w
+    // wide. Output equivalence must hold for data straddling zero.
+    val rng = new scala.util.Random(17)
+    def sec(): Long = rng.nextInt(2000).toLong - 1000L
+    val clicks = Seq.fill(300)((rng.nextInt(3).toLong, sec()))
+      .toDF("user_id", "sec")
+    val purchases = Seq.tabulate(120)(i => (rng.nextInt(3).toLong, i.toLong, sec()))
+      .toDF("user_id", "event_id", "p_sec")
+    val plain = Temporal.asOfJoin(clicks, purchases, "user_id", "sec", "p_sec")
+      .select("event_id", "asof_sec").as[(Long, Option[Long])].collect().toMap
+    for (width <- Seq(1L, 7L, 60L, 5000L)) {
+      val bucketed = Temporal.asOfJoinBucketed(
+          clicks, purchases, "user_id", "sec", "p_sec", width)
+        .select("event_id", "asof_sec").as[(Long, Option[Long])].collect().toMap
+      assert(bucketed == plain, s"asOfJoinBucketed width=$width")
+    }
+    val naive = purchases.as("p").join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.sec") > col("p.p_sec") - 60L && col("c.sec") <= col("p.p_sec"),
+        "left")
+      .groupBy(col("p.event_id"))
+      .agg(sum(when(col("c.sec").isNotNull, 1L).otherwise(0L)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val ranged = Temporal.rangeCountJoin(
+        clicks, purchases, "user_id", "sec", "p_sec", 60L)
+      .select("event_id", "n_in_range").as[(Long, Long)].collect().toMap
+    assert(ranged == naive, "rangeCountJoin on negative seconds")
+  }
+
   test("asOfJoin agrees with the naive max-subquery formulation on random data") {
     val rng = new scala.util.Random(11)
     val clicks = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(20000).toLong))
