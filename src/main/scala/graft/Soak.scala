@@ -136,6 +136,33 @@ object Soak {
           (lit(1.0) - size(array_distinct(TextAnalysis.wordNgrams(col("ws"), 3))) /
             size(TextAnalysis.wordNgrams(col("ws"), 3))).as("dup3"))
     }
+
+    // semantic dedup at ANN-soak scale: 64 cells over the vector
+    // corpus — the quadratic term drops to sum-over-cells |cell|^2
+    time("semantic_dedup") {
+      graft.operators.Dedup.semanticDedup(vecs, 0.95, nCentroids = 64)
+    }
+
+    // growing-index streaming ingest: 12 batches of 5k docs each. 10%
+    // of every batch near-dups the PREVIOUS batch (vocab keyed b-1),
+    // the rest use fresh per-batch vocab — so the per-batch candidate
+    // load is CONSTANT while the corpus/index grows 12x. The cost
+    // curve is the claim under test: batch time must be dominated by
+    // batch-bounded work + one linear index scan, never corpus
+    // re-shingling (flat-ish, not linear-in-b growth).
+    val ingestRoot = java.nio.file.Files.createTempDirectory("soak-ingest").toString
+    val batchDocs = 5000L * mult
+    for (b <- 0 until 12) {
+      val batch = spark.range(batchDocs).select(
+        (col("id") + b * batchDocs).as("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(0, 39), " +
+          s"i -> concat(CASE WHEN id % 10 = 0 THEN 'b${b - 1}' ELSE 'b$b' END, " +
+          s"'_g', id div 5, '_w', i)), concat('u', id + ${b * batchDocs}))").as("text"))
+      val t0 = System.nanoTime()
+      graft.streaming.DocIngest.ingestBatch(batch, b.toLong,
+        s"$ingestRoot/docs", s"$ingestRoot/index", s"$ingestRoot/pairs", 0.5)
+      println(f"SOAK ingest_batch_$b%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     spark.stop()
   }
 }

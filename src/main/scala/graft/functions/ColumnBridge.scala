@@ -87,6 +87,47 @@ object GraftColumnBridge {
         }
       catch { case le: LinkageError => warnOnce("unpersistCheckpoint", le) }
 
+  /** Bound the statistics a checkpoint carried into its `LogicalRDD`.
+    *
+    * `Dataset.{localCheckpoint,checkpoint}` preserves the ORIGINAL
+    * plan's estimated stats on the resulting `LogicalRDD`
+    * (`rewriteStatsAndConstraints`). Size estimation multiplies child
+    * sizes at every join, so in an ITERATIVE loop (connected
+    * components: each round self-joins frames pinned the previous
+    * round) the carried `sizeInBytes` BigInt roughly DOUBLES ITS BIT
+    * LENGTH per round — after ~10 rounds the driver spends its time
+    * in BigInteger.multiply inside stats estimation, not in Spark
+    * jobs (observed: the 100k-doc ring-topology curation soak pinned
+    * the driver for >10 min at round ~12 while every executor sat
+    * idle). Capping the stored estimate at Long.MaxValue breaks the
+    * compounding: every downstream decision (notably
+    * autoBroadcastJoinThreshold) compares against thresholds far
+    * below the cap, so a capped huge value behaves identically to the
+    * uncapped one, while the per-round stats computation stays O(64
+    * bits). Small (broadcastable) estimates pass through untouched.
+    *
+    * Returns the dataset unchanged when the root is not a
+    * `LogicalRDD` or the estimate is already bounded. */
+  def capCheckpointStats(ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    val maxSize = BigInt(Long.MaxValue)
+    try ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.computeStats().sizeInBytes > maxSize =>
+        val s = l.computeStats()
+        val capped = new org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          maxSize, s.rowCount.map(_.min(maxSize)), s.attributeStats, s.isRuntime)
+        val plan = new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(
+          ds.sparkSession.asInstanceOf[SparkSession], Some(capped),
+          Some(l.constraints))
+        Dataset.ofRows(ds.sparkSession.asInstanceOf[SparkSession], plan)
+      case _ => ds.toDF()
+    } catch {
+      case le: LinkageError => warnOnce("capCheckpointStats", le); ds.toDF()
+    }
+  }
+
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,

@@ -420,7 +420,10 @@ object Dedup {
     * Output: (vec_id, canonical_id) for every vector in a near-dup
     * cluster, min id canonical — same shape as [[canonicalClusters]].
     */
-  def semanticDedup(emb: DataFrame, minSim: Double, nCentroids: Int = 8,
+  /** The pair-generation stage of [[semanticDedup]], exposed so its
+    * plan shape is assertable: for probes=1 the whole stage is scans +
+    * one equi-join on the cell id — no cartesian anywhere. */
+  def semanticPairs(emb: DataFrame, minSim: Double, nCentroids: Int = 8,
       probes: Int = 1): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
     require(probes >= 1, s"probes must be >= 1 (got $probes)")
@@ -448,14 +451,17 @@ object Dedup {
       .join(assigned, Seq("vec_id"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("cell"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("cell"))
-    val pairs = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .filter(cosineSim(col("emb_a"), col("emb_b")) >= minSim)
       // multi-probe: the same pair can collide in several shared cells
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).distinct()
-    canonicalClusters(pairs)
-      .select(col("doc_id").as("vec_id"), col("canonical_id"))
   }
+
+  def semanticDedup(emb: DataFrame, minSim: Double, nCentroids: Int = 8,
+      probes: Int = 1): DataFrame =
+    canonicalClusters(semanticPairs(emb, minSim, nCentroids, probes))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
 
   val dedupSemantic: Q = (s, dir) =>
     semanticDedup(t(s, dir, "embeddings"), 0.4).orderBy("vec_id")

@@ -152,6 +152,15 @@ class DedupSpec extends SparkSpec {
       s"multi-probe must recover boundary members (p1=${p1.size}, p2=${p2.size})")
   }
 
+  test("semanticPairs plan: cell equi-join, no cartesian product") {
+    val emb = (0L until 30L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))).toDF("vec_id", "embedding")
+    val plan = Dedup.semanticPairs(emb, 0.9, nCentroids = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "pair space must come from the cell equi-join, never a cross join")
+  }
+
   test("LSH banding sets recall: 64x2 banding recovers borderline pairs the 8x4 default misses") {
     // 30 independent planted pairs, each at Jaccard 15/29 ~= 0.517 —
     // just above the 0.5 threshold, in the band knee where the 8x4
