@@ -160,14 +160,34 @@ object TextAnalysis {
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** Count of the most frequent element in a string array, as the
+    * longest equal-run over the SORTED array: one fold of
+    * struct(prev, run, best) state — O(n log n) per row vs the naive
+    * O(|distinct| * n) count-per-distinct-token scan (which degrades
+    * quadratically on long natural-language documents where
+    * |distinct| ~ n). Empty-token edge: `ws` contains "" only when it
+    * is the whole array (split of empty text), and the "" run counts
+    * correctly because the zero state's prev "" then matches it. */
+  def maxRunCount(ws: Column): Column =
+    aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, w) => {
+        val run = when(st.getField("prev") === w, st.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
     * §A1.1 shape): duplicate word-3-gram fraction and most-frequent-
     * token share. Everything is per-row higher-order-function work over
     * the token array — no explode, no shuffle; ratios are single IEEE
-    * divisions of ints so the oracle is exact. The inner
-    * count-per-distinct-token scan is O(|distinct| * |tokens|) per
-    * document, which is bounded by document length, not corpus size —
-    * still embarrassingly parallel at 100 TB. */
+    * divisions of ints so the oracle is exact. The most-frequent-token
+    * count is the [[maxRunCount]] sorted fold: O(n log n) per document,
+    * bounded by document length, not corpus size — embarrassingly
+    * parallel at 100 TB. */
   val textRepetition: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("ws"))
@@ -180,8 +200,7 @@ object TextAnalysis {
         size(array_distinct(col("ws"))).as("n_distinct"),
         (lit(1.0) - size(array_distinct(col("grams"))) / size(col("grams")))
           .as("dup_3gram_ratio"),
-        (array_max(transform(array_distinct(col("ws")),
-          t => size(filter(col("ws"), w => w === t)))) / size(col("ws")))
+        (maxRunCount(col("ws")) / size(col("ws")))
           .as("top_token_ratio"))
       .orderBy("doc_id")
 

@@ -237,6 +237,25 @@ class DedupSpec extends SparkSpec {
     assert(scored(2L)._1 == 0.0 && scored(2L)._2 == 1.0 / 6.0)
   }
 
+  test("maxRunCount sorted fold == naive count-per-distinct-token on the whole sf0.001 corpus") {
+    val ws = split(trim(col("text")), "\\s+")
+    val mismatches = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        TextAnalysis.maxRunCount(col("ws")).as("fold"),
+        array_max(transform(array_distinct(col("ws")),
+          t => size(filter(col("ws"), w => w === t)))).as("naive"))
+      .filter(col("fold") =!= col("naive"))
+      .count()
+    assert(mismatches == 0)
+    // empty-text edge: ws = [""], most frequent count is 1
+    val empty = docs(1L -> "").select(
+      TextAnalysis.maxRunCount(split(trim(col("text")), "\\s+")))
+      .as[Int].head()
+    assert(empty == 1)
+  }
+
   test("rolling hash matches the reference polynomial fold exactly") {
     val s = "hello world"
     val expected = s.foldLeft(0L)((acc, c) => (acc * 257 + c.toLong) % 1000000000000000L)
