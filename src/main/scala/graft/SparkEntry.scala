@@ -32,7 +32,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventsOps.queries ++
-      Temporal.queries ++ Sampling.queries ++ Curation.queries
+      Temporal.queries ++ Sampling.queries ++ Curation.queries ++
+      Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -41,5 +42,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventsOps.oracles ++
-      Temporal.oracles ++ Sampling.oracles ++ Curation.oracles
+      Temporal.oracles ++ Sampling.oracles ++ Curation.oracles ++
+      Corpus.oracles
 }

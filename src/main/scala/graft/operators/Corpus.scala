@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.core.Tables.t
+import graft.operators.TextAnalysis.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and batch-assembly operators for a
+  * training-data pipeline (driver north star; the reference's closest
+  * analogs are its groupby/agg tables, e.g.
+  * /root/reference/PharmacoDI/build_meta_tables.py:24-60) — the steps
+  * between a cleaned document set and a tokenized training run:
+  * vocabulary building, rarity weighting, sequence packing, and
+  * per-group exemplar selection.
+  *
+  * Scale shapes: everything is explode → partial-aggregated groupBy or
+  * a single window, no quadratic stage anywhere. Top-k outputs go
+  * through `orderBy(...).limit(k)` which Spark plans as
+  * TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+  * never a full sort shuffle.
+  */
+object Corpus {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Vocabulary top-k: corpus-wide token occurrence and document
+    * frequency, top 100 tokens by occurrence (token asc tiebreak for a
+    * total order). The groupBy partial-aggregates map-side, so the
+    * shuffle carries one row per distinct (doc, token) for the df leg —
+    * at 100 TB this is the standard first pass of any tokenizer/vocab
+    * build. */
+  val vocabTopK: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("tok"))
+      .limit(100)
+
+  /** TF-IDF-style rarity weighting, kept engine-portable: tf and df are
+    * exact longs; `tf_idf = (tf / n_tokens) * (n_total / df)` is two
+    * IEEE divisions and one multiply evaluated in the same order in
+    * both engines (a log-idf would hang the oracle on libm rounding —
+    * documented deviation; the ranking is monotone-equivalent for
+    * fixed tf). The corpus size joins in as a broadcast single-row
+    * aggregate, so the per-(doc,token) side shuffles once for tf and
+    * once for the token-keyed df join — both key-partitioned, no
+    * driver-side state. */
+  val tfIdf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "n_tokens", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        ((col("tf") / col("n_tokens")) * (col("n_total") / col("df")))
+          .as("tf_idf"))
+      .orderBy("doc_id", "tok")
+  }
+
+  /** Context-window budget per packed chunk. */
+  val PackBudget = 4096L
+
+  /** Sequence packing: assign documents (in doc_id order, per source)
+    * to training chunks by cumulative token budget —
+    * `chunk_id = floor(tokens_before_this_doc / 4096)` — then account
+    * each chunk. One window per source computes the running sum; the
+    * follow-up groupBy partial-aggregates. All arithmetic is exact
+    * longs below 2^53, so the double-division floor is bit-portable.
+    *
+    * At 100 TB a single window partition per source is the documented
+    * ceiling (a source is processed by one task); the scalable variant
+    * is the two-pass per-partition-offset scheme already implemented in
+    * [[graft.core.Ids.denseIdScalable]] — same fold, coarser unit. */
+  val packSequences: Q = (s, dir) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tokens")) / lit(PackBudget)))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"))
+      .orderBy("source", "chunk_id")
+  }
+
+  /** Per-group top-k exemplars: the 3 longest documents of each source
+    * (deterministic doc_id tiebreak) via a ranked window — the
+    * "show me what a source looks like" selection step. The window
+    * shuffles by source once; for large k-per-group workloads the
+    * map-side-heap alternative is [[graft.functions.TopK]] (used by
+    * cosine top-k), which caps shuffle volume at k rows per partition
+    * per group. */
+  val groupTopK: Q = (s, dir) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("source", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_corpus_vocab_topk" -> vocabTopK,
+    "x_corpus_tfidf" -> tfIdf,
+    "x_corpus_pack_sequences" -> packSequences,
+    "x_corpus_group_topk" -> groupTopK)
+
+  private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "x_corpus_vocab_topk" ->
+      (s"SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        s"FROM (SELECT doc_id, unnest($wsExpr) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 100"),
+    "x_corpus_tfidf" ->
+      (s"WITH w AS (SELECT doc_id, len($wsExpr) AS n_tokens, unnest($wsExpr) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, n_tokens, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, n_tokens, tok), " +
+        "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents) " +
+        "SELECT doc_id, tok, tf, df, (tf / n_tokens) * (n_total / df) AS tf_idf " +
+        "FROM tf JOIN df USING (tok) CROSS JOIN n ORDER BY doc_id, tok"),
+    "x_corpus_pack_sequences" ->
+      (s"WITH d AS (SELECT source, doc_id, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT source, doc_id, n_tokens, CAST(SUM(n_tokens) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d) " +
+        s"SELECT source, CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS chunk_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens " +
+        "FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id"),
+    "x_corpus_group_topk" ->
+      (s"WITH d AS (SELECT source, doc_id, CAST(len($wsExpr) AS INT) AS n_tokens FROM documents), " +
+        "r AS (SELECT source, doc_id, n_tokens, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS INT) AS rk FROM d) " +
+        "SELECT source, doc_id, n_tokens, rk FROM r WHERE rk <= 3 ORDER BY source, rk"))
+}
