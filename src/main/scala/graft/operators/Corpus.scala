@@ -51,13 +51,21 @@ object Corpus {
   val tfIdf: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val tf = docs
-      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
-        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        explode(col("ws")).as("tok"))
       .groupBy("doc_id", "n_tokens", "tok")
       .agg(count(lit(1)).as("tf"))
+    // df is one row per distinct token — a vocabulary, which is tiny
+    // next to the corpus (millions of rows vs billions of documents):
+    // broadcast it so the per-(doc,token) side never reshuffles by
+    // token. The shuffle-join fallback (drop the hint) is the escape
+    // hatch for open vocabularies that outgrow the broadcast budget;
+    // hot tokens ("the") are safe either way because the df groupBy
+    // partial-aggregates map-side.
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_total"))
-    tf.join(df, Seq("tok"))
+    tf.join(broadcast(df), Seq("tok"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         ((col("tf") / col("n_tokens")) * (col("n_total") / col("df")))
