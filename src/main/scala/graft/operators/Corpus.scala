@@ -119,10 +119,31 @@ object Corpus {
       .orderBy("source", "rk")
   }
 
+  /** Corpus-statistic gate: keep documents at or above the exact 20th
+    * percentile of token count — the "drop the shortest tail" quality
+    * filter, expressed as aggregate-to-scalar → broadcast → filter so
+    * the corpus scans once and never shuffles. percentile_disc picks an
+    * ACTUAL element (portable across engines, unlike interpolated
+    * percentiles); at 100 TB the exact single-group buffer is the
+    * oracle's price — the production twin swaps in approx_percentile's
+    * fixed-size sketch, same plan shape (see
+    * [[Sampling.statsApproxQuantiles]]). */
+  val qualityGate: Q = (s, dir) => {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+    val thr = scored.agg(
+      expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY n_tokens)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("n_tokens") >= col("thr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_corpus_vocab_topk" -> vocabTopK,
     "x_corpus_tfidf" -> tfIdf,
     "x_corpus_pack_sequences" -> packSequences,
+    "x_corpus_quality_gate" -> qualityGate,
     "x_corpus_group_topk" -> groupTopK)
 
   private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
@@ -146,6 +167,11 @@ object Corpus {
         s"SELECT source, CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS chunk_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens " +
         "FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id"),
+    "x_corpus_quality_gate" ->
+      (s"WITH s AS (SELECT doc_id, source, CAST(len($wsExpr) AS INT) AS n_tokens FROM documents), " +
+        "t AS (SELECT CAST(quantile_disc(n_tokens, 0.2) AS DOUBLE) AS thr FROM s) " +
+        "SELECT doc_id, source, n_tokens, thr FROM s CROSS JOIN t " +
+        "WHERE n_tokens >= thr ORDER BY doc_id"),
     "x_corpus_group_topk" ->
       (s"WITH d AS (SELECT source, doc_id, CAST(len($wsExpr) AS INT) AS n_tokens FROM documents), " +
         "r AS (SELECT source, doc_id, n_tokens, CAST(ROW_NUMBER() OVER " +

@@ -68,6 +68,18 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("qualityGate: keeps exactly the docs at/above the exact p20 of token count") {
+    val out = Corpus.qualityGate(spark, dir)
+      .as[(Long, String, Int, Double)].collect()
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .as[(Long, Int)].collect()
+    val sorted = all.map(_._2).sorted
+    val thr = sorted(math.ceil(0.2 * sorted.length).toInt - 1) // p20 element
+    assert(out.forall(_._4 == thr.toDouble))
+    assert(out.map(_._1).toSet == all.filter(_._2 >= thr).map(_._1).toSet)
+  }
+
   test("groupTopK: 3 longest docs per source, rank-ordered") {
     val out = Corpus.groupTopK(spark, dir)
       .as[(String, Long, Int, Int)].collect()
