@@ -91,6 +91,18 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: top-k avoids full sort, tf-idf joins broadcast, no shuffle join anywhere") {
+    val vocabPlan = Corpus.vocabTopK(spark, dir).queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"),
+      "top-k must plan per-partition heaps, not a global sort")
+    val tfidfPlan = Corpus.tfIdf(spark, dir).queryExecution.executedPlan.toString
+    assert(tfidfPlan.contains("BroadcastHashJoin"), "df vocabulary side must broadcast")
+    assert(!tfidfPlan.contains("SortMergeJoin"), "no shuffle join in tf-idf")
+    val gatePlan = Corpus.qualityGate(spark, dir).queryExecution.executedPlan.toString
+    assert(!gatePlan.contains("SortMergeJoin") && !gatePlan.contains("ShuffledHashJoin"),
+      "scalar threshold must broadcast, never reshuffle the corpus")
+  }
+
   /** Writes `df` as `documents.parquet` under a temp dir and calls f. */
   private def withTempParquetDir[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("corpus-spec").toString
