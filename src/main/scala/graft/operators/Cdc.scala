@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.core.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture operators: applying a change batch onto a
+  * snapshot (SCD type 1 merge/upsert) and building validity-interval
+  * history from an event log (SCD type 2). The reference's closest
+  * analog is its update-join family (j4/j5 —
+  * /root/reference/PharmacoDI/build_meta_tables.py update joins), which
+  * patch columns in place; these two generalize that to whole-row
+  * insert/update/delete semantics, the shape every incremental
+  * 100 TB pipeline needs for snapshot maintenance.
+  *
+  * Scale design:
+  *  - [[mergeUpsert]] never shuffles the snapshot: the replaced-key set
+  *    (one key per update/delete — the change batch is small next to
+  *    the snapshot by definition of CDC) broadcasts into a left-anti
+  *    hash join, and the applied rows union in. One scan of the
+  *    snapshot, zero exchanges on it — the plan a MERGE INTO would
+  *    produce on a sort-merge engine costs a full shuffle instead.
+  *    For a change batch too big to broadcast, drop the hint and the
+  *    same code runs as a shuffle anti-join.
+  *  - [[scd2]] is one window per entity (lead over the entity's change
+  *    sequence) — a single shuffle on the entity key, linear work per
+  *    partition; entities are independent so the shape holds on 1000
+  *    executors.
+  */
+object Cdc {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Apply a change batch to a snapshot. `changes` carries an `op`
+    * column ('I' insert / 'U' update / 'D' delete) plus the full
+    * snapshot schema; `key` is the primary key. Updates and deletes
+    * remove the matching snapshot row; updates and inserts then add
+    * their payload. Output = post-merge snapshot. */
+  def mergeUpsert(snapshot: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val replaced = changes.filter(col("op").isin("U", "D")).select(key)
+    val kept = snapshot.join(broadcast(replaced), Seq(key), "left_anti")
+    val applied = changes.filter(col("op").isin("U", "I")).drop("op")
+    kept.unionByName(applied)
+  }
+
+  /** SCD2 history build: from an event log keyed by `key` and ordered
+    * by (`sec`, `tiebreak`), emit one validity interval per event —
+    * valid_from = its second, valid_to = the next event's second (null
+    * while current). One lead() window per key. */
+  def scd2(events: DataFrame, key: String, sec: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(sec), col(tiebreak))
+    events
+      .withColumn("valid_from", col(sec))
+      .withColumn("valid_to", lead(col(sec), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Gate query: a deterministic change batch derived from the orders
+    * snapshot itself (key%10==0 → price update, ==1 → delete, ==2 →
+    * insert under a shifted key), merged back. The +100.0 price bump is
+    * a single IEEE double add — bit-portable across engines, unlike a
+    * multiply-and-round chain. */
+  val cdcMergeUpsert: Q = (s, dir) => {
+    val snap = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val changes = snap
+      .filter(col("o_orderkey") % 10 <= 2)
+      .select(
+        when(col("o_orderkey") % 10 === 0, lit("U"))
+          .when(col("o_orderkey") % 10 === 1, lit("D"))
+          .otherwise(lit("I")).as("op"),
+        when(col("o_orderkey") % 10 === 2, col("o_orderkey") + 1000000000L)
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    mergeUpsert(snap, changes, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  /** Gate query: per-user state history from the event log — each
+    * event opens an interval that the user's next event closes. */
+  val cdcScd2: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    scd2(e, "user_id", "sec", "event_id")
+      .select("user_id", "event_id", "event_type",
+        "valid_from", "valid_to", "version", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_cdc_merge_upsert" -> cdcMergeUpsert,
+    "x_cdc_scd2" -> cdcScd2)
+
+  val oracles: Map[String, String] = Map(
+    "x_cdc_merge_upsert" ->
+      ("WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+        "ch AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U' WHEN o_orderkey % 10 = 1 THEN 'D' ELSE 'I' END AS op, " +
+        "CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 1000000000 ELSE o_orderkey END AS o_orderkey, " +
+        "o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice " +
+        "FROM snap WHERE o_orderkey % 10 <= 2), " +
+        "kept AS (SELECT * FROM snap WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM ch WHERE op IN ('U','D'))), " +
+        "applied AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ch WHERE op IN ('U','I')) " +
+        "SELECT * FROM kept UNION ALL SELECT * FROM applied ORDER BY o_orderkey"),
+    "x_cdc_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) " +
+        "SELECT user_id, event_id, event_type, sec AS valid_from, " +
+        "lead(sec) OVER w AS valid_to, " +
+        "CAST(row_number() OVER w AS INT) AS version, " +
+        "CASE WHEN lead(sec) OVER w IS NULL THEN 1 ELSE 0 END AS is_current " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id) " +
+        "ORDER BY user_id, version"))
+}

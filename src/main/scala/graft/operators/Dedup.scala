@@ -582,7 +582,49 @@ object Dedup {
   // hash-checked oracle. The 64-bit forms stay the production path
   // (wider signature, fewer collisions) with derived-expectation
   // coverage in DedupSpec.
+  /** Cross-document duplicated-span detection (the exact-substring
+    * dedup signal of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", at word-8-gram granularity): for
+    * every document, the fraction of its 8-token spans that also occur
+    * verbatim in at least one OTHER document. Docs with dup_frac near 1
+    * are boilerplate/mirrors that survive whole-doc near-dup checks
+    * when padded with unique noise.
+    *
+    * Scale shape: the span table is ~|corpus tokens| rows keyed by
+    * span text; both aggregations partial-aggregate map-side and the
+    * dup-span semi-join shuffles on the span key — no pair space
+    * anywhere (the all-pairs formulations of this signal are quadratic;
+    * this one is linear in corpus size). At 100 TB, hash the span to a
+    * 16-byte digest before the shuffle (same trick as exact dedup) —
+    * kept as raw text here so the oracle can reproduce it. */
+  val dedupSpanCrossdoc: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tokd = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("ws"))
+    val sh = tokd.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 7),
+          i => array_join(slice(col("ws"), i, lit(8)), " "))).as("sh"))
+    val dupSh = sh.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("sh")
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val dup = sh.join(dupSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    docs.select("doc_id")
+      .join(tot, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_shingles").cast("double")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_dedup_span_crossdoc" -> dedupSpanCrossdoc,
     "x_dedup_incremental" -> dedupIncremental,
     "x_dedup_incremental_indexed" -> dedupIncrementalIndexed,
     "x_dedup_clusters" -> dedupClusters,
@@ -593,6 +635,18 @@ object Dedup {
     "x_dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_span_crossdoc" ->
+      ("WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents), " +
+        "p AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-7)) AS i FROM d WHERE len(arr) >= 8), " +
+        "s AS (SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS sh FROM p), " +
+        "dup AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1), " +
+        "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM s GROUP BY doc_id), " +
+        "dd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM s WHERE sh IN (SELECT sh FROM dup) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(tot.n_shingles, 0) AS BIGINT) AS n_shingles, " +
+        "CAST(COALESCE(dd.n_dup, 0) AS BIGINT) AS n_dup, " +
+        "CASE WHEN COALESCE(tot.n_shingles, 0) = 0 THEN 0.0 " +
+        "ELSE CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE) END AS dup_frac " +
+        "FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN dd USING (doc_id) ORDER BY doc_id"),
     "x_dedup_embedding" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b " +
         "WHERE a.vec_id < b.vec_id AND " +

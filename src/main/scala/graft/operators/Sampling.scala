@@ -144,7 +144,48 @@ object Sampling {
         col("approx").getItem(1).as("p95_approx"))
       .orderBy("l_returnflag")
 
+  /** Per-group second-order statistics (corr / covar_samp /
+    * stddev_samp) computed from EXACT decimal moments, then combined
+    * with a fixed double-arithmetic tree. Spark's builtin corr()
+    * accumulates co-moments in doubles, so its last bits depend on
+    * partition merge order — useless under a cross-engine hash gate.
+    * Here the five moment sums are decimal(38,4) (exact — inputs are
+    * 2-dp money/quantity; no overflow below ~10^34), and the final
+    * corr/covar/stddev formulas are division/sqrt over those scalars:
+    * IEEE ops are correctly rounded, so both engines produce identical
+    * bits. Same pattern as the linear idf in [[Corpus.tfIdf]].
+    *
+    * Scale shape: one hash aggregation with map-side partial merge —
+    * moments are associative, so this is a single shuffle of
+    * 6 numbers per group regardless of data size (the textbook
+    * moment-sketch reduction; numerically safer at petabyte n than
+    * streaming doubles because the decimal sums never round). */
+  val statsCorrMoments: Q = (s, dir) => {
+    val m = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxx").cast("double"),
+      col("syy").cast("double"), col("sxy").cast("double"))
+    m.select(col("l_returnflag"), col("n"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .as("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * (n - lit(1.0)))).as("covar_samp"),
+        sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_stats_corr_moments" -> statsCorrMoments,
     "x_stats_approx_quantiles" -> statsApproxQuantiles,
     "x_sample_hash" -> sampleHash,
     "x_sample_stratified" -> sampleStratified,
@@ -157,6 +198,20 @@ object Sampling {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_stats_corr_moments" ->
+      ("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy " +
+        "FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem) GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
+        "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+        "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qty_price, " +
+        "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)) AS covar_samp, " +
+        "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS stddev_qty " +
+        "FROM m ORDER BY l_returnflag"),
     "x_sample_hash" ->
       (s"SELECT doc_id, source, n_chars FROM documents " +
         s"WHERE ${scoreSql("doc_id")} < 0.10 ORDER BY doc_id"),

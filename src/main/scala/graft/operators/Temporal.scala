@@ -231,7 +231,56 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** Interval-overlap join: all (a, b) pairs on the same `key` whose
+    * [start, end] intervals intersect. Both sides explode to every
+    * width-`width` bucket their interval covers and equi-join on
+    * (key, bucket); the exact overlap predicate post-filters, and each
+    * true pair is counted EXACTLY once by keeping only the bucket
+    * containing max(aStart, bStart) — when two intervals overlap, the
+    * later start lies inside both, so both sides exploded that bucket;
+    * any other shared bucket is discarded instead of distinct-ing the
+    * whole output (a distinct here would be a second full shuffle).
+    *
+    * Correct for ANY width (coverage is exhaustive); width tunes cost —
+    * explode factor is len/width + 1 per row, candidate density is one
+    * bucket's worth. Column names must be disjoint across the sides
+    * except `key`. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"width must be positive (got $width)")
+    val ae = a.withColumn("__bucket",
+      explode(sequence(expr(floorDiv(aStart, width)), expr(floorDiv(aEnd, width)))))
+    val be = b.withColumn("__bucket",
+      explode(sequence(expr(floorDiv(bStart, width)), expr(floorDiv(bEnd, width)))))
+    ae.join(be, Seq(key, "__bucket"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bucket") ===
+        expr(floorDiv(s"greatest($aStart, $bStart)", width)))
+      .drop("__bucket")
+  }
+
+  /** View/click sessions that overlap in time for the same user, with
+    * deterministic synthetic durations (event_id % 600 seconds) so the
+    * oracle can rebuild the intervals exactly. */
+  val eventsIntervalOverlap: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("sec"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("sec").as("v_start"), (col("sec") + col("event_id") % 600).as("v_end"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("sec").as("c_start"), (col("sec") + col("event_id") % 600).as("c_end"))
+    intervalOverlapJoin(v, c, "user_id", "v_start", "v_end", "c_start", "c_end", 600L)
+      .select(col("user_id"), col("v_id"), col("c_id"),
+        (least(col("v_end"), col("c_end")) -
+          greatest(col("v_start"), col("c_start"))).as("overlap_sec"))
+      .orderBy("user_id", "v_id", "c_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_events_interval_overlap" -> eventsIntervalOverlap,
     "x_events_asof" -> eventsAsof,
     "x_events_asof_bucketed" -> eventsAsofBucketed,
     "x_events_range_count" -> eventsRangeCount,
@@ -249,6 +298,13 @@ object Temporal {
       "FROM p ORDER BY user_id, event_id"
 
   val oracles: Map[String, String] = Map(
+    "x_events_interval_overlap" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "v AS (SELECT user_id, event_id AS v_id, sec AS v_start, sec + (event_id % 600) AS v_end FROM e WHERE event_type = 'view'), " +
+        "c AS (SELECT user_id, event_id AS c_id, sec AS c_start, sec + (event_id % 600) AS c_end FROM e WHERE event_type = 'click') " +
+        "SELECT v.user_id AS user_id, v_id, c_id, (least(v_end, c_end) - greatest(v_start, c_start)) AS overlap_sec " +
+        "FROM v JOIN c ON v.user_id = c.user_id AND v_start <= c_end AND c_start <= v_end " +
+        "ORDER BY v.user_id, v_id, c_id"),
     "x_events_asof" -> asofOracle,
     // output-identity with the plain form is the bucketed operator's
     // contract — same oracle

@@ -295,7 +295,47 @@ object TextAnalysis {
         col("n_tokens") / sum("n_tokens").over(Window.partitionBy()))
       .orderBy("source")
 
+  /** Bigram collocation statistics: the 50 most frequent adjacent
+    * token pairs with their lift over independence —
+    * `lift = n_pair * N / (n_w1 * n_w2)` where N is the corpus bigram
+    * count and n_w are corpus unigram counts. Lift is the standard
+    * collocation score kept engine-portable: exact long counts cast to
+    * double, one multiply, one divide — no log (a PMI would hang the
+    * oracle on libm rounding; the ranking is monotone in lift for
+    * fixed counts anyway).
+    *
+    * Scale shape: bigrams come from zipping the token array against
+    * itself shifted by one (slice+arrays_zip inside the row — no
+    * window, no self-join); all three count tables partial-aggregate
+    * map-side; the unigram side is vocabulary-sized, so it joins in as
+    * a broadcast, and the total is a broadcast scalar — the big
+    * per-bigram table shuffles exactly once, for its own groupBy. The
+    * final top-50 is TakeOrderedAndProject (per-partition heaps). */
+  val textCollocations: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val pairs = toks.filter(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = pairs.agg(sum("n_pair").as("n_total"))
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        ((col("n_pair").cast("double") * col("n_total").cast("double")) /
+          (col("n_w1").cast("double") * col("n_w2").cast("double"))).as("lift"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_text_collocations" -> textCollocations,
     "x_text_eval_confusion" -> textEvalConfusion,
     "x_text_contamination" -> textContamination,
     "x_text_mix_stats" -> textMixStats,
@@ -315,6 +355,19 @@ object TextAnalysis {
   private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "x_text_collocations" ->
+      (s"WITH d AS (SELECT $wsExpr AS arr FROM documents), " +
+        "p AS (SELECT arr, unnest(generate_series(1, len(arr)-1)) AS i FROM d WHERE len(arr) >= 2), " +
+        "b AS (SELECT arr[i] AS w1, arr[i+1] AS w2 FROM p), " +
+        "pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM b GROUP BY w1, w2), " +
+        "u AS (SELECT unnest(arr) AS w FROM d), " +
+        "uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM u GROUP BY w), " +
+        "tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM pc) " +
+        "SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2, " +
+        "(CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)) / " +
+        "(CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)) AS lift " +
+        "FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w CROSS JOIN tot " +
+        "ORDER BY n_pair DESC, w1, w2 LIMIT 50"),
     "x_text_tokens" ->
       s"SELECT doc_id, CAST(len($wsExpr) AS INT) AS n_tokens FROM documents ORDER BY doc_id",
     "x_text_tokens_bpe" ->

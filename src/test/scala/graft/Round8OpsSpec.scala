@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.{BloomPrune, Cdc, Dedup, Sampling, Temporal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-8 operators (CDC merge/SCD2, bloom
+  * join pruning, interval overlap join, cross-doc span dedup, bigram
+  * collocations, exact-moment stats); the sf-corpus legs are
+  * hash-checked by the DuckDB gate.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mergeUpsert: insert adds, update replaces, delete removes, rest untouched") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val changes = Seq(
+      ("U", 2L, "b2", 22.0),
+      ("D", 3L, "c", 30.0),
+      ("I", 9L, "z", 90.0)).toDF("op", "k", "v", "x")
+    val out = Cdc.mergeUpsert(snap, changes, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (9L, "z", 90.0)))
+  }
+
+  test("scd2: intervals chain per key and exactly one current row per key") {
+    val rows = Cdc.cdcScd2(spark, dir)
+      .select("user_id", "valid_from", "valid_to", "version", "is_current")
+      .as[(Long, Long, Option[Long], Int, Int)].collect()
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rs) =>
+      val seq = rs.sortBy(_._4)
+      assert(seq.map(_._4).toSeq == (1 to seq.length), s"dense versions for $u")
+      // each interval's end is the next interval's start
+      seq.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), s"contiguous history for $u")
+        case _ =>
+      }
+      assert(seq.count(_._5 == 1) == 1 && seq.last._5 == 1,
+        s"exactly one current row (the last) for $u")
+    }
+  }
+
+  test("bloomSemiJoin: output identical to the plain semi-join; prefilter prunes") {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val fact = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val exact = fact.join(dim.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi")
+      .as[(Long, Long)].collect().toSet
+    val pruned = BloomPrune.bloomSemiJoin(fact, "o_custkey", dim, "c_custkey", 10000L, 0.03)
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == exact, "bloom path is exact")
+    val nPre = BloomPrune.bloomPrefilter(fact, "o_custkey", dim, "c_custkey", 10000L, 0.03).count()
+    val nAll = fact.count()
+    assert(nPre < nAll, s"prefilter prunes ($nPre of $nAll)")
+    assert(nPre >= exact.size.toLong, "prefilter never drops a true match")
+  }
+
+  test("intervalOverlapJoin: equals the naive inequality join, no duplicate pairs") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("sec").as("v_start"), (col("sec") + col("event_id") % 600).as("v_end"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("sec").as("c_start"), (col("sec") + col("event_id") % 600).as("c_end"))
+    // widths both below and above the max interval length must agree
+    for (w <- Seq(60L, 600L, 7200L)) {
+      val got = Temporal
+        .intervalOverlapJoin(v, c, "user_id", "v_start", "v_end", "c_start", "c_end", w)
+        .select("v_id", "c_id").as[(Long, Long)].collect().toList
+      assert(got.distinct.size == got.size, s"no duplicate pairs at width $w")
+      val naive = v.join(c, Seq("user_id"))
+        .filter(col("v_start") <= col("c_end") && col("c_start") <= col("v_end"))
+        .select("v_id", "c_id").as[(Long, Long)].collect().toSet
+      assert(got.toSet == naive, s"matches naive join at width $w")
+    }
+  }
+
+  test("dedupSpanCrossdoc: planted shared 8-gram flags both docs, unique doc stays 0") {
+    val shared = "q w e r t y u i" // 8 tokens
+    val d = Seq(
+      (1L, s"$shared alpha beta gamma delta"),
+      (2L, s"prefix tokens here also $shared"),
+      (3L, "totally unique words nothing repeats anywhere in this one")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val out = withDocs(d) { tmp =>
+      Dedup.dedupSpanCrossdoc(spark, tmp)
+        .as[(Long, Long, Long, Double)].collect()
+    }.map(r => r._1 -> r).toMap
+    assert(out(1L)._3 >= 1 && out(2L)._3 >= 1, "both sharers flagged")
+    assert(out(3L)._3 == 0 && out(3L)._4 == 0.0, "unique doc unflagged")
+    // doc1: 12 tokens -> 5 spans; only the leading span is shared
+    assert(out(1L)._2 == 5 && out(1L)._3 == 1 && out(1L)._4 == 0.2)
+  }
+
+  test("textCollocations: planted bigram counts and lift") {
+    val d = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val rows = withDocs(d) { tmp =>
+      TextAnalysis.textCollocations(spark, tmp)
+        .as[(String, String, Long, Long, Long, Double)].collect()
+    }
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    // bigrams: doc1 = ab, ba, ab; doc2 = ab, bc -> n(ab)=3 of N=5;
+    // unigrams: a x3, b x3 across the corpus
+    val ab = byPair(("a", "b"))
+    assert(ab._3 == 3 && ab._4 == 3 && ab._5 == 3)
+    assert(ab._6 == (3.0 * 5.0) / (3.0 * 3.0))
+    assert(rows.head._3 == rows.map(_._3).max, "sorted by pair count desc")
+  }
+
+  test("statsCorrMoments: exact-moment formulas agree with Spark's builtin aggregates") {
+    val got = Sampling.statsCorrMoments(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ref = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_quantity")).as("sd"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (k, (_, _, c, cv, sd)) =>
+      assert(math.abs(c - ref(k)._2) < 1e-9, s"corr $k")
+      assert(math.abs(cv - ref(k)._3) / math.abs(ref(k)._3) < 1e-9, s"covar $k")
+      assert(math.abs(sd - ref(k)._4) / ref(k)._4 < 1e-9, s"stddev $k")
+    }
+  }
+
+  private def withDocs[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory("round8-spec").toString
+    try { df.write.parquet(s"$tmp/documents.parquet"); f(tmp) }
+    finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+}
