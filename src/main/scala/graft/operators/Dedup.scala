@@ -591,12 +591,17 @@ object Dedup {
     * when padded with unique noise.
     *
     * Scale shape: the span table is ~|corpus tokens| rows keyed by
-    * span text; both aggregations partial-aggregate map-side and the
-    * dup-span semi-join shuffles on the span key — no pair space
-    * anywhere (the all-pairs formulations of this signal are quadratic;
-    * this one is linear in corpus size). At 100 TB, hash the span to a
-    * 16-byte digest before the shuffle (same trick as exact dedup) —
-    * kept as raw text here so the oracle can reproduce it. */
+    * span text, and it is EXPLODED EXACTLY ONCE — the (span, doc)
+    * aggregation partial-aggregates map-side, a count window over the
+    * already-reduced span groups marks cross-doc spans, and one final
+    * doc-keyed groupBy folds back to per-document fractions. Three
+    * shuffles of strictly shrinking data, no pair space anywhere (the
+    * all-pairs formulations of this signal are quadratic; this one is
+    * linear in corpus size). A first cut fed three consumers from the
+    * raw explode and Spark re-ran it per consumer — 3x the explode and
+    * two extra shuffles. At 100 TB, hash the span to a 16-byte digest
+    * before the shuffle (same trick as exact dedup) — kept as raw text
+    * here so the oracle can reproduce it. */
   val dedupSpanCrossdoc: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val tokd = docs.select(col("doc_id"),
@@ -605,15 +610,17 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - 7),
           i => array_join(slice(col("ws"), i, lit(8)), " "))).as("sh"))
-    val dupSh = sh.groupBy("sh")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("sh")
-    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val dup = sh.join(dupSh, Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    // one row per (span, doc) with its multiplicity; rows under a span
+    // group are distinct docs, so a plain count window = n_docs
+    val perDocSpan = sh.groupBy("sh", "doc_id").agg(count(lit(1)).as("n_occ"))
+    val nDocs = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val agg = perDocSpan
+      .withColumn("n_docs", count(lit(1)).over(nDocs))
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_shingles"),
+        sum(when(col("n_docs") > 1, col("n_occ")).otherwise(0L)).as("n_dup"))
     docs.select("doc_id")
-      .join(tot, Seq("doc_id"), "left")
-      .join(dup, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))

@@ -322,7 +322,11 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
-    val total = pairs.agg(sum("n_pair").as("n_total"))
+    // total bigram count = sum(len-1) straight off the token arrays —
+    // same number as re-aggregating `pairs`, without Spark re-running
+    // the bigram explode for a second consumer
+    val total = toks.filter(size(col("ws")) >= 2)
+      .agg(sum((size(col("ws")) - 1).cast("long")).as("n_total"))
     pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), Seq("w2"))

@@ -141,6 +141,23 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: merge anti-join broadcasts, overlap is equi-join, span explodes once") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val merge = plan(Cdc.cdcMergeUpsert(spark, dir))
+    assert(merge.contains("LeftAnti") && merge.contains("BroadcastHashJoin"),
+      "snapshot side never shuffles: broadcast anti-join")
+    val overlap = plan(Temporal.eventsIntervalOverlap(spark, dir))
+    assert(!overlap.contains("BroadcastNestedLoopJoin"),
+      "bucketed rewrite keeps the overlap join an equi-join")
+    val span = plan(Dedup.dedupSpanCrossdoc(spark, dir))
+    assert("Generate explode".r.findAllIn(span).size == 1,
+      "span table is exploded exactly once")
+    val colloc = plan(TextAnalysis.textCollocations(spark, dir))
+    assert("Generate ".r.findAllIn(colloc).size <= 3,
+      "one bigram explode + two unigram legs, none duplicated further")
+  }
+
   private def withDocs[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("round8-spec").toString
     try { df.write.parquet(s"$tmp/documents.parquet"); f(tmp) }
