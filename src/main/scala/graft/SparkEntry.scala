@@ -33,7 +33,8 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ EventsOps.queries ++
       Temporal.queries ++ Sampling.queries ++ Curation.queries ++
-      Corpus.queries ++ Cdc.queries ++ BloomPrune.queries
+      Corpus.queries ++ Cdc.queries ++ BloomPrune.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -43,5 +44,6 @@ object SparkEntry {
     Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventsOps.oracles ++
       Temporal.oracles ++ Sampling.oracles ++ Curation.oracles ++
-      Corpus.oracles ++ Cdc.oracles ++ BloomPrune.oracles
+      Corpus.oracles ++ Cdc.oracles ++ BloomPrune.oracles ++
+      Layout.oracles
 }

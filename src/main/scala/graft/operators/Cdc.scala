@@ -93,8 +93,41 @@ object Cdc {
       .orderBy("user_id", "version")
   }
 
+  /** Merge partial aggregates — incremental materialized-view
+    * maintenance for distributive aggregates (count/sum; min/max work
+    * the same way; avg = sum/count at read time). Each input is a
+    * per-group partial state table; the merge is a re-aggregation of
+    * their union. This is THE reason to store aggregates as
+    * (count, sum, ...) state rather than finished values: refreshing a
+    * 100 TB view for a 1 GB batch touches the batch and the (tiny)
+    * stored state, never the base data. */
+  def mergePartialAggs(parts: Seq[DataFrame], key: String): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(key)
+      .agg(sum("n").as("n"), sum("total").as("total"))
+
+  /** Gate query: the orders aggregate by priority, maintained
+    * incrementally — "stored" partial state from the base rows
+    * (key%5 != 0) merged with a new batch (key%5 == 0). The sums
+    * accumulate in decimal(18,2+) so the merged state is exact and the
+    * merged output is bit-identical to a full recompute (spec-checked;
+    * the oracle simply computes the full aggregate). */
+  val cdcAggRefresh: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+    def partial(df: DataFrame) = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("p").as("total"))
+    val stored = partial(o.filter(col("o_orderkey") % 5 =!= 0))
+    val batch = partial(o.filter(col("o_orderkey") % 5 === 0))
+    mergePartialAggs(Seq(stored, batch), "o_orderpriority")
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_cdc_merge_upsert" -> cdcMergeUpsert,
+    "x_cdc_agg_refresh" -> cdcAggRefresh,
     "x_cdc_scd2" -> cdcScd2)
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +142,13 @@ object Cdc {
         "(SELECT o_orderkey FROM ch WHERE op IN ('U','D'))), " +
         "applied AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ch WHERE op IN ('U','I')) " +
         "SELECT * FROM kept UNION ALL SELECT * FROM applied ORDER BY o_orderkey"),
+    "x_cdc_agg_refresh" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders), " +
+        "pb AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, SUM(p) AS total FROM o WHERE o_orderkey % 5 <> 0 GROUP BY o_orderpriority), " +
+        "pn AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, SUM(p) AS total FROM o WHERE o_orderkey % 5 = 0 GROUP BY o_orderpriority), " +
+        "u AS (SELECT * FROM pb UNION ALL SELECT * FROM pn) " +
+        "SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(total) AS DECIMAL(38,2)) AS total " +
+        "FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "x_cdc_scd2" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) " +
         "SELECT user_id, event_id, event_type, sec AS valid_from, " +

@@ -99,13 +99,65 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** Ordered funnel analysis: per user, the earliest view, the
+    * earliest click AT OR AFTER that view, and the earliest purchase
+    * at or after that click — i.e. the canonical "did the user walk
+    * view → click → purchase in order" question, which a plain
+    * per-type min() gets wrong (a purchase before the first view must
+    * not count).
+    *
+    * Shape: three sequential window passes over the SAME user
+    * partitioning — each stage's min is conditioned on the previous
+    * stage's column, and because the window spec never changes, Spark
+    * plans ONE Exchange and stacks the Window operators on top of it
+    * (plan-asserted in spec). The final per-user collapse is a groupBy
+    * over already-partitioned rows. Users are independent — same
+    * 1000-executor argument as sessionization. */
+  val eventsFunnel: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), tsSec.as("sec"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("sec"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("sec") >= col("t_view"),
+          col("sec"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("sec") >= col("t_click"),
+          col("sec"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t_view").as("t_view"), min("t_click").as("t_click"),
+        min("t_purchase").as("t_purchase"))
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_events_funnel" -> eventsFunnel,
     "x_events_hourly" -> eventsHourly,
     "x_events_sessionize" -> eventsSessionize,
     "x_events_session_window" -> eventsSessionWindow,
     "x_events_cogroup" -> eventsCogroup)
 
   val oracles: Map[String, String] = Map(
+    "x_events_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "w1 AS (SELECT user_id, event_type, sec, MIN(CASE WHEN event_type = 'view' THEN sec END) " +
+        "OVER (PARTITION BY user_id) AS t_view FROM e), " +
+        "w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND sec >= t_view THEN sec END) " +
+        "OVER (PARTITION BY user_id) AS t_click FROM w1), " +
+        "w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND sec >= t_click THEN sec END) " +
+        "OVER (PARTITION BY user_id) AS t_purchase FROM w2), " +
+        "g AS (SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click, " +
+        "MIN(t_purchase) AS t_purchase FROM w3 GROUP BY user_id) " +
+        "SELECT user_id, t_view, t_click, t_purchase, " +
+        "CASE WHEN t_purchase IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2 " +
+        "WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage " +
+        "FROM g ORDER BY user_id"),
     "x_events_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
         "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_c " +

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BloomPrune, Cdc, Dedup, Sampling, Temporal, TextAnalysis}
+import graft.operators.{BloomPrune, Cdc, Dedup, EventsOps, Layout, Sampling, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantics checks for the round-8 operators (CDC merge/SCD2, bloom
@@ -138,6 +138,93 @@ class Round8OpsSpec extends SparkSpec {
       assert(math.abs(c - ref(k)._2) < 1e-9, s"corr $k")
       assert(math.abs(cv - ref(k)._3) / math.abs(ref(k)._3) < 1e-9, s"covar $k")
       assert(math.abs(sd - ref(k)._4) / ref(k)._4 < 1e-9, s"stddev $k")
+    }
+  }
+
+  test("cdcAggRefresh: merged partial state equals the full recompute exactly") {
+    val merged = Cdc.cdcAggRefresh(spark, dir)
+      .as[(String, Long, BigDecimal)].collect().toSeq
+    val full = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .orderBy("o_orderpriority")
+      .as[(String, Long, BigDecimal)].collect().toSeq
+    assert(merged.map(r => (r._1, r._2, r._3.underlying.stripTrailingZeros)) ==
+      full.map(r => (r._1, r._2, r._3.underlying.stripTrailingZeros)))
+  }
+
+  test("eventsFunnel: ordering enforced (purchase before first view doesn't count), one Exchange") {
+    val seq = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: purchase BEFORE the first view -> stage stops at click
+      (2L, "purchase", 50L), (2L, "view", 100L), (2L, "click", 150L),
+      // user 3: click before view -> stage stops at view
+      (3L, "click", 10L), (3L, "view", 20L),
+      // user 4: nothing relevant
+      (4L, "error", 5L))
+    val e = seq.toDF("user_id", "event_type", "sec")
+    // same logic as the gate query, against the in-memory frame
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val out = e
+      .withColumn("t_view", min(when(col("event_type") === "view", col("sec"))).over(w))
+      .withColumn("t_click", min(when(col("event_type") === "click" && col("sec") >= col("t_view"), col("sec"))).over(w))
+      .withColumn("t_purchase", min(when(col("event_type") === "purchase" && col("sec") >= col("t_click"), col("sec"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t_view").as("t_view"), min("t_click").as("t_click"), min("t_purchase").as("t_purchase"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == ((Some(100L), Some(200L), Some(300L))))
+    assert(out(2L) == ((Some(100L), Some(150L), None)), "early purchase ignored")
+    assert(out(3L) == ((Some(20L), None, None)), "early click ignored")
+    assert(out(4L) == ((None, None, None)))
+    val plan = EventsOps.eventsFunnel(spark, dir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"stacked windows + groupBy reuse one user_id exchange (got $exchanges)")
+  }
+
+  test("zorder2: bijective on the 32x32 grid and recoverable per dimension") {
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = grid.withColumn("z", Layout.zorder2(col("x"), col("y"), 5))
+      .as[(Long, Long, Long)].collect()
+    assert(z.map(_._3).distinct.length == 1024, "interleave is a bijection")
+    z.foreach { case (x, y, v) =>
+      val rx = (0 until 5).map(i => (((v >> (2 * i)) & 1L) << i)).sum
+      val ry = (0 until 5).map(i => (((v >> (2 * i + 1)) & 1L) << i)).sum
+      assert(rx == x && ry == y, s"deinterleave recovers ($x,$y)")
+    }
+  }
+
+  test("clusteredWrite: per-file spread of BOTH dimensions shrinks vs unclustered layout") {
+    // a grid both dimensions actually POPULATE (sf0.001 custkey spans
+    // only ~150 values, so a 10-bit grid would leave the top x-bits
+    // zero and the z-curve would degenerate to a y-sort — sizing bits
+    // to the data range is part of the operator's contract)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 32).as("zx"),
+        (expr("CAST(floor(o_totalprice / 16000.0) AS BIGINT)") % 32).as("zy"))
+      .withColumn("zval", Layout.zorder2(col("zx"), col("zy"), 5))
+    val tmp = java.nio.file.Files.createTempDirectory("layout-spec").toString
+    try {
+      Layout.clusteredWrite(o, s"$tmp/clustered", "zval", 8)
+      o.orderBy("o_orderkey").repartition(8)
+        .write.mode("overwrite").parquet(s"$tmp/random")
+      def avgSpread(path: String, dim: String): Double = {
+        val perFile = spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg((max(dim) - min(dim)).as("spread"))
+          .agg(avg("spread")).collect()(0).getDouble(0)
+        perFile
+      }
+      val (cx, rx) = (avgSpread(s"$tmp/clustered", "zx"), avgSpread(s"$tmp/random", "zx"))
+      val (cy, ry) = (avgSpread(s"$tmp/clustered", "zy"), avgSpread(s"$tmp/random", "zy"))
+      assert(cx < rx * 0.8, s"zx clusters ($cx vs $rx)")
+      assert(cy < ry * 0.8, s"zy clusters ($cy vs $ry)")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
 
