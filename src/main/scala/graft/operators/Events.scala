@@ -136,7 +136,27 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** Time-based sliding aggregate: per event, the count and
+    * integer-cents sum of the SAME USER's events in the preceding hour
+    * (RANGE frame on the ordering value, not a row count — the frame
+    * every "activity in the last N minutes" feature needs; w4's rows
+    * frame is the fixed-row-count cousin). Cents keep the running sum
+    * exact and engine-portable where a double sum would depend on
+    * accumulation order. One shuffle on user_id; frame state is the
+    * in-range suffix, bounded by event density per hour. */
+  val eventsRangeFrame: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), tsSec.as("sec"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-3600, Window.currentRow)
+    e.withColumn("n_hour", count(lit(1)).over(w))
+      .withColumn("cents_hour", sum("cents").over(w))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_events_range_frame" -> eventsRangeFrame,
     "x_events_funnel" -> eventsFunnel,
     "x_events_hourly" -> eventsHourly,
     "x_events_sessionize" -> eventsSessionize,
@@ -144,6 +164,15 @@ object EventsOps {
     "x_events_cogroup" -> eventsCogroup)
 
   val oracles: Map[String, String] = Map(
+    "x_events_range_frame" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+        "CAST(floor(value * 100) AS BIGINT) AS cents FROM events) " +
+        "SELECT user_id, event_id, sec, cents, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_hour, " +
+        "CAST(SUM(cents) OVER w AS BIGINT) AS cents_hour " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, event_id"),
     "x_events_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
         "w1 AS (SELECT user_id, event_type, sec, MIN(CASE WHEN event_type = 'view' THEN sec END) " +

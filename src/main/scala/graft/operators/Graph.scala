@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.core.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-dup similarity graph (the edge lists
+  * [[Dedup.jaccardPairs]] / [[Dedup.minhashLsh]] produce). Connected
+  * components live in [[Dedup.canonicalClusters]]; this module adds
+  * triangle counting — the local-clustering signal that separates
+  * "mirror cluster" (dense, triangle-rich) from "chain of borderline
+  * pairs" (triangle-free), which canonical-drop treats identically.
+  *
+  * Scale design (the standard degree-ordered orientation): orient every
+  * undirected edge from its lower-(degree, id) endpoint to the higher
+  * one. The oriented out-degree of ANY node is O(sqrt(|E|)) — even a
+  * star's hub emits no wedges because all its edges point INTO it — so
+  * the wedge join is bounded by sum(outdeg^2) <= |E|^1.5, the
+  * arboricity bound, instead of the quadratic sum(deg^2) a naive
+  * neighbor self-join pays on skewed degree distributions. Every step
+  * is an equi-join or partial-aggregated groupBy; nothing quadratic in
+  * nodes.
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Count triangles in an undirected simple graph given as unique
+    * `(a, b)` pairs with `a < b`. Returns one row: `n_triangles`. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    // total order pi = (degree, id); orient u -> v iff pi(u) < pi(v).
+    // Degrees ride along so wedge endpoints can be pi-compared without
+    // another join. Degree tables are node-sized -> broadcast.
+    val withDeg = sym
+      .join(broadcast(deg), Seq("u"))
+      .join(broadcast(deg.select(col("u").as("v"), col("d").as("dv"))), Seq("v"))
+    val oriented = withDeg.filter(
+      col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv"))
+    // wedges (v, w) out of each u, kept in pi order so the closing
+    // edge (v -> w) is stored exactly once in `oriented`
+    val out2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = oriented.join(out2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v").as("u"), col("w").as("v"))
+    wedges.join(oriented.select("u", "v"), Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Gate query: triangles of the verified 0.5-Jaccard near-dup graph
+    * — the same edge set the x_dedup_ngram_jaccard oracle checks. */
+  val graphTriangles: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(t(s, dir, "documents")), 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    triangleCount(pairs)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_graph_triangles" -> graphTriangles)
+
+  val oracles: Map[String, String] = Map(
+    "x_graph_triangles" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"))
+}

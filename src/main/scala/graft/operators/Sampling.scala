@@ -184,7 +184,23 @@ object Sampling {
       .orderBy("l_returnflag")
   }
 
+  /** Curriculum binning: decile of each document's token count within
+    * its source (ntile over a totally-ordered window — the doc_id
+    * tiebreak makes bucket assignment deterministic and
+    * engine-portable). The curriculum/difficulty-bucketing step of a
+    * training pipeline: downstream sampling draws per (source, decile).
+    * One shuffle on source; ntile state is a row counter. */
+  val statsNtile: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    d.withColumn("decile", ntile(10).over(
+        Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_stats_ntile" -> statsNtile,
     "x_stats_corr_moments" -> statsCorrMoments,
     "x_stats_approx_quantiles" -> statsApproxQuantiles,
     "x_sample_hash" -> sampleHash,
@@ -198,6 +214,11 @@ object Sampling {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_stats_ntile" ->
+      ("WITH d AS (SELECT doc_id, source, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens FROM documents) " +
+        "SELECT doc_id, source, n_tokens, CAST(NTILE(10) OVER " +
+        "(PARTITION BY source ORDER BY n_tokens, doc_id) AS INT) AS decile " +
+        "FROM d ORDER BY doc_id"),
     "x_stats_corr_moments" ->
       ("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
         "SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy " +

@@ -348,7 +348,33 @@ object Similarity {
     quantizedTopK(t(s, dir, "embeddings"), nQueries = 10, k = 5)
       .orderBy("query_id", "rank")
 
+  /** Per-label mean embedding (class centroids / mean pooling): the
+    * prototype each label's vectors average to — the step behind
+    * nearest-class-mean classification, cluster summarization, and the
+    * IVF coarse quantizer's training pass. Element sums accumulate in
+    * decimal(18,9) (exact, so the result is independent of partition
+    * merge order AND engine — a float sum would be neither), then one
+    * double division per element.
+    *
+    * Scale shape: posexplode → groupBy (label, pos) partial-aggregates
+    * map-side, so the shuffle carries |labels| x dim rows regardless of
+    * corpus size; the final per-label array rebuild sorts dim-sized
+    * structs inside the row. */
+  val simCentroids: Q = (s, dir) => {
+    val v = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        col("col").cast("double").cast(DecimalType(18, 9)).as("vd"))
+    v.groupBy("label", "pos")
+      .agg((sum("vd").cast("double") / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_sim_centroids" -> simCentroids,
     "x_sim_quantized_topk" -> simQuantizedTopK,
     "x_sim_cosine_topk" -> simCosineTopK,
     "x_sim_cosine_topk_native" -> simCosineTopKNative,
@@ -377,6 +403,12 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "x_sim_centroids" ->
+      ("WITH e AS (SELECT label, embedding AS arr FROM embeddings), " +
+        "p AS (SELECT label, arr, unnest(generate_series(1, len(arr))) AS i FROM e), " +
+        "v AS (SELECT label, i, CAST(CAST(arr[i] AS DOUBLE) AS DECIMAL(18,9)) AS vd FROM p), " +
+        "m AS (SELECT label, i, CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS m FROM v GROUP BY label, i) " +
+        "SELECT label, list(m ORDER BY i) AS centroid FROM m GROUP BY label ORDER BY label"),
     "x_sim_quantized_topk" -> quantizedTopKOracle,
     "x_sim_cosine_topk_native" -> cosineTopKOracle,
     "x_sim_cosine_topk" ->

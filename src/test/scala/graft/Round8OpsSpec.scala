@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BloomPrune, Cdc, Dedup, EventsOps, Layout, Sampling, Temporal, TextAnalysis}
+import graft.operators.{BloomPrune, Cdc, Dedup, EventsOps, Graph, Layout, Sampling, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantics checks for the round-8 operators (CDC merge/SCD2, bloom
@@ -226,6 +226,52 @@ class Round8OpsSpec extends SparkSpec {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
+  }
+
+  test("triangleCount: planted graphs (triangle, star, clique) count exactly") {
+    def count(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(edges.toDF("a", "b")).collect()(0).getLong(0)
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == 1, "single triangle")
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) == 0,
+      "star has no triangles (hub emits no wedges under orientation)")
+    // K5: C(5,3) = 10 triangles
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    assert(count(k5) == 10, "K5 has 10 triangles")
+    // two triangles sharing an edge
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))) == 2)
+  }
+
+  test("simCentroids: exact per-label means, array order preserved") {
+    val got = Similarity.simCentroids(spark, dir)
+      .as[(Int, Seq[Double])].collect().toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .as[(Long, Seq[Float], Int)].collect()
+    val byLabel = emb.groupBy(_._3)
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (label, vs) =>
+      val dim = vs.head._2.length
+      val expected = (0 until dim).map { i =>
+        val xs = vs.map(v => BigDecimal(v._2(i).toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        (xs.sum.toDouble / vs.length)
+      }
+      got(label).zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e, s"label $label pos $i")
+      }
+    }
+  }
+
+  test("eventsRangeFrame: window sums match a per-row recomputation") {
+    val rows = EventsOps.eventsRangeFrame(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, rs) =>
+      rs.foreach { case (_, _, sec, _, nHour, centsHour) =>
+        val inRange = rs.filter(r => r._3 >= sec - 3600 && r._3 <= sec)
+        assert(inRange.length.toLong == nHour)
+        assert(inRange.map(_._4).sum == centsHour)
+      }
+    }
+    assert(rows.nonEmpty)
   }
 
   test("plan shapes: merge anti-join broadcasts, overlap is equi-join, span explodes once") {
