@@ -338,7 +338,44 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Rarity scoring — the integer-arithmetic stand-in for an n-gram
+    * LM perplexity filter: per document, how rare its word
+    * combinations are corpus-wide. Emits the bigram-instance count,
+    * the corpus frequency of the document's RAREST bigram, and how
+    * many of its bigram instances are corpus-rare (frequency <= 2).
+    * Docs full of rare/unseen combinations (gibberish, OCR damage,
+    * boilerplate mutations) surface with rarest_n = 1; all-integer
+    * outputs keep the gate hash exact where a log-prob would not be.
+    *
+    * Scale shape: same discipline as the span-dedup op — ONE bigram
+    * explode, partial-aggregated (doc, bigram) groupBy, corpus
+    * frequency via a sum window over the reduced bigram groups, one
+    * per-doc fold. No second explode, no join against a bigram table. */
+  val textRarity: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val g = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_occ"))
+    val corpusN = sum("n_occ").over(Window.partitionBy("w1", "w2"))
+    val perDoc = g.withColumn("corpus_n", corpusN)
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_bigrams"),
+        min("corpus_n").as("rarest_n"),
+        sum(when(col("corpus_n") <= 2, col("n_occ")).otherwise(0L)).as("n_rare"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("rarest_n"), lit(0L)).as("rarest_n"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_text_rarity" -> textRarity,
     "x_text_collocations" -> textCollocations,
     "x_text_eval_confusion" -> textEvalConfusion,
     "x_text_contamination" -> textContamination,
@@ -359,6 +396,17 @@ object TextAnalysis {
   private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "x_text_rarity" ->
+      (s"WITH d AS (SELECT doc_id, $wsExpr AS arr FROM documents), " +
+        "p AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-1)) AS i FROM d WHERE len(arr) >= 2), " +
+        "b AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2 FROM p), " +
+        "g AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occ FROM b GROUP BY doc_id, w1, w2), " +
+        "c AS (SELECT doc_id, n_occ, CAST(SUM(n_occ) OVER (PARTITION BY w1, w2) AS BIGINT) AS corpus_n FROM g), " +
+        "a AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_bigrams, MIN(corpus_n) AS rarest_n, " +
+        "CAST(SUM(CASE WHEN corpus_n <= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS n_rare FROM c GROUP BY doc_id) " +
+        "SELECT documents.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
+        "CAST(COALESCE(rarest_n, 0) AS BIGINT) AS rarest_n, CAST(COALESCE(n_rare, 0) AS BIGINT) AS n_rare " +
+        "FROM documents LEFT JOIN a USING (doc_id) ORDER BY doc_id"),
     "x_text_collocations" ->
       (s"WITH d AS (SELECT $wsExpr AS arr FROM documents), " +
         "p AS (SELECT arr, unnest(generate_series(1, len(arr)-1)) AS i FROM d WHERE len(arr) >= 2), " +

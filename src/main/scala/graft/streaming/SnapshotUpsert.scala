@@ -67,6 +67,33 @@ object SnapshotUpsert {
     merged.write.mode("overwrite").parquet(s"$snapshotDir/version=$batchId")
   }
 
+  /** Rewrite the tip into `nFiles` files as a NEW version (tip+1) —
+    * small-file compaction for the version store, safe under
+    * concurrent readers because old versions are immutable; the
+    * streaming writer must be paused (or compaction run from its own
+    * foreachBatch slot) so version ids stay monotone. */
+  def compact(spark: SparkSession, snapshotDir: String, nFiles: Int): Long = {
+    val tip = versions(spark, snapshotDir).max
+    val next = tip + 1
+    spark.read.parquet(s"$snapshotDir/version=$tip")
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$snapshotDir/version=$next")
+    next
+  }
+
+  /** Drop all committed versions except the newest `keep` (bounds the
+    * time-travel window and the store's disk footprint). Returns the
+    * versions deleted. */
+  def vacuum(spark: SparkSession, snapshotDir: String, keep: Int = 1): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1 (got $keep)")
+    val doomed = versions(spark, snapshotDir).sorted.dropRight(keep)
+    val f = fs(spark, snapshotDir)
+    doomed.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/version=$v"), true)
+    }
+    doomed
+  }
+
   /** Start the apply stream over a change-row stream. */
   def start(changeStream: DataFrame, snapshotDir: String, key: String,
       checkpointDir: String): StreamingQuery =

@@ -42,6 +42,24 @@ class SnapshotUpsertSpec extends SparkSpec {
     assert(SnapshotUpsert.readSnapshot(spark, dir, beforeBatch = 1L).get.count() == 3)
   }
 
+  test("compact rewrites the tip into fewer files; vacuum drops old versions") {
+    val dir = tmp("snap-maint")
+    val apply = SnapshotUpsert.applyBatch(dir, "k") _
+    apply(Seq(("I", 1L, "a", 1.0), ("I", 2L, "b", 2.0)).toDF("op", "k", "v", "x")
+      .repartition(4), 0L)
+    apply(Seq(("I", 3L, "c", 3.0)).toDF("op", "k", "v", "x"), 1L)
+    val before = snapshotRows(dir)
+    val v = SnapshotUpsert.compact(spark, dir, nFiles = 1)
+    assert(v == 2L && snapshotRows(dir) == before, "compaction preserves content")
+    val files = new java.io.File(s"$dir/version=2")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, "tip compacted to one file")
+    val dropped = SnapshotUpsert.vacuum(spark, dir, keep = 1)
+    assert(dropped == Seq(0L, 1L))
+    assert(SnapshotUpsert.versions(spark, dir) == Seq(2L))
+    assert(snapshotRows(dir) == before, "tip survives vacuum")
+  }
+
   test("streaming end-to-end over MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp("snap-stream")
