@@ -139,7 +139,67 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Dataset-mix rebalancing: deterministically down-sample each
+    * source toward an equal-share token target. Per source, the keep
+    * fraction is `min(1, target / source_tokens)` with
+    * `target = total_tokens / n_sources`; docs are kept by the
+    * engine-portable md5 hash score ([[Sampling.hashScore]]) so the
+    * SAME docs survive on every rerun, engine, and cluster size — the
+    * property that makes ablations comparable. Output is the
+    * post-sample per-source accounting (docs, tokens, applied
+    * fraction).
+    *
+    * Scale shape: the mix table (one row per source) is a broadcast;
+    * the keep decision is a per-row filter fused into the scan —
+    * the corpus shuffles only for the final per-source accounting. */
+  val mixRebalance: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // source-level token totals: a |sources|-row table consumed twice
+    // (the target scalar and the per-source fraction) — pin so the
+    // corpus aggregation under it runs once
+    val bySource = graft.core.Materialize.pin(
+      d.groupBy("source").agg(sum("n_tokens").as("src_tokens")))
+    val target = bySource.agg(
+      (sum("src_tokens").cast("double") / count(lit(1)).cast("double")).as("target"))
+    val frac = bySource.crossJoin(broadcast(target))
+      .select(col("source"),
+        least(lit(1.0), col("target") / col("src_tokens").cast("double")).as("frac"))
+    d.join(broadcast(frac), Seq("source"))
+      .filter(Sampling.hashScore(col("doc_id")) < col("frac"))
+      .groupBy("source", "frac")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select("source", "n_docs", "n_tokens", "frac")
+      .orderBy("source")
+  }
+
+  /** Context-window chunking with overlap: split every document into
+    * word windows of 64 tokens at stride 32 (final partial window
+    * kept), emitting per-chunk bounds and sizes — the
+    * long-document-to-training-sample step. Chunks are derived
+    * per-row from the token array (explode over a sequence of
+    * offsets); no shuffle except the oracle ORDER BY. */
+  val chunkSliding: Q = (s, dir) => {
+    val win = 64
+    val stride = 32
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("ws")) - win).cast("double") / stride), lit(0))
+            .cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        least(col("chunk_idx") * stride + win, col("n_tokens")).as("chunk_end"))
+      .withColumn("chunk_tokens", col("chunk_end") - col("chunk_start"))
+      .filter(col("chunk_tokens") > 0)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_corpus_mix_rebalance" -> mixRebalance,
+    "x_corpus_chunk_sliding" -> chunkSliding,
     "x_corpus_vocab_topk" -> vocabTopK,
     "x_corpus_tfidf" -> tfIdf,
     "x_corpus_pack_sequences" -> packSequences,
@@ -148,7 +208,28 @@ object Corpus {
 
   private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** DuckDB rendering of [[Sampling.hashScore]] (shared literal). */
+  private def scoreSql(key: String): String =
+    s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
+
   val oracles: Map[String, String] = Map(
+    "x_corpus_mix_rebalance" ->
+      (s"WITH d AS (SELECT doc_id, source, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents), " +
+        "bs AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source), " +
+        "t AS (SELECT CAST(SUM(src_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS target FROM bs), " +
+        "f AS (SELECT source, least(1.0, target / CAST(src_tokens AS DOUBLE)) AS frac FROM bs CROSS JOIN t), " +
+        s"kept AS (SELECT d.source, frac, doc_id, n_tokens FROM d JOIN f ON d.source = f.source WHERE ${scoreSql("doc_id")} < frac) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, frac " +
+        "FROM kept GROUP BY source, frac ORDER BY source"),
+    "x_corpus_chunk_sliding" ->
+      (s"WITH d AS (SELECT doc_id, CAST(len($wsExpr) AS INT) AS n FROM documents), " +
+        "c AS (SELECT doc_id, n, CAST(unnest(generate_series(0, " +
+        "CAST(greatest(ceil(CAST(n - 64 AS DOUBLE) / 32), 0) AS INT))) AS INT) AS chunk_idx FROM d) " +
+        "SELECT doc_id, chunk_idx, CAST(chunk_idx * 32 AS INT) AS chunk_start, " +
+        "CAST(least(chunk_idx * 32 + 64, n) AS INT) AS chunk_end, " +
+        "CAST(least(chunk_idx * 32 + 64, n) - chunk_idx * 32 AS INT) AS chunk_tokens " +
+        "FROM c WHERE least(chunk_idx * 32 + 64, n) - chunk_idx * 32 > 0 " +
+        "ORDER BY doc_id, chunk_idx"),
     "x_corpus_vocab_topk" ->
       (s"SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs " +
         s"FROM (SELECT doc_id, unnest($wsExpr) AS tok FROM documents) " +

@@ -155,7 +155,26 @@ object EventsOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Schema-on-read over a semi-structured payload column with
+    * corrupt-record routing: extract `$.k` from the JSON props, route
+    * rows that don't parse to a corrupt counter instead of failing the
+    * job (the PERMISSIVE-mode discipline every heterogeneous 100 TB
+    * ingest needs — one bad row must cost one counter bump, not the
+    * batch). Per-row JSON path extraction is codegen'd; the per-user
+    * fold is one partial-aggregated groupBy. */
+  val eventsPropsParse: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .withColumn("is_corrupt", when(col("k").isNull, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("is_corrupt").as("n_corrupt"),
+        sum(coalesce(col("k"), lit(0L))).as("sum_k"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "x_events_props_parse" -> eventsPropsParse,
     "x_events_range_frame" -> eventsRangeFrame,
     "x_events_funnel" -> eventsFunnel,
     "x_events_hourly" -> eventsHourly,
@@ -164,6 +183,12 @@ object EventsOps {
     "x_events_cogroup" -> eventsCogroup)
 
   val oracles: Map[String, String] = Map(
+    "x_events_props_parse" ->
+      ("WITH e AS (SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt, " +
+        "CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k " +
+        "FROM e GROUP BY user_id ORDER BY user_id"),
     "x_events_range_frame" ->
       ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
         "CAST(floor(value * 100) AS BIGINT) AS cents FROM events) " +

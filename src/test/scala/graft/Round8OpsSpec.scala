@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BloomPrune, Cdc, Dedup, EventsOps, Graph, Layout, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.operators.{BloomPrune, Cdc, Corpus, Dedup, EventsOps, Graph, Layout, Sampling, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantics checks for the round-8 operators (CDC merge/SCD2, bloom
@@ -272,6 +272,44 @@ class Round8OpsSpec extends SparkSpec {
       }
     }
     assert(rows.nonEmpty)
+  }
+
+  test("mixRebalance: fractions bounded, oversized sources shrink toward target, rerun identical") {
+    val rows = Corpus.mixRebalance(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nTok, frac) =>
+      assert(frac > 0.0 && frac <= 1.0, s"$src frac $frac")
+      assert(nDocs > 0 && nTok > 0)
+    }
+    assert(rows.exists(_._4 < 1.0), "at least one source is down-sampled")
+    val again = Corpus.mixRebalance(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq, "hash sampling is rerun-stable")
+  }
+
+  test("chunkSliding: windows cover every token, stride overlap, partial tail kept") {
+    val chunks = Corpus.chunkSliding(spark, dir)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    val nTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(trim(col("text")), "\\s+")).as("n"))
+      .as[(Int)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    byDoc.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0, "first chunk starts at 0")
+      sorted.foreach { case (_, _, start, end, n) =>
+        assert(n == end - start && n > 0 && n <= 64)
+      }
+      // consecutive chunks advance by the stride and overlap by 32
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == 32)
+        case _ =>
+      }
+      val docLen = sorted.map(_._4).max
+      assert(sorted.last._4 == docLen, "tail chunk reaches the end")
+    }
+    assert(byDoc.size == nTokens.length, "every doc chunked")
   }
 
   test("plan shapes: merge anti-join broadcasts, overlap is equi-join, span explodes once") {
