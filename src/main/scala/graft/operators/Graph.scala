@@ -27,7 +27,12 @@ object Graph {
 
   /** Count triangles in an undirected simple graph given as unique
     * `(a, b)` pairs with `a < b`. Returns one row: `n_triangles`. */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges0: DataFrame): DataFrame = {
+    // the edge list is consumed by both union legs of `sym` (and the
+    // subtree producing it — e.g. verified Jaccard pairs — can be the
+    // expensive part of the whole query): pin it so pair generation
+    // runs once, not once per consumer
+    val edges = graft.core.Materialize.pin(edges0)
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
@@ -37,9 +42,11 @@ object Graph {
     val withDeg = sym
       .join(broadcast(deg), Seq("u"))
       .join(broadcast(deg.select(col("u").as("v"), col("d").as("dv"))), Seq("v"))
-    val oriented = withDeg.filter(
-      col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
-      .select(col("u"), col("v"), col("dv"))
+    // oriented feeds the wedge join twice plus the closing semi-join —
+    // pin it (edge-sized) so orientation runs once
+    val oriented = graft.core.Materialize.pin(withDeg.filter(
+        col("d") < col("dv") || (col("d") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv")))
     // wedges (v, w) out of each u, kept in pi order so the closing
     // edge (v -> w) is stored exactly once in `oriented`
     val out2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
