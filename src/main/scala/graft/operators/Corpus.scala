@@ -197,7 +197,30 @@ object Corpus {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** BPE-style merge statistics — the counting pass of one
+    * byte-pair-encoding training step: weight each distinct word by
+    * its corpus occurrence count, split it into characters, and rank
+    * adjacent character pairs by weighted frequency (the top pair is
+    * what a BPE trainer would merge next). The heavy lifting runs on
+    * the VOCABULARY (distinct words — shrinks with Heaps' law), not
+    * the corpus: the corpus contributes only the word-count
+    * aggregation, so a 100 TB corpus costs one token groupBy plus
+    * character work proportional to |vocab|. Top-k via
+    * TakeOrderedAndProject as everywhere else. */
+  val bpePairs: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("n_w"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("n_w").as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_corpus_bpe_pairs" -> bpePairs,
     "x_corpus_mix_rebalance" -> mixRebalance,
     "x_corpus_chunk_sliding" -> chunkSliding,
     "x_corpus_vocab_topk" -> vocabTopK,
@@ -213,6 +236,12 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_bpe_pairs" ->
+      (s"WITH w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM " +
+        s"(SELECT unnest($wsExpr) AS w FROM documents) GROUP BY w), " +
+        "p AS (SELECT n_w, w, unnest(generate_series(1, length(w) - 1)) AS i FROM w WHERE length(w) >= 2), " +
+        "pc AS (SELECT substring(w, i, 2) AS pair, CAST(SUM(n_w) AS BIGINT) AS n_pair FROM p GROUP BY pair) " +
+        "SELECT pair, n_pair FROM pc ORDER BY n_pair DESC, pair LIMIT 20"),
     "x_corpus_mix_rebalance" ->
       (s"WITH d AS (SELECT doc_id, source, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents), " +
         "bs AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source), " +

@@ -173,7 +173,40 @@ object EventsOps {
         sum(coalesce(col("k"), lit(0L))).as("sum_k"))
       .orderBy("user_id")
 
+  /** Trailing-window anomaly detection: flag hours whose event count
+    * exceeds mean + 2·stddev of the type's previous 24 observed hours.
+    * The trailing moments are INTEGER sums over counts (exact, so the
+    * derived mean/stddev/flag are bit-portable — same discipline as
+    * [[graft.operators.Sampling.statsCorrMoments]]); a streamed
+    * deployment keeps the same per-type frame as
+    * mapGroupsWithState rolling state. One shuffle for the hourly
+    * rollup, one window pass per type. */
+  val eventsAnomaly: Q = (s, dir) => {
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"), tsSec.as("sec"))
+      .groupBy(col("event_type"), expr("sec div 3600").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    val n = col("n_obs").cast("double")
+    val (sm, ss) = (col("s").cast("double"), col("ss").cast("double"))
+    val mean = sm / n
+    val std = sqrt((n * ss - sm * sm) / (n * (n - lit(1.0))))
+    hourly
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("ss", sum(col("n_events") * col("n_events")).over(w))
+      .select(col("event_type"), col("hour"), col("n_events"), col("n_obs"),
+        when(col("n_obs") >= 1, mean).as("mean_prior"),
+        when(col("n_obs") >= 2, std).as("std_prior"),
+        when(col("n_obs") >= 2 &&
+          col("n_events").cast("double") > mean + lit(2.0) * std, 1)
+          .otherwise(0).as("anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_events_anomaly" -> eventsAnomaly,
     "x_events_props_parse" -> eventsPropsParse,
     "x_events_range_frame" -> eventsRangeFrame,
     "x_events_funnel" -> eventsFunnel,
@@ -183,6 +216,22 @@ object EventsOps {
     "x_events_cogroup" -> eventsCogroup)
 
   val oracles: Map[String, String] = Map(
+    "x_events_anomaly" ->
+      ("WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "h AS (SELECT event_type, sec // 3600 AS hour, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY event_type, hour), " +
+        "m AS (SELECT event_type, hour, n_events, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_obs, " +
+        "CAST(SUM(n_events) OVER w AS BIGINT) AS s, " +
+        "CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS ss " +
+        "FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, hour, n_events, n_obs, " +
+        "CASE WHEN n_obs >= 1 THEN CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE) END AS mean_prior, " +
+        "CASE WHEN n_obs >= 2 THEN sqrt((CAST(n_obs AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+        "(CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0))) END AS std_prior, " +
+        "CASE WHEN n_obs >= 2 AND CAST(n_events AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n_obs AS DOUBLE) + " +
+        "2.0 * sqrt((CAST(n_obs AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+        "(CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) - 1.0))) THEN 1 ELSE 0 END AS anomaly " +
+        "FROM m ORDER BY event_type, hour"),
     "x_events_props_parse" ->
       ("WITH e AS (SELECT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +

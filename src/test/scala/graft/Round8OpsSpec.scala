@@ -312,6 +312,53 @@ class Round8OpsSpec extends SparkSpec {
     assert(byDoc.size == nTokens.length, "every doc chunked")
   }
 
+  test("bpePairs: planted corpus ranks the dominant character pair first") {
+    val d = Seq(
+      (1L, "abab abab cd"),
+      (2L, "abab xy")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val rows = withDocs(d) { tmp => Corpus.bpePairs(spark, tmp)
+      .as[(String, Long)].collect() }
+    val byPair = rows.toMap
+    // "abab" occurs 3x as a word; each contributes pairs ab, ba, ab
+    assert(byPair("ab") == 6 && byPair("ba") == 3)
+    assert(rows.head._1 == "ab", "most frequent pair ranks first (the BPE merge)")
+  }
+
+  test("eventsAnomaly: planted spike flags; warm-up hours cannot flag") {
+    val hours = (0L until 10L).map(h => ("A", h, 10L)) :+ (("A", 10L, 30L))
+    // expand to raw events: h hours with n events each
+    val raw = hours.flatMap { case (t, h, n) => (0L until n).map(i => (t, h * 3600 + i)) }
+    val e = raw.toDF("event_type", "sec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    val out = e.groupBy(col("event_type"), (col("sec") / 3600).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("ss", sum(col("n_events") * col("n_events")).over(w))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._2 == 0 && out(1L)._2 == 1, "warm-up window sizes")
+    // the gate query itself on real data: flags only where n_obs >= 2
+    val gate = EventsOps.eventsAnomaly(spark, dir).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      if (r.getInt(6) == 1) assert(r.getLong(3) >= 2, "no flag without baseline")
+    }
+    // planted spike check through the same formula
+    val spike = e.groupBy(col("event_type"), (col("sec") / 3600).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("s", sum("n").over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .filter(col("hour") === 10L).collect()(0)
+    val (nObs, s, ss) = (spike.getLong(3).toDouble, spike.getLong(4).toDouble, spike.getLong(5).toDouble)
+    val mean = s / nObs
+    val std = math.sqrt((nObs * ss - s * s) / (nObs * (nObs - 1.0)))
+    assert(30.0 > mean + 2 * std, "constant baseline + 3x spike must flag")
+  }
+
   test("plan shapes: merge anti-join broadcasts, overlap is equi-join, span explodes once") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
