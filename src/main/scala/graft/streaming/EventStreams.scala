@@ -169,4 +169,49 @@ object EventStreams {
           SessionUpdate(userId, sessions, sorted.size.toLong)
       }
   }
+
+  final case class HourCount(event_type: String, hour: Long, n_events: Long)
+  final case class AnomalyState(hours: List[(Long, Long)])
+  final case class AnomalyFlag(event_type: String, hour: Long, n_events: Long,
+      n_obs: Long, anomaly: Int)
+
+  /** Streaming twin of [[graft.operators.EventsOps.eventsAnomaly]]:
+    * per event type, flag an hour whose count exceeds
+    * mean + 2·stddev of the trailing `window` observed hours. State is
+    * a bounded per-type list of (hour, count) — `window` entries, a
+    * few hundred bytes — maintained with flatMapGroupsWithState. The
+    * same integer-moment arithmetic as the batch op, evaluated over
+    * the rolling buffer; feed it CLOSED hourly counts (e.g. the output
+    * of [[hourlyCounts]] after the watermark flush) so each hour is
+    * observed once and in order per type. */
+  def anomalyFlags(hourCounts: Dataset[HourCount],
+      window: Int = 24): Dataset[AnomalyFlag] = {
+    import hourCounts.sparkSession.implicits._
+    hourCounts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (tpe, rows, state: GroupState[AnomalyState]) =>
+          var hours = state.getOption.getOrElse(AnomalyState(Nil)).hours
+          val out = rows.toSeq.sortBy(_.hour).map { hc =>
+            val prior = hours.filter(_._1 < hc.hour).takeRight(window)
+            val nObs = prior.size.toLong
+            val flag =
+              if (nObs < 2) 0
+              else {
+                val n = nObs.toDouble
+                val s = prior.map(_._2).sum.toDouble
+                val ss = prior.map(h => h._2 * h._2).sum.toDouble
+                val mean = s / n
+                val std = math.sqrt((n * ss - s * s) / (n * (n - 1.0)))
+                if (hc.n_events.toDouble > mean + 2.0 * std) 1 else 0
+              }
+            hours = ((hc.hour, hc.n_events) :: hours)
+              .sortBy(_._1).takeRight(window + 1)
+            AnomalyFlag(tpe, hc.hour, hc.n_events, nObs, flag)
+          }
+          state.update(AnomalyState(hours))
+          out.iterator
+      }
+  }
 }

@@ -189,4 +189,29 @@ class StreamingSpec extends SparkSpec {
       assert(last.user_id == 7L && last.n_sessions == 3L)
     } finally q.stop()
   }
+
+  test("anomalyFlags: spike over rolling baseline flags, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.HourCount]
+    val q = EventStreams.anomalyFlags(input.toDS(), window = 24)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: flat baseline, hours 0..5 at 10 events
+      input.addData((0L to 5L).map(h => EventStreams.HourCount("A", h, 10L)): _*)
+      q.processAllAvailable()
+      // batch 2: the spike arrives later — state must remember baseline
+      input.addData(EventStreams.HourCount("A", 6L, 30L),
+        EventStreams.HourCount("B", 6L, 30L)) // B has no baseline
+      q.processAllAvailable()
+      val rows = spark.table("anomalies")
+        .as[EventStreams.AnomalyFlag].collect()
+        .map(f => (f.event_type, f.hour) -> f).toMap
+      assert(rows(("A", 0L)).anomaly == 0 && rows(("A", 1L)).anomaly == 0,
+        "warm-up hours cannot flag")
+      assert(rows(("A", 6L)).anomaly == 1 && rows(("A", 6L)).n_obs == 6,
+        "3x spike over flat cross-batch baseline flags")
+      assert(rows(("B", 6L)).anomaly == 0, "no baseline, no flag")
+    } finally q.stop()
+  }
 }
