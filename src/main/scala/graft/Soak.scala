@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
 object Soak {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(1)
+    // optional 2nd arg: regex selecting which legs to run
+    // (`runMain graft.Soak 1 ring` re-runs just the ring leg)
+    val only = args.drop(1).headOption.map(_.r)
+    def want(name: String): Boolean =
+      only.forall(_.findFirstIn(name).isDefined)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,7 +61,7 @@ object Soak {
 
     // noop sink: forces EVERY column to be computed (count() would let
     // Catalyst prune the projection and time only the scan)
-    def time(name: String)(df: => DataFrame): Unit = {
+    def time(name: String)(df: => DataFrame): Unit = if (want(name)) {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"SOAK $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -152,7 +157,7 @@ object Soak {
     // re-shingling (flat-ish, not linear-in-b growth).
     val ingestRoot = java.nio.file.Files.createTempDirectory("soak-ingest").toString
     val batchDocs = 5000L * mult
-    for (b <- 0 until 12) {
+    for (b <- 0 until 12 if want("ingest")) {
       val batch = spark.range(batchDocs).select(
         (col("id") + b * batchDocs).as("doc_id"),
         expr(s"concat_ws(' ', transform(sequence(0, 39), " +
@@ -162,6 +167,78 @@ object Soak {
       graft.streaming.DocIngest.ingestBatch(batch, b.toLong,
         s"$ingestRoot/docs", s"$ingestRoot/index", s"$ingestRoot/pairs", 0.5)
       println(f"SOAK ingest_batch_$b%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    // cross-doc span dedup at two sizes of the same corpus family,
+    // with planted boilerplate (every 10th doc opens with a shared
+    // 8-gram run). The claim is LINEARITY: 2x docs ~ 2x time — the
+    // all-pairs formulation of the same signal would quadruple
+    def spanCorpus(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 39), i -> " +
+        "CASE WHEN id % 10 = 0 AND i < 8 THEN concat('shared_w', i) " +
+        "ELSE concat('d', id, '_w', i) END))").as("text"))
+    time("span_crossdoc_100k") {
+      graft.operators.Dedup.spanCrossdoc(spanCorpus(100000L * mult))
+    }
+    time("span_crossdoc_200k") {
+      graft.operators.Dedup.spanCrossdoc(spanCorpus(200000L * mult))
+    }
+
+    // triangles on an adversarially skewed graph: one hub adjacent to
+    // EVERY node (degree n) plus n/3 embedded triangles. Under
+    // degree-ordered orientation the hub's edges all point INTO it, so
+    // the wedge join never expands the hub's neighbor pairs (a naive
+    // neighbor self-join would generate ~n^2/2 candidates from the hub
+    // alone); expected count = n/3 hub-free triangles + n-1 choose ...
+    // — hub triangles only where its two neighbors are adjacent, i.e.
+    // one per embedded triangle edge (3 per triangle) plus the chain
+    // edges; the assertion here is wall-clock, exactness is spec'd
+    val nTri = 300000L * mult
+    val triEdges = spark.range(nTri).select(col("id")).flatMap { r =>
+      val i = r.getLong(0)
+      val base = 1L + i * 3
+      Seq((0L, base), (0L, base + 1), (0L, base + 2), // hub spokes
+        (base, base + 1), (base + 1, base + 2), (base, base + 2)) // triangle
+    }.toDF("a", "b")
+    time("triangles_hub_1.8M_edges") {
+      graft.operators.Graph.triangleCount(triEdges)
+    }
+
+    // interval overlap at event-soak scale (bounded 10-min intervals,
+    // 600s buckets): candidate volume tracks bucket density
+    val iv = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("sec").as("v_start"), (col("sec") + col("event_id") % 600).as("v_end"))
+    val ic = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("sec").as("c_start"), (col("sec") + col("event_id") % 600).as("c_end"))
+    time("interval_overlap_2M") {
+      Temporal.intervalOverlapJoin(iv, ic, "user_id",
+        "v_start", "v_end", "c_start", "c_end", 600L)
+    }
+
+    // streaming CDC snapshot: 30 batches of 2k changes each (80%
+    // inserts / 15% updates / 5% deletes against the accumulated keys).
+    // The per-batch cost curve is the claim: merge work ~ snapshot
+    // size (copy-on-write rewrite), so the curve grows linearly with
+    // accumulated inserts and stays far from quadratic
+    val snapRoot = java.nio.file.Files.createTempDirectory("soak-snap").toString
+    var keyCeiling = 0L
+    for (b <- 0 until 30 if want("snap")) {
+      val fresh = 1600L
+      val batch = spark.range(2000L).select(
+        when(col("id") < fresh, lit("I"))
+          .when(col("id") < 1900L, lit("U")).otherwise(lit("D")).as("op"),
+        when(col("id") < fresh, col("id") + keyCeiling)
+          .otherwise(pmod(col("id") * 7919, lit(math.max(keyCeiling, 1L)))).as("k"),
+        concat(lit("v"), col("id")).as("v"),
+        (col("id") * 1.5).as("x"))
+      val t0 = System.nanoTime()
+      graft.streaming.SnapshotUpsert.applyBatch(snapRoot, "k")(batch, b.toLong)
+      keyCeiling += fresh
+      if (b % 10 == 9)
+        println(f"SOAK snap_batch_$b%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
   }

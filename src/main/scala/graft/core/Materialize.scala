@@ -34,11 +34,17 @@ object Materialize {
 
   /** Pin `df`'s result for in-query reuse; mode chosen by
     * [[ReliableConf]] on the owning session (default: local). */
-  def pin(df: DataFrame): DataFrame =
-    if (isReliable(df.sparkSession)) {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        s"$ReliableConf=true requires sparkContext.setCheckpointDir " +
-          "(point it at a fault-tolerant filesystem)")
-      df.checkpoint()
-    } else df.localCheckpoint()
+  def pin(df: DataFrame): DataFrame = {
+    val pinned =
+      if (isReliable(df.sparkSession)) {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          s"$ReliableConf=true requires sparkContext.setCheckpointDir " +
+            "(point it at a fault-tolerant filesystem)")
+        df.checkpoint()
+      } else df.localCheckpoint()
+    // checkpoints carry the source plan's estimated stats; cap them so
+    // chained pins can never compound size estimates past BigInteger's
+    // range (see canonicalClusters — a no-op for bounded estimates)
+    org.apache.spark.sql.classic.GraftColumnBridge.capCheckpointStats(pinned)
+  }
 }

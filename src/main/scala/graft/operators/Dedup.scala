@@ -513,8 +513,16 @@ object Dedup {
     // override (can only strengthen; conf=true wins over param=false
     // so one session setting makes a whole job fault-tolerant)
     val rel = reliable || graft.core.Materialize.isReliable(pairs.sparkSession)
+    // capCheckpointStats: checkpointing preserves the source plan's
+    // estimated stats on the LogicalRDD, and join-size estimates
+    // MULTIPLY — in this loop the carried BigInt doubles its bit
+    // length every round until stats estimation overflows BigInteger
+    // (observed on the 100k ring-topology soak at round ~25). Capping
+    // at Long.MaxValue per pin breaks the compounding; every consumer
+    // decision (broadcast thresholds) is unaffected at that magnitude.
     def pin(df: DataFrame, eager: Boolean = true): DataFrame =
-      if (rel) df.checkpoint(eager) else df.localCheckpoint(eager)
+      org.apache.spark.sql.classic.GraftColumnBridge.capCheckpointStats(
+        if (rel) df.checkpoint(eager) else df.localCheckpoint(eager))
     // executor-memory release only matters for local-checkpoint blocks;
     // reliable rounds live as files owned by the checkpoint manager
     def release(df: DataFrame): Unit = if (!rel) unpersistCheckpoint(df)
@@ -602,8 +610,7 @@ object Dedup {
     * two extra shuffles. At 100 TB, hash the span to a 16-byte digest
     * before the shuffle (same trick as exact dedup) — kept as raw text
     * here so the oracle can reproduce it. */
-  val dedupSpanCrossdoc: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+  def spanCrossdoc(docs: DataFrame): DataFrame = {
     val tokd = docs.select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("ws"))
     val sh = tokd.filter(size(col("ws")) >= 8)
@@ -629,6 +636,8 @@ object Dedup {
           .otherwise(col("n_dup").cast("double") / col("n_shingles").cast("double")))
       .orderBy("doc_id")
   }
+
+  val dedupSpanCrossdoc: Q = (s, dir) => spanCrossdoc(t(s, dir, "documents"))
 
   val queries: Map[String, Q] = Map(
     "x_dedup_span_crossdoc" -> dedupSpanCrossdoc,
