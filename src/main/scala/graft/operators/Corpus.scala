@@ -219,7 +219,35 @@ object Corpus {
       .limit(20)
   }
 
+  /** Leakage-safe train/eval split: assign each document a split by
+    * the deterministic hash of its NEAR-DUP CLUSTER canonical id, not
+    * its own id — near-duplicates land in the same split by
+    * construction, so the eval set can never contain a near-copy of a
+    * training document (the classic contamination-by-duplication
+    * failure a doc-id hash split silently allows). Docs in no cluster
+    * hash on their own id: a singleton IS its cluster. Scale shape:
+    * the cluster map is pair-participant-sized — tiny next to the
+    * corpus — so it BROADCASTS into a left join and the split is one
+    * more projection on the corpus scan; no corpus shuffle at all. */
+  def splitSafe(docs: DataFrame, clusters: DataFrame,
+      evalFrac: Double): DataFrame =
+    docs.join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("canonical_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        when(Sampling.hashScore(col("group_id")) < evalFrac, "eval")
+          .otherwise("train").as("split"))
+
+  /** Gate query: 10% eval split over the verified 0.5-Jaccard cluster
+    * map (same clusters the x_dedup_clusters oracle checks). */
+  val splitSafeGate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.canonicalClusters(
+      Dedup.jaccardPairs(Dedup.shingles(docs), 0.5))
+    splitSafe(docs, clusters, 0.10).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_corpus_split_safe" -> splitSafeGate,
     "x_corpus_bpe_pairs" -> bpePairs,
     "x_corpus_mix_rebalance" -> mixRebalance,
     "x_corpus_chunk_sliding" -> chunkSliding,
@@ -236,6 +264,20 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_split_safe" ->
+      (s"WITH RECURSIVE w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "pairs AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5), " +
+        "ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
+        "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src), " +
+        "cl AS (SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a) " +
+        "SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS group_id, " +
+        s"CASE WHEN ${scoreSql("COALESCE(cl.canonical_id, d.doc_id)")} < 0.10 THEN 'eval' ELSE 'train' END AS split " +
+        "FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY doc_id"),
     "x_corpus_bpe_pairs" ->
       (s"WITH w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM " +
         s"(SELECT unnest($wsExpr) AS w FROM documents) GROUP BY w), " +

@@ -67,18 +67,94 @@ object Graph {
     triangleCount(pairs)
   }
 
+  /** Integer-scaled PageRank over an undirected graph given as unique
+    * `(a, b)` pairs with `a < b`, unrolled to a fixed `iters` rounds.
+    *
+    * Ranks are BIGINTs in units of `1/scale`: rank0 = scale for every
+    * node, then `rank' = (15*scale) div 100 + (85 * sum(contrib)) div
+    * 100` with `contrib = rank div deg` — the damping-0.85 recursion
+    * in pure integer arithmetic. Integer ops keep the result exactly
+    * reproducible ANYWHERE: addition is commutative/associative
+    * bit-exactly, so the shuffle-order-dependent float summation
+    * problem (which would break the DuckDB oracle hash and make two
+    * cluster runs disagree) cannot arise. Symmetrized edges mean every
+    * node has out-degree >= 1 — no dangling-mass term.
+    *
+    * Scale shape: degree table and rank vector are node-sized; the
+    * per-round join streams the edge list once against a BROADCAST
+    * rank vector (node-sized << edge-sized), partial-aggregates
+    * map-side, and lands one exchange per round. At graphs where the
+    * rank vector outgrows broadcast, drop the hint and the same plan
+    * becomes the standard Pregel-style shuffle join on `u` — the code
+    * path is the hint, not the algorithm. `scale` = 1e9 holds the
+    * per-node sum below Long overflow to ~1e8 nodes (sum of all ranks
+    * is n*scale; 85x that must stay under 2^63). */
+  def pageRankInt(edges0: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    val edges = graft.core.Materialize.pin(edges0)
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    // symDeg feeds every round: pin so symmetrize+degree runs once
+    val symDeg = graft.core.Materialize.pin(
+      sym.join(sym.groupBy("u").agg(count(lit(1)).as("du")), Seq("u")))
+    var rank = symDeg.select("u").distinct()
+      .select(col("u"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      rank = symDeg.join(broadcast(rank), Seq("u"))
+        .select(col("v"), expr("r div du").as("c"))
+        .groupBy("v").agg(sum("c").as("s"))
+        .select(col("v").as("u"),
+          (lit(15L * scale / 100) + expr("(85 * s) div 100")).as("r"))
+    }
+    rank.select(col("u").as("node"), col("r").as("rank_scaled"))
+      .orderBy("node")
+  }
+
+  /** Gate query: 3-round PageRank of the verified 0.5-Jaccard
+    * near-dup graph (same edge set as x_graph_triangles). */
+  val graphPageRank: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(t(s, dir, "documents")), 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    pageRankInt(pairs)
+  }
+
   val queries: Map[String, Q] = Map(
-    "x_graph_triangles" -> graphTriangles)
+    "x_graph_triangles" -> graphTriangles,
+    "x_graph_pagerank" -> graphPageRank)
+
+  /** Shared oracle prefix: the verified-Jaccard edge list `e(a, b)`
+    * with `a < b` — identical to the x_dedup_ngram_jaccard oracle's
+    * pair derivation. */
+  private val edgeCte =
+    "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+      "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+      "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+      "e AS (SELECT doc_a AS a, doc_b AS b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+      "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5)"
+
+  /** One unrolled integer-PageRank round: rank table `prev(u, r)` ->
+    * next rank table. `//` is DuckDB integer division (all operands
+    * non-negative, so it agrees with Spark's `div`); SUM(BIGINT)
+    * returns HUGEINT, hence the CAST back. */
+  private def prRoundSql(prev: String): String =
+    s"(SELECT ed.v AS u, CAST(150000000 + (85 * CAST(SUM(p.r // d.du) AS BIGINT)) // 100 AS BIGINT) AS r " +
+      s"FROM ed JOIN $prev p ON ed.u = p.u JOIN deg d ON ed.u = d.u GROUP BY ed.v)"
 
   val oracles: Map[String, String] = Map(
     "x_graph_triangles" ->
-      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
-        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
-        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
-        "e AS (SELECT doc_a AS a, doc_b AS b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
-        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5) " +
+      (edgeCte + " " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 " +
         "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
-        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"))
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"),
+    "x_graph_pagerank" ->
+      (edgeCte + ", " +
+        "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM ed GROUP BY u), " +
+        "r0 AS (SELECT DISTINCT u, CAST(1000000000 AS BIGINT) AS r FROM ed), " +
+        s"r1 AS ${prRoundSql("r0")}, " +
+        s"r2 AS ${prRoundSql("r1")}, " +
+        s"r3 AS ${prRoundSql("r2")} " +
+        "SELECT u AS node, r AS rank_scaled FROM r3 ORDER BY node"))
 }

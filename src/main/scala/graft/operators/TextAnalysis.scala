@@ -374,7 +374,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII patterns, kept in the Java/RE2-portable regex subset (no
+    * lookarounds, no backreferences) so the SAME pattern text drives
+    * both the Spark query and the DuckDB oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scrubbing — the redaction pass training corpora run before
+    * release (emails, phone numbers, dotted-quad IPs -> typed
+    * placeholder tokens), plus per-document match counts for audit.
+    * Redaction order is email -> IPv4 -> phone: an email can embed
+    * digit runs, and a dotted quad must be gone before the phone
+    * pattern scans the text. Counts are taken on the ORIGINAL text via
+    * the fused native [[graft.functions.RegexpCount]] (no match-array
+    * allocation); the scrub is three chained codegen'd
+    * `regexp_replace` calls. Shape at scale: one projection pass over
+    * the corpus — no shuffle, no UDF, partition-parallel at any size. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column, expression}
+    def rcount(pat: String) =
+      column(graft.functions.RegexpCount(
+        expression(col("text")), expression(lit(pat)))).cast(LongType)
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("text_clean"),
+      rcount(EmailRe).as("n_emails"),
+      rcount(Ipv4Re).as("n_ips"),
+      rcount(PhoneRe).as("n_phones"))
+  }
+
+  val textPiiScrub: Q = (s, dir) =>
+    piiScrub(t(s, dir, "documents")).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "x_text_pii_scrub" -> textPiiScrub,
     "x_text_rarity" -> textRarity,
     "x_text_collocations" -> textCollocations,
     "x_text_eval_confusion" -> textEvalConfusion,
@@ -396,6 +433,14 @@ object TextAnalysis {
   private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "x_text_pii_scrub" ->
+      (s"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g') AS text_clean, " +
+        s"CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones " +
+        "FROM documents ORDER BY doc_id"),
     "x_text_rarity" ->
       (s"WITH d AS (SELECT doc_id, $wsExpr AS arr FROM documents), " +
         "p AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-1)) AS i FROM d WHERE len(arr) >= 2), " +

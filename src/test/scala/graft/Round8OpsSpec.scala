@@ -376,6 +376,63 @@ class Round8OpsSpec extends SparkSpec {
       "one bigram explode + two unigram legs, none duplicated further")
   }
 
+  test("piiScrub: redacts emails/phones/IPs with counts, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or call (555) 123-4567 now"),
+      (2L, "server at 10.0.255.7 and backup 192.168.1.1 port 8080"),
+      (3L, "plain prose with no identifiers at all"),
+      (4L, "two mails a@b.io c.d@e.org and 555-123-4567 555.987.6543")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == "contact me at <EMAIL> or call <PHONE> now")
+    assert((out(0)._3, out(0)._4, out(0)._5) == ((1L, 0L, 1L)))
+    assert(out(1)._2 == "server at <IP> and backup <IP> port 8080")
+    assert((out(1)._3, out(1)._4, out(1)._5) == ((0L, 2L, 0L)))
+    assert(out(2)._2 == "plain prose with no identifiers at all")
+    assert((out(2)._3, out(2)._4, out(2)._5) == ((0L, 0L, 0L)))
+    assert(out(3)._2 == "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>")
+    assert((out(3)._3, out(3)._4, out(3)._5) == ((2L, 0L, 2L)))
+  }
+
+  test("pageRankInt: triangle is a fixed point, star concentrates rank on the hub") {
+    val triangle = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val tri = Graph.pageRankInt(triangle, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // regular graph: every node keeps rank0 = scale exactly
+    assert(tri == Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
+
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r1 = Graph.pageRankInt(star, iters = 1).as[(Long, Long)].collect().toMap
+    // hand-computed integer recursion, one round:
+    // hub gets 3 leaves' full rank: 15e7 + (85 * 3e9) div 100
+    // each leaf gets 1e9 div 3:     15e7 + (85 * 333333333) div 100
+    assert(r1(1L) == 2700000000L)
+    assert(r1(2L) == 433333333L && r1(3L) == 433333333L && r1(4L) == 433333333L)
+    val r3 = Graph.pageRankInt(star, iters = 3).as[(Long, Long)].collect().toMap
+    assert(r3(1L) > r3(2L), "hub outranks leaves after any round count")
+    assert(r3(2L) == r3(3L) && r3(3L) == r3(4L), "symmetric leaves tie exactly")
+  }
+
+  test("splitSafe: near-dup cluster members share a split, singletons hash alone") {
+    val docs = Seq(1L, 2L, 3L, 10L, 11L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
+    val out = Corpus.splitSafe(docs, clusters, 0.5)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val clusterSplits = out.filter(_._2 == 1L).map(_._3).distinct
+    assert(out.filter(r => Set(1L, 2L, 3L).contains(r._1)).forall(_._2 == 1L))
+    assert(clusterSplits.length == 1, "all cluster members land in one split")
+    // singletons group on their own id
+    assert(out.find(_._1 == 10L).get._2 == 10L)
+    assert(out.find(_._1 == 11L).get._2 == 11L)
+    // split agrees with the hashSample score on the group id
+    val sampled = Sampling.hashSample(docs, col("doc_id"), 0.5)
+      .as[Long].collect().toSet
+    out.filter(r => Set(10L, 11L).contains(r._1)).foreach { r =>
+      assert((r._3 == "eval") == sampled.contains(r._1))
+    }
+  }
+
   private def withDocs[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("round8-spec").toString
     try { df.write.parquet(s"$tmp/documents.parquet"); f(tmp) }
