@@ -205,7 +205,30 @@ object EventsOps {
       .orderBy("event_type", "hour")
   }
 
+  /** Cohort retention: bucket every user by their first-seen hour
+    * (the cohort), then count, per (cohort, age-in-hours), how many of
+    * its users were active — the classic retention triangle. Hours are
+    * integer epoch-hours so every value is exact. Scale shape: the
+    * cohort table is user-sized (tiny next to the event log) →
+    * BROADCAST back onto events; the (user, cohort, age) dedup and
+    * the final count are both partial-aggregated groupBys. No window
+    * over the raw log, no per-user sort. */
+  val eventsRetention: Q = (s, dir) => {
+    val hours = t(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000000000) div 3600").as("h"))
+    val cohort = hours.groupBy("user_id").agg(min("h").as("h0"))
+    hours.join(broadcast(cohort), Seq("user_id"))
+      .select(col("user_id"), col("h0"), (col("h") - col("h0")).as("age"))
+      .distinct()
+      .groupBy("h0", "age")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("h0").as("cohort_hour"), col("age").as("age_hours"),
+        col("n_users"))
+      .orderBy("cohort_hour", "age_hours")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_events_retention" -> eventsRetention,
     "x_events_anomaly" -> eventsAnomaly,
     "x_events_props_parse" -> eventsPropsParse,
     "x_events_range_frame" -> eventsRangeFrame,
@@ -216,6 +239,12 @@ object EventsOps {
     "x_events_cogroup" -> eventsCogroup)
 
   val oracles: Map[String, String] = Map(
+    "x_events_retention" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h FROM events), " +
+        "c AS (SELECT user_id, MIN(h) AS h0 FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT e.user_id, c.h0, e.h - c.h0 AS age FROM e JOIN c USING (user_id)) " +
+        "SELECT h0 AS cohort_hour, age AS age_hours, CAST(COUNT(*) AS BIGINT) AS n_users " +
+        "FROM a GROUP BY h0, age ORDER BY cohort_hour, age_hours"),
     "x_events_anomaly" ->
       ("WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
         "h AS (SELECT event_type, sec // 3600 AS hour, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY event_type, hour), " +

@@ -199,7 +199,47 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Per-group winsorization: clamp values into [p05, p95] where both
+    * bounds are exact DISCRETE percentiles (actual group elements, so
+    * clamped values stay exact data values and the cents-sum hashes
+    * portably). Outputs per-group clip counts and the winsorized sum —
+    * the outlier-robust aggregate a heavy-tailed metric needs. Scale
+    * shape: the percentile table is group-sized → broadcast join; one
+    * pass over the fact for the clamp + partial-aggregated groupBy. */
+  val statsWinsorize: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val pct = discretePercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.05 -> "lo", 0.95 -> "hi"))
+    li.join(broadcast(pct), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        greatest(least(col("l_extendedprice"), col("hi")), col("lo")).as("w"),
+        (col("l_extendedprice") < col("lo")).cast("int").as("clo"),
+        (col("l_extendedprice") > col("hi")).cast("int").as("chi"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("clo").as("n_clip_lo"),
+        sum("chi").as("n_clip_hi"),
+        sum(floor(col("w") * 100).cast(LongType)).as("sum_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Equi-width histogram over event values in integer cents (bin
+    * width 5.00): one codegen'd projection + one partial-aggregated
+    * groupBy — the single-pass distribution profile. Integer cents
+    * keep the bin assignment and bounds bit-portable (value >= 0 in
+    * this table, so truncating and flooring division agree). */
+  val statsHistogram: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(floor(col("value") * 100).cast(LongType).as("cents"))
+      .select(expr("cents div 500").as("bin"), col("cents"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      .orderBy("bin")
+
   val queries: Map[String, Q] = Map(
+    "x_stats_winsorize" -> statsWinsorize,
+    "x_stats_histogram" -> statsHistogram,
     "x_stats_ntile" -> statsNtile,
     "x_stats_corr_moments" -> statsCorrMoments,
     "x_stats_approx_quantiles" -> statsApproxQuantiles,
@@ -214,6 +254,18 @@ object Sampling {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_stats_winsorize" ->
+      ("WITH p AS (SELECT l_returnflag, quantile_disc(l_extendedprice, 0.05) AS lo, " +
+        "quantile_disc(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo, " +
+        "CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi, " +
+        "CAST(SUM(CAST(floor(GREATEST(LEAST(l_extendedprice, hi), lo) * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM lineitem l JOIN p USING (l_returnflag) GROUP BY l.l_returnflag ORDER BY l_returnflag"),
+    "x_stats_histogram" ->
+      ("WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events) " +
+        "SELECT cents // 500 AS bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "MIN(cents) AS lo_cents, MAX(cents) AS hi_cents FROM c GROUP BY bin ORDER BY bin"),
     "x_stats_ntile" ->
       ("WITH d AS (SELECT doc_id, source, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens FROM documents) " +
         "SELECT doc_id, source, n_tokens, CAST(NTILE(10) OVER " +

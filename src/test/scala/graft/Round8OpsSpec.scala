@@ -433,6 +433,43 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("eventsRetention: age 0 holds the full cohort, no later age exceeds it") {
+    val rows = EventsOps.eventsRetention(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val age0 = rs.find(_._2 == 0L)
+      assert(age0.isDefined, s"cohort $c has an age-0 row (users are active in their first hour)")
+      assert(rs.forall(_._3 <= age0.get._3), s"cohort $c: no age outdraws age 0")
+      assert(rs.forall(_._2 >= 0L), "ages are non-negative")
+    }
+  }
+
+  test("statsWinsorize: clip counts stay within the 5% tails, sum bounded by raw sum") {
+    val rows = Sampling.statsWinsorize(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, n, clo, chi, _) =>
+      // discrete p05/p95 are actual elements: at most 5% strictly below/above
+      assert(clo <= n * 5 / 100 + 1, s"$flag: lo clips bounded")
+      assert(chi <= n * 5 / 100 + 1, s"$flag: hi clips bounded")
+    }
+  }
+
+  test("statsHistogram: rows fall inside their bin and bins cover all rows") {
+    val rows = Sampling.statsHistogram(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (bin, n, lo, hi) =>
+      assert(n > 0 && lo >= bin * 500 && hi < (bin + 1) * 500,
+        s"bin $bin bounds its member cents")
+    }
+    val total = rows.map(_._2).sum
+    val nEvents = graft.core.Tables.t(spark, dir, "events").count()
+    assert(total == nEvents, "every event lands in exactly one bin")
+  }
+
   private def withDocs[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("round8-spec").toString
     try { df.write.parquet(s"$tmp/documents.parquet"); f(tmp) }
