@@ -376,6 +376,25 @@ class Round8OpsSpec extends SparkSpec {
       "one bigram explode + two unigram legs, none duplicated further")
   }
 
+  test("plan shapes: new ops broadcast their small sides, never sort-merge") {
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("BroadcastHashJoin".r.findAllIn(p).size,
+        "SortMergeJoin".r.findAllIn(p).size)
+    }
+    assert(shape(EventsOps.eventsRetention(spark, dir)) == ((1, 0)),
+      "cohort map broadcasts onto the event log")
+    assert(shape(Sampling.statsWinsorize(spark, dir)) == ((1, 0)),
+      "percentile table broadcasts onto the fact")
+    assert(shape(Corpus.splitSafeGate(spark, dir)) == ((1, 0)),
+      "cluster map broadcasts onto the corpus")
+    assert(shape(Sampling.statsHistogram(spark, dir)) == ((0, 0)),
+      "histogram is scan + aggregation, no join at all")
+    val (prBhj, prSmj) = shape(Graph.graphPageRank(spark, dir))
+    assert(prBhj >= 1 && prSmj == 0,
+      "every PageRank round joins against a broadcast rank vector")
+  }
+
   test("piiScrub: redacts emails/phones/IPs with counts, leaves clean text alone") {
     val docs = Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk or call (555) 123-4567 now"),
