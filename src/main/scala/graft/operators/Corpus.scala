@@ -174,6 +174,37 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Temperature-flattened source mixing (alpha = 0.5): per-source
+    * keep fraction `sqrt(min_tokens / src_tokens)` — the smallest
+    * source keeps everything, larger sources are downsampled toward
+    * (but not all the way to) uniform, the standard temperature
+    * trade between respecting natural proportions (alpha=1, no-op)
+    * and uniform ([[mixRebalance]]'s full flattening). sqrt and a
+    * single long/long division are both IEEE correctly-rounded single
+    * ops, so the fractions — and therefore the exact kept set under
+    * the deterministic hash filter — are bit-identical on any engine.
+    * Scale shape: mirror of mixRebalance — the fraction table is
+    * |sources|-rows, broadcast into a scan-fused filter; the corpus
+    * never shuffles before the final per-source rollup. */
+  val temperatureMix: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val bySource = graft.core.Materialize.pin(
+      d.groupBy("source").agg(sum("n_tokens").as("src_tokens")))
+    val minTok = bySource.agg(min("src_tokens").as("min_tokens"))
+    val frac = bySource.crossJoin(broadcast(minTok))
+      .select(col("source"),
+        sqrt(col("min_tokens").cast("double") /
+          col("src_tokens").cast("double")).as("frac"))
+    d.join(broadcast(frac), Seq("source"))
+      .filter(Sampling.hashScore(col("doc_id")) < col("frac"))
+      .groupBy("source", "frac")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select("source", "n_docs", "n_tokens", "frac")
+      .orderBy("source")
+  }
+
   /** Context-window chunking with overlap: split every document into
     * word windows of 64 tokens at stride 32 (final partial window
     * kept), emitting per-chunk bounds and sizes — the
@@ -247,6 +278,7 @@ object Corpus {
   }
 
   val queries: Map[String, Q] = Map(
+    "x_corpus_temperature" -> temperatureMix,
     "x_corpus_split_safe" -> splitSafeGate,
     "x_corpus_bpe_pairs" -> bpePairs,
     "x_corpus_mix_rebalance" -> mixRebalance,
@@ -264,6 +296,14 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_temperature" ->
+      (s"WITH d AS (SELECT doc_id, source, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents), " +
+        "s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source), " +
+        "m AS (SELECT MIN(src_tokens) AS min_tokens FROM s), " +
+        "f AS (SELECT source, sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE)) AS frac FROM s, m) " +
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens, f.frac AS frac " +
+        s"FROM d JOIN f ON d.source = f.source WHERE ${scoreSql("d.doc_id")} < f.frac " +
+        "GROUP BY d.source, f.frac ORDER BY d.source"),
     "x_corpus_split_safe" ->
       (s"WITH RECURSIVE w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +

@@ -489,6 +489,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(total == nEvents, "every event lands in exactly one bin")
   }
 
+  test("temperatureMix: smallest source keeps all, fractions fall with size") {
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "w w w w w", "small")) ++
+      (5 to 40).map(i => (i.toLong, "w w w w w", "mid")) ++
+      (41 to 140).map(i => (i.toLong, "w w w w w", "big"))
+    ).toDF("doc_id", "text", "source")
+    withDocs(docs) { tmp =>
+      val out = Corpus.temperatureMix(spark, tmp)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(out("small")._4 == 1.0, "smallest source keeps everything")
+      assert(out("small")._2 == 4L)
+      // equal per-doc tokens: frac = sqrt(n_small / n_src) exactly
+      assert(out("mid")._4 == math.sqrt(4.0 / 36.0))
+      assert(out("big")._4 == math.sqrt(4.0 / 100.0))
+      assert(out("big")._4 < out("mid")._4 && out("mid")._4 < out("small")._4)
+    }
+  }
+
   private def withDocs[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("round8-spec").toString
     try { df.write.parquet(s"$tmp/documents.parquet"); f(tmp) }
