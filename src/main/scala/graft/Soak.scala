@@ -205,6 +205,17 @@ object Soak {
       graft.operators.Graph.triangleCount(triEdges)
     }
 
+    // PageRank on the same hub-skewed graph: the degree-n hub is the
+    // worst case for a float implementation's reproducibility (one
+    // node sums ~n contributions in shuffle order) and for per-key
+    // balance. Integer ranks make order irrelevant; the rank vector
+    // (~0.9M nodes, ~15 MB) broadcasts per round, so the 1.8M-edge
+    // list streams map-side with partial aggregation — per-round cost
+    // is edge-linear
+    time("pagerank_1.8M_edges") {
+      graft.operators.Graph.pageRankInt(triEdges)
+    }
+
     // interval overlap at event-soak scale (bounded 10-min intervals,
     // 600s buckets): candidate volume tracks bucket density
     val iv = events.filter(col("event_type") === "view")
