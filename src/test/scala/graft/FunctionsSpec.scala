@@ -121,6 +121,31 @@ class FunctionsSpec extends SparkSpec {
     assert(top2(2L) == Seq((0.3, 7L)))
   }
 
+  test("CountMinSketch: never undercounts, heavy hitter within eps*N, merge = sum") {
+    import graft.functions.CountMinSketch
+    val depth = 4
+    val width = 272 // eps = e/272 ~ 0.01
+    // 1000x one heavy item + 500 singletons, spread over 8 partitions
+    // so partial sketches MUST merge correctly for the totals to hold
+    val items = (Seq.fill(1000)("heavy") ++ (0 until 500).map(i => s"rare_$i"))
+    val ds = spark.sparkContext.parallelize(items, 8).toDS()
+    val sketch = ds.select(new CountMinSketch(depth, width).toColumn).head()
+    val n = items.size
+    val eps = math.E / width
+    val heavyEst = CountMinSketch.estimate(sketch, depth, width, "heavy")
+    assert(heavyEst >= 1000L, "estimates never undercount")
+    assert(heavyEst <= 1000L + (eps * n).ceil.toLong * depth,
+      "heavy-hitter overestimate stays bounded")
+    (0 until 500 by 50).foreach { i =>
+      val e = CountMinSketch.estimate(sketch, depth, width, s"rare_$i")
+      assert(e >= 1L && e <= 1L + (eps * n).ceil.toLong * depth)
+    }
+    assert(CountMinSketch.estimate(sketch, depth, width, "absent") <= (eps * n).ceil.toLong * depth,
+      "absent items only see collision mass")
+    assert(sketch.grouped(width).map(_.sum).toSeq == Seq.fill(depth)(n.toLong),
+      "every row's counters sum to the stream length (merge is element-wise sum)")
+  }
+
   test("native top-k query equals window-rank top-k query") {
     val emb = (0L until 30L).map(i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))).toDF("vec_id", "embedding")
