@@ -36,9 +36,11 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
-  /** Pairwise Jaccard over distinct shingles via inverted-index join:
-    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|. */
-  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
+  /** `(doc_a, doc_b, common, n_a, n_b)` for every doc pair sharing at
+    * least one shingle — the inverted-index overlap join that both
+    * set-similarity scorers ([[jaccardPairs]], [[containmentPairs]])
+    * reduce over. */
+  private def overlapPairs(sh0: DataFrame): DataFrame = {
     // Materialize the shingle index once: it feeds the count aggregate
     // plus BOTH self-join sides, and Spark does not reuse the
     // explode+distinct subtree across them (no ReusedExchange in the
@@ -53,10 +55,30 @@ object Dedup {
     common
       .join(broadcast(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a"))), Seq("doc_a"))
       .join(broadcast(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b"))), Seq("doc_b"))
+  }
+
+  /** Pairwise Jaccard over distinct shingles via inverted-index join:
+    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|. */
+  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame =
+    overlapPairs(sh0)
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
+
+  /** Pairwise set CONTAINMENT: |A∩B| / min(|A|, |B|) — the doc-in-doc
+    * signal Jaccard misses. A page quoted whole inside a much larger
+    * page has near-1 containment but tiny Jaccard (the union is
+    * dominated by the big doc), so a Jaccard-thresholded dedup keeps
+    * both copies; containment-thresholded dedup is the standard
+    * remedy (e.g. suffix/substring dup filtering in web-corpus
+    * curation). Same inverted-index overlap join and scale shape as
+    * [[jaccardPairs]] — only the denominator changes (one IEEE
+    * int64/int64 division, bit-portable). */
+  def containmentPairs(sh0: DataFrame, minContainment: Double): DataFrame =
+    overlapPairs(sh0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= minContainment)
 
   /** Exact dedup: group by content hash (16-byte shuffle key). */
   val dedupExact: Q = (s, dir) =>
@@ -68,6 +90,11 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs (threshold 0.5). */
   val dedupNgramJaccard: Q = (s, dir) =>
     jaccardPairs(shingles(t(s, dir, "documents")), 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** Containment pairs (threshold 0.8): doc-in-doc candidates. */
+  val dedupContainment: Q = (s, dir) =>
+    containmentPairs(shingles(t(s, dir, "documents")), 0.8)
       .orderBy("doc_a", "doc_b")
 
   val NumHashes = 32
@@ -646,6 +673,7 @@ object Dedup {
     "x_dedup_clusters" -> dedupClusters,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "x_dedup_containment" -> dedupContainment,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
     "x_dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "x_dedup_embedding" -> dedupEmbedding)
@@ -678,6 +706,13 @@ object Dedup {
     // miss probability (1-j^4)^8 is < 1e-3).
     "x_dedup_minhash_lsh" -> ngramJaccardOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "x_dedup_containment" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT doc_a, doc_b, common / LEAST(ca.n_sh, cb.n_sh) AS containment FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / LEAST(ca.n_sh, cb.n_sh) >= 0.8 ORDER BY doc_a, doc_b"),
     // exact by construction: the maxHamming+1-band pigeonhole
     // guarantees recall, verification is exact bit_count — so the
     // banded output EQUALS the all-pairs form the oracle computes

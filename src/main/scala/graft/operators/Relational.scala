@@ -427,6 +427,20 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Cube aggregation (beyond the reference): all 2^k grouping sets in
+    * ONE pass — Spark plans an Expand (4 grouping-set replicas of each
+    * input row) feeding a single partial-aggregated hash aggregate, so
+    * the fact table is scanned once, not once per grouping set. The
+    * quantity sum is cast to long BEFORE aggregation (values are
+    * integral) so the subtotals hash bit-portably. */
+  val a9Cube: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Intersect / except set ops on rows (beyond the reference). */
   val u4Intersect: Q = (s, dir) =>
     t(s, dir, "orders").select(col("o_custkey").as("key"))
@@ -626,6 +640,7 @@ object Relational {
     "w3_partitioned_rank" -> w3PartitionedRank,
     "w4_moving_sum" -> w4MovingSum,
     "a8_rollup" -> a8Rollup,
+    "a9_cube" -> a9Cube,
     "u4_intersect" -> u4Intersect,
     "u5_except" -> u5Except,
     "p1_select" -> p1Select,
@@ -716,6 +731,10 @@ object Relational {
     "a8_rollup" ->
       ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "a9_cube" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "u4_intersect" ->
       "SELECT o_custkey AS key FROM orders INTERSECT SELECT c_custkey FROM customer ORDER BY key",
     "u5_except" ->

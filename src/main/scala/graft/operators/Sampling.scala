@@ -58,6 +58,61 @@ object Sampling {
       .select("o_orderpriority", "o_orderkey", "o_custkey")
       .orderBy("o_orderpriority", "o_orderkey")
 
+  /** Poisson / probability-proportional-to-size sampling: include each
+    * row independently with probability `expectedN * w / sum(w)` (the
+    * classic PPS design — Horvitz-Thompson estimates from the sample
+    * are unbiased with these inclusion probabilities). Deterministic:
+    * the coin is [[hashScore]] of the row key, so reruns, backfills,
+    * and engines agree on the selected SET, not just its size.
+    *
+    * Bit-portability requires `weight` to be INTEGRAL (sum as BIGINT
+    * is exact and order-free; a double sum's low bits depend on
+    * partition merge order) — callers with money weights pass cents.
+    * The threshold is then two correctly-rounded IEEE ops
+    * (double*int64, /int64) — identical bits on any engine.
+    *
+    * Scale shape: the total is one partial-aggregated scalar,
+    * broadcast back; the filter itself is a pure per-row projection —
+    * no shuffle of the fact table at all. */
+  def ppsSample(df: DataFrame, key: Column, weight: Column,
+      expectedN: Double): DataFrame = {
+    val w = df.withColumn("__w", weight)
+    val tot = w.agg(sum(col("__w")).as("__tot"))
+    w.crossJoin(broadcast(tot))
+      .filter(hashScore(key) < lit(expectedN) * col("__w") / col("__tot"))
+      .drop("__w", "__tot")
+  }
+
+  /** ~500 orders sampled with probability proportional to order value
+    * (integer cents — o_totalprice is 2-dp money). */
+  val sampleWeighted: Q = (s, dir) =>
+    ppsSample(
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("w_cents")),
+      col("o_orderkey"), col("w_cents"), 500.0)
+      .orderBy("o_orderkey")
+
+  /** Per-group mode with a deterministic smallest-value tiebreak.
+    * Two-level shape: the (group, value) pre-aggregation is map-side
+    * combinable (shuffle carries one row per distinct value, not per
+    * input row), then the argmax window runs over the tiny distinct
+    * table — mode at any scale without buffering raw rows, and without
+    * the engine-private tiebreak of builtin mode() aggregates (DuckDB
+    * documents none; Spark has no builtin), which is what makes this
+    * form oracle-checkable at all. */
+  def groupedMode(df: DataFrame, group: String, value: String): DataFrame =
+    df.groupBy(group, value).agg(count(lit(1)).as("n"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(group).orderBy(col("n").desc, col(value))))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+
+  val statsMode: Q = (s, dir) =>
+    groupedMode(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+
   /** Exact per-group order statistics: discrete percentiles return an
     * ACTUAL element of the group (no interpolation arithmetic), so
     * doubles hash-match across engines where interpolated quantiles
@@ -245,6 +300,8 @@ object Sampling {
     "x_stats_approx_quantiles" -> statsApproxQuantiles,
     "x_sample_hash" -> sampleHash,
     "x_sample_stratified" -> sampleStratified,
+    "x_sample_weighted" -> sampleWeighted,
+    "x_stats_mode" -> statsMode,
     "x_stats_quantiles" -> statsQuantiles,
     "x_stats_distinct" -> statsDistinct,
     "x_stats_approx_distinct" -> statsApproxDistinct)
@@ -288,6 +345,17 @@ object Sampling {
     "x_sample_hash" ->
       (s"SELECT doc_id, source, n_chars FROM documents " +
         s"WHERE ${scoreSql("doc_id")} < 0.10 ORDER BY doc_id"),
+    "x_sample_weighted" ->
+      ("WITH w AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders), " +
+        "t AS (SELECT CAST(SUM(w_cents) AS BIGINT) AS tot FROM w) " +
+        s"SELECT o_orderkey, w_cents FROM w, t " +
+        s"WHERE ${scoreSql("o_orderkey")} < 500.0 * w_cents / tot ORDER BY o_orderkey"),
+    "x_stats_mode" ->
+      ("WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag, l_quantity), " +
+        "r AS (SELECT l_returnflag, l_quantity, n, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk FROM c) " +
+        "SELECT l_returnflag, l_quantity AS mode_qty, n FROM r WHERE rk = 1 ORDER BY l_returnflag"),
     "x_sample_stratified" ->
       (s"WITH r AS (SELECT o_orderpriority, o_orderkey, o_custkey, " +
         s"row_number() OVER (PARTITION BY o_orderpriority ORDER BY ${scoreSql("o_orderkey")}, o_orderkey) AS rk FROM orders) " +

@@ -198,6 +198,33 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** Window-bounded last-touch attribution: each purchase is
+    * attributed iff the user's most recent click at-or-before it is
+    * within one hour; the hourly conversion report sums revenue by
+    * attribution outcome. The lookup is [[asOfJoin]]'s union-merge
+    * (one shuffle on user_id, no range cross-join), the window bound
+    * and the rollup are per-row arithmetic + one partial-aggregated
+    * groupBy. Revenue aggregates in integer cents (value is 2-dp) so
+    * the sums are exact and order-free — a double SUM's low bits
+    * depend on partition merge order and would never hash-match. */
+  val eventsAttribution: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"),
+        round(col("value") * 100).cast(LongType).as("rev_cents"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec").as("p_sec"),
+        col("rev_cents"))
+    asOfJoin(clicks, purchases, "user_id", "sec", "p_sec")
+      .withColumn("attributed",
+        col("asof_sec").isNotNull && (col("p_sec") - col("asof_sec") <= 3600))
+      .groupBy(expr("p_sec div 3600").as("hour"), col("attributed"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("rev_cents").as("rev_cents"))
+      .orderBy("hour", "attributed")
+  }
+
   /** Naive-form range join, exercised THROUGH the optimizer rule: the
     * query is written as the obvious inequality-only inner join — the
     * shape Spark would otherwise plan as BroadcastNestedLoopJoin — and
@@ -283,6 +310,7 @@ object Temporal {
     "x_events_interval_overlap" -> eventsIntervalOverlap,
     "x_events_asof" -> eventsAsof,
     "x_events_asof_bucketed" -> eventsAsofBucketed,
+    "x_events_attribution" -> eventsAttribution,
     "x_events_range_count" -> eventsRangeCount,
     "x_events_range_naive" -> eventsRangeNaive)
 
@@ -309,6 +337,16 @@ object Temporal {
     // output-identity with the plain form is the bucketed operator's
     // contract — same oracle
     "x_events_asof_bucketed" -> asofOracle,
+    "x_events_attribution" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+        "CAST(round(value * 100) AS BIGINT) AS rev FROM events), " +
+        "c AS (SELECT user_id, sec FROM e WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, event_id, sec, rev FROM e WHERE event_type = 'purchase'), " +
+        "a AS (SELECT p.sec, p.rev, " +
+        "(SELECT MAX(c.sec) FROM c WHERE c.user_id = p.user_id AND c.sec <= p.sec) AS c_sec FROM p) " +
+        "SELECT sec // 3600 AS hour, (c_sec IS NOT NULL AND sec - c_sec <= 3600) AS attributed, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_purchases, CAST(SUM(rev) AS BIGINT) AS rev_cents " +
+        "FROM a GROUP BY hour, attributed ORDER BY hour, attributed"),
     "x_events_range_count" ->
       (eventsCte +
         "SELECT p.user_id, p.event_id, p.sec AS p_sec, " +

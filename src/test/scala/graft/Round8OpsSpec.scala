@@ -508,6 +508,71 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("ppsSample: deterministic, size near target, sure-things always kept") {
+    val rows = (1 to 2000).map(i => (i.toLong, (i % 100 + 1).toLong))
+      .toDF("k", "w")
+    val pick = Sampling.ppsSample(rows, col("k"), col("w"), 200.0)
+      .as[(Long, Long)].collect().toSet
+    val again = Sampling.ppsSample(rows, col("k"), col("w"), 200.0)
+      .as[(Long, Long)].collect().toSet
+    assert(pick == again, "hash coin => identical set on rerun")
+    assert(math.abs(pick.size - 200) < 60, s"size ${pick.size} near E[n]=200")
+    // inclusion probability scales with weight: heavy rows (w>90)
+    // should be sampled at >5x the rate of light rows (w<=10)
+    val heavy = pick.count(_._2 > 90) / 2000.0 / (10 / 100.0)
+    val light = pick.count(_._2 <= 10) / 2000.0 / (10 / 100.0)
+    assert(heavy > 5 * light, s"PPS skew: heavy=$heavy light=$light")
+    // a row with n*w/sum(w) >= 1 is a sure thing
+    val sure = rows.union(Seq((9999L, 10000000L)).toDF("k", "w"))
+    val p2 = Sampling.ppsSample(sure, col("k"), col("w"), 200.0)
+      .filter(col("k") === 9999L).count()
+    assert(p2 == 1L, "inclusion prob >= 1 => always selected")
+  }
+
+  test("groupedMode: majority value wins; ties break to smallest value") {
+    val df = Seq(
+      ("a", 5L), ("a", 5L), ("a", 3L),           // clear mode 5
+      ("b", 7L), ("b", 2L), ("b", 7L), ("b", 2L) // tie 2 vs 7 -> 2
+    ).toDF("g", "v")
+    val out = Sampling.groupedMode(df, "g", "v")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 5L, 2L), ("b", 2L, 2L)))
+  }
+
+  test("containmentPairs catches doc-in-doc that Jaccard misses") {
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    // small's 8 shingles all appear in big: containment 1.0
+    val c = Dedup.containmentPairs(sh, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(c.toSeq == Seq((1L, 2L, 1.0)))
+    // but the union is dominated by big: jaccard = 8/78 << 0.5
+    assert(Dedup.jaccardPairs(sh, 0.5).count() == 0L)
+  }
+
+  test("cube grand-total row equals the full table count") {
+    val out = graft.operators.Relational.queries("a9_cube")(spark, dir)
+      .filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .as[(String, String, Long, Long)].collect()
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.length == 1 && out.head._3 == n)
+  }
+
+  test("attribution report partitions all purchases; rev sums in cents") {
+    val report = Temporal.queries("x_events_attribution")(spark, dir)
+      .as[(Long, Boolean, Long, Long)].collect()
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val nPurch = e.filter(col("event_type") === "purchase").count()
+    assert(report.map(_._3).sum == nPurch, "every purchase lands in one bucket")
+    val revCents = e.filter(col("event_type") === "purchase")
+      .select(sum(round(col("value") * 100).cast("long"))).as[Long].head()
+    assert(report.map(_._4).sum == revCents, "revenue conserved")
+    assert(report.exists(_._2) && report.exists(!_._2),
+      "both attributed and unattributed buckets occur")
+  }
+
   private def withDocs[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("round8-spec").toString
     try { df.write.parquet(s"$tmp/documents.parquet"); f(tmp) }
