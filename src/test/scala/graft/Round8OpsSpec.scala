@@ -393,6 +393,18 @@ class Round8OpsSpec extends SparkSpec {
     val (prBhj, prSmj) = shape(Graph.graphPageRank(spark, dir))
     assert(prBhj >= 1 && prSmj == 0,
       "every PageRank round joins against a broadcast rank vector")
+    // PPS: scalar total broadcasts back (nested-loop on a 1-row side is
+    // the only join); the fact table itself is never exchanged
+    val pps = Sampling.queries("x_sample_weighted")(spark, dir)
+    val pp = pps.queryExecution.executedPlan.toString
+    assert(shape(pps) == ((0, 0)) &&
+      "BroadcastNestedLoopJoin".r.findAllIn(pp).size == 1,
+      "weight total broadcasts as a 1-row side")
+    assert(shape(Sampling.statsMode(spark, dir)) == ((0, 0)),
+      "mode is two aggregates + a window, no join")
+    val att = Temporal.queries("x_events_attribution")(spark, dir)
+    assert(!att.queryExecution.executedPlan.toString.contains("Join"),
+      "attribution inherits the as-of join's zero-join union-merge plan")
   }
 
   test("piiScrub: redacts emails/phones/IPs with counts, leaves clean text alone") {
