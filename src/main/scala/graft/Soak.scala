@@ -76,6 +76,25 @@ object Soak {
     time("lsh_ann") { Similarity.lshAnn(vecs, nQueries = 10, k = 5) }
     time("quantized_topk") { Similarity.quantizedTopK(vecs, nQueries = 10, k = 5) }
     time("hash_sample") { Sampling.hashSample(docs, col("doc_id"), 0.1) }
+    // PPS: one scalar-total pass + the per-row coin — must track
+    // hash_sample's scan-bound cost, not add a shuffle
+    time("pps_sample") {
+      Sampling.ppsSample(
+        docs.select(col("doc_id"),
+          (pmod(col("doc_id") * 131, lit(1000)) + 1).as("w")),
+        col("doc_id"), col("w"), 10000.0)
+    }
+    // last-touch attribution = as-of join + bounded flag + hourly
+    // rollup; the delta over the bare asof_join leg is the rollup cost
+    time("attribution") {
+      Temporal.asOfJoin(clicks,
+          purchases.withColumn("rev_cents", pmod(col("event_id") * 37, lit(10000))),
+          "user_id", "sec", "p_sec")
+        .withColumn("attributed",
+          col("asof_sec").isNotNull && (col("p_sec") - col("asof_sec") <= 3600))
+        .groupBy(expr("p_sec div 3600").as("hour"), col("attributed"))
+        .agg(count(lit(1)).as("n_purchases"), sum("rev_cents").as("rev"))
+    }
     time("simhash32") { TextAnalysis.simhash32(docs) }
     // skewed variant: one hot user owns ~25% of all events — the AQE
     // skew-split + bucketized-rewrite path must complete without a
@@ -132,6 +151,17 @@ object Soak {
       expr("concat_ws(' ', 'the', 'a', 'of', 'and', transform(sequence(0, 39), " +
         "i -> concat('w', pmod(id * 31 + i * 17, 2000))))").as("text"))
     time("curation_ring_100k") { graft.operators.Curation.curate(ringDocs) }
+    // containment over the group-disjoint cluster family: overlap
+    // exists only inside 5-doc groups, so the posting-list self-join
+    // stays linear in docs — 2x docs must be ~2x time
+    time("containment_100k") {
+      graft.operators.Dedup.containmentPairs(
+        graft.operators.Dedup.shingles(curationCorpus(100000L * mult)), 0.8)
+    }
+    time("containment_200k") {
+      graft.operators.Dedup.containmentPairs(
+        graft.operators.Dedup.shingles(curationCorpus(200000L * mult)), 0.8)
+    }
 
     val repetition = TextAnalysis.textRepetition
     time("repetition") {

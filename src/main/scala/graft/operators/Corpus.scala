@@ -269,11 +269,16 @@ object Corpus {
           .otherwise("train").as("split"))
 
   /** Gate query: 10% eval split over the verified 0.5-Jaccard cluster
-    * map (same clusters the x_dedup_clusters oracle checks). */
+    * map (same clusters the x_dedup_clusters oracle checks). Pair
+    * generation is [[Dedup.minhashLsh]] — the linear-candidate 100 TB
+    * path, output-identical to exact pairs on the gate corpora (their
+    * clusters sit at ~0.87 Jaccard, far above the 8x4 band knee; the
+    * same empirical-recall caveat as [[Curation.curate]] applies to
+    * borderline-Jaccard corpora). */
   val splitSafeGate: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val clusters = Dedup.canonicalClusters(
-      Dedup.jaccardPairs(Dedup.shingles(docs), 0.5))
+      Dedup.minhashLsh(docs.select("doc_id", "text"), 0.5))
     splitSafe(docs, clusters, 0.10).orderBy("doc_id")
   }
 
