@@ -299,6 +299,24 @@ object Relational {
       .crossJoin(t(s, dir, "customer").select(col("c_mktsegment").as("seg")).distinct())
       .orderBy("r_name", "seg")
 
+  /** J11 (beyond the reference): FULL OUTER equi-join — unmatched rows
+    * preserved on BOTH sides (active customers with no orders keep
+    * null counts; order groups of excluded customers keep null names).
+    * Full outer cannot broadcast by construction (every unmatched
+    * build-side row must surface exactly once, which a per-task
+    * broadcast replica cannot dedup), so the correct 100 TB plan IS
+    * the shuffle join on the key — both sides here are key-aggregated
+    * first, so the shuffle carries group rows, not facts. */
+  val j11FullOuter: Q = (s, dir) => {
+    val cust = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_name"))
+    val cnt = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    cust.join(cnt, Seq("c_custkey"), "full_outer")
+      .orderBy("c_custkey")
+  }
+
   // -------------------------------------------------------------- aggs
 
   /** A1: group-by count (build_all_pset_tables.py:112-113). */
@@ -667,6 +685,7 @@ object Relational {
     "j8_semi_join" -> j8SemiJoin,
     "j9_lookup_chain" -> j9LookupChain,
     "j10_cross_join" -> j10CrossJoin,
+    "j11_full_outer" -> j11FullOuter,
     "a1_groupby_count" -> a1GroupByCount,
     "a2_dedup_all" -> a2DedupAll,
     "a3_dedup_subset" -> a3DedupSubset,
@@ -789,6 +808,11 @@ object Relational {
       "SELECT n_nationkey, n_name, r_name AS region_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "j10_cross_join" ->
       "SELECT r_name, seg FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) ORDER BY r_name, seg",
+    "j11_full_outer" ->
+      ("WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0), " +
+        "cnt AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey) " +
+        "SELECT COALESCE(cust.c_custkey, cnt.o_custkey) AS c_custkey, c_name, n_orders " +
+        "FROM cust FULL OUTER JOIN cnt ON cust.c_custkey = cnt.o_custkey ORDER BY c_custkey"),
     "a1_groupby_count" ->
       "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "a2_dedup_all" ->

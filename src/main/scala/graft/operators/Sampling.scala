@@ -113,6 +113,41 @@ object Sampling {
       .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
       .orderBy("l_returnflag")
 
+  /** Per-group min-max normalization (feature scaling to [0,1]): the
+    * group extremes are a partial-aggregated groupBy producing a
+    * group-sized table that BROADCASTS back onto the fact scan — the
+    * normalize itself is one more projection, no fact shuffle.
+    * Bit-portable because the value is integer cents: (x-min) and
+    * (max-min) are exact int64s, and the single IEEE division of the
+    * two is correctly rounded identically on every engine. */
+  def minMaxScale(df: DataFrame, group: String, cents: Column): DataFrame = {
+    val d = df.withColumn("__cents", cents)
+    val ext = d.groupBy(group)
+      .agg(min("__cents").as("__mn"), max("__cents").as("__mx"))
+    d.join(broadcast(ext), Seq(group))
+      .withColumn("scaled",
+        when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((col("__cents") - col("__mn")).cast("double") /
+            (col("__mx") - col("__mn")).cast("double")))
+  }
+
+  val statsMinmaxScale: Q = (s, dir) =>
+    minMaxScale(t(s, dir, "lineitem"), "l_returnflag",
+      floor(col("l_extendedprice") * 100).cast(LongType))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("__cents").as("cents"), col("scaled"))
+
+  /** Per-group percent_rank — (rank-1)/(n-1) is rank arithmetic over
+    * exact integers followed by one IEEE division, so ties and bits
+    * agree across engines by definition (unlike cume_dist-of-doubles
+    * pipelines). One shuffle on the group key. */
+  val statsPercentRank: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("o_orderpriority").orderBy("cents")))
+
   /** Exact per-group order statistics: discrete percentiles return an
     * ACTUAL element of the group (no interpolation arithmetic), so
     * doubles hash-match across engines where interpolated quantiles
@@ -302,6 +337,8 @@ object Sampling {
     "x_sample_stratified" -> sampleStratified,
     "x_sample_weighted" -> sampleWeighted,
     "x_stats_mode" -> statsMode,
+    "x_stats_minmax_scale" -> statsMinmaxScale,
+    "x_stats_percent_rank" -> statsPercentRank,
     "x_stats_quantiles" -> statsQuantiles,
     "x_stats_distinct" -> statsDistinct,
     "x_stats_approx_distinct" -> statsApproxDistinct)
@@ -356,6 +393,17 @@ object Sampling {
         "r AS (SELECT l_returnflag, l_quantity, n, " +
         "row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk FROM c) " +
         "SELECT l_returnflag, l_quantity AS mode_qty, n FROM r WHERE rk = 1 ORDER BY l_returnflag"),
+    "x_stats_minmax_scale" ->
+      ("WITH d AS (SELECT l_returnflag, l_orderkey, l_linenumber, " +
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), " +
+        "e AS (SELECT l_returnflag, MIN(cents) AS mn, MAX(cents) AS mx FROM d GROUP BY l_returnflag) " +
+        "SELECT d.l_returnflag, l_orderkey, l_linenumber, cents, " +
+        "CASE WHEN mx = mn THEN 0.0 ELSE CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS scaled " +
+        "FROM d JOIN e USING (l_returnflag)"),
+    "x_stats_percent_rank" ->
+      ("SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)) AS pr " +
+        "FROM orders"),
     "x_sample_stratified" ->
       (s"WITH r AS (SELECT o_orderpriority, o_orderkey, o_custkey, " +
         s"row_number() OVER (PARTITION BY o_orderpriority ORDER BY ${scoreSql("o_orderkey")}, o_orderkey) AS rk FROM orders) " +

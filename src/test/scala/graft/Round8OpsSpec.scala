@@ -585,6 +585,47 @@ class Round8OpsSpec extends SparkSpec {
       "both attributed and unattributed buckets occur")
   }
 
+  test("full outer join keeps unmatched rows from BOTH sides") {
+    // synthetic: key 1 left-only, key 3 right-only, key 2 matched
+    // (at sf0.001 every active customer has orders, so the gate data
+    // exercises only the right-only case; the gate row's DuckDB hash
+    // check covers whatever the corpus contains)
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val cnt = Seq((2L, 5L), (3L, 7L)).toDF("c_custkey", "n_orders")
+    val out = cust.join(cnt, Seq("c_custkey"), "full_outer")
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some("a"), None), (2L, Some("b"), Some(5L)),
+      (3L, None, Some(7L))))
+    // and the gate query itself surfaces right-only rows on sf data
+    val gate = graft.operators.Relational.queries("j11_full_outer")(spark, dir)
+      .as[(Long, Option[String], Option[Long])].collect()
+    assert(gate.exists(r => r._2.isEmpty && r._3.isDefined),
+      "orders of an excluded customer -> null name")
+    assert(gate.map(_._1).distinct.length == gate.length, "key appears once")
+  }
+
+  test("minMaxScale: group min -> 0, max -> 1, constant group -> 0") {
+    val df = Seq(("a", 10L), ("a", 30L), ("a", 20L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    val out = Sampling.minMaxScale(df, "g", col("v"))
+      .select(col("g"), col("v"), col("scaled"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("a", 10L, 0.0), ("a", 30L, 1.0), ("a", 20L, 0.5),
+      ("b", 7L, 0.0), ("b", 7L, 0.0)))
+  }
+
+  test("percentRank: 0 at group min, 1 at group max, ties share a rank") {
+    val rows = Sampling.queries("x_stats_percent_rank")(spark, dir)
+      .as[(Long, String, Long, Double)].collect()
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val byC = g.sortBy(_._3)
+      assert(byC.head._4 == 0.0 && byC.last._4 == 1.0)
+      // equal cents => equal percent_rank
+      byC.groupBy(_._3).values.foreach(ts =>
+        assert(ts.map(_._4).distinct.length == 1))
+    }
+  }
+
   private def withDocs[T](df: org.apache.spark.sql.DataFrame)(f: String => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory("round8-spec").toString
     try { df.write.parquet(s"$tmp/documents.parquet"); f(tmp) }
