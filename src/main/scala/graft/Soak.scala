@@ -151,16 +151,21 @@ object Soak {
       expr("concat_ws(' ', 'the', 'a', 'of', 'and', transform(sequence(0, 39), " +
         "i -> concat('w', pmod(id * 31 + i * 17, 2000))))").as("text"))
     time("curation_ring_100k") { graft.operators.Curation.curate(ringDocs) }
-    // containment over the group-disjoint cluster family: overlap
-    // exists only inside 5-doc groups, so the posting-list self-join
-    // stays linear in docs — 2x docs must be ~2x time
+    // containment over the cluster family WITH its shared stopword
+    // header: uncapped, the two universal header shingles alone emit
+    // n^2/2 candidate pairs (soak-verified runaway — killed at 100k
+    // docs after 25+ min); the df cap drops exactly those
+    // stop-shingles, overlap collapses to the 5-doc groups, and the
+    // claim becomes linearity: 2x docs ~ 2x time
     time("containment_100k") {
       graft.operators.Dedup.containmentPairs(
-        graft.operators.Dedup.shingles(curationCorpus(100000L * mult)), 0.8)
+        graft.operators.Dedup.shingles(curationCorpus(100000L * mult)), 0.8,
+        maxDf = Some(1000L))
     }
     time("containment_200k") {
       graft.operators.Dedup.containmentPairs(
-        graft.operators.Dedup.shingles(curationCorpus(200000L * mult)), 0.8)
+        graft.operators.Dedup.shingles(curationCorpus(200000L * mult)), 0.8,
+        maxDf = Some(1000L))
     }
 
     val repetition = TextAnalysis.textRepetition

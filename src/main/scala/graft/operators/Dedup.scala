@@ -39,13 +39,35 @@ object Dedup {
   /** `(doc_a, doc_b, common, n_a, n_b)` for every doc pair sharing at
     * least one shingle — the inverted-index overlap join that both
     * set-similarity scorers ([[jaccardPairs]], [[containmentPairs]])
-    * reduce over. */
-  private def overlapPairs(sh0: DataFrame): DataFrame = {
+    * reduce over.
+    *
+    * `maxDf`: the exact self-join's cost is sum over shingles of
+    * posting-list² — ONE boilerplate shingle shared by f docs emits
+    * f(f-1)/2 candidate pairs (a 4-word header common to 100k docs is
+    * ~5e9 pairs from two shingles; soak-verified runaway). Capping
+    * document frequency drops those stop-shingles from the index AND
+    * from the per-doc sizes, i.e. similarity is computed exactly over
+    * the FILTERED shingle universe — the standard stop-shingle /
+    * prefix-filter remedy. Deterministic and engine-portable (the cap
+    * is a plain df predicate), but a DIFFERENT measure than the
+    * uncapped one: boilerplate no longer votes for similarity (usually
+    * the point — shared headers are precisely what near-dup scoring
+    * should ignore). None = exact over all shingles (the oracle
+    * shape). */
+  private def overlapPairs(sh0: DataFrame, maxDf: Option[Long]): DataFrame = {
     // Materialize the shingle index once: it feeds the count aggregate
     // plus BOTH self-join sides, and Spark does not reuse the
     // explode+distinct subtree across them (no ReusedExchange in the
     // plan — verified), so without this the index is built three times.
-    val sh = graft.core.Materialize.pin(sh0)
+    val shAll = graft.core.Materialize.pin(sh0)
+    val sh = maxDf match {
+      case None => shAll
+      case Some(cap) =>
+        val keep = shAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("shingle")
+        graft.core.Materialize.pin(
+          shAll.join(keep, Seq("shingle"), "left_semi"))
+    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -58,9 +80,12 @@ object Dedup {
   }
 
   /** Pairwise Jaccard over distinct shingles via inverted-index join:
-    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|. */
-  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame =
-    overlapPairs(sh0)
+    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+    * `maxDf`: see [[overlapPairs]] — stop-shingle cap for corpora with
+    * shared boilerplate. */
+  def jaccardPairs(sh0: DataFrame, minJaccard: Double,
+      maxDf: Option[Long] = None): DataFrame =
+    overlapPairs(sh0, maxDf)
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -73,9 +98,11 @@ object Dedup {
     * remedy (e.g. suffix/substring dup filtering in web-corpus
     * curation). Same inverted-index overlap join and scale shape as
     * [[jaccardPairs]] — only the denominator changes (one IEEE
-    * int64/int64 division, bit-portable). */
-  def containmentPairs(sh0: DataFrame, minContainment: Double): DataFrame =
-    overlapPairs(sh0)
+    * int64/int64 division, bit-portable). `maxDf`: see
+    * [[overlapPairs]]. */
+  def containmentPairs(sh0: DataFrame, minContainment: Double,
+      maxDf: Option[Long] = None): DataFrame =
+    overlapPairs(sh0, maxDf)
       .select(col("doc_a"), col("doc_b"),
         (col("common") / least(col("n_a"), col("n_b"))).as("containment"))
       .filter(col("containment") >= minContainment)

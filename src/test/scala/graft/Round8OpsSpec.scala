@@ -585,6 +585,29 @@ class Round8OpsSpec extends SparkSpec {
       "both attributed and unattributed buckets occur")
   }
 
+  test("maxDf cap: boilerplate shingles stop voting, group overlap survives") {
+    // docs 1/2 near-dup via private vocab; ALL docs share a 5-word
+    // boilerplate header (=> 3 universal shingles voting for every pair)
+    val header = "copyright acme corp all rights"
+    val docs = Seq(
+      (1L, s"$header x1 x2 x3 x4 x5 x6"),
+      (2L, s"$header x1 x2 x3 x4 x5 y9"),
+      (3L, s"$header z1 z2 z3 z4 z5 z6"),
+      (4L, s"$header q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    // uncapped: the header makes EVERY pair >= 3/19 similar, and at a
+    // low threshold all 6 pairs surface
+    assert(Dedup.jaccardPairs(sh, 0.15).count() == 6L)
+    // capped at df<=2: the 3 header-internal shingles (df=4) drop out
+    // of index AND denominators; only the true near-dup pair remains —
+    // 5 common (2 header->x bridges + 3 x-internal) of 6+6 filtered
+    val capped = Dedup.jaccardPairs(sh, 0.15, maxDf = Some(2L))
+      .as[(Long, Long, Double)].collect()
+    assert(capped.toSeq == Seq((1L, 2L, 5.0 / 7.0)))
+    // containment takes the same knob
+    assert(Dedup.containmentPairs(sh, 0.5, maxDf = Some(2L)).count() == 1L)
+  }
+
   test("full outer join keeps unmatched rows from BOTH sides") {
     // synthetic: key 1 left-only, key 3 right-only, key 2 matched
     // (at sf0.001 every active customer has orders, so the gate data
