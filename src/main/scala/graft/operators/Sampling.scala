@@ -216,6 +216,35 @@ object Sampling {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
       .orderBy("l_returnflag")
 
+  /** Mergeable distinct sketches (Apache DataSketches HLL via Spark
+    * 4's hll_sketch_agg / hll_union_agg): per-(type, hour) user
+    * sketches are built ONCE, then merged across hours per type. This
+    * is the sketch property approx_count_distinct alone doesn't
+    * surface — sketches are DATA (storable, re-aggregatable), so the
+    * 100 TB pattern is: maintain fine-grained sketches incrementally,
+    * answer any coarser rollup by union without touching raw rows
+    * again. Rows-only driver check like the other sketch rows (the
+    * estimate is the DataSketches hash family's, not portable SQL);
+    * the exact twin [[eventsDistinctUsers]] carries the oracle and
+    * SamplingSpec bounds the merged estimate's error against it. */
+  val statsHllUnion: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hour"),
+        col("user_id"))
+      .groupBy("event_type", "hour")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_approx"),
+        count(lit(1)).as("n_hours"))
+      .orderBy("event_type")
+
+  /** Exact twin of [[statsHllUnion]]'s rollup target. */
+  val eventsDistinctUsers: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
   /** Sketch-based percentiles (rows-only driver check; the sketch is
     * engine-specific by nature). approx_percentile at accuracy 10000
     * holds bounded state per group regardless of group size — the
@@ -341,7 +370,9 @@ object Sampling {
     "x_stats_percent_rank" -> statsPercentRank,
     "x_stats_quantiles" -> statsQuantiles,
     "x_stats_distinct" -> statsDistinct,
-    "x_stats_approx_distinct" -> statsApproxDistinct)
+    "x_stats_approx_distinct" -> statsApproxDistinct,
+    "x_stats_hll_union" -> statsHllUnion,
+    "x_events_distinct_users" -> eventsDistinctUsers)
 
   /** DuckDB rendering of [[hashScore]]. */
   private def scoreSql(key: String): String =
@@ -415,5 +446,8 @@ object Sampling {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "x_stats_distinct" ->
       ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "x_events_distinct_users" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY event_type ORDER BY event_type"))
 }

