@@ -125,9 +125,47 @@ object Cdc {
       .orderBy("o_orderpriority")
   }
 
+  /** Snapshot DIFF by content hash: classify every key across two
+    * snapshot versions as added / removed / changed (unchanged rows —
+    * the overwhelming bulk — are dropped). The comparison never
+    * touches payload bytes past the scan: each side reduces to
+    * (key, md5) at the parquet reader, so the full-outer join
+    * shuffles 16-byte digests, not documents. The audit twin of
+    * [[mergeUpsert]]: diff(old, new) is the change batch that would
+    * replay old into new — data-versioning regression checks at
+    * 100 TB run this, not a byte compare. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String,
+      payload: String): DataFrame = {
+    val o = old.select(col(key), md5(col(payload)).as("__h_old"))
+    val n = neu.select(col(key), md5(col(payload)).as("__h_new"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+  }
+
+  /** Gate query: the "new" snapshot is a deterministic perturbation of
+    * documents — doc_id%97==0 removed, doc_id%101==0 text-revised,
+    * doc_id%103==0 re-keyed (+10^9: old id removed, new id added). */
+  val cdcSnapshotDiff: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val neu = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(
+        when(col("doc_id") % 103 === 0, col("doc_id") + 1000000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("doc_id") % 101 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    snapshotDiff(docs, neu, "doc_id", "text")
+      .orderBy("doc_id", "status")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_cdc_merge_upsert" -> cdcMergeUpsert,
     "x_cdc_agg_refresh" -> cdcAggRefresh,
+    "x_cdc_snapshot_diff" -> cdcSnapshotDiff,
     "x_cdc_scd2" -> cdcScd2)
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +180,18 @@ object Cdc {
         "(SELECT o_orderkey FROM ch WHERE op IN ('U','D'))), " +
         "applied AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ch WHERE op IN ('U','I')) " +
         "SELECT * FROM kept UNION ALL SELECT * FROM applied ORDER BY o_orderkey"),
+    "x_cdc_snapshot_diff" ->
+      ("WITH neu AS (SELECT CASE WHEN doc_id % 103 = 0 THEN doc_id + 1000000000 ELSE doc_id END AS doc_id, " +
+        "CASE WHEN doc_id % 101 = 0 THEN text || ' rev2' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 97 <> 0), " +
+        "o AS (SELECT doc_id, md5(text) AS h_old FROM documents), " +
+        "n AS (SELECT doc_id, md5(text) AS h_new FROM neu) " +
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN h_old <> h_new THEN 'changed' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id " +
+        "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR h_old <> h_new " +
+        "ORDER BY doc_id, status"),
     "x_cdc_agg_refresh" ->
       ("WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders), " +
         "pb AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, SUM(p) AS total FROM o WHERE o_orderkey % 5 <> 0 GROUP BY o_orderpriority), " +

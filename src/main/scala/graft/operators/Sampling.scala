@@ -356,7 +356,37 @@ object Sampling {
         min("cents").as("lo_cents"), max("cents").as("hi_cents"))
       .orderBy("bin")
 
+  /** Join-key skew profile — the diagnostic to run BEFORE shuffling
+    * 100 TB on a key: per-key counts (one map-combined aggregation),
+    * then the top-10 heavy keys with their share in basis points,
+    * carrying corpus-level figures (n_keys, total, max_n) on every
+    * row. Integer basis points (n*10000 div total), not a float
+    * ratio, so the profile hashes bit-portably. The key-count table
+    * is its own scale story: it's exactly the table a salting
+    * strategy (core.Skew) or AQE skew-join would consume. Top-10 via
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps, never
+    * a global sort) — a bare Window.orderBy rank would drag every
+    * key-count through one partition; the rank window runs over the
+    * 10 survivors only. */
+  val statsKeySkew: Q = (s, dir) => {
+    val c = graft.core.Materialize.pin(
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n")))
+    val tot = c.agg(sum("n").as("total"), count(lit(1)).as("n_keys"),
+      max("n").as("max_n"))
+    c.orderBy(col("n").desc, col("key")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("key"))))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("n"),
+        expr("n * 10000 div total").as("share_bp"),
+        col("n_keys"), col("total"), col("max_n"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_stats_key_skew" -> statsKeySkew,
     "x_stats_winsorize" -> statsWinsorize,
     "x_stats_histogram" -> statsHistogram,
     "x_stats_ntile" -> statsNtile,
@@ -424,6 +454,12 @@ object Sampling {
         "r AS (SELECT l_returnflag, l_quantity, n, " +
         "row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rk FROM c) " +
         "SELECT l_returnflag, l_quantity AS mode_qty, n FROM r WHERE rk = 1 ORDER BY l_returnflag"),
+    "x_stats_key_skew" ->
+      ("WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey), " +
+        "s AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(n) AS max_n FROM c), " +
+        "r AS (SELECT key, n, CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank FROM c) " +
+        "SELECT rank, key, n, n * 10000 // total AS share_bp, n_keys, total, max_n " +
+        "FROM r, s WHERE rank <= 10 ORDER BY rank"),
     "x_stats_minmax_scale" ->
       ("WITH d AS (SELECT l_returnflag, l_orderkey, l_linenumber, " +
         "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), " +

@@ -608,6 +608,33 @@ class Round8OpsSpec extends SparkSpec {
     assert(Dedup.containmentPairs(sh, 0.5, maxDf = Some(2L)).count() == 1L)
   }
 
+  test("snapshotDiff classifies added/removed/changed, drops unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("k", "v")
+    val out = Cdc.snapshotDiff(old, neu, "k", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("keySkew: shares in basis points, heap top-10, corpus figures ride along") {
+    val rows = Sampling.queries("x_stats_key_skew")(spark, dir)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (1 to 10))
+    val (total, maxN) = (rows.head._6, rows.head._7)
+    rows.foreach { r =>
+      assert(r._4 == r._3 * 10000 / total, "integer basis points")
+      assert(r._3 <= maxN)
+    }
+    assert(rows.head._3 == maxN, "rank 1 is the heaviest key")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3 },
+      "counts non-increasing")
+    // top-10 must come from a heap (TakeOrderedAndProject), not a
+    // global-sort window over every key count
+    val plan = Sampling.queries("x_stats_key_skew")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "heap top-k in plan")
+  }
+
   test("full outer join keeps unmatched rows from BOTH sides") {
     // synthetic: key 1 left-only, key 3 right-only, key 2 matched
     // (at sf0.001 every active customer has orders, so the gate data
