@@ -47,6 +47,51 @@ object CoreProps extends Properties("graft.core") {
       u == (a.toSet ++ b.toSet)
     }
 
+  // random 4-12 doc corpora over a 6-word vocabulary: dense shingle
+  // collisions, many exact ties — the adversarial regime for pair
+  // scoring
+  private val docsGen: Gen[List[String]] =
+    Gen.chooseNum(4, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(5, 10).flatMap { len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+          .map(_.mkString(" "))
+      })
+    }
+
+  private def shingleSet(text: String): Set[String] = {
+    val w = text.trim.split("\\s+").toSeq
+    if (w.length < 3) Set.empty
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  property("jaccard/containment pairs match an independent brute force") =
+    forAll(docsGen) { texts: List[String] =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sh = graft.operators.Dedup.shingles(docs)
+      val gotJ = graft.operators.Dedup.jaccardPairs(sh, 0.3)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      val gotC = graft.operators.Dedup.containmentPairs(sh, 0.3)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      val sets = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t) }
+      val expected = for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        common = (sa & sb).size
+        if common > 0
+      } yield (ia, ib, common.toDouble / (sa.size + sb.size - common),
+        common.toDouble / math.min(sa.size, sb.size))
+      val expJ = expected.collect { case (a, b, j, _) if j >= 0.3 => (a, b) -> j }.toMap
+      val expC = expected.collect { case (a, b, _, c) if c >= 0.3 => (a, b) -> c }.toMap
+      gotJ == expJ && gotC == expC &&
+        // containment dominates jaccard on every candidate pair
+        expected.forall { case (_, _, j, c) => c >= j }
+    }
+
   property("harmonize output schema is exactly the target") =
     forAll(Gen.someOf("a", "b", "c")) { present =>
       import spark.implicits._
