@@ -20,7 +20,9 @@ object PlanCheck {
       else Seq("p6_filter_range", "j1_left_join", "j3_broadcast_dim_join",
         "a1_groupby_count", "o2_multisort_limit", "x_dedup_ngram_jaccard",
         "x_sim_cosine_topk", "x_events_asof", "x_events_range_count",
-        "x_sim_lsh_ann", "x_sample_hash", "x_text_contamination")
+        "x_sim_lsh_ann", "x_sample_hash", "x_text_contamination",
+        "x_sample_weighted", "x_stats_key_skew", "j11_full_outer",
+        "x_cdc_snapshot_diff", "x_events_attribution")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
