@@ -50,22 +50,30 @@ object Bench {
         graft.operators.Dedup.minhashLsh(toy, 0.5)).collect()
     }
 
+    // SPARK_GRAFT_BENCH_REPS=k (default 1): report min-of-k per query —
+    // a host-noise guard for humans re-reading a suspicious round (the
+    // r4 bench read 2.18x slow on identical bytecode); the driver
+    // leaves it unset and gets the single-shot contract unchanged.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune the
-      // projection, so pure per-row queries would time only the scan.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => errors ::= name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune the
+        // projection, so pure per-row queries would time only the scan.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => errors ::= name; false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     def fmt(entries: Seq[(String, Double)], digits: Int): String =
       entries.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else s"%.${digits}f".format(v))
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson = errors.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""BENCH-DETAIL {"queries":${fmt(results, 6)}}""")
     // Final line must fit the driver's 2000-char stdout-tail window:
     // include per-query timings slowest-first until a 1700-char budget
