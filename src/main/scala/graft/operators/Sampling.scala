@@ -93,6 +93,42 @@ object Sampling {
       col("o_orderkey"), col("w_cents"), 500.0)
       .orderBy("o_orderkey")
 
+  /** SYSTEMATIC PPS sampling — exact sample size n (as multiplicities),
+    * inclusion probability still proportional to weight. Rows are laid
+    * on the cumulative-weight line in deterministic hash order; a row
+    * is drawn once per threshold multiple of W/n inside its weight
+    * interval: multiplicity = floor(cum*n/W) - floor((cum-w)*n/W).
+    * Multiplicities sum to exactly n by telescoping, and a row heavier
+    * than W/n draws 2+ times — the textbook systematic design, where
+    * Poisson/[[ppsSample]] only hits n in expectation.
+    *
+    * All-integer arithmetic (long cum, truncating div on non-negative
+    * operands = floor), so selection is bit-portable. The cumulative
+    * weight comes from [[graft.core.Cumsum.globalCumsum]] — the
+    * two-phase distributed running total, NOT a single-partition
+    * global window. Caveat: cum*n must fit int64 (document scale:
+    * switch the product to decimal past ~10^18/n total weight). */
+  def systematicPps(df: DataFrame, key: Column, weight: Column,
+      n: Long): DataFrame = {
+    val w = df.withColumn("__w", weight)
+    val tot = w.agg(sum(col("__w").cast(LongType)).as("__tot"))
+    graft.core.Cumsum.globalCumsum(w, Seq(hashScore(key), key), col("__w"), "__cum")
+      .crossJoin(broadcast(tot))
+      .withColumn("multiplicity",
+        expr(s"(__cum * $n) div __tot - ((__cum - __w) * $n) div __tot"))
+      .filter(col("multiplicity") > 0)
+      .drop("__cum", "__tot", "__w")
+  }
+
+  /** Exactly 500 draws over orders, weight = order value in cents. */
+  val sampleSystematic: Q = (s, dir) =>
+    systematicPps(
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("w_cents")),
+      col("o_orderkey"), col("w_cents"), 500L)
+      .orderBy("o_orderkey")
+
   /** Per-group mode with a deterministic smallest-value tiebreak.
     * Two-level shape: the (group, value) pre-aggregation is map-side
     * combinable (shuffle carries one row per distinct value, not per
@@ -395,6 +431,7 @@ object Sampling {
     "x_sample_hash" -> sampleHash,
     "x_sample_stratified" -> sampleStratified,
     "x_sample_weighted" -> sampleWeighted,
+    "x_sample_systematic" -> sampleSystematic,
     "x_stats_mode" -> statsMode,
     "x_stats_minmax_scale" -> statsMinmaxScale,
     "x_stats_percent_rank" -> statsPercentRank,
@@ -448,6 +485,12 @@ object Sampling {
         "t AS (SELECT CAST(SUM(w_cents) AS BIGINT) AS tot FROM w) " +
         s"SELECT o_orderkey, w_cents FROM w, t " +
         s"WHERE ${scoreSql("o_orderkey")} < 500.0 * w_cents / tot ORDER BY o_orderkey"),
+    "x_sample_systematic" ->
+      ("WITH w AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders), " +
+        "t AS (SELECT CAST(SUM(w_cents) AS BIGINT) AS tot FROM w), " +
+        s"c AS (SELECT o_orderkey, w_cents, CAST(SUM(w_cents) OVER (ORDER BY ${scoreSql("o_orderkey")}, o_orderkey) AS BIGINT) AS cum FROM w) " +
+        "SELECT o_orderkey, w_cents, (cum * 500) // tot - ((cum - w_cents) * 500) // tot AS multiplicity " +
+        "FROM c, t WHERE (cum * 500) // tot - ((cum - w_cents) * 500) // tot > 0 ORDER BY o_orderkey"),
     "x_stats_mode" ->
       ("WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY l_returnflag, l_quantity), " +

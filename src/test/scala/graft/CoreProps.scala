@@ -92,6 +92,17 @@ object CoreProps extends Properties("graft.core") {
         expected.forall { case (_, _, j, c) => c >= j }
     }
 
+  property("globalCumsum equals the single-partition window on any partitioning") =
+    forAll(smallInts, Gen.chooseNum(1, 8)) { (xs: List[Int], parts: Int) =>
+      import spark.implicits._
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, math.abs(v).toLong) }
+        .toDF("k", "w").repartition(parts)
+      val got = graft.core.Cumsum.globalCumsum(df, Seq(col("k")), col("w"))
+        .select("k", "cum").as[(Long, Long)].collect().sortBy(_._1)
+      val exp = xs.map(v => math.abs(v).toLong).scanLeft(0L)(_ + _).tail
+      got.map(_._2).toSeq == exp
+    }
+
   property("harmonize output schema is exactly the target") =
     forAll(Gen.someOf("a", "b", "c")) { present =>
       import spark.implicits._

@@ -541,6 +541,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(p2 == 1L, "inclusion prob >= 1 => always selected")
   }
 
+  test("systematicPps: multiplicities sum to exactly n, heavy rows draw multiply") {
+    val rows = (1 to 3000).map(i => (i.toLong, (i % 50 + 1).toLong)).toDF("k", "w")
+    val out = Sampling.systematicPps(rows, col("k"), col("w"), 100L)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == 100L, "telescoping => exactly n draws")
+    val again = Sampling.systematicPps(rows, col("k"), col("w"), 100L)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "deterministic")
+    // one row with w > 2*W/n must be drawn at least twice
+    val withWhale = rows.union(Seq((99999L, 5000L)).toDF("k", "w"))
+    val whale = Sampling.systematicPps(withWhale, col("k"), col("w"), 100L)
+      .filter(col("k") === 99999L).as[(Long, Long, Long)].collect()
+    assert(whale.length == 1 && whale.head._3 >= 2,
+      s"whale multiplicity ${whale.headOption.map(_._3)}")
+    // and the gate shape still sums to n on real data
+    val gate = Sampling.queries("x_sample_systematic")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(gate.map(_._3).sum == 500L)
+  }
+
   test("groupedMode: majority value wins; ties break to smallest value") {
     val df = Seq(
       ("a", 5L), ("a", 5L), ("a", 3L),           // clear mode 5
