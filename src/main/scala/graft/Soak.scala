@@ -84,6 +84,15 @@ object Soak {
           (pmod(col("doc_id") * 131, lit(1000)) + 1).as("w")),
         col("doc_id"), col("w"), 10000.0)
     }
+    // systematic PPS at 2M rows: the two-phase global cumsum's only
+    // full-data cost is the range-partitioned sort — must stay within
+    // a small factor of the scan-bound samplers above
+    time("systematic_pps") {
+      Sampling.systematicPps(
+        spark.range(2000000L * mult).select(col("id").as("k"),
+          (pmod(col("id") * 131, lit(1000)) + 1).as("w")),
+        col("k"), col("w"), 10000L)
+    }
     // last-touch attribution = as-of join + bounded flag + hourly
     // rollup; the delta over the bare asof_join leg is the rollup cost
     time("attribution") {
