@@ -22,7 +22,11 @@ object PlanCheck {
         "x_sim_cosine_topk", "x_events_asof", "x_events_range_count",
         "x_sim_lsh_ann", "x_sample_hash", "x_text_contamination",
         "x_sample_weighted", "x_stats_key_skew", "j11_full_outer",
-        "x_cdc_snapshot_diff", "x_events_attribution")
+        "x_cdc_snapshot_diff", "x_events_attribution",
+        // the 5 most expensive gate queries (BENCH_r08) — audit these
+        // first when a round's bench regresses
+        "x_pipeline_curation", "x_dedup_clusters", "x_graph_pagerank",
+        "x_corpus_split_safe", "q0_spine")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

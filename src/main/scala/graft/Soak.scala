@@ -273,6 +273,106 @@ object Soak {
         "v_start", "v_end", "c_start", "c_end", 600L)
     }
 
+    // reliable-checkpoint CC at curation scale: same 100k-doc corpus
+    // family as curation_100k, clusters built twice — local-checkpoint
+    // (executor-block) mode vs reliable (checkpoint-dir) mode. The
+    // delta IS the per-round filesystem round-trip a fault-tolerant
+    // production loop pays; the claim is bounded overhead (a small
+    // factor, not a blow-up), since each round's frame is label-sized.
+    if (want("clusters_ckpt")) {
+      val ckPairs = graft.core.Materialize.pin(
+        graft.operators.Dedup.minhashLsh(
+          curationCorpus(100000L * mult).select("doc_id", "text"), 0.5))
+      time("clusters_ckpt_local_100k") {
+        graft.operators.Dedup.canonicalClusters(ckPairs)
+      }
+      val ckDir = java.nio.file.Files.createTempDirectory("soak-ckpt").toString
+      spark.sparkContext.setCheckpointDir(ckDir)
+      time("clusters_ckpt_reliable_100k") {
+        graft.operators.Dedup.canonicalClusters(ckPairs, reliable = true)
+      }
+      org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(ckPairs)
+    }
+
+    // end-to-end PSet pipeline as ONE job: 2 PSets x 20k experiments
+    // (the orchestration is spec-covered per-table; this leg records
+    // its wall clock as one run and checks row-count conservation of
+    // the fact tables — experiments in == experiment rows out, etc.)
+    if (want("pipeline")) {
+      val nExp = 20000 * mult
+      val nCells = 500
+      val nDrugs = 200
+      val nGenes = 2000
+      val pipeRoot = java.nio.file.Files.createTempDirectory("soak-pipe").toString
+      for (ps <- Seq("SoakA", "SoakB")) {
+        val dir = new java.io.File(s"$pipeRoot/${ps}_PSet"); dir.mkdirs()
+        def w(n: String, header: String, rows: Iterator[String]): Unit = {
+          val bw = new java.io.BufferedWriter(
+            new java.io.FileWriter(s"${dir.getPath}/$n"))
+          bw.write(header); bw.write("\n")
+          rows.foreach { r => bw.write(r); bw.write("\n") }
+          bw.close()
+        }
+        w("cell.csv", "cellid,tissueid",
+          (0 until nCells).iterator.map(i => s"c$i,t${i % 20}"))
+        w("drug.csv", "drugid,smiles,inchikey,cid,FDA",
+          (0 until nDrugs).iterator.map(i => s"d$i,CC$i,IK$i,$i.0,true"))
+        w("sensitivity$info.csv", ".rownames,cellid,drugid",
+          (0 until nExp).iterator.map(i => s"${ps}_e$i,c${i % nCells},d${i % nDrugs}"))
+        w("sensitivity$raw.Dose.csv", ".exp_id,doses1,doses2",
+          (0 until nExp).iterator.map(i => s"${ps}_e$i,0.5,1.5"))
+        w("sensitivity$raw.Viability.csv", ".exp_id,doses1,doses2",
+          (0 until nExp).iterator.map(i => s"${ps}_e$i,${40 + i % 60}.0,${30 + i % 70}.0"))
+        w("sensitivity$profiles.csv",
+          ".rownames,aac_recomputed,ic50_recomputed,HS,einf,ec50,DSS1,DSS2,DSS3",
+          (0 until nExp).iterator.map(i =>
+            s"${ps}_e$i,0.${i % 9 + 1},0.3,1,0.1,0.2,1,2,3"))
+        w("molecularProfiles$rna$rowData.csv", ".features",
+          (0 until nGenes).iterator.map(g => s"ENSG$g.${g % 7 + 1}"))
+        w("molecularProfiles$rna$colData.csv", "cellid",
+          (0 until nCells).iterator.map(i => s"c$i"))
+      }
+      val pipeCfg = graft.pset.PipelineConfig(
+        rawDir = pipeRoot,
+        workDir = java.nio.file.Files.createTempDirectory("soak-pipe-work").toString,
+        finalDir = java.nio.file.Files.createTempDirectory("soak-pipe-final").toString,
+        psetNames = Seq("SoakA", "SoakB"),
+        cellSynonymMeta = Some(spark.range(nCells).select(
+          concat(lit("c"), col("id")).as("unique.cellid"),
+          concat(lit("c"), col("id"), lit("_alias")).as("SoakA.cellid"))),
+        compoundSynonymMeta = Some(spark.range(nDrugs).select(
+          concat(lit("d"), col("id")).as("unique.drugid"),
+          concat(lit("d"), col("id"), lit("_syn")).as("SoakA.drugid"))),
+        gcdSignature = Some(spark.range(nGenes.toLong * 4).select(
+          concat(lit("ENSG"), col("id") % nGenes).as("gene"),
+          concat(lit("d"), col("id") % nDrugs).as("compound"),
+          when(col("id") % 2 === 0, "SoakA").otherwise("SoakB").as("dataset"),
+          (col("id") % 100 / 100.0).as("estimate"),
+          lit("rna").as("mDataType"))))
+      val meta = spark.range(nDrugs).select(
+        concat(lit("d"), col("id")).as("name"),
+        concat(lit("UID"), col("id")).as("compound_uid"))
+      val t0 = System.nanoTime()
+      val tables = graft.pset.Pipeline.run(spark, pipeCfg, meta)
+      // force every returned table (they are parquet-backed reads)
+      val counts = tables.map { case (n, df) => n -> df.count() }
+      println(f"SOAK pipeline_2x${nExp / 1000}%dk            ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // conservation: every input experiment survives to the fact tables
+      def expect(name: String, n: Long): Unit = {
+        val got = counts.getOrElse(name, -1L)
+        if (got != n)
+          println(s"SOAK pipeline CONSERVATION-FAIL $name: got $got want $n")
+      }
+      expect("experiment", 2L * nExp)
+      expect("profile", 2L * nExp)
+      expect("dose_response", 2L * nExp * 2)
+      expect("cell", nCells.toLong)
+      expect("compound", nDrugs.toLong)
+      expect("gene", nGenes.toLong)
+      println("SOAK pipeline tables=" + counts.toSeq.sortBy(_._1)
+        .map { case (n, c) => s"$n:$c" }.mkString(","))
+    }
+
     // streaming CDC snapshot: 30 batches of 2k changes each (80%
     // inserts / 15% updates / 5% deletes against the accumulated keys).
     // The per-batch cost curve is the claim: merge work ~ snapshot

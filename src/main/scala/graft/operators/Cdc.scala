@@ -136,13 +136,20 @@ object Cdc {
     * 100 TB run this, not a byte compare. */
   def snapshotDiff(old: DataFrame, neu: DataFrame, key: String,
       payload: String): DataFrame = {
-    val o = old.select(col(key), md5(col(payload)).as("__h_old"))
-    val n = neu.select(col(key), md5(col(payload)).as("__h_new"))
+    // Presence markers, not hash-nullness: md5(null) is null, so a key
+    // present with a NULL payload would otherwise read as absent
+    // ('added'/'removed') and a null-vs-null pair would drop as
+    // unchanged through null !== null. The null-safe <=> makes
+    // null==null unchanged and null-vs-value changed.
+    val o = old.select(col(key), md5(col(payload)).as("__h_old"),
+      lit(1).as("__in_old"))
+    val n = neu.select(col(key), md5(col(payload)).as("__h_new"),
+      lit(1).as("__in_new"))
     o.join(n, Seq(key), "full_outer")
       .withColumn("status",
-        when(col("__h_old").isNull, "added")
-          .when(col("__h_new").isNull, "removed")
-          .when(col("__h_old") =!= col("__h_new"), "changed"))
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__h_old") <=> col("__h_new")), "changed"))
       .filter(col("status").isNotNull)
       .select(col(key), col("status"))
   }

@@ -260,6 +260,13 @@ object Corpus {
     * the cluster map is pair-participant-sized — tiny next to the
     * corpus — so it BROADCASTS into a left join and the split is one
     * more projection on the corpus scan; no corpus shuffle at all. */
+  /** CALLER CAVEAT: split-safety is only as good as the `clusters`
+    * map — build it with [[Dedup.minhashLsh]] for the linear-candidate
+    * scale path (empirical LSH recall: a borderline-Jaccard pair near
+    * the band knee can be missed, silently placing near-dups across
+    * splits) or with [[splitSafeExact]] / [[Dedup.jaccardPairs]] when
+    * the corpus sits near the threshold and exactness is worth the
+    * quadratic-per-shingle cost. */
   def splitSafe(docs: DataFrame, clusters: DataFrame,
       evalFrac: Double): DataFrame =
     docs.join(broadcast(clusters), Seq("doc_id"), "left")
@@ -267,6 +274,19 @@ object Corpus {
       .select(col("doc_id"), col("group_id"),
         when(Sampling.hashScore(col("group_id")) < evalFrac, "eval")
           .otherwise("train").as("split"))
+
+  /** Exact-pairs escape hatch for [[splitSafe]]: clusters from the
+    * exact Jaccard self-join, so split-safety is guaranteed (not
+    * empirical-LSH-recall) — for corpora whose near-dup similarity
+    * sits near the LSH band knee. Cost is [[Dedup.jaccardPairs]]'
+    * sum-over-shingles quadratic; pass `maxDf` to cap boilerplate
+    * shingles exactly as the gate queries do. */
+  def splitSafeExact(docs: DataFrame, minJaccard: Double, evalFrac: Double,
+      maxDf: Option[Long] = None): DataFrame =
+    splitSafe(docs,
+      Dedup.canonicalClusters(Dedup.jaccardPairs(
+        Dedup.shingles(docs.select("doc_id", "text")), minJaccard, maxDf)),
+      evalFrac)
 
   /** Gate query: 10% eval split over the verified 0.5-Jaccard cluster
     * map (same clusters the x_dedup_clusters oracle checks). Pair

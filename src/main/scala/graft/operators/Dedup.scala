@@ -114,14 +114,23 @@ object Dedup {
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
 
+  /** Stop-shingle cap for the exact-overlap GATE queries: a no-op on
+    * the gate corpora (max shingle df measured 25 at sf0.1, 9 below)
+    * so the oracle hashes are unchanged, but at corpus scale it bounds
+    * the per-shingle join fan-out to cap² pairs — the boilerplate-
+    * shingle quadratic runaway BENCH_NOTES documents is cut off at
+    * the source instead of discovered in production. */
+  val GateMaxDf: Long = 1000L
+
   /** n-gram Jaccard near-dup pairs (threshold 0.5). */
   val dedupNgramJaccard: Q = (s, dir) =>
-    jaccardPairs(shingles(t(s, dir, "documents")), 0.5)
+    jaccardPairs(shingles(t(s, dir, "documents")), 0.5, maxDf = Some(GateMaxDf))
       .orderBy("doc_a", "doc_b")
 
   /** Containment pairs (threshold 0.8): doc-in-doc candidates. */
   val dedupContainment: Q = (s, dir) =>
-    containmentPairs(shingles(t(s, dir, "documents")), 0.8)
+    containmentPairs(shingles(t(s, dir, "documents")), 0.8,
+      maxDf = Some(GateMaxDf))
       .orderBy("doc_a", "doc_b")
 
   val NumHashes = 32
@@ -485,21 +494,28 @@ object Dedup {
     val assigned =
       if (probes == 1) assigned1
       else {
-        // multi-probe assignment: rank ALL cells per vector and keep
-        // the top `probes`. |corpus| x |cells| rows through a window —
-        // acceptable as a one-time assignment pass, but this is the
-        // expensive formulation (see Similarity.assignCells); keep
-        // probes small.
+        // multi-probe assignment: top `probes` cells per vector via
+        // the bounded TopK aggregator. The per-cell scoring is still a
+        // broadcast cross (|corpus| x |cells| scored rows, map-side,
+        // no shuffle), but the partial-aggregating TopK reduces each
+        // map task to one <= probes-sized row per vector BEFORE the
+        // shuffle — O(|corpus| * probes) shuffled, where the previous
+        // window-rank formulation shuffled and sorted the full
+        // |corpus| x |cells| row set (see Similarity.assignCells for
+        // the same lesson at probes=1). Ties break toward the lower
+        // cell id, matching ORDER BY sim DESC, cell semantics.
         import emb.sparkSession.implicits._
         val reps = broadcast(centroids.toDF("cell", "rep"))
         emb.select(col("vec_id"), col("embedding")).crossJoin(reps)
           .select(col("vec_id"), col("cell"),
             cosineSim(col("embedding"), col("rep")).as("sim"))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-              .orderBy(col("sim").desc, col("cell"))))
-          .filter(col("rk") <= probes)
-          .select("vec_id", "cell")
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._3, r._2))
+          .agg(new graft.functions.TopK(probes).toColumn.name("top"))
+          .flatMap { case (vid, items) =>
+            items.map { case (_, cell) => (vid, cell) } }
+          .toDF("vec_id", "cell")
       }
     val e = emb.select(col("vec_id"), col("embedding"))
       .join(assigned, Seq("vec_id"))
@@ -634,7 +650,8 @@ object Dedup {
     * Spark side is the iterative min-label loop that scales). */
   val dedupClusters: Q = (s, dir) =>
     canonicalClusters(
-      jaccardPairs(shingles(t(s, dir, "documents")), 0.5))
+      jaccardPairs(shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(GateMaxDf)))
       .orderBy("doc_id")
 
   // The 64-bit xxhash simhash rows (dedupSimhash/dedupSimhashPairs)

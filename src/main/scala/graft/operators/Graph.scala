@@ -59,10 +59,12 @@ object Graph {
   }
 
   /** Gate query: triangles of the verified 0.5-Jaccard near-dup graph
-    * — the same edge set the x_dedup_ngram_jaccard oracle checks. */
+    * — the same edge set the x_dedup_ngram_jaccard oracle checks
+    * (including its no-op-at-gate-scale [[Dedup.GateMaxDf]] cap). */
   val graphTriangles: Q = (s, dir) => {
     val pairs = Dedup.jaccardPairs(
-        Dedup.shingles(t(s, dir, "documents")), 0.5)
+        Dedup.shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     triangleCount(pairs)
   }
@@ -111,10 +113,12 @@ object Graph {
   }
 
   /** Gate query: 3-round PageRank of the verified 0.5-Jaccard
-    * near-dup graph (same edge set as x_graph_triangles). */
+    * near-dup graph (same edge set as x_graph_triangles, same
+    * [[Dedup.GateMaxDf]] cap). */
   val graphPageRank: Q = (s, dir) => {
     val pairs = Dedup.jaccardPairs(
-        Dedup.shingles(t(s, dir, "documents")), 0.5)
+        Dedup.shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     pageRankInt(pairs)
   }

@@ -74,9 +74,24 @@ object Sampling {
     * Scale shape: the total is one partial-aggregated scalar,
     * broadcast back; the filter itself is a pure per-row projection —
     * no shuffle of the fact table at all. */
+  /** Contract guard applied AT the weight column: weights must be
+    * positive and non-null — a null weight silently drops rows from
+    * the cumsum/coin (null comparisons filter as false) and a negative
+    * total flips the inclusion comparison for EVERY row, so both fail
+    * loudly instead. Guarding the column itself (not a separate filter
+    * predicate) matters: Catalyst reorders conjunctive predicates, so
+    * a filter-side raise_error can be bypassed when a null weight
+    * already fails a cheaper sibling predicate — the exact silent drop
+    * being guarded against. One codegen'd comparison per row. */
+  private def guardedWeight(weight: Column, op: String): Column =
+    when(weight.isNotNull && weight > 0, weight)
+      .otherwise(raise_error(concat(
+        lit(s"$op: weight must be positive and non-null (got "),
+        coalesce(weight.cast("string"), lit("null")), lit(")"))))
+
   def ppsSample(df: DataFrame, key: Column, weight: Column,
       expectedN: Double): DataFrame = {
-    val w = df.withColumn("__w", weight)
+    val w = df.withColumn("__w", guardedWeight(weight, "ppsSample"))
     val tot = w.agg(sum(col("__w")).as("__tot"))
     w.crossJoin(broadcast(tot))
       .filter(hashScore(key) < lit(expectedN) * col("__w") / col("__tot"))
@@ -106,16 +121,29 @@ object Sampling {
     * operands = floor), so selection is bit-portable. The cumulative
     * weight comes from [[graft.core.Cumsum.globalCumsum]] — the
     * two-phase distributed running total, NOT a single-partition
-    * global window. Caveat: cum*n must fit int64 (document scale:
-    * switch the product to decimal past ~10^18/n total weight). */
+    * global window. cum*n must fit int64 — GUARDED: the broadcast
+    * total is checked against Long.MaxValue/n inside the selection
+    * filter, so past ~10^18/n total weight the query fails loudly
+    * (raise_error) instead of silently returning wrong multiplicities
+    * (switch the product to decimal if that scale is ever real). */
   def systematicPps(df: DataFrame, key: Column, weight: Column,
       n: Long): DataFrame = {
-    val w = df.withColumn("__w", weight)
+    require(n > 0, s"systematicPps: n must be positive (got $n)")
+    val w = df.withColumn("__w", guardedWeight(weight, "systematicPps"))
     val tot = w.agg(sum(col("__w").cast(LongType)).as("__tot"))
     graft.core.Cumsum.globalCumsum(w, Seq(hashScore(key), key), col("__w"), "__cum")
       .crossJoin(broadcast(tot))
+      // overflow guard lives INSIDE the multiplicity expression (same
+      // reorder-proofing as guardedWeight): evaluating a multiplicity
+      // forces the check, so an overflowing total raises before any
+      // wrong multiplicity can be observed
       .withColumn("multiplicity",
-        expr(s"(__cum * $n) div __tot - ((__cum - __w) * $n) div __tot"))
+        when(col("__tot") <= lit(Long.MaxValue / n),
+          expr(s"(__cum * $n) div __tot - ((__cum - __w) * $n) div __tot"))
+          .otherwise(raise_error(concat(
+            lit(s"systematicPps: total weight * n=$n overflows int64 (total "),
+            col("__tot").cast("string"),
+            lit(") — pre-scale weights or use decimal")))))
       .filter(col("multiplicity") > 0)
       .drop("__cum", "__tot", "__w")
   }
@@ -240,16 +268,30 @@ object Sampling {
       .agg(count_distinct(col("l_partkey")).as("n_exact"))
       .orderBy("l_returnflag")
 
-  /** HLL++ distinct estimates (rows-only driver check; precision is
-    * engine-specific by nature — the sketch, not the number, is the
-    * operator under test; SamplingSpec bounds the error against the
-    * exact [[statsDistinct]]). Fixed sketch state per group no matter
+  /** HLL++ distinct estimates. Fixed sketch state per group no matter
     * how many distincts — the 100 TB path where count_distinct's
-    * exact hash set would OOM. */
-  val statsApproxDistinct: Q = (s, dir) =>
+    * exact hash set would OOM. Raw estimate form (library + spec);
+    * the gate runs the self-verifying [[statsApproxDistinct]]. */
+  val approxDistinctRaw: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+      .orderBy("l_returnflag")
+
+  /** Self-verifying gate form: the sketch estimate is checked IN-QUERY
+    * against the exact distinct count and reduced to a boolean, so the
+    * row hashes portably (the estimate itself is the HLL++ hash
+    * family's, not portable SQL — r8 ran this rows-only). Bound 0.1 =
+    * 5 sigma at rsd 0.02; the oracle emits the exact count and a TRUE
+    * literal, so a sketch drifting out of bound fails the hash gate. */
+  val statsApproxDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact")
+          <= 0.1).as("within_bound"))
       .orderBy("l_returnflag")
 
   /** Mergeable distinct sketches (Apache DataSketches HLL via Spark
@@ -259,11 +301,10 @@ object Sampling {
     * surface — sketches are DATA (storable, re-aggregatable), so the
     * 100 TB pattern is: maintain fine-grained sketches incrementally,
     * answer any coarser rollup by union without touching raw rows
-    * again. Rows-only driver check like the other sketch rows (the
-    * estimate is the DataSketches hash family's, not portable SQL);
-    * the exact twin [[eventsDistinctUsers]] carries the oracle and
-    * SamplingSpec bounds the merged estimate's error against it. */
-  val statsHllUnion: Q = (s, dir) =>
+    * again. Raw estimate form (library + spec; the estimate is the
+    * DataSketches hash family's, not portable SQL); the gate runs the
+    * self-verifying [[statsHllUnion]]. */
+  val hllUnionRaw: Q = (s, dir) =>
     t(s, dir, "events")
       .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hour"),
         col("user_id"))
@@ -274,6 +315,32 @@ object Sampling {
         count(lit(1)).as("n_hours"))
       .orderBy("event_type")
 
+  /** Self-verifying gate form: the hour-sketch rollup's merged
+    * estimate is compared IN-QUERY to the exact distinct-user count
+    * and reduced to a boolean (bound 0.1 ≈ 6 sigma at default lgK=12
+    * rsd ~1.6%), alongside the exact count and hour count — all three
+    * hash-checkable against DuckDB. A union that lost sketch state
+    * (the property under test: sketches are mergeable DATA) would
+    * break the bound and fail the hash gate. */
+  val statsHllUnion: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hour"),
+        col("user_id"))
+    val merged = ev
+      .groupBy("event_type", "hour")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__approx"),
+        count(lit(1)).as("n_hours"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users_exact"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"), col("n_users_exact"),
+        (abs(col("__approx") - col("n_users_exact")).cast("double")
+          / col("n_users_exact") <= 0.1).as("within_bound"))
+      .orderBy("event_type")
+  }
+
   /** Exact twin of [[statsHllUnion]]'s rollup target. */
   val eventsDistinctUsers: Q = (s, dir) =>
     t(s, dir, "events")
@@ -281,15 +348,13 @@ object Sampling {
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
-  /** Sketch-based percentiles (rows-only driver check; the sketch is
-    * engine-specific by nature). approx_percentile at accuracy 10000
+  /** Sketch-based percentiles. approx_percentile at accuracy 10000
     * holds bounded state per group regardless of group size — the
     * 100 TB replacement for percentile_disc's exact sorted buffers;
     * TemporalSamplingSpec bounds its error against the exact form.
-    * The sketch array is projected to SCALAR columns: the driver's
-    * gate sorts/hashes every output column, and an array column is
-    * unsortable on the pandas side (the one red row in r2). */
-  val statsApproxQuantiles: Q = (s, dir) =>
+    * Raw estimate form (library + spec); the gate runs the
+    * self-verifying [[statsApproxQuantiles]]. */
+  val approxQuantilesRaw: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -298,6 +363,30 @@ object Sampling {
         col("approx").getItem(0).as("p50_approx"),
         col("approx").getItem(1).as("p95_approx"))
       .orderBy("l_returnflag")
+
+  /** Self-verifying gate form: the sketch percentiles are bracketed
+    * IN-QUERY by exact discrete percentiles at ±0.02 rank mass
+    * (approx_percentile at accuracy 10000 guarantees rank error
+    * <= n/10000 — three orders inside the 0.02-quantile margin at
+    * gate scale) and reduced to booleans next to the exact p50/p95
+    * values, all hash-checkable against DuckDB quantile_disc. */
+  val statsApproxQuantiles: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val approx = li.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("approx"))
+      .select(col("l_returnflag"),
+        col("approx").getItem(0).as("__p50a"),
+        col("approx").getItem(1).as("__p95a"))
+    val bounds = discretePercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact",
+        0.48 -> "__lo50", 0.52 -> "__hi50", 0.93 -> "__lo95", 0.97 -> "__hi95"))
+    approx.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+        (col("__p50a") >= col("__lo50") && col("__p50a") <= col("__hi50")).as("p50_ok"),
+        (col("__p95a") >= col("__lo95") && col("__p95a") <= col("__hi95")).as("p95_ok"))
+      .orderBy("l_returnflag")
+  }
 
   /** Per-group second-order statistics (corr / covar_samp /
     * stddev_samp) computed from EXACT decimal moments, then combined
@@ -528,5 +617,21 @@ object Sampling {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "x_events_distinct_users" ->
       ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
-        "FROM events GROUP BY event_type ORDER BY event_type"))
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    // Self-verifying sketch rows: the oracle computes the EXACT side
+    // and a TRUE literal for each in-query bound check — a sketch
+    // drifting out of bound flips the boolean and fails the hash gate.
+    "x_stats_approx_distinct" ->
+      ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact, " +
+        "TRUE AS within_bound FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "x_stats_hll_union" ->
+      ("WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour, user_id FROM events) " +
+        "SELECT event_type, CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hours, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact, TRUE AS within_bound " +
+        "FROM ev GROUP BY event_type ORDER BY event_type"),
+    "x_stats_approx_quantiles" ->
+      ("SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS p50_exact, " +
+        "quantile_disc(l_extendedprice, 0.95) AS p95_exact, " +
+        "TRUE AS p50_ok, TRUE AS p95_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 }

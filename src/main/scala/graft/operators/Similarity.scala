@@ -180,16 +180,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Recall of an ANN result against the exact top-k: joins the ANN
+    * neighbor set onto the exact set and emits one row per query —
+    * (query_id, n_topk, recall_ok), where `recall_ok` is the
+    * CORPUS-LEVEL bound check recall@k >= minRecall stamped on every
+    * row. Corpus-level, not per-query: a single query whose true
+    * neighbors straddle a hash-band boundary legitimately misses
+    * (measured 0..5 hits per query across sf0.001-0.1), while the
+    * aggregate recall is the stable SLA an ANN index actually promises
+    * (measured: LSH 0.52-0.68, IVF 0.80-0.86 across the three gate
+    * corpora). The raw hit count is a property of the index's hash
+    * family (not portable SQL), but the bound check is deterministic
+    * on a fixed corpus, so the reduced rows hash-check against a
+    * DuckDB oracle computing the exact side plus a TRUE literal — an
+    * index losing recall fails the hash gate. */
+  def annRecall(ann: DataFrame, exact: DataFrame, minRecall: Double): DataFrame = {
+    val perQ = exact.select("query_id", "neighbor_id")
+      .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_topk"),
+        sum(coalesce(col("__hit"), lit(0))).as("__n_hits"))
+    val tot = perQ.agg(
+      (sum("__n_hits").cast("double") / sum("n_topk")).as("__recall"))
+    perQ.crossJoin(broadcast(tot))
+      .select(col("query_id"), col("n_topk"),
+        (col("__recall") >= minRecall).as("recall_ok"))
+  }
+
   /** Driver query runs the ARTIFACT flow — build the bucket index to
     * parquet, reload, search — because that is the production shape at
     * corpus scale (index once, query many); IndexStoreSpec checks it
-    * equals the inline [[lshAnn]]. */
+    * equals the inline [[lshAnn]]. Gate output is the self-verifying
+    * [[annRecall]] reduction (corpus recall measured 0.52-0.68 across
+    * the gate corpora; bound 0.4 leaves margin). The neighbor lists
+    * themselves stay spec-covered. */
   val simLshAnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = IndexStore.defaultPath("lsh", dir)
     IndexStore.buildLshIndex(emb, path)
-    lshSearch(emb, IndexStore.loadLshIndex(s, path), nQueries = 10, k = 5)
-      .orderBy("query_id", "rank")
+    val ann = lshSearch(emb, IndexStore.loadLshIndex(s, path), nQueries = 10, k = 5)
+    annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.4)
+      .orderBy("query_id")
   }
 
   /** IVF (inverted-file) ANN — the other standard scale path:
@@ -290,14 +322,18 @@ object Similarity {
   }
 
   /** Same artifact flow as [[simLshAnn]]: k-means index built + written
-    * once, search runs from the loaded assignments + centroids. */
+    * once, search runs from the loaded assignments + centroids; gate
+    * output is the [[annRecall]] reduction (nProbe=2 of 8 cells —
+    * corpus recall measured 0.80-0.86 across the gate corpora; bound
+    * 0.6 leaves margin). */
   val simIvfAnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = IndexStore.defaultPath("ivf", dir)
     IndexStore.buildIvfIndex(emb, path, nCentroids = 8)
     val (assigned, centroids) = IndexStore.loadIvfIndex(s, path)
-    ivfSearch(emb, assigned, centroids, nQueries = 10, k = 5)
-      .orderBy("query_id", "rank")
+    val ann = ivfSearch(emb, assigned, centroids, nQueries = 10, k = 5)
+    annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.6)
+      .orderBy("query_id")
   }
 
   /** Per-vector symmetric int8 quantization: q_i = floor(x_i / max|x|
@@ -358,20 +394,32 @@ object Similarity {
     *
     * Scale shape: posexplode → groupBy (label, pos) partial-aggregates
     * map-side, so the shuffle carries |labels| x dim rows regardless of
-    * corpus size; the final per-label array rebuild sorts dim-sized
-    * structs inside the row. */
-  val simCentroids: Q = (s, dir) => {
-    val v = t(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")))
+    * corpus size; [[centroidVectors]]' per-label array rebuild sorts
+    * dim-sized structs inside the row. */
+  def centroidMeans(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"),
         col("col").cast("double").cast(DecimalType(18, 9)).as("vd"))
-    v.groupBy("label", "pos")
+      .groupBy("label", "pos")
       .agg((sum("vd").cast("double") / count(lit(1))).as("m"))
+
+  /** Library form: reassemble the per-dimension means into one
+    * centroid array per label (the shape a nearest-class-mean
+    * classifier consumes). NOT the gate query — the driver's
+    * comparator sorts/hashes every output column and an array-typed
+    * cell is unsortable on its pandas side (the r8 red row), so the
+    * gate emits the scalar (label, pos, mean) rows instead. */
+  def centroidVectors(emb: DataFrame): DataFrame =
+    centroidMeans(emb)
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("centroid"))
       .orderBy("label")
-  }
+
+  val simCentroids: Q = (s, dir) =>
+    centroidMeans(t(s, dir, "embeddings"))
+      .select(col("label"), col("pos"), col("m"))
+      .orderBy("label", "pos")
 
   val queries: Map[String, Q] = Map(
     "x_sim_centroids" -> simCentroids,
@@ -402,13 +450,28 @@ object Similarity {
       "WHERE rank <= 5 ORDER BY query_id, rank"
   }
 
+  /** Oracle for the [[annRecall]] gate rows: DuckDB computes the exact
+    * top-k side (same CTE as the brute-force oracle) reduced to
+    * per-query counts, plus TRUE for the bound check. */
+  private val annRecallOracle: String =
+    ("WITH sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +
+      "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id), " +
+      "topk AS (SELECT query_id FROM " +
+      "(SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims) " +
+      "WHERE rank <= 5) " +
+      "SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_topk, TRUE AS recall_ok " +
+      "FROM topk GROUP BY query_id ORDER BY query_id")
+
   val oracles: Map[String, String] = Map(
+    "x_sim_lsh_ann" -> annRecallOracle,
+    "x_sim_ivf_ann" -> annRecallOracle,
     "x_sim_centroids" ->
       ("WITH e AS (SELECT label, embedding AS arr FROM embeddings), " +
         "p AS (SELECT label, arr, unnest(generate_series(1, len(arr))) AS i FROM e), " +
-        "v AS (SELECT label, i, CAST(CAST(arr[i] AS DOUBLE) AS DECIMAL(18,9)) AS vd FROM p), " +
-        "m AS (SELECT label, i, CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS m FROM v GROUP BY label, i) " +
-        "SELECT label, list(m ORDER BY i) AS centroid FROM m GROUP BY label ORDER BY label"),
+        "v AS (SELECT label, i, CAST(CAST(arr[i] AS DOUBLE) AS DECIMAL(18,9)) AS vd FROM p) " +
+        "SELECT label, CAST(i - 1 AS INT) AS pos, CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS m " +
+        "FROM v GROUP BY label, i ORDER BY label, pos"),
     "x_sim_quantized_topk" -> quantizedTopKOracle,
     "x_sim_cosine_topk_native" -> cosineTopKOracle,
     "x_sim_cosine_topk" ->

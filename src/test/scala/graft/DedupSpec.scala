@@ -159,6 +159,13 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "pair space must come from the cell equi-join, never a cross join")
+    // multi-probe: assignment must come from the partial-aggregating
+    // TopK (shuffle O(|corpus| * probes)), never a window sorting the
+    // full |corpus| x |cells| scored row set
+    val p2 = Dedup.semanticPairs(emb, 0.9, nCentroids = 4, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Window") && !p2.contains("CartesianProduct"),
+      "multi-probe assignment must aggregate, not window-rank the cross")
   }
 
   test("LSH banding sets recall: 64x2 banding recovers borderline pairs the 8x4 default misses") {

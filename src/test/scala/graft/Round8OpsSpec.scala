@@ -242,8 +242,16 @@ class Round8OpsSpec extends SparkSpec {
   }
 
   test("simCentroids: exact per-label means, array order preserved") {
-    val got = Similarity.simCentroids(spark, dir)
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.centroidVectors(emb0)
       .as[(Int, Seq[Double])].collect().toMap
+    // the gate query is the scalar posexploded view of the same means
+    val scalarRows = Similarity.simCentroids(spark, dir)
+      .as[(Int, Int, Double)].collect()
+    val fromScalar = scalarRows.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(fromScalar == got.map { case (k, v) => k -> v.toSeq })
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .as[(Long, Seq[Float], Int)].collect()
     val byLabel = emb.groupBy(_._3)

@@ -169,7 +169,7 @@ class SamplingSpec extends SparkSpec {
 
   test("approx_percentile stays within 1% of the exact discrete percentile") {
     val dir = "/root/testdata/sf0.001"
-    val approx = Sampling.statsApproxQuantiles(spark, dir)
+    val approx = Sampling.approxQuantilesRaw(spark, dir)
       .select("l_returnflag", "p50_approx")
       .as[(String, Double)].collect().toMap
     val exact = Sampling.statsQuantiles(spark, dir)
@@ -220,9 +220,9 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(merged - 7919L) / 7919.0 < 0.05, s"estimate=$merged exact=7919")
   }
 
-  test("x_stats_hll_union merged estimate within 5% of the exact twin per type") {
+  test("hll_union merged estimate within 5% of the exact twin per type") {
     val dir = "/root/testdata/sf0.001"
-    val approx = Sampling.queries("x_stats_hll_union")(spark, dir)
+    val approx = Sampling.hllUnionRaw(spark, dir)
       .select(col("event_type"), col("n_users_approx"))
       .as[(String, Long)].collect().toMap
     val exact = Sampling.queries("x_events_distinct_users")(spark, dir)
@@ -231,5 +231,18 @@ class SamplingSpec extends SparkSpec {
     exact.foreach { case (t, e) =>
       assert(math.abs(approx(t) - e) / e.toDouble < 0.05,
         s"$t: approx=${approx(t)} exact=$e") }
+  }
+
+  test("self-verifying sketch gate rows: every in-query bound check is true") {
+    val dir = "/root/testdata/sf0.001"
+    val hll = Sampling.queries("x_stats_hll_union")(spark, dir)
+      .select("within_bound").as[Boolean].collect()
+    assert(hll.nonEmpty && hll.forall(identity))
+    val ad = Sampling.queries("x_stats_approx_distinct")(spark, dir)
+      .select("within_bound").as[Boolean].collect()
+    assert(ad.nonEmpty && ad.forall(identity))
+    val aq = Sampling.queries("x_stats_approx_quantiles")(spark, dir)
+      .select("p50_ok", "p95_ok").as[(Boolean, Boolean)].collect()
+    assert(aq.nonEmpty && aq.forall { case (a, b) => a && b })
   }
 }
