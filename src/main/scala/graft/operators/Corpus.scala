@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables.t
 import graft.operators.TextAnalysis.tokens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -288,6 +288,108 @@ object Corpus {
         Dedup.shingles(docs.select("doc_id", "text")), minJaccard, maxDf)),
       evalFrac)
 
+  /** Out-of-vocabulary profile: coverage of each source's token mass
+    * by the corpus-wide top-`k` vocabulary — the first question a
+    * tokenizer budget decision asks (how much of each source would
+    * fall to byte-fallback/UNK at this vocab size). Integer basis
+    * points so the row hashes portably.
+    *
+    * Scale shape: ONE explode feeds a (source, token) pre-aggregation
+    * (map-side combined — the shuffle carries distinct pairs, not
+    * occurrences), pinned once for its two consumers; the vocab is a
+    * heap top-k (TakeOrderedAndProject) of a tiny per-token rollup and
+    * BROADCASTS back into the coverage join. No second corpus scan,
+    * no window. */
+  def oovProfile(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val bySrcTok = graft.core.Materialize.pin(
+      docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n")))
+    val vocab = bySrcTok.groupBy("tok").agg(sum("n").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    bySrcTok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"),
+        sum(when(col("__in").isNotNull, col("n")).otherwise(0L)).as("n_in_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        expr("(n_tokens - n_in_vocab) * 10000 div n_tokens").as("oov_bp"))
+      .orderBy("source")
+  }
+
+  val oovRate: Q = (s, dir) =>
+    oovProfile(t(s, dir, "documents"), vocabSize = 500)
+
+  /** Length-bucket packing profile: bucket documents by token count
+    * (width-64 bins capped at the 512-token training budget) and
+    * report per-bucket padding and truncation mass — the numbers a
+    * batch-assembly strategy (pad-to-bucket vs pack) is chosen from.
+    * waste_bp = padded-slot fraction lost to padding, in integer
+    * basis points. One codegen'd projection + one map-combined
+    * groupBy over 8 buckets; nothing shuffles but 8 rows. */
+  def lengthBucketProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(size(tokens(col("text"))).cast("long").as("n_tok"))
+      .select(least(expr("n_tok div 64"), lit(7L)).as("bucket"), col("n_tok"))
+      .withColumn("cap", (col("bucket") + 1) * 64)
+      .groupBy("bucket", "cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum(greatest(col("cap") - col("n_tok"), lit(0L))).as("sum_padding"),
+        sum(greatest(col("n_tok") - col("cap"), lit(0L))).as("sum_truncated"))
+      .select(col("bucket"), col("cap"), col("n_docs"), col("sum_tokens"),
+        col("sum_padding"), col("sum_truncated"),
+        expr("sum_padding * 10000 div (n_docs * cap)").as("waste_bp"))
+      .orderBy("bucket")
+
+  val lengthBuckets: Q = (s, dir) => lengthBucketProfile(t(s, dir, "documents"))
+
+  /** Source-mix drift between two corpus snapshots (deterministic
+    * halves by doc_id parity stand in for version N vs N+1): per
+    * source, both doc counts, each half's share of its snapshot in
+    * integer basis points, and the absolute share delta — the
+    * monitoring row a data-pipeline regression gate alerts on (a
+    * source silently doubling its share of the mix). One map-combined
+    * groupBy; snapshot totals broadcast back. */
+  def driftProfile(docs: DataFrame, inSnapshotA: Column): DataFrame = {
+    val per = docs
+      .select(col("source"), inSnapshotA.as("__a"))
+      .groupBy("source")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = per.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_a"), col("n_b"),
+        expr("n_a * 10000 div __ta").as("share_a_bp"),
+        expr("n_b * 10000 div __tb").as("share_b_bp"),
+        abs(expr("n_a * 10000 div __ta") - expr("n_b * 10000 div __tb"))
+          .as("drift_bp"))
+      .orderBy("source")
+  }
+
+  val sourceDrift: Q = (s, dir) =>
+    driftProfile(t(s, dir, "documents"), col("doc_id") % 2 === 0)
+
+  /** Three-way leakage-safe split: same cluster-hash discipline as
+    * [[splitSafe]] with two thresholds — test < testFrac <= val <
+    * testFrac+valFrac <= train — so near-duplicates land in the SAME
+    * one of the three splits (eval contamination via val->train
+    * near-dups is the same failure as the two-way case). */
+  def splitSafe3(docs: DataFrame, clusters: DataFrame, testFrac: Double,
+      valFrac: Double): DataFrame =
+    docs.join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("canonical_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        when(Sampling.hashScore(col("group_id")) < testFrac, "test")
+          .when(Sampling.hashScore(col("group_id")) < testFrac + valFrac, "val")
+          .otherwise("train").as("split"))
+
+  val splitSafe3Gate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.canonicalClusters(
+      Dedup.minhashLsh(docs.select("doc_id", "text"), 0.5))
+    splitSafe3(docs, clusters, 0.10, 0.10).orderBy("doc_id")
+  }
+
   /** Gate query: 10% eval split over the verified 0.5-Jaccard cluster
     * map (same clusters the x_dedup_clusters oracle checks). Pair
     * generation is [[Dedup.minhashLsh]] — the linear-candidate 100 TB
@@ -303,6 +405,10 @@ object Corpus {
   }
 
   val queries: Map[String, Q] = Map(
+    "x_corpus_oov_rate" -> oovRate,
+    "x_corpus_length_buckets" -> lengthBuckets,
+    "x_corpus_drift" -> sourceDrift,
+    "x_corpus_split3" -> splitSafe3Gate,
     "x_corpus_temperature" -> temperatureMix,
     "x_corpus_split_safe" -> splitSafeGate,
     "x_corpus_bpe_pairs" -> bpePairs,
@@ -321,6 +427,46 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_oov_rate" ->
+      (s"WITH tk AS (SELECT source, unnest($wsExpr) AS tok FROM documents), " +
+        "st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY source, tok), " +
+        "v AS (SELECT tok FROM (SELECT tok, CAST(SUM(n) AS BIGINT) AS n_occ FROM st GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 500)), " +
+        "agg AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN n ELSE 0 END) AS BIGINT) AS n_in_vocab FROM st GROUP BY source) " +
+        "SELECT source, n_tokens, n_in_vocab, (n_tokens - n_in_vocab) * 10000 // n_tokens AS oov_bp " +
+        "FROM agg ORDER BY source"),
+    "x_corpus_length_buckets" ->
+      (s"WITH d AS (SELECT CAST(len($wsExpr) AS BIGINT) AS n_tok FROM documents), " +
+        "b AS (SELECT LEAST(n_tok // 64, 7) AS bucket, (LEAST(n_tok // 64, 7) + 1) * 64 AS cap, n_tok FROM d), " +
+        "agg AS (SELECT bucket, cap, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, " +
+        "CAST(SUM(GREATEST(cap - n_tok, 0)) AS BIGINT) AS sum_padding, " +
+        "CAST(SUM(GREATEST(n_tok - cap, 0)) AS BIGINT) AS sum_truncated FROM b GROUP BY bucket, cap) " +
+        "SELECT bucket, cap, n_docs, sum_tokens, sum_padding, sum_truncated, " +
+        "sum_padding * 10000 // (n_docs * cap) AS waste_bp FROM agg ORDER BY bucket"),
+    "x_corpus_drift" ->
+      ("WITH per AS (SELECT source, " +
+        "CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b " +
+        "FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM per) " +
+        "SELECT source, n_a, n_b, n_a * 10000 // ta AS share_a_bp, n_b * 10000 // tb AS share_b_bp, " +
+        "ABS(n_a * 10000 // ta - n_b * 10000 // tb) AS drift_bp " +
+        "FROM per, tot ORDER BY source"),
+    "x_corpus_split3" ->
+      (s"WITH RECURSIVE w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "pairs AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5), " +
+        "ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
+        "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src), " +
+        "cl AS (SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a) " +
+        "SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS group_id, " +
+        s"CASE WHEN ${scoreSql("COALESCE(cl.canonical_id, d.doc_id)")} < 0.10 THEN 'test' " +
+        s"WHEN ${scoreSql("COALESCE(cl.canonical_id, d.doc_id)")} < 0.20 THEN 'val' ELSE 'train' END AS split " +
+        "FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY doc_id"),
     "x_corpus_temperature" ->
       (s"WITH d AS (SELECT doc_id, source, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents), " +
         "s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source), " +

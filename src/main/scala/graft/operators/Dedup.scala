@@ -654,6 +654,42 @@ object Dedup {
         maxDf = Some(GateMaxDf)))
       .orderBy("doc_id")
 
+  /** Keep-BEST dedup decision table: instead of the min-id canonical
+    * (an arbitrary survivor), pick each cluster's highest-quality
+    * member — here token count as the quality proxy, tiebreak lower
+    * doc_id — and emit the full decision row (doc, cluster, kept doc,
+    * keep flag). This is the production form of near-dup dedup for
+    * training corpora: the survivor should be the longest/cleanest
+    * copy, not whichever id sorted first.
+    *
+    * Scale shape: quality is a per-row projection; the per-cluster
+    * argmax is ONE map-combined max-of-struct aggregation (no window
+    * over members), and both the cluster map and the per-cluster
+    * winner table are pair-participant-sized — broadcast joins against
+    * the corpus scan. */
+  def keepBest(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val membership = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+    val best = membership.groupBy("cluster_id")
+      .agg(max(struct(col("n_tok"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("keep_id"))
+    membership.join(broadcast(best), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
+  /** Gate query: keep-best decisions over the verified 0.5-Jaccard
+    * clusters (same LSH pair generation as x_dedup_clusters). */
+  val dedupKeepBest: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    keepBest(docs,
+      canonicalClusters(minhashLsh(docs.select("doc_id", "text"), 0.5)))
+      .orderBy("doc_id")
+  }
+
   // The 64-bit xxhash simhash rows (dedupSimhash/dedupSimhashPairs)
   // are NOT in the gate: xxhash64 is not DuckDB-expressible, so they
   // could only ever be rows-only checks, while their portable 32-bit
@@ -715,6 +751,7 @@ object Dedup {
     "x_dedup_incremental" -> dedupIncremental,
     "x_dedup_incremental_indexed" -> dedupIncrementalIndexed,
     "x_dedup_clusters" -> dedupClusters,
+    "x_dedup_keep_best" -> dedupKeepBest,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "x_dedup_containment" -> dedupContainment,
@@ -783,7 +820,24 @@ object Dedup {
         "ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
         "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
         "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src) " +
-        "SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a ORDER BY doc_id"))
+        "SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a ORDER BY doc_id"),
+    "x_dedup_keep_best" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "pairs AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5), " +
+        "ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
+        "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src), " +
+        "cl AS (SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a), " +
+        "m AS (SELECT d.doc_id, COALESCE(cl.canonical_id, d.doc_id) AS cluster_id, " +
+        "CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tok FROM documents d LEFT JOIN cl USING (doc_id)), " +
+        "b AS (SELECT cluster_id, doc_id AS keep_id FROM " +
+        "(SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id) AS rk FROM m) WHERE rk = 1) " +
+        "SELECT m.doc_id, m.cluster_id, b.keep_id, m.doc_id = b.keep_id AS keep " +
+        "FROM m JOIN b USING (cluster_id) ORDER BY m.doc_id"))
 
   private lazy val incrementalOracle: String =
     ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +

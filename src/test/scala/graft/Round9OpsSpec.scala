@@ -135,6 +135,88 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("oovProfile: coverage math on a hand-checked fixture") {
+    val docs = Seq(
+      (1L, "a", "x x x y"), // x:3 y:1
+      (2L, "a", "x z"), //     x:1 z:1
+      (3L, "b", "y q q q")) //  y:1 q:3
+      .toDF("doc_id", "source", "text")
+    // vocab size 2 by occurrence: x(4), q(3) — y(2), z(1) are OOV
+    val got = Corpus.oovProfile(docs, vocabSize = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // a: 6 tokens, in-vocab x:4 -> oov 2/6 = 3333bp
+    // b: 4 tokens, in-vocab q:3 -> oov 1/4 = 2500bp
+    assert(got.toSeq == Seq(("a", 6L, 4L, 3333L), ("b", 4L, 3L, 2500L)))
+    // vocab selection is a heap top-k, not a global sort window
+    val plan = Corpus.oovProfile(docs, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "vocab via heap top-k")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("lengthBuckets: padding/truncation mass and waste_bp arithmetic") {
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, mk(10)), (2L, mk(64)), // bucket 0 (cap 64): pad 54 + bucket 1
+      (3L, mk(600))) // bucket 7 (cap 512): truncated 88
+      .toDF("doc_id", "text")
+    val rows = Corpus.lengthBucketProfile(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 10 tokens -> bucket 0 pad 54; doc 64 tokens -> bucket 1 cap 128 pad 64
+    assert(rows(0L) == (0L, 64L, 1L, 10L, 54L, 0L, 54L * 10000 / 64))
+    assert(rows(1L) == (1L, 128L, 1L, 64L, 64L, 0L, 64L * 10000 / 128))
+    assert(rows(7L) == (7L, 512L, 1L, 600L, 0L, 88L, 0L))
+  }
+
+  test("driftProfile: share and delta basis points on a skewed fixture") {
+    val docs = (0L until 100L).map { i =>
+      // even ids (snapshot A): 50 docs all src0; odd (B): 25/25 src0/src1
+      val src = if (i % 2 == 0) "src0" else if (i % 4 == 1) "src0" else "src1"
+      (i, src)
+    }.toDF("doc_id", "source")
+    val rows = Corpus.driftProfile(docs, col("doc_id") % 2 === 0)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // src0: A 50/50=10000bp, B 25/50=5000bp -> drift 5000
+    // src1: A 0bp, B 5000bp -> drift 5000
+    assert(rows.toSeq == Seq(
+      ("src0", 50L, 25L, 10000L, 5000L, 5000L),
+      ("src1", 0L, 25L, 0L, 5000L, 5000L)))
+  }
+
+  test("splitSafe3: near-dup clusters land whole in one of three splits") {
+    val dirDocs = graft.core.Tables.t(spark, dir, "documents")
+    val clusters = Dedup.canonicalClusters(
+      Dedup.minhashLsh(dirDocs.select("doc_id", "text"), 0.5))
+    val rows = Corpus.splitSafe3(dirDocs, clusters, 0.10, 0.10)
+      .as[(Long, Long, String)].collect()
+    assert(rows.map(_._3).toSet == Set("test", "val", "train"))
+    // every group is entirely inside ONE split
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      assert(rs.map(_._3).toSet.size == 1, s"group $g straddles splits")
+    }
+    // two-threshold consistency with the two-way split: test3 == eval2
+    val two = Corpus.splitSafe(dirDocs, clusters, 0.10)
+      .as[(Long, Long, String)].collect()
+    val evalIds = two.filter(_._3 == "eval").map(_._1).toSet
+    assert(rows.filter(_._3 == "test").map(_._1).toSet == evalIds)
+  }
+
+  test("keepBest: longest member survives, tiebreak lower id, singletons self-keep") {
+    val docs = Seq(
+      (1L, "a b c d e"), //      cluster {1,2}: 2 is longer -> keep 2
+      (2L, "a b c d e f g"),
+      (3L, "z z"), //            singleton
+      (4L, "p q r"), (5L, "p q r")) // tie -> keep 4
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "canonical_id")
+    val got = Dedup.keepBest(docs, clusters)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 3L, 3L, true),
+      (4L, 4L, 4L, true), (5L, 4L, 4L, false)))
+  }
+
   test("centroid gate rows are the posexploded view of centroidVectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val vecs = Similarity.centroidVectors(emb)
