@@ -143,9 +143,15 @@ object Relational {
 
   /** P5: equality filter (build_gene_compound_tissue_dataset_tables.py:71,
     * implementing the reference's *intended* — not discarded — filter). */
+  // Per-row queries over fact-sized tables end WITHOUT a global sort:
+  // the driver's comparator is row-order-insensitive (it sorts before
+  // hashing), and a projection/filter at 100 TB must never pay a
+  // range-partition exchange for cosmetic output order. Small-output
+  // rows keep their orderBy (negligible); o1/o2 keep theirs because
+  // sort IS the operator there.
   val p5FilterEq: Q = (s, dir) =>
     t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber")
 
   /** P6: range predicate conjunction (build_target_tables.py:166-167). */
   val p6FilterRange: Q = (s, dir) =>
@@ -158,7 +164,7 @@ object Relational {
     t(s, dir, "lineitem")
       .withColumn("tax_n", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
       .filter(col("tax_n").isNotNull)
-      .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber")
 
   /** P8: not-empty-string filter (build_synonym_tables.py:69). */
   val p8FilterNonEmpty: Q = (s, dir) =>
@@ -184,7 +190,6 @@ object Relational {
       col("l_orderkey"), col("l_linenumber"),
       when(col("l_discount") > 0.05, "HIGH").otherwise("LOW").as("discount_level"),
       least(cents(col("l_extendedprice")), lit(2000000L)).as("price_c"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** P12: schema harmonization (utilities.py:6-50): declared column
     * order, typed-null pad of a missing column, float->int->string. */
@@ -204,7 +209,7 @@ object Relational {
     t(s, dir, "lineitem")
       .withColumn("tax_n", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
       .na.fill(Map("tax_n" -> -1.0))
-      .select("l_orderkey", "l_linenumber", "tax_n").orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber", "tax_n")
 
   /** P14: drop all-null columns (build_cellosaurus.py:64). */
   val p14DropAllNullCols: Q = (s, dir) =>
@@ -485,7 +490,6 @@ object Relational {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("qty_c"), col("price_c"), col("disc_c"), col("tax_c")),
         "measure", "value_c")
-      .orderBy("l_orderkey", "l_linenumber", "measure")
 
   /** R7: pivot long->wide — the inverse of the melt the reference
     * leans on (beyond the reference, which only unpivots; rounds out
@@ -608,21 +612,18 @@ object Relational {
       col("o_orderkey"),
       split(col("o_orderpriority"), "-").getItem(0).as("prio_code"),
       split(col("o_orderpriority"), "-").getItem(1).as("prio_word"))
-      .orderBy("o_orderkey")
 
   /** F7: round to fixed decimals (build_experiment_tables.py:136-137). */
   val f7Round: Q = (s, dir) =>
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** F8: clamp via least (combine_pset_tables.py:173). */
   val f8Clamp: Q = (s, dir) =>
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       least(col("l_extendedprice"), lit(50000.0)).as("price_clamped"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** F11+: date functions over the orders timeline — year/month
     * extraction + month-bucketed counts (the reference's only date use
@@ -641,7 +642,6 @@ object Relational {
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast(IntegerType).as("qty_i"),
       col("l_orderkey").cast(StringType).as("okey_s"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   // ------------------------------------------------------------ wiring
 
