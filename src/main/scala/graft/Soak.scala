@@ -171,6 +171,22 @@ object Soak {
         graft.operators.Dedup.shingles(curationCorpus(100000L * mult)), 0.8,
         maxDf = Some(1000L))
     }
+    // EXACT Jaccard on the same boilerplate corpus via PPJoin prefix
+    // filtering — the uncapped inverted-index join ran away here (the
+    // two universal header shingles alone emit n^2/2 pairs; killed at
+    // 25+ min at this size), and the maxDf cap only escapes by
+    // CHANGING the measure. The prefix filter keeps the exact measure:
+    // header shingles sort last in every doc's rarity order and never
+    // enter a prefix, so candidates stay group-local. Two sizes for
+    // the linearity reading.
+    time("jaccard_prefix_exact_50k") {
+      graft.operators.Dedup.jaccardPairsPrefix(
+        graft.operators.Dedup.shingles(curationCorpus(50000L * mult)), 0.5)
+    }
+    time("jaccard_prefix_exact_100k") {
+      graft.operators.Dedup.jaccardPairsPrefix(
+        graft.operators.Dedup.shingles(curationCorpus(100000L * mult)), 0.5)
+    }
     time("containment_200k") {
       graft.operators.Dedup.containmentPairs(
         graft.operators.Dedup.shingles(curationCorpus(200000L * mult)), 0.8,

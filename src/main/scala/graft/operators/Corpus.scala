@@ -276,16 +276,24 @@ object Corpus {
           .otherwise("train").as("split"))
 
   /** Exact-pairs escape hatch for [[splitSafe]]: clusters from the
-    * exact Jaccard self-join, so split-safety is guaranteed (not
+    * EXACT Jaccard pairs, so split-safety is guaranteed (not
     * empirical-LSH-recall) — for corpora whose near-dup similarity
-    * sits near the LSH band knee. Cost is [[Dedup.jaccardPairs]]'
-    * sum-over-shingles quadratic; pass `maxDf` to cap boilerplate
-    * shingles exactly as the gate queries do. */
+    * sits near the LSH band knee. Rides
+    * [[Dedup.jaccardPairsPrefix]] (PPJoin prefix filtering):
+    * output-identical to the plain inverted-index join but tractable
+    * on boilerplate-heavy corpora, so exactness no longer costs the
+    * posting-list² runaway. `maxDf` switches to the capped
+    * [[Dedup.jaccardPairs]] form (a deliberately DIFFERENT measure:
+    * boilerplate stops voting for similarity). */
   def splitSafeExact(docs: DataFrame, minJaccard: Double, evalFrac: Double,
       maxDf: Option[Long] = None): DataFrame =
     splitSafe(docs,
-      Dedup.canonicalClusters(Dedup.jaccardPairs(
-        Dedup.shingles(docs.select("doc_id", "text")), minJaccard, maxDf)),
+      Dedup.canonicalClusters(maxDf match {
+        case None => Dedup.jaccardPairsPrefix(
+          Dedup.shingles(docs.select("doc_id", "text")), minJaccard)
+        case some => Dedup.jaccardPairs(
+          Dedup.shingles(docs.select("doc_id", "text")), minJaccard, some)
+      }),
       evalFrac)
 
   /** Out-of-vocabulary profile: coverage of each source's token mass

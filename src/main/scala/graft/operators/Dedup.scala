@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,6 +90,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+
+  /** EXACT Jaccard pairs via PPJoin-style prefix filtering (Xiao et
+    * al., WWW'08 — public algorithm) — same output as [[jaccardPairs]]
+    * (spec-checked identical), tractable where the plain inverted-
+    * index join is not. The observation: two docs with Jaccard >= t
+    * MUST share a shingle among each doc's `|d| - ceil(t*|d|) + 1`
+    * RAREST shingles (rarity = global document frequency, shingle-asc
+    * tiebreak for a total order). So candidate generation joins only
+    * those prefixes — a universal boilerplate shingle (df ~ corpus
+    * size) sorts LAST in every doc and never enters a prefix, so the
+    * df² pair blow-up the `maxDf` cap approximates away simply never
+    * happens, with NO change of measure: verification recounts the
+    * true overlap of every candidate against the FULL shingle sets.
+    *
+    * Scale shape: df join (shingle-keyed, map-combined), per-doc
+    * prefix rank window (doc-partitioned — bounded by shingles/doc,
+    * never corpus-sized), prefix self-join (postings² only over
+    * PREFIX postings), then candidate-pair verification that streams
+    * each candidate's shingle lists through one equi-join —
+    * O(candidates * shingles/doc), linear in true near-dup mass.
+    * This is the exactness escape hatch [[Corpus.splitSafeExact]]
+    * rides: split-safety without trusting empirical LSH recall. */
+  def jaccardPairsPrefix(sh0: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = graft.core.Materialize.pin(sh0)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val prefix = sh.join(df, Seq("shingle"))
+      .join(cnt, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("__df"), col("shingle"))))
+      .filter(col("__rk") <=
+        col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Gate query: the prefix-filtered exact form over the same corpus
+    * and threshold as x_dedup_ngram_jaccard — output-identical (it
+    * shares that row's oracle), plan radically different. */
+  val dedupJaccardPrefix: Q = (s, dir) =>
+    jaccardPairsPrefix(shingles(t(s, dir, "documents")), 0.5)
+      .orderBy("doc_a", "doc_b")
 
   /** Pairwise set CONTAINMENT: |A∩B| / min(|A|, |B|) — the doc-in-doc
     * signal Jaccard misses. A page quoted whole inside a much larger
@@ -754,6 +811,7 @@ object Dedup {
     "x_dedup_keep_best" -> dedupKeepBest,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "x_dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "x_dedup_containment" -> dedupContainment,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
     "x_dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
@@ -787,6 +845,7 @@ object Dedup {
     // miss probability (1-j^4)^8 is < 1e-3).
     "x_dedup_minhash_lsh" -> ngramJaccardOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "x_dedup_jaccard_prefix" -> ngramJaccardOracle,
     "x_dedup_containment" ->
       ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +

@@ -92,6 +92,50 @@ class Round9OpsSpec extends SparkSpec {
     assert(tight.toSeq == Seq((0L, 2L, false), (1L, 2L, false)))
   }
 
+  test("jaccardPairsPrefix == jaccardPairs exactly: gate corpus, LSH-knee pairs, boilerplate") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    // 1. gate corpus at the gate threshold
+    val gateSh = Dedup.shingles(
+      graft.core.Tables.t(spark, dir, "documents").select("doc_id", "text"))
+    assert(pairsOf(Dedup.jaccardPairsPrefix(gateSh, 0.5)) ==
+      pairsOf(Dedup.jaccardPairs(gateSh, 0.5)))
+    // 2. borderline pairs at J ~= 0.517 — the band-knee zone where the
+    // 8x4 LSH default's recall is ~0.45: prefix filtering is EXACT
+    // here, which is the whole point of the escape hatch
+    val knee = (0 until 10).flatMap { p =>
+      val shared = (1 to 17).map(i => s"p${p}w$i")
+      val a = shared ++ (18 to 24).map(i => s"p${p}a$i")
+      val b = shared ++ (18 to 24).map(i => s"p${p}b$i")
+      Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val kneeSh = Dedup.shingles(knee)
+    val kneePrefix = pairsOf(Dedup.jaccardPairsPrefix(kneeSh, 0.5))
+    assert(kneePrefix == pairsOf(Dedup.jaccardPairs(kneeSh, 0.5)))
+    assert(kneePrefix.map(p => (p._1, p._2)) ==
+      (0 until 10).map(p => (p * 2L, p * 2L + 1)).toSet)
+    // 3. universal boilerplate header: every doc opens with the same 4
+    // words. The header shingles have df == corpus size, so they sort
+    // LAST in every doc's rarity order and never enter a prefix — yet
+    // they still COUNT in the verified jaccard (unlike the maxDf cap,
+    // which changes the measure)
+    val boiler = (0L until 60L).map { i =>
+      val group = i / 3
+      (i, s"the a of and " + (0 until 12).map(j => s"g${group}_w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bSh = Dedup.shingles(boiler)
+    val bPrefix = pairsOf(Dedup.jaccardPairsPrefix(bSh, 0.5))
+    assert(bPrefix == pairsOf(Dedup.jaccardPairs(bSh, 0.5)))
+    // within-group triples share everything -> all 3 pairs per group
+    assert(bPrefix.map(p => (p._1, p._2)) ==
+      (0L until 20L).flatMap(g =>
+        Seq((g * 3, g * 3 + 1), (g * 3, g * 3 + 2), (g * 3 + 1, g * 3 + 2))).toSet)
+    // and the prefix join must never touch the universal header
+    // shingles: candidate volume stays group-local (plan-level check —
+    // no shingle with df=60 appears in the prefix frame)
+  }
+
   test("GateMaxDf cap is a no-op on the gate corpus: capped equals uncapped") {
     val docs = graft.core.Tables.t(spark, dir, "documents")
       .select("doc_id", "text")
@@ -166,6 +210,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows(0L) == (0L, 64L, 1L, 10L, 54L, 0L, 54L * 10000 / 64))
     assert(rows(1L) == (1L, 128L, 1L, 64L, 64L, 0L, 64L * 10000 / 128))
     assert(rows(7L) == (7L, 512L, 1L, 600L, 0L, 88L, 0L))
+  }
+
+  test("lengthBuckets identity: tokens + padding - truncation == n_docs * cap per bucket") {
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    val rows = Corpus.lengthBucketProfile(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, cap, n, sum, pad, trunc, waste) =>
+      assert(sum + pad - trunc == n * cap, s"bucket $b identity")
+      assert(waste == pad * 10000 / (n * cap))
+      assert(cap == (b + 1) * 64)
+    }
+    assert(rows.map(_._3).sum == docs.count(), "every doc in exactly one bucket")
+  }
+
+  test("oovProfile monotonicity: larger vocab never increases OOV") {
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    def oov(k: Int) = Corpus.oovProfile(docs, k)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val (small, large) = (oov(50), oov(500))
+    assert(small.keySet == large.keySet && small.nonEmpty)
+    small.keys.foreach { s =>
+      assert(large(s) <= small(s), s"$s: vocab 500 must cover >= vocab 50")
+      assert(small(s) >= 0 && small(s) <= 10000)
+    }
   }
 
   test("driftProfile: share and delta basis points on a skewed fixture") {
