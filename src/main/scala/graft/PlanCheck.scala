@@ -26,7 +26,11 @@ object PlanCheck {
         // the 5 most expensive gate queries (BENCH_r08) — audit these
         // first when a round's bench regresses
         "x_pipeline_curation", "x_dedup_clusters", "x_graph_pagerank",
-        "x_corpus_split_safe", "q0_spine")
+        "x_corpus_split_safe", "q0_spine",
+        // r9 additions: the prefix-filtered exact join + the
+        // one-shuffle corpus profiles
+        "x_dedup_jaccard_prefix", "x_corpus_oov_rate",
+        "x_corpus_length_buckets", "x_corpus_drift", "x_dedup_keep_best")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants for the round-9 operators. The load-
+  * bearing one: prefix-filtered exact Jaccard is output-identical to
+  * the plain inverted-index join on RANDOM corpora — the prefix bound
+  * (a qualifying pair must collide inside each doc's rarest
+  * n - ceil(t*n) + 1 shingles under the global df order) is easy to
+  * get subtly wrong (off-by-one, tie order), and a fixture can't
+  * explore the size/overlap space a generator can.
+  */
+object Round9Props extends Properties("graft.round9") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // small vocabulary forces shingle collisions; 6-14 tokens per doc
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.chooseNum(4, 14)
+    docs <- Gen.listOfN(nDocs,
+      Gen.chooseNum(6, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.chooseNum(0, 11).map(v => s"w$v"))
+          .map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+  }
+
+  property("jaccardPairsPrefix == jaccardPairs on random corpora at random thresholds") =
+    forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.7, 0.9)) { (docs, t) =>
+      import spark.implicits._
+      val sh = Dedup.shingles(docs.toDF("doc_id", "text"))
+      pairs(Dedup.jaccardPairsPrefix(sh, t)) == pairs(Dedup.jaccardPairs(sh, t))
+    }
+
+  property("lengthBucketProfile: identity + total doc conservation") =
+    forAll(Gen.listOfN(30, Gen.chooseNum(1, 700))) { lens =>
+      import spark.implicits._
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val rows = Corpus.lengthBucketProfile(docs)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      rows.forall { case (_, cap, n, sum, pad, trunc, _) =>
+        sum + pad - trunc == n * cap
+      } && rows.map(_._3).sum == lens.size
+    }
+
+  property("driftProfile: shares sum to <= 10000bp per snapshot, drift is |a-b|") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0, 3)))) { xs0 =>
+      import spark.implicits._
+      val xs = xs0.distinctBy(_._1)
+      val docs = xs.map { case (id, s) => (id, s"src$s") }.toDF("doc_id", "source")
+      // guard: both snapshots non-empty, else the bp division is x/0
+      val hasA = xs.exists(_._1 % 2 == 0)
+      val hasB = xs.exists(_._1 % 2 == 1)
+      !(hasA && hasB) || {
+        val rows = Corpus.driftProfile(docs, col("doc_id") % 2 === 0)
+          .as[(String, Long, Long, Long, Long, Long)].collect()
+        rows.map(_._4).sum <= 10000 && rows.map(_._5).sum <= 10000 &&
+          rows.forall { case (_, _, _, a, b, d) => d == math.abs(a - b) }
+      }
+    }
+}
