@@ -296,6 +296,70 @@ object Corpus {
       }),
       evalFrac)
 
+  /** Iterative BPE merge training (Sennrich et al. 2016 — the public
+    * algorithm behind most production tokenizers): starting from
+    * per-character symbol sequences over the corpus WORD COUNTS, each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * picks the most frequent pair (count desc, then pair asc for a
+    * total order), and greedily merges its non-overlapping occurrences
+    * left-to-right in every word. Returns the merge table
+    * (rank, left, right, count) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus is touched ONCE (word-count aggregation,
+    * map-combined); every round after that runs over the VOCABULARY
+    * table (distinct words — orders of magnitude smaller than the
+    * corpus, Zipf guarantees it), with the pair scan a codegen'd
+    * higher-order-function projection, the top-1 a
+    * TakeOrderedAndProject, and the merge a fold (`aggregate`) over
+    * each word's symbol array. One driver-held row per round — the
+    * merge decision — is the only thing collected; the vocabulary is
+    * re-pinned per round so lineage stays flat (same loop discipline
+    * as canonicalClusters). nMerges rounds = nMerges jobs, each
+    * vocabulary-sized: this is why BPE training at corpus scale is a
+    * word-count problem, not a corpus problem. */
+  def bpeMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = graft.core.Materialize.pin(
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .select(col("n_w"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("syms")))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val top = vocab
+        // fully-merged single-symbol words have no pairs — and Spark's
+        // sequence(1, 0) counts DOWN, so they must be filtered before
+        // the pair explode, not left to produce an empty sequence
+        .filter(size(col("syms")) >= 2)
+        .select(col("n_w"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n_w").as("n_pair"))
+        .orderBy(col("n_pair").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) return merges.toList
+      val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((rank, l, r, n))
+      // greedy left-to-right non-overlapping merge: fold each word's
+      // symbol array; a pair match replaces the accumulator tail
+      val lq = l.replace("\\", "\\\\").replace("'", "\\'")
+      val rq = r.replace("\\", "\\\\").replace("'", "\\'")
+      val next = vocab.select(col("n_w"), expr(
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND x = '$rq' " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq')) " +
+          "ELSE concat(acc, array(x)) END)").as("syms"))
+      val pinned = graft.core.Materialize.pin(next)
+      org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(vocab)
+      vocab = pinned
+    }
+    org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(vocab)
+    merges.toList
+  }
+
   /** Out-of-vocabulary profile: coverage of each source's token mass
     * by the corpus-wide top-`k` vocabulary — the first question a
     * tokenizer budget decision asks (how much of each source would

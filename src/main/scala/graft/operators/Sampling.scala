@@ -419,12 +419,19 @@ object Sampling {
     val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
       col("sy").cast("double"), col("sxx").cast("double"),
       col("syy").cast("double"), col("sxy").cast("double"))
+    // Final stats rounded to 9 decimals: the moment sums are exact,
+    // but DuckDB's wide-DECIMAL->DOUBLE cast is not correctly rounded
+    // (measured: syy at sf0.001 lands 1 ulp off Java's cast), so the
+    // raw double tree can differ in the last bit. Rounding collapses
+    // a 1-ulp input wiggle (~1e-16 relative) far below the 9-dp
+    // boundary; the oracle mirrors with the varchar-decimal round
+    // trick that matches Spark round's shortest-repr HALF_UP.
     m.select(col("l_returnflag"), col("n"),
-        ((n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
           .as("corr_qty_price"),
-        ((n * sxy - sx * sy) / (n * (n - lit(1.0)))).as("covar_samp"),
-        sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))).as("stddev_qty"))
+        round((n * sxy - sx * sy) / (n * (n - lit(1.0))), 9).as("covar_samp"),
+        round(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))), 9).as("stddev_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -558,13 +565,13 @@ object Sampling {
         "FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS x, " +
         "CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem) GROUP BY l_returnflag) " +
         "SELECT l_returnflag, CAST(n AS BIGINT) AS n, " +
-        "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "CAST(round(CAST(CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
         "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
-        "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qty_price, " +
-        "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
-        "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)) AS covar_samp, " +
-        "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / " +
-        "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS stddev_qty " +
+        "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS VARCHAR) AS DECIMAL(30,15)), 9) AS DOUBLE) AS corr_qty_price, " +
+        "CAST(round(CAST(CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)) AS VARCHAR) AS DECIMAL(30,15)), 9) AS DOUBLE) AS covar_samp, " +
+        "CAST(round(CAST(CAST(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS VARCHAR) AS DECIMAL(30,15)), 9) AS DOUBLE) AS stddev_qty " +
         "FROM m ORDER BY l_returnflag"),
     "x_sample_hash" ->
       (s"SELECT doc_id, source, n_chars FROM documents " +

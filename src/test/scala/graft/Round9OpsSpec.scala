@@ -287,6 +287,57 @@ class Round9OpsSpec extends SparkSpec {
       (4L, 4L, 4L, true), (5L, 4L, 4L, false)))
   }
 
+  test("bpeMerges matches an independent in-memory BPE reference") {
+    // corpus engineered so merge order is unambiguous and exercises
+    // the greedy non-overlap fold (runs of the same character)
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest"),
+      (5L, "aaaa aaaa")).toDF("doc_id", "text")
+    val got = Corpus.bpeMerges(docs, nMerges = 8)
+
+    // independent reference: plain Scala BPE over word counts
+    def reference(words: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        words.map { case (w, n) => w.split("").toVector -> n }
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      for (rank <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).foreach {
+            case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+            case _ =>
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((rank, l, r, n))
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector
+          }(_._2)(_ + _)
+        }
+      }
+      out.toList
+    }
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaaa" -> 2L)
+    assert(got == reference(words, 8))
+    // the aaaa run must merge greedily without overlap: (a,a) with
+    // count 2 words x 3 adjacent pairs = 6 occurrences but only 2
+    // non-overlapping merges per word — the REFERENCE enforces the
+    // same, so equality above already proves the fold's greed; sanity:
+    assert(got.map(m => (m._2, m._3)).distinct.size == got.size)
+  }
+
   test("centroid gate rows are the posexploded view of centroidVectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val vecs = Similarity.centroidVectors(emb)
