@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Growing-index streaming ingest for EMBEDDINGS — the vector analog
+  * of [[DocIngest]] (reference workload: embedding batches arriving
+  * continuously from an encoder; every batch must be near-dup-checked
+  * against everything already ingested before it joins the corpus).
+  *
+  * Each micro-batch of (vec_id, embedding):
+  *   1. probes the accumulated parquet LSH bucket index
+  *      ([[Similarity.lshBandIndex]] layout — (vec_id, tbl, bucket))
+  *      with the batch's own buckets via an equi-join on (tbl,
+  *      bucket); only bucket-colliding candidates are verified with
+  *      the exact native cosine — the corpus is never re-hashed;
+  *   2. appends its verified pairs, its vectors, and its buckets to
+  *      their stores, each into a `batch_id=<id>` partition with
+  *      dynamic partition overwrite (the
+  *      [[EventStreams.idempotentParquetSink]] exactly-once layout).
+  *
+  * Replay safety mirrors [[DocIngest]]: writes target only the
+  * replayed batch's own partition, and index/corpus reads filter out
+  * the current batchId so a replayed batch never matches itself.
+  *
+  * At 100 TB: stateless query (no streaming state store); per-batch
+  * cost is batch-buckets x index-postings join plus exact verification
+  * of collisions only; the bucket store can be bucketed by `bucket`
+  * when the corpus outgrows a shuffle-free scan, and the `batch_id=`
+  * partition forest compacts offline like any streaming sink table.
+  */
+object VecIngest {
+
+  val PairsSchema: StructType = StructType(Seq(
+    StructField("new_id", LongType), StructField("corpus_id", LongType)))
+
+  private def exists(df: DataFrame, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** Batch-vs-index near-dup pairs: bucket-collision candidates from
+    * the (tbl, bucket) equi-join, exact-cosine verified. Ids-only
+    * output (similarity ulps are not portable; ids are). */
+  def matchAgainstIndex(batch: DataFrame, corpusVecs: DataFrame,
+      corpusBuckets: DataFrame, minSim: Double): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val batchBuckets = Similarity.lshBandIndex(batch)
+      .withColumnsRenamed(Map("vec_id" -> "new_id"))
+    val cand = corpusBuckets.join(broadcast(batchBuckets), Seq("tbl", "bucket"))
+      .select(col("new_id"), col("vec_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(batch.select(col("vec_id").as("new_id"),
+        col("embedding").as("new_emb")), Seq("new_id"))
+      .join(corpusVecs.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("corpus_emb")), Seq("corpus_id"))
+      .filter(cosineSim(col("new_emb"), col("corpus_emb")) >= minSim)
+      .select("new_id", "corpus_id")
+  }
+
+  /** One micro-batch step, exposed for spec-level direct use. */
+  def ingestBatch(batch: DataFrame, batchId: Long, vecsPath: String,
+      indexPath: String, pairsPath: String, minSim: Double): Unit = {
+    val s = batch.sparkSession
+    // the batch feeds pair generation AND two appends — pin it so the
+    // (possibly expensive) stream source is consumed once
+    val b = graft.core.Materialize.pin(batch)
+    val pairs =
+      if (exists(b, vecsPath) && exists(b, indexPath)) {
+        val prior = col("batch_id") =!= batchId // replay: exclude own vectors
+        val corpus = s.read.parquet(vecsPath).filter(prior)
+          .select("vec_id", "embedding")
+        val buckets = s.read.parquet(indexPath).filter(prior)
+          .select("vec_id", "tbl", "bucket")
+        matchAgainstIndex(b, corpus, buckets, minSim)
+      } else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        PairsSchema)
+    EventStreams.idempotentParquetSink(pairsPath)(pairs, batchId)
+    EventStreams.idempotentParquetSink(vecsPath)(b, batchId)
+    EventStreams.idempotentParquetSink(indexPath)(
+      Similarity.lshBandIndex(b), batchId)
+  }
+
+  /** Start the ingest stream. `vecStream` must carry at least
+    * (vec_id, embedding); extra columns ride along into the store. */
+  def start(vecStream: DataFrame, vecsPath: String, indexPath: String,
+      pairsPath: String, checkpointDir: String,
+      minSim: Double = 0.9): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, vecsPath, indexPath, pairsPath, minSim))
+      .start()
+}
