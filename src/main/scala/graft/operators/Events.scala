@@ -302,8 +302,12 @@ object EventsOps {
         "FROM s GROUP BY user_id ORDER BY user_id"),
     "x_events_session_window" ->
       ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        // split strictly on > gap: Spark's session_window MERGES an
+        // event at exactly prev+gap (probe-verified: events at 0,
+        // 1800, 3599 form ONE session) — >= here desynced the oracle
+        // the first time the data contained an exact-gap pair (sf0.1)
         "s AS (SELECT user_id, sec, CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL " +
-        "OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 ELSE 0 END AS ns FROM e), " +
         "g AS (SELECT user_id, sec, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM s) " +
         "SELECT user_id, CAST(MIN(sec) AS BIGINT) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events " +
         "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),

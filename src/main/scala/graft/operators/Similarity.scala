@@ -387,21 +387,30 @@ object Similarity {
   /** Per-label mean embedding (class centroids / mean pooling): the
     * prototype each label's vectors average to — the step behind
     * nearest-class-mean classification, cluster summarization, and the
-    * IVF coarse quantizer's training pass. Element sums accumulate in
-    * decimal(18,9) (exact, so the result is independent of partition
-    * merge order AND engine — a float sum would be neither), then one
-    * double division per element.
+    * IVF coarse quantizer's training pass. Elements quantize to exact
+    * int64 fixed-point (floor(x*1e9) — see [[centroidMeans]]), so the
+    * sum is independent of partition merge order AND engine — a float
+    * sum would be neither; then one double division per element.
     *
     * Scale shape: posexplode → groupBy (label, pos) partial-aggregates
     * map-side, so the shuffle carries |labels| x dim rows regardless of
     * corpus size; [[centroidVectors]]' per-label array rebuild sorts
     * dim-sized structs inside the row. */
   def centroidMeans(emb: DataFrame): DataFrame =
+    // elements quantized by floor(x * 1e9) into EXACT int64 fixed-
+    // point, not a decimal(18,9) cast: the cast rounds HALF_UP, and
+    // engines disagree on rounding-tie cases (sf0.1 surfaced one
+    // element where DuckDB's double->decimal rounding differed by
+    // 1e-9). floor of one IEEE multiply is bit-identical everywhere;
+    // the integer sum is exact and order-free; the final division is
+    // one correctly-rounded op. Overflow headroom: |x|*1e9 ~ 1e10 per
+    // element -> int64 holds ~9e8 rows per (label, pos) group.
     emb.select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"),
-        col("col").cast("double").cast(DecimalType(18, 9)).as("vd"))
+        floor(col("col").cast("double") * 1e9).cast(LongType).as("v9"))
       .groupBy("label", "pos")
-      .agg((sum("vd").cast("double") / count(lit(1))).as("m"))
+      .agg((sum("v9").cast("double") /
+        (count(lit(1)).cast("double") * 1e9)).as("m"))
 
   /** Library form: reassemble the per-dimension means into one
     * centroid array per label (the shape a nearest-class-mean
@@ -469,8 +478,9 @@ object Similarity {
     "x_sim_centroids" ->
       ("WITH e AS (SELECT label, embedding AS arr FROM embeddings), " +
         "p AS (SELECT label, arr, unnest(generate_series(1, len(arr))) AS i FROM e), " +
-        "v AS (SELECT label, i, CAST(CAST(arr[i] AS DOUBLE) AS DECIMAL(18,9)) AS vd FROM p) " +
-        "SELECT label, CAST(i - 1 AS INT) AS pos, CAST(SUM(vd) AS DOUBLE) / COUNT(*) AS m " +
+        "v AS (SELECT label, i, CAST(floor(CAST(arr[i] AS DOUBLE) * 1000000000) AS BIGINT) AS v9 FROM p) " +
+        "SELECT label, CAST(i - 1 AS INT) AS pos, " +
+        "CAST(CAST(SUM(v9) AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS m " +
         "FROM v GROUP BY label, i ORDER BY label, pos"),
     "x_sim_quantized_topk" -> quantizedTopKOracle,
     "x_sim_cosine_topk_native" -> cosineTopKOracle,

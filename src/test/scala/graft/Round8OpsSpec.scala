@@ -259,8 +259,8 @@ class Round8OpsSpec extends SparkSpec {
     byLabel.foreach { case (label, vs) =>
       val dim = vs.head._2.length
       val expected = (0 until dim).map { i =>
-        val xs = vs.map(v => BigDecimal(v._2(i).toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP))
-        (xs.sum.toDouble / vs.length)
+        val sum9 = vs.map(v => math.floor(v._2(i).toDouble * 1e9).toLong).sum
+        sum9.toDouble / (vs.length.toDouble * 1e9)
       }
       got(label).zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
         assert(g == e, s"label $label pos $i")
