@@ -389,6 +389,31 @@ object Soak {
         .map { case (n, c) => s"$n:$c" }.mkString(","))
     }
 
+    // growing-index VECTOR ingest: 12 batches of 5k embeddings, 10% of
+    // every batch exact-duplicating batch 0's vectors (hash-random
+    // independent components for the rest — a sin(linear-seed) family
+    // is phase-degenerate and plants millions of accidental near-dups).
+    // planesPerTable=16 sizes the bucket space to the corpus (65k
+    // buckets vs 60k vectors): per-batch probe cost must stay FLAT as
+    // the index grows 12x. The 8-plane default measured on the same
+    // corpus shape grows ~2.3x over the run (256 buckets -> collision
+    // volume tracks corpus size) — that contrast IS the sizing lesson.
+    val vecIngestRoot = java.nio.file.Files.createTempDirectory("soak-vingest").toString
+    val vBatch = 5000L * mult
+    for (b <- 0 until 12 if want("vingest")) {
+      val batch = spark.range(vBatch).select(
+        (col("id") + b * vBatch).as("vec_id"),
+        expr(s"transform(sequence(0, 15), i -> " +
+          s"CAST((pmod(xxhash64(concat(CASE WHEN id % 10 = 0 THEN id " +
+          s"ELSE id + ${b * vBatch} END, '_', i)), 2001) - 1000) / 1000.0 AS FLOAT))")
+          .as("embedding"))
+      val t0 = System.nanoTime()
+      graft.streaming.VecIngest.ingestBatch(batch, b.toLong,
+        s"$vecIngestRoot/vecs", s"$vecIngestRoot/index",
+        s"$vecIngestRoot/pairs", 0.99, planesPerTable = 16)
+      println(f"SOAK vingest_batch_$b%-13s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
     // streaming CDC snapshot: 30 batches of 2k changes each (80%
     // inserts / 15% updates / 5% deletes against the accumulated keys).
     // The per-batch cost curve is the claim: merge work ~ snapshot

@@ -97,12 +97,13 @@ object Similarity {
     * match the embedding dimension exactly: the native cosine nulls
     * out on length mismatch rather than silently scoring a prefix. */
   private val planeCache =
-    scala.collection.concurrent.TrieMap.empty[Int, Seq[Seq[Seq[Float]]]]
-  private def tablePlanes(dim: Int): Seq[Seq[Seq[Float]]] =
-    planeCache.getOrElseUpdate(dim, {
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Seq[Seq[Seq[Float]]]]
+  private def tablePlanes(dim: Int, planesPerTable: Int = PlanesPerTable,
+      numTables: Int = NumTables): Seq[Seq[Seq[Float]]] =
+    planeCache.getOrElseUpdate((dim, planesPerTable, numTables), {
       val rng = new scala.util.Random(42)
-      Seq.fill(NumTables)(
-        Seq.fill(PlanesPerTable)(Seq.fill(dim)(rng.nextFloat() - 0.5f)))
+      Seq.fill(numTables)(
+        Seq.fill(planesPerTable)(Seq.fill(dim)(rng.nextFloat() - 0.5f)))
     })
 
   /** Per-table sign-bit LSH bucket ids (index = table). A single
@@ -145,10 +146,23 @@ object Similarity {
 
   /** The (vec_id, tbl, bucket) LSH bucket index — the frame a
     * production pipeline materializes to parquet once per corpus
-    * ([[IndexStore.buildLshIndex]]). */
-  def lshBandIndex(emb: DataFrame, dim: Int = PlaneDims): DataFrame =
+    * ([[IndexStore.buildLshIndex]]).
+    *
+    * `planesPerTable` SIZES THE BUCKET SPACE (2^planes buckets per
+    * table) and is the knob that keeps candidate volume flat as the
+    * corpus grows: random unrelated pairs collide per table at
+    * ~1/2^planes, so candidates scale as batch x corpus / 2^planes —
+    * at 8 planes (256 buckets) a 60k corpus already drives millions
+    * of false candidates per 5k-probe batch (soak-measured), while 16
+    * planes holds the same probe flat. More planes costs recall at
+    * LOW similarity thresholds (per-table survival (1-θ/π)^planes);
+    * exact/near-exact duplicates collide at any width. */
+  def lshBandIndex(emb: DataFrame, dim: Int = PlaneDims,
+      planesPerTable: Int = PlanesPerTable,
+      numTables: Int = NumTables): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(lshBuckets(col("embedding"), dim)).as(Seq("tbl", "bucket")))
+      posexplode(graft.functions.SignBuckets.signBuckets(col("embedding"),
+        tablePlanes(dim, planesPerTable, numTables))).as(Seq("tbl", "bucket")))
 
   /** Search stage over a prebuilt bucket index (inline-checkpointed in
     * [[lshAnn]], parquet-loaded in [[IndexStore.lshAnnFromIndex]]) —

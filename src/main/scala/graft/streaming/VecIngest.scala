@@ -46,9 +46,11 @@ object VecIngest {
     * the (tbl, bucket) equi-join, exact-cosine verified. Ids-only
     * output (similarity ulps are not portable; ids are). */
   def matchAgainstIndex(batch: DataFrame, corpusVecs: DataFrame,
-      corpusBuckets: DataFrame, minSim: Double): DataFrame = {
+      corpusBuckets: DataFrame, minSim: Double,
+      planesPerTable: Int = Similarity.PlanesPerTable): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
-    val batchBuckets = Similarity.lshBandIndex(batch)
+    val batchBuckets = Similarity.lshBandIndex(batch,
+      planesPerTable = planesPerTable)
       .withColumnsRenamed(Map("vec_id" -> "new_id"))
     val cand = corpusBuckets.join(broadcast(batchBuckets), Seq("tbl", "bucket"))
       .select(col("new_id"), col("vec_id").as("corpus_id"))
@@ -62,9 +64,16 @@ object VecIngest {
       .select("new_id", "corpus_id")
   }
 
-  /** One micro-batch step, exposed for spec-level direct use. */
+  /** One micro-batch step, exposed for spec-level direct use.
+    * `planesPerTable` sizes the index's bucket space — see
+    * [[Similarity.lshBandIndex]]: pick 2^planes comfortably above the
+    * expected corpus/bucket occupancy so per-batch probe cost stays
+    * flat as the store grows (soak-verified: 8 planes degrade
+    * linearly at 60k vectors; 16 planes hold flat). Must be constant
+    * across the life of one store. */
   def ingestBatch(batch: DataFrame, batchId: Long, vecsPath: String,
-      indexPath: String, pairsPath: String, minSim: Double): Unit = {
+      indexPath: String, pairsPath: String, minSim: Double,
+      planesPerTable: Int = Similarity.PlanesPerTable): Unit = {
     val s = batch.sparkSession
     // the batch feeds pair generation AND two appends — pin it so the
     // (possibly expensive) stream source is consumed once
@@ -76,23 +85,24 @@ object VecIngest {
           .select("vec_id", "embedding")
         val buckets = s.read.parquet(indexPath).filter(prior)
           .select("vec_id", "tbl", "bucket")
-        matchAgainstIndex(b, corpus, buckets, minSim)
+        matchAgainstIndex(b, corpus, buckets, minSim, planesPerTable)
       } else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         PairsSchema)
     EventStreams.idempotentParquetSink(pairsPath)(pairs, batchId)
     EventStreams.idempotentParquetSink(vecsPath)(b, batchId)
     EventStreams.idempotentParquetSink(indexPath)(
-      Similarity.lshBandIndex(b), batchId)
+      Similarity.lshBandIndex(b, planesPerTable = planesPerTable), batchId)
   }
 
   /** Start the ingest stream. `vecStream` must carry at least
     * (vec_id, embedding); extra columns ride along into the store. */
   def start(vecStream: DataFrame, vecsPath: String, indexPath: String,
-      pairsPath: String, checkpointDir: String,
-      minSim: Double = 0.9): StreamingQuery =
+      pairsPath: String, checkpointDir: String, minSim: Double = 0.9,
+      planesPerTable: Int = Similarity.PlanesPerTable): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, vecsPath, indexPath, pairsPath, minSim))
+        ingestBatch(batch, batchId, vecsPath, indexPath, pairsPath, minSim,
+          planesPerTable))
       .start()
 }
