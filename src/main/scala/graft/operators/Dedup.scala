@@ -113,28 +113,49 @@ object Dedup {
     * This is the exactness escape hatch [[Corpus.splitSafeExact]]
     * rides: split-safety without trusting empirical LSH recall. */
   def jaccardPairsPrefix(sh0: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = graft.core.Materialize.pin(sh0)
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val prefix = sh.join(df, Seq("shingle"))
-      .join(cnt, Seq("doc_id"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("__df"), col("shingle"))))
-      .filter(col("__rk") <=
-        col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
-      .select("doc_id", "shingle")
+    // shingles join/shuffle as 8-byte xxhash64 keys, not ~25-byte
+    // 3-gram strings — every downstream exchange (df window, prefix
+    // self-join, set arrays) shrinks ~3x, and array_intersect runs on
+    // long[] instead of UTF8Strings. Distinctness is preserved modulo
+    // 64-bit collisions — the same accepted caveat [[exactDedup]]'s
+    // group-by-payload-hash carries (P[any collision] ~ u^2/2^65 for u
+    // distinct shingles: ~4e-9 at u=1e5/doc-corpus; the property test
+    // vs the string-keyed [[jaccardPairs]] enforces identity in
+    // practice). Hashing BEFORE the pin so the pinned bytes shrink too.
+    val sh = graft.core.Materialize.pin(
+      sh0.select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    // pinned: the prefix subtree feeds BOTH sides of the candidate
+    // self-join, and Spark does not reuse it across them (same lesson
+    // as overlapPairs' shingle index). df and the doc's shingle count
+    // ride WINDOWS (one shingle-partitioned, one doc-partitioned) —
+    // no groupBy+join round trips; the (df, shingle) order only needs
+    // to be total and global, and hashed-shingle order is.
+    val docWin = Window.partitionBy("doc_id")
+    val prefix = graft.core.Materialize.pin(
+      sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .withColumn("__rk", row_number().over(
+          docWin.orderBy(col("__df"), col("shingle"))))
+        .withColumn("__n", count(lit(1)).over(docWin))
+        .filter(col("__rk") <=
+          col("__n") - ceil(lit(minJaccard) * col("__n")) + 1)
+        .select("doc_id", "shingle"))
     val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    // verification against per-doc shingle SETS (one map-combined
+    // collect per doc, bounded by shingles/doc): two equi-joins and a
+    // codegen'd array_intersect per candidate — no per-pair overlap
+    // aggregation shuffle. Same integer division as [[jaccardPairs]],
+    // so the output doubles are bit-identical to the plain path.
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list("shingle").as("__shs"), count(lit(1)).as("n_sh"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("__shs").as("__sa"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("__shs").as("__sb"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("__sa"), col("__sb"))).cast(LongType))
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
