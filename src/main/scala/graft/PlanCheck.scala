@@ -30,7 +30,10 @@ object PlanCheck {
         // r9 additions: the prefix-filtered exact join + the
         // one-shuffle corpus profiles
         "x_dedup_jaccard_prefix", "x_corpus_oov_rate",
-        "x_corpus_length_buckets", "x_corpus_drift", "x_dedup_keep_best")
+        "x_corpus_length_buckets", "x_corpus_drift", "x_dedup_keep_best",
+        // r9 linkage family: deletion-neighborhood fuzzy join +
+        // inverted-index tf-cosine
+        "x_link_edit_names", "x_link_tf_cosine")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Corpus, Dedup, Linkage}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties}
@@ -71,5 +71,55 @@ object Round9Props extends Properties("graft.round9") {
         rows.map(_._4).sum <= 10000 && rows.map(_._5).sum <= 10000 &&
           rows.forall { case (_, _, _, a, b, d) => d == math.abs(a - b) }
       }
+    }
+
+  // short strings over a 3-letter alphabet force dense ED<=d
+  // neighborhoods; includes empty strings and exact duplicates.
+  private val stringsGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(3, 12)
+    ss <- Gen.listOfN(n, Gen.chooseNum(0, 5).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+  } yield ss
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("editDistancePairs == brute-force levenshtein at d=1 and d=2") =
+    forAll(stringsGen, Gen.oneOf(1, 2)) { (ss, d) =>
+      import spark.implicits._
+      val rows = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Linkage.editDistancePairs(
+        rows.toDF("id", "s"), col("id"), col("s"), d)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist)).toSet
+      got == want
+    }
+
+  property("tfCosinePairs == brute-force integer cosine test") =
+    forAll(corpusGen, Gen.oneOf((1, 2), (3, 5), (9, 10))) { (docs, pq) =>
+      import spark.implicits._
+      val (p, q) = pq
+      val got = Linkage.tfCosinePairs(docs.toDF("doc_id", "text"), p, q)
+        .select("doc_a", "doc_b", "dot").as[(Long, Long, Long)].collect().toSet
+      def tf(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+      val want = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        fa = tf(ta); fb = tf(tb)
+        dot = fa.keysIterator.map(w => fa(w) * fb.getOrElse(w, 0L)).sum
+        n2a = fa.valuesIterator.map(v => v * v).sum
+        n2b = fb.valuesIterator.map(v => v * v).sum
+        if q.toLong * q * dot * dot >= p.toLong * p * n2a * n2b && dot > 0
+      } yield (a, b, dot)).toSet
+      got == want
     }
 }
