@@ -476,7 +476,44 @@ object Corpus {
     splitSafe(docs, clusters, 0.10).orderBy("doc_id")
   }
 
+  /** Trigram language-model profile: for every bigram context
+    * (w1, w2), the top-`k` next tokens by occurrence with the
+    * context's total count and an integer-bp conditional probability —
+    * the n-gram LM table a data pipeline builds for perplexity-ish
+    * quality filters, decontamination heuristics, and synthetic-text
+    * detection (repeated high-p continuations).
+    *
+    * Scale shape: trigram explode → one map-combined groupBy on
+    * (w1, w2, w3) — the only corpus-sized shuffle, carrying one row
+    * per DISTINCT trigram — then a window over the (w1, w2) context
+    * (group size <= vocab, never corpus-sized) for rank and context
+    * total. Integer counts and floor-division bp are bit-portable.
+    * Tiebreak (n desc, w3 asc) totals the order. */
+  def ngramLm(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tri = docs
+      .select(tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2, " +
+          "element_at(ws, i + 2) AS w3))")).as("t"))
+      .select("t.w1", "t.w2", "t.w3")
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n"))
+    val ctx = Window.partitionBy("w1", "w2")
+    tri
+      .withColumn("ctx_n", sum("n").over(ctx))
+      .withColumn("rank", row_number().over(
+        ctx.orderBy(col("n").desc, col("w3"))))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("w3"), col("n"), col("ctx_n"),
+        expr("(n * 10000) div ctx_n").as("p_bp"), col("rank"))
+  }
+
+  val ngramLmGate: Q = (s, dir) =>
+    ngramLm(t(s, dir, "documents"), 3).orderBy("w1", "w2", "rank")
+
   val queries: Map[String, Q] = Map(
+    "x_corpus_ngram_lm" -> ngramLmGate,
     "x_corpus_oov_rate" -> oovRate,
     "x_corpus_length_buckets" -> lengthBuckets,
     "x_corpus_drift" -> sourceDrift,
@@ -499,6 +536,16 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_ngram_lm" ->
+      (s"WITH w AS (SELECT $wsExpr AS ws FROM documents), " +
+        "tri AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 " +
+        "FROM w, unnest(range(1, len(ws) - 1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT w1, w2, w3, n, " +
+        "CAST(SUM(n) OVER (PARTITION BY w1, w2) AS BIGINT) AS ctx_n, " +
+        "CAST(row_number() OVER (PARTITION BY w1, w2 ORDER BY n DESC, w3) AS INT) AS rank FROM cnt) " +
+        "SELECT w1, w2, w3, n, ctx_n, n * 10000 // ctx_n AS p_bp, rank " +
+        "FROM rk WHERE rank <= 3 ORDER BY w1, w2, rank"),
     "x_corpus_oov_rate" ->
       (s"WITH tk AS (SELECT source, unnest($wsExpr) AS tok FROM documents), " +
         "st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY source, tok), " +

@@ -122,4 +122,23 @@ object Round9Props extends Properties("graft.round9") {
       } yield (a, b, dot)).toSet
       got == want
     }
+
+  property("ngramLm == brute-force trigram top-k with (n desc, w3) tiebreak") =
+    forAll(corpusGen, Gen.oneOf(1, 3)) { (docs, k) =>
+      import spark.implicits._
+      val got = Corpus.ngramLm(docs.toDF("doc_id", "text"), k)
+        .as[(String, String, String, Long, Long, Long, Int)].collect().toSet
+      val tris = docs.flatMap { case (_, t) =>
+        t.split("\\s+").toList.sliding(3).filter(_.size == 3)
+          .map(w => (w(0), w(1), w(2))) }
+      val cnt = tris.groupBy(identity).map { case (t3, o) => (t3, o.length.toLong) }
+      val want = cnt.groupBy(e => (e._1._1, e._1._2)).flatMap { case ((w1, w2), m) =>
+        val ctxN = m.values.sum
+        m.toList.map { case ((_, _, w3), n) => (w3, n) }
+          .sortBy { case (w3, n) => (-n, w3) }.zipWithIndex.take(k)
+          .map { case ((w3, n), i) =>
+            (w1, w2, w3, n, ctxN, n * 10000 / ctxN, i + 1) }
+      }.toSet
+      got == want
+    }
 }
