@@ -33,7 +33,8 @@ object PlanCheck {
         "x_corpus_length_buckets", "x_corpus_drift", "x_dedup_keep_best",
         // r9 linkage family: deletion-neighborhood fuzzy join +
         // inverted-index tf-cosine
-        "x_link_edit_names", "x_link_tf_cosine")
+        "x_link_edit_names", "x_link_tf_cosine",
+        "x_corpus_ngram_lm", "x_corpus_diversity")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

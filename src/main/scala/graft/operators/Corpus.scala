@@ -5,6 +5,7 @@ import graft.operators.TextAnalysis.tokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-level statistics and batch-assembly operators for a
   * training-data pipeline (driver north star; the reference's closest
@@ -512,7 +513,37 @@ object Corpus {
   val ngramLmGate: Q = (s, dir) =>
     ngramLm(t(s, dir, "documents"), 3).orderBy("w1", "w2", "rank")
 
+  /** Per-source token-diversity profile: Simpson concentration
+    * (sum p_i^2, the collision probability of two random tokens) and
+    * the top token's share, both as integer basis points — the cheap
+    * scalar signals that flag template-generated or boilerplate-heavy
+    * sources before any pairwise dedup runs (a source whose
+    * simpson_bp spikes is dominated by few token types).
+    *
+    * Arithmetic is decimal(38,0) end-to-end — sum(tf^2) over a
+    * 100 TB source overflows int64 (N > ~3e9 tokens), decimal38 holds
+    * to N ~ 1e17 — with ONE floor division to bp at the end, so the
+    * outputs are exact integers, bit-portable across engines.
+    *
+    * Scale shape: one map-combined groupBy (source, token) — the only
+    * corpus-sized shuffle — then a |sources|-row aggregate. */
+  def diversityProfile(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).cast(DecimalType(38, 0)).as("tf"))
+    tf.groupBy("source")
+      .agg(sum("tf").as("n"), sum(col("tf") * col("tf")).as("s2"),
+        max("tf").as("maxtf"))
+      .select(col("source"), col("n").cast("long").as("n_tokens"),
+        expr("CAST((s2 * 10000) DIV (n * n) AS BIGINT)").as("simpson_bp"),
+        expr("CAST((maxtf * 10000) DIV n AS BIGINT)").as("top_share_bp"))
+  }
+
+  val diversityGate: Q = (s, dir) =>
+    diversityProfile(t(s, dir, "documents")).orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "x_corpus_diversity" -> diversityGate,
     "x_corpus_ngram_lm" -> ngramLmGate,
     "x_corpus_oov_rate" -> oovRate,
     "x_corpus_length_buckets" -> lengthBuckets,
@@ -536,6 +567,14 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_diversity" ->
+      (s"WITH tk AS (SELECT source, unnest($wsExpr) AS w FROM documents), " +
+        "tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2), " +
+        "agg AS (SELECT source, SUM(tf) AS n, SUM(tf * tf) AS s2, MAX(tf) AS maxtf FROM tf GROUP BY source) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_tokens, " +
+        "CAST((s2 * 10000) // (n * n) AS BIGINT) AS simpson_bp, " +
+        "CAST((maxtf * 10000) // n AS BIGINT) AS top_share_bp " +
+        "FROM agg ORDER BY source"),
     "x_corpus_ngram_lm" ->
       (s"WITH w AS (SELECT $wsExpr AS ws FROM documents), " +
         "tri AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 " +

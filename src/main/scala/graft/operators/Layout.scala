@@ -71,10 +71,67 @@ object Layout {
       .orderBy("zval", "o_orderkey")
   }
 
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table: rows
+    * hash-partition on `key` at write time, so any later equi-join or
+    * aggregation on `key` between tables bucketed the same way needs
+    * NO exchange — the join's shuffle is paid ONCE at layout time and
+    * amortized over every downstream query. At 100 TB this is the
+    * difference between re-shuffling the fact table per query and
+    * never shuffling it again; `nBuckets` plays the role of the
+    * cluster's parallelism (pick ~ total size / 1 GB).
+    * LayoutSpec asserts the zero-exchange join plan. */
+  def bucketedWrite(df: DataFrame, table: String, key: String,
+      nBuckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Join two tables bucketed on the same key. The physical plan is
+    * two bucketed scans + sort-merge join — zero Exchange (asserted in
+    * LayoutSpec with broadcast disabled). */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Gate query: bucket-lay-out lineitem and orders on the order key,
+    * join co-located, aggregate per month x returnflag. Output is
+    * identical to the plain parquet join (the oracle); the LAYOUT is
+    * what changes — LayoutSpec proves the join plan carries no
+    * exchange. Unique table names + temp path keep reruns and
+    * concurrent sessions isolated. */
+  val layoutBucketedJoin: Q = (s, dir) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    bucketedWrite(t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag"),
+      s"li_$tag", "l_orderkey", 8, s"$root/li")
+    bucketedWrite(t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+      s"ord_$tag", "l_orderkey", 8, s"$root/ord")
+    val out = bucketedJoin(s, s"li_$tag", s"ord_$tag", "l_orderkey")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("month", "l_returnflag")
+    // materialize BEFORE dropping the catalog entries the plan reads
+    val rows = out.collect()
+    s.sql(s"DROP TABLE IF EXISTS li_$tag")
+    s.sql(s"DROP TABLE IF EXISTS ord_$tag")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+  }
+
   val queries: Map[String, Q] = Map(
-    "x_layout_zorder" -> layoutZorder)
+    "x_layout_zorder" -> layoutZorder,
+    "x_layout_bucketed_join" -> layoutBucketedJoin)
 
   val oracles: Map[String, String] = Map(
+    "x_layout_bucketed_join" ->
+      ("SELECT date_trunc('month', o_orderdate) AS month, l_returnflag, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1, 2 ORDER BY month, l_returnflag"),
     "x_layout_zorder" ->
       ("WITH o AS (SELECT o_orderkey, o_custkey % 1024 AS zx, " +
         "CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 1024 AS zy FROM orders) " +

@@ -123,6 +123,23 @@ object Round9Props extends Properties("graft.round9") {
       got == want
     }
 
+  property("diversityProfile == brute-force Simpson/top-share bp") =
+    forAll(corpusGen, Gen.chooseNum(1, 4)) { (docs, nSrc) =>
+      import spark.implicits._
+      val rows = docs.map { case (id, t) => (id, t, s"s${id % nSrc}") }
+      val got = Corpus.diversityProfile(rows.toDF("doc_id", "text", "source"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._3).map { case (src, ds) =>
+        val tf = ds.flatMap(_._2.split("\\s+")).groupBy(identity)
+          .map { case (_, o) => o.length.toLong }
+        val n = tf.sum
+        val s2 = tf.map(v => BigInt(v) * v).sum
+        (src, n, (s2 * 10000 / (BigInt(n) * n)).toLong,
+          tf.max * 10000 / n)
+      }.toSet
+      got == want
+    }
+
   property("ngramLm == brute-force trigram top-k with (n desc, w3) tiebreak") =
     forAll(corpusGen, Gen.oneOf(1, 3)) { (docs, k) =>
       import spark.implicits._
