@@ -436,6 +436,42 @@ object Soak {
       if (b % 10 == 9)
         println(f"SOAK snap_batch_$b%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+    // edit-distance fuzzy join: sparse numeric keys (id*1009 keeps
+    // accidental single-digit neighbors rare) with a planted ED-1
+    // typo every 100th row. Blocking is |s| deletion variants per
+    // row, so cost should track rows linearly; two sizes for the
+    // linearity reading.
+    def linkKeys(n: Long) = spark.range(n).select(col("id"),
+      when(pmod(col("id"), lit(100)) === 0 && col("id") > 0,
+        concat(lit("Item#"),
+          lpad(((col("id") - 1) * 1009).cast("string"), 10, "0"), lit("X")))
+        .otherwise(concat(lit("Item#"),
+          lpad((col("id") * 1009).cast("string"), 10, "0"))).as("s"))
+    time("edit_distance_1m") {
+      graft.operators.Linkage.editDistancePairs(
+        linkKeys(1000000L * mult), col("id"), col("s"), 1) }
+    time("edit_distance_2m") {
+      graft.operators.Linkage.editDistancePairs(
+        linkKeys(2000000L * mult), col("id"), col("s"), 1) }
+
+    // tf-cosine similarity join: vocabulary grows WITH the corpus
+    // (0.4n types, 20 tokens/doc -> df ~ 50), so posting-list volume
+    // sum(df^2) ~ 1000n stays linear in docs — the regime the maxDf
+    // knob protects; every 50th doc is a planted one-token edit of
+    // its predecessor (cos ~ 0.9+).
+    def cosDocs(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(50)) === 0 && col("id") > 0,
+        expr("concat_ws(' ', transform(sequence(0, 19), i -> " +
+          "concat('t', if(i = 0, 0, pmod((id - 1) * 37 + i * 11, " +
+          "CAST(0.4 * " + n.toString + " AS BIGINT))))))"))
+        .otherwise(expr("concat_ws(' ', transform(sequence(0, 19), i -> " +
+          "concat('t', pmod(id * 37 + i * 11, " +
+          "CAST(0.4 * " + n.toString + " AS BIGINT)))))")).as("text"))
+    time("tf_cosine_50k") {
+      graft.operators.Linkage.tfCosinePairs(cosDocs(50000L * mult), 4, 5) }
+    time("tf_cosine_100k") {
+      graft.operators.Linkage.tfCosinePairs(cosDocs(100000L * mult), 4, 5) }
+
     spark.stop()
   }
 }
