@@ -91,9 +91,12 @@ object Linkage {
     cand
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      // thresholded levenshtein early-exits the DP once the distance
+      // can no longer come in under maxDist (returns -1 instead):
+      // O(maxDist * len) per candidate, not O(len^2)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Gate query: ED<=1 fuzzy self-join on customer names — the

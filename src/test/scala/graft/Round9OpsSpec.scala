@@ -338,6 +338,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.map(m => (m._2, m._3)).distinct.size == got.size)
   }
 
+  test("ngram LM counts maintain incrementally: merged partials == full recompute") {
+    // the 100 TB LM-count story: the trigram table is a distributive
+    // (sum) aggregate, so a new document batch refreshes it by
+    // re-aggregating stored state + batch counts — the base corpus is
+    // never re-read. The ranked ngramLm view over merged counts must
+    // equal ngramLm over the full corpus.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stored = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    def counts(d: org.apache.spark.sql.DataFrame) = Corpus.ngramLm(d, Int.MaxValue)
+      .select("w1", "w2", "w3", "n")
+    val merged = counts(stored).unionByName(counts(batch))
+      .groupBy("w1", "w2", "w3").agg(sum("n").as("n"))
+    val ctx = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+    val rankedFromMerged = merged
+      .withColumn("ctx_n", sum("n").over(ctx))
+      .withColumn("rank", row_number().over(
+        ctx.orderBy(col("n").desc, col("w3"))))
+      .filter(col("rank") <= 3)
+      .select(col("w1"), col("w2"), col("w3"), col("n"), col("ctx_n"),
+        expr("(n * 10000) div ctx_n").as("p_bp"), col("rank"))
+      .as[(String, String, String, Long, Long, Long, Int)].collect().toSet
+    val full = Corpus.ngramLm(docs, 3)
+      .as[(String, String, String, Long, Long, Long, Int)].collect().toSet
+    assert(rankedFromMerged == full)
+  }
+
   test("centroid gate rows are the posexploded view of centroidVectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val vecs = Similarity.centroidVectors(emb)
