@@ -542,7 +542,79 @@ object Corpus {
   val diversityGate: Q = (s, dir) =>
     diversityProfile(t(s, dir, "documents")).orderBy("source")
 
+  /** Per-document LM-familiarity score: each doc's trigrams are scored
+    * with the CORPUS trigram LM's integer-bp conditional probability
+    * p(w3 | w1 w2) and averaged — the perplexity-proxy quality filter
+    * of CCNet-style curation (Wenzek et al. 2020): low lm_bp = the
+    * doc's continuations are rare given their contexts (noise, OCR
+    * garbage, wrong language); suspiciously high lm_bp = templated /
+    * machine-repeated text. Kept in integer basis points (floor
+    * division at each step) so the score is bit-portable — a true
+    * log-perplexity would not hash-match across engines.
+    *
+    * Scale shape: trigram explode is pinned once and feeds both the LM
+    * aggregation (one map-combined groupBy on the distinct-trigram
+    * key — vocabulary-sized, not corpus-sized) and the scoring join
+    * (shuffles on the trigram key, then partial-aggregates per doc).
+    * At 100 TB the LM table takes a df floor (drop hapax trigrams) and
+    * usually fits broadcast, turning the scoring join map-side; the
+    * uncapped form here IS the oracle shape. Docs under 3 tokens have
+    * no trigrams and are excluded (documented contract, matches the
+    * [[ngramLm]] filter). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tri = graft.core.Materialize.pin(docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2, " +
+          "element_at(ws, i + 2) AS w3))")).as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3")))
+    val lm = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n"))
+      .withColumn("ctx_n", sum("n").over(Window.partitionBy("w1", "w2")))
+      .withColumn("p_bp", expr("(n * 10000) div ctx_n"))
+      .select("w1", "w2", "w3", "p_bp")
+    tri.join(lm, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum("p_bp").as("__sum"))
+      .select(col("doc_id"), col("n_tri"),
+        expr("__sum div n_tri").as("lm_bp"))
+  }
+
+  val lmScoreGate: Q = (s, dir) =>
+    lmScore(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Deterministic training-order shuffle: a global pseudo-random
+    * permutation of the corpus (position, batch id, offset in batch)
+    * keyed by md5 of a salt + doc id — the "shuffle the corpus before
+    * epoch N" step of a training-data pipeline, reproducible across
+    * runs and engines because the permutation is a pure function of
+    * (salt, doc_id), not of partitioning or RNG state.
+    *
+    * Scale shape: THE trap here is `row_number() OVER (ORDER BY ...)`,
+    * which collapses to one partition; positions instead come from
+    * [[graft.core.Ids.denseId]] — a range-partitioned sort on the hash
+    * (uniform by construction, so zero skew) plus per-partition
+    * offsets from a lightweight count job. The only full-data cost is
+    * the one sort shuffle the semantics require. Downstream writers
+    * partition output by `batch_id` to get one file per batch. */
+  def trainingOrder(docs: DataFrame, batchSize: Long,
+      salt: String): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    val keyed = docs.select(col("doc_id"),
+      md5(concat(lit(salt + ":"), col("doc_id").cast("string"))).as("__k"))
+    graft.core.Ids.denseId(keyed, Seq(col("__k"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("pos"),
+        expr(s"(pos - 1) div ${batchSize}L").as("batch_id"),
+        (col("pos") - 1) % batchSize as "pos_in_batch")
+  }
+
+  val trainingOrderGate: Q = (s, dir) =>
+    trainingOrder(t(s, dir, "documents"), 256L, "shuf1").orderBy("pos")
+
   val queries: Map[String, Q] = Map(
+    "x_corpus_lm_score" -> lmScoreGate,
+    "x_corpus_shuffle" -> trainingOrderGate,
     "x_corpus_diversity" -> diversityGate,
     "x_corpus_ngram_lm" -> ngramLmGate,
     "x_corpus_oov_rate" -> oovRate,
@@ -567,6 +639,20 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_lm_score" ->
+      (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
+        "tri AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 " +
+        "FROM w, unnest(range(1, len(ws) - 1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1, 2, 3), " +
+        "lm AS (SELECT w1, w2, w3, n * 10000 // CAST(SUM(n) OVER (PARTITION BY w1, w2) AS BIGINT) AS p_bp FROM cnt) " +
+        "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri, " +
+        "CAST(SUM(p_bp) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_bp " +
+        "FROM tri t JOIN lm USING (w1, w2, w3) GROUP BY t.doc_id ORDER BY t.doc_id"),
+    "x_corpus_shuffle" ->
+      ("WITH p AS (SELECT doc_id, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS k FROM documents), " +
+        "r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos FROM p) " +
+        "SELECT doc_id, pos, (pos - 1) // 256 AS batch_id, (pos - 1) % 256 AS pos_in_batch " +
+        "FROM r ORDER BY pos"),
     "x_corpus_diversity" ->
       (s"WITH tk AS (SELECT source, unnest($wsExpr) AS w FROM documents), " +
         "tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2), " +

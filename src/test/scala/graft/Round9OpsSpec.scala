@@ -365,6 +365,50 @@ class Round9OpsSpec extends SparkSpec {
     assert(rankedFromMerged == full)
   }
 
+  test("lmScore: brute-force identity on a tiny corpus; bp bounds corpus-wide") {
+    // corpus: "a b c" x2 and "a b d" — context (a,b) has ctx_n=3,
+    // p(c|a b)=2*10000 div 3=6666, p(d|a b)=3333.
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Corpus.lmScore(tiny)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 4 has < 3 tokens: excluded by contract
+    assert(got == Seq((1L, 1L, 6666L), (2L, 1L, 6666L), (3L, 1L, 3333L)))
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = Corpus.lmScore(docs)
+    val (nDocs, sumTri, minBp, maxBp) = scored
+      .agg(count(lit(1)), sum("n_tri"), min("lm_bp"), max("lm_bp"))
+      .as[(Long, Long, Long, Long)].head()
+    val eligible = docs.filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    val totalTri = docs.select(
+      (size(split(trim(col("text")), "\\s+")) - 2).as("k"))
+      .filter(col("k") >= 1).agg(sum("k")).as[Long].head()
+    // every eligible doc scored exactly once; trigram mass conserved;
+    // averages of probabilities stay in [0, 10000] bp
+    assert(nDocs == eligible && sumTri == totalTri)
+    assert(minBp >= 0L && maxBp <= 10000L)
+  }
+
+  test("trainingOrder: exact permutation, full batches, salt-sensitive") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val ord = Corpus.trainingOrder(docs, 64L, "shuf1")
+    val pos = ord.select("pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to n).toSeq)  // dense permutation, no gaps
+    val batchSizes = ord.groupBy("batch_id").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(batchSizes.init.forall(_._2 == 64L))  // all full but the last
+    assert(batchSizes.last._2 == (if (n % 64 == 0) 64L else n % 64))
+    assert(ord.filter(col("pos_in_batch") < 0 || col("pos_in_batch") >= 64)
+      .isEmpty)
+    // the permutation is a function of the salt, not an identity order
+    val other = Corpus.trainingOrder(docs, 64L, "shuf2")
+    val joined = ord.select(col("doc_id"), col("pos"))
+      .join(other.select(col("doc_id"), col("pos").as("pos2")), Seq("doc_id"))
+    assert(joined.filter(col("pos") =!= col("pos2")).count() > n / 2)
+  }
+
   test("centroid gate rows are the posexploded view of centroidVectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val vecs = Similarity.centroidVectors(emb)
