@@ -34,7 +34,9 @@ object PlanCheck {
         // r9 linkage family: deletion-neighborhood fuzzy join +
         // inverted-index tf-cosine
         "x_link_edit_names", "x_link_tf_cosine",
-        "x_corpus_ngram_lm", "x_corpus_diversity")
+        "x_corpus_ngram_lm", "x_corpus_diversity",
+        // r9: LM-familiarity scoring join + denseId-backed shuffle
+        "x_corpus_lm_score", "x_corpus_shuffle")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
