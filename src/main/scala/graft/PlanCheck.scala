@@ -36,7 +36,9 @@ object PlanCheck {
         "x_link_edit_names", "x_link_tf_cosine",
         "x_corpus_ngram_lm", "x_corpus_diversity",
         // r9: LM-familiarity scoring join + denseId-backed shuffle
-        "x_corpus_lm_score", "x_corpus_shuffle")
+        "x_corpus_lm_score", "x_corpus_shuffle",
+        // r9: contrastive-mining and label-outlier TopK paths
+        "x_sim_hard_negatives", "x_sim_centroid_outliers")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -444,7 +444,82 @@ object Similarity {
       .select(col("label"), col("pos"), col("m"))
       .orderBy("label", "pos")
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar vectors with a DIFFERENT label —
+    * the negatives that sit closest to the decision boundary, which
+    * is what embedding-model training loops (SimCLR/DPR-style) mine
+    * between epochs. Same scale shape as [[cosineTopKNative]]: the
+    * query set broadcasts, the corpus streams once through the native
+    * codegen'd cosine kernel, and the [[graft.functions.TopK]]
+    * aggregator partial-aggregates map-side so the shuffle carries
+    * O(queries * k) rows — never O(corpus * queries). The label
+    * predicate rides the broadcast join condition, so disqualified
+    * candidates are dropped before any similarity is computed. At
+    * corpus scale the candidate stream composes with [[lshBuckets]]
+    * blocking exactly as the ANN path does (mine negatives among ANN
+    * candidates only) — the exact form here is the oracle. */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import graft.functions.{CosineSimilarity, TopK}
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val cands = emb.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        CosineSimilarity.cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .as[(Long, Long, Double)]
+    cands.groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new TopK(k).toColumn.name("top"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((_, nid), i) => (qid, nid, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
+  }
+
+  val simHardNegatives: Q = (s, dir) =>
+    hardNegatives(t(s, dir, "embeddings"), nQueries = 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  /** Per-label least-central vectors: bottom-k by cosine to the label
+    * centroid — the "does this sample belong to its class" outlier
+    * screen (CLIP-score-style pruning, mislabel triage) run before a
+    * noisy labeled set is trusted for training. Centroids come from
+    * [[centroidVectors]] (exact fixed-point means, engine-portable)
+    * and broadcast (|labels| rows); each vector is scored in one
+    * corpus scan. Ranks come from the [[graft.functions.TopK]]
+    * aggregator on NEGATED similarity — bottom-k via max-k, map-side
+    * partial, so the shuffle is O(labels * k) (a per-label window
+    * would shuffle and sort the whole corpus on a handful of label
+    * keys — the skew trap). Ids + ranks only in the output, like
+    * every similarity gate row. */
+  def centroidOutliers(emb: DataFrame, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import graft.functions.TopK
+    val cen = centroidVectors(emb)
+      .withColumn("cn",
+        sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)))
+    val scored = withNorm(emb).filter(col("norm") > 0)
+      .join(broadcast(cen), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        (dot(col("v"), col("centroid")) / (col("norm") * col("cn"))).as("sim"))
+      .as[(Int, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues(r => (-r._3, r._2))
+      .agg(new TopK(k).toColumn.name("bottom"))
+      .flatMap { case (label, items) =>
+        items.zipWithIndex.map { case ((_, vid), i) => (label, vid, i + 1) }
+      }
+      .toDF("label", "vec_id", "rank")
+  }
+
+  val simCentroidOutliers: Q = (s, dir) =>
+    centroidOutliers(t(s, dir, "embeddings"), k = 10)
+      .orderBy("label", "rank")
+
   val queries: Map[String, Q] = Map(
+    "x_sim_hard_negatives" -> simHardNegatives,
+    "x_sim_centroid_outliers" -> simCentroidOutliers,
     "x_sim_centroids" -> simCentroids,
     "x_sim_quantized_topk" -> simQuantizedTopK,
     "x_sim_cosine_topk" -> simCosineTopK,
@@ -487,6 +562,25 @@ object Similarity {
       "FROM topk GROUP BY query_id ORDER BY query_id")
 
   val oracles: Map[String, String] = Map(
+    "x_sim_hard_negatives" ->
+      ("WITH sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.label <> q.label) " +
+        "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM " +
+        "(SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims) " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "x_sim_centroid_outliers" ->
+      ("WITH p AS (SELECT label, embedding AS arr FROM embeddings), " +
+        "u AS (SELECT label, arr, unnest(generate_series(1, len(arr))) AS i FROM p), " +
+        "cp AS (SELECT label, i, CAST(CAST(SUM(CAST(floor(CAST(arr[i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS DOUBLE) " +
+        "/ (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS m FROM u GROUP BY label, i), " +
+        "c AS (SELECT label, list(m ORDER BY i) AS cen FROM cp GROUP BY label), " +
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "sims AS (SELECT e.label, e.vec_id, list_cosine_similarity(v, cen) AS sim " +
+        "FROM e JOIN c USING (label) WHERE list_sum(list_transform(v, x -> x * x)) > 0) " +
+        "SELECT label, vec_id, CAST(rank AS INT) AS rank FROM " +
+        "(SELECT label, vec_id, row_number() OVER (PARTITION BY label ORDER BY sim ASC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 10 ORDER BY label, rank"),
     "x_sim_lsh_ann" -> annRecallOracle,
     "x_sim_ivf_ann" -> annRecallOracle,
     "x_sim_centroids" ->

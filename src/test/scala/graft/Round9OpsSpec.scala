@@ -409,6 +409,52 @@ class Round9OpsSpec extends SparkSpec {
     assert(joined.filter(col("pos") =!= col("pos2")).count() > n / 2)
   }
 
+  test("hardNegatives: label constraint holds; TopK path == window brute force") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.hardNegatives(emb, nQueries = 10, k = 5)
+    val labels = emb.select(col("vec_id"), col("label"))
+    // no returned negative shares its query's label
+    val violations = got
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), Seq("neighbor_id"))
+      .filter(col("ql") === col("nl")).count()
+    assert(violations == 0L)
+    // identity with the window-rank brute force over the same candidates
+    val e = Similarity.withNorm(emb)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("ql"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val brute = e.join(broadcast(q), col("label") =!= col("ql"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Similarity.dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5).select("query_id", "neighbor_id", "rank")
+    assert(got.as[(Long, Long, Int)].collect().toSet ==
+      brute.as[(Long, Long, Int)].collect().toSet)
+  }
+
+  test("centroidOutliers: bottom-k == ascending window rank over centroid cosine") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.centroidOutliers(emb, k = 10)
+    val cen = Similarity.centroidVectors(emb)
+      .withColumn("cn", sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)))
+    val brute = Similarity.withNorm(emb).filter(col("norm") > 0)
+      .join(broadcast(cen), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        (Similarity.dot(col("v"), col("centroid")) / (col("norm") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("label")
+          .orderBy(col("sim").asc, col("vec_id"))))
+      .filter(col("rank") <= 10).select("label", "vec_id", "rank")
+    assert(got.as[(Int, Long, Int)].collect().toSet ==
+      brute.as[(Int, Long, Int)].collect().toSet)
+    // every label with at least one scorable vector contributes rows
+    assert(got.select("label").distinct().count() ==
+      emb.select("label").distinct().count())
+  }
+
   test("centroid gate rows are the posexploded view of centroidVectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val vecs = Similarity.centroidVectors(emb)
