@@ -472,6 +472,44 @@ object Soak {
     time("tf_cosine_100k") {
       graft.operators.Linkage.tfCosinePairs(cosDocs(100000L * mult), 4, 5) }
 
+    // LM-familiarity scoring: the trigram table is vocab-bounded, so
+    // the pinned-explode + count + score-join + per-doc agg chain
+    // should scale with corpus tokens; two sizes for linearity.
+    def synDocs(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 39), " +
+        "i -> concat('w', pmod(id * 31 + i * 17, 2000))))").as("text"))
+    time("lm_score_200k") {
+      graft.operators.Corpus.lmScore(synDocs(200000L * mult)) }
+    time("lm_score_400k") {
+      graft.operators.Corpus.lmScore(synDocs(400000L * mult)) }
+
+    // training-order shuffle: cost should be the one range-partitioned
+    // sort on the md5 key (denseId's count job is ~free) — sort-bound
+    // n log n, near-linear readings at these sizes.
+    def shufIds(n: Long) = spark.range(n).select(col("id").as("doc_id"))
+    time("training_order_2m") {
+      graft.operators.Corpus.trainingOrder(shufIds(2000000L * mult), 1024L, "s1") }
+    time("training_order_4m") {
+      graft.operators.Corpus.trainingOrder(shufIds(4000000L * mult), 1024L, "s1") }
+
+    // contrastive mining + outlier screen on labeled vectors: both are
+    // one corpus scan (broadcast queries / broadcast centroids) with
+    // map-side TopK partials — must scale with the scan.
+    def labVecs(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> CAST(sin(id * 13 + i * 31) AS FLOAT))")
+        .as("embedding"),
+      pmod(col("id"), lit(10)).cast("int").as("label"))
+    time("hard_negatives_200k") {
+      Similarity.hardNegatives(labVecs(200000L * mult), nQueries = 10, k = 5) }
+    time("hard_negatives_400k") {
+      Similarity.hardNegatives(labVecs(400000L * mult), nQueries = 10, k = 5) }
+    time("centroid_outliers_200k") {
+      Similarity.centroidOutliers(labVecs(200000L * mult), k = 10) }
+    time("centroid_outliers_400k") {
+      Similarity.centroidOutliers(labVecs(400000L * mult), k = 10) }
+
     spark.stop()
   }
 }
