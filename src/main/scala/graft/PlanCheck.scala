@@ -38,7 +38,8 @@ object PlanCheck {
         // r9: LM-familiarity scoring join + denseId-backed shuffle
         "x_corpus_lm_score", "x_corpus_shuffle",
         // r9: contrastive-mining and label-outlier TopK paths
-        "x_sim_hard_negatives", "x_sim_centroid_outliers")
+        "x_sim_hard_negatives", "x_sim_centroid_outliers",
+        "x_eval_retrieval")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

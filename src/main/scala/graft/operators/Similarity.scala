@@ -517,7 +517,44 @@ object Similarity {
     centroidOutliers(t(s, dir, "embeddings"), k = 10)
       .orderBy("label", "rank")
 
+  /** Retrieval evaluation against label relevance: score the exact
+    * cosine top-k with "same label = relevant" and emit, per query,
+    * hits@k, the first relevant rank, and its reciprocal in integer
+    * basis points (10000 div rank — one integer division, bit-portable
+    * where a float MRR mean would not be; the corpus-level MRR is then
+    * avg(rr_bp)/10000 driver-side). The eval an embedding-training
+    * loop runs per checkpoint: recall regressions show as hits@k
+    * drops, ranking regressions as rr_bp drops.
+    *
+    * Scale shape: rides [[cosineTopKNative]] (broadcast queries, one
+    * corpus scan, map-side TopK), then label lookups join the k*|Q|-row
+    * ranked table — both sides broadcastable — and one |Q|-row
+    * aggregate. Queries with no relevant neighbor in the top-k emit
+    * first_rel_rank = 0, rr_bp = 0 (0, not null: a no-hit eval row is
+    * data, not missing data). */
+  def retrievalEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val ranked = cosineTopKNative(emb, nQueries, k)
+    val labels = emb.select(col("vec_id"), col("label"))
+    ranked
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("ql"))), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .withColumn("rel", (col("ql") === col("nl")).cast(LongType))
+      .groupBy("query_id")
+      .agg(sum("rel").as("n_relevant"),
+        min(when(col("rel") === 1, col("rank"))).as("__fr"))
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("__fr"), lit(0)).cast(LongType).as("first_rel_rank"),
+        coalesce(expr("10000 div __fr"), lit(0)).cast(LongType).as("rr_bp"))
+  }
+
+  val simRetrievalEval: Q = (s, dir) =>
+    retrievalEval(t(s, dir, "embeddings"), nQueries = 10, k = 5)
+      .orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
+    "x_eval_retrieval" -> simRetrievalEval,
     "x_sim_hard_negatives" -> simHardNegatives,
     "x_sim_centroid_outliers" -> simCentroidOutliers,
     "x_sim_centroids" -> simCentroids,
@@ -562,6 +599,17 @@ object Similarity {
       "FROM topk GROUP BY query_id ORDER BY query_id")
 
   val oracles: Map[String, String] = Map(
+    "x_eval_retrieval" ->
+      ("WITH sims AS (SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id AS neighbor_id, c.label AS nl, " +
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id), " +
+        "topk AS (SELECT query_id, ql, nl, rank FROM " +
+        "(SELECT query_id, ql, nl, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims) " +
+        "WHERE rank <= 5), " +
+        "agg AS (SELECT query_id, CAST(SUM(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant, " +
+        "MIN(CASE WHEN ql = nl THEN rank END) AS fr FROM topk GROUP BY query_id) " +
+        "SELECT query_id, n_relevant, CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank, " +
+        "CAST(COALESCE(10000 // fr, 0) AS BIGINT) AS rr_bp FROM agg ORDER BY query_id"),
     "x_sim_hard_negatives" ->
       ("WITH sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +

@@ -455,6 +455,36 @@ class Round9OpsSpec extends SparkSpec {
       emb.select("label").distinct().count())
   }
 
+  test("retrievalEval: hand-checked fixture arithmetic and gate invariants") {
+    // 2D unit-ish vectors: q0 label A at (1,0); neighbors:
+    //  v10 A (0.9, 0.1) — most similar, relevant at rank 1
+    //  v11 B (0.8, 0.2) — rank 2, not relevant
+    //  v12 A (-1, 0)    — least similar
+    val emb = Seq(
+      (0L, Array(1f, 0f), 1), (10L, Array(0.9f, 0.1f), 1),
+      (11L, Array(0.8f, 0.2f), 2), (12L, Array(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalEval(emb, nQueries = 1, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L, 10000L)))
+    // no-hit query: flip q0's label so nothing relevant is in top-2
+    val miss = Similarity.retrievalEval(
+      emb.withColumn("label",
+        when(col("vec_id") === 0, 9).otherwise(col("label"))),
+      nQueries = 1, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(miss == Seq((0L, 0L, 0L, 0L)))
+
+    val full = Similarity.retrievalEval(
+      spark.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 5)
+    // rr_bp is 10000 div first_rel_rank exactly when a hit exists
+    assert(full.filter(
+      (col("first_rel_rank") === 0 && (col("n_relevant") =!= 0 || col("rr_bp") =!= 0)) ||
+      (col("first_rel_rank") > 0 &&
+        col("rr_bp") =!= expr("10000 div first_rel_rank"))).isEmpty)
+    assert(full.filter(col("n_relevant") > 5).isEmpty)
+  }
+
   test("centroid gate rows are the posexploded view of centroidVectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val vecs = Similarity.centroidVectors(emb)
