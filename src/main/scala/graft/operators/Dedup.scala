@@ -824,8 +824,57 @@ object Dedup {
 
   val dedupSpanCrossdoc: Q = (s, dir) => spanCrossdoc(t(s, dir, "documents"))
 
+  /** Exact-substring scrub — the REMOVAL step [[spanCrossdoc]] only
+    * measures (Lee et al. 2022, arXiv:2107.06499: repeated training
+    * substrings are removed, not whole docs): every token position
+    * covered by an 8-gram span appearing in >= `minDocs` distinct docs
+    * is dropped, and the surviving tokens reassemble in order into
+    * `clean_text`. A doc that is pure boilerplate comes back empty
+    * (n_kept = 0) — data, not a dropped row.
+    *
+    * Scale shape: span-df is one map-combined groupBy on the span key;
+    * only spans that PASS the df filter fan out into covered positions
+    * (8 rows each, after the filter — boilerplate mass, not corpus
+    * mass); the scrub itself is a left-anti join on (doc, pos) and one
+    * per-doc reassembly aggregate. Everything keys on (doc_id, pos) or
+    * the span hash — no quadratic stage, no skew beyond the span df
+    * distribution itself (a universal span caps at 8 positions per doc
+    * occurrence, so fan-out is bounded by corpus token count). */
+  def spanScrub(docs: DataFrame, minDocs: Long = 2): DataFrame = {
+    val tokd = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("ws"))
+    val spans = tokd.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("ws")) - 7),
+          i => array_join(slice(col("ws"), i, lit(8)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("sh"))
+    val dupSpans = spans.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs).select("sh")
+    val bad = spans.join(dupSpans, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + 7)).as("p"))
+      .distinct()
+    val toks = tokd.select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+    val kept = toks.join(bad, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(p, w))), s -> s.w), ' ')")
+          .as("clean_text"))
+    tokd.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val dedupSpanScrub: Q = (s, dir) =>
+    spanScrub(t(s, dir, "documents"), 2).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "x_dedup_span_crossdoc" -> dedupSpanCrossdoc,
+    "x_dedup_span_scrub" -> dedupSpanScrub,
     "x_dedup_incremental" -> dedupIncremental,
     "x_dedup_incremental_indexed" -> dedupIncrementalIndexed,
     "x_dedup_clusters" -> dedupClusters,
@@ -839,6 +888,22 @@ object Dedup {
     "x_dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_span_scrub" ->
+      ("WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents), " +
+        "p AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-7)) AS i FROM d WHERE len(arr) >= 8), " +
+        "s AS (SELECT doc_id, i, array_to_string(arr[i:i+7], ' ') AS sh FROM p), " +
+        "dup AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2), " +
+        "bad AS (SELECT DISTINCT doc_id, pos FROM " +
+        "(SELECT doc_id, unnest(generate_series(i, i+7)) AS pos FROM s JOIN dup USING (sh))), " +
+        "tok AS (SELECT doc_id, pos, arr[pos] AS w FROM " +
+        "(SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos FROM d)), " +
+        "kept AS (SELECT tok.doc_id, tok.pos, w FROM tok LEFT JOIN bad " +
+        "ON tok.doc_id = bad.doc_id AND tok.pos = bad.pos WHERE bad.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "array_to_string(list(w ORDER BY pos), ' ') AS clean_text FROM kept GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, " +
+        "COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text " +
+        "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
     "x_dedup_span_crossdoc" ->
       ("WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr FROM documents), " +
         "p AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr)-7)) AS i FROM d WHERE len(arr) >= 8), " +

@@ -485,6 +485,35 @@ class Round9OpsSpec extends SparkSpec {
     assert(full.filter(col("n_relevant") > 5).isEmpty)
   }
 
+  test("spanScrub: planted boilerplate removed, unique text survives verbatim") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"),      // boilerplate mid-doc
+      (2L, s"$boiler v1 v2 v3"),          // boilerplate at head
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // unique, length >= 8
+      (4L, "short doc"),                  // < 8 tokens: no spans, kept whole
+      (5L, boiler))                       // pure boilerplate -> empty
+      .toDF("doc_id", "text")
+    val got = Dedup.spanScrub(docs, 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 12L, 4L, "u1 u2 u3 u4"),
+      (2L, 11L, 3L, "v1 v2 v3"),
+      (3L, 9L, 9L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (4L, 2L, 2L, "short doc"),
+      (5L, 8L, 0L, "")))
+
+    // consistency with the measurement op on the gate corpus: a doc
+    // with zero duplicated-span mass is returned untouched
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val scrub = Dedup.spanScrub(corpus, 2)
+    val frac = Dedup.spanCrossdoc(corpus)
+    val joined = scrub.join(frac, Seq("doc_id"))
+    assert(joined.filter(col("n_dup") === 0 && col("n_kept") =!= col("n_tokens")).isEmpty)
+    assert(joined.filter(col("n_dup") > 0 && col("n_kept") === col("n_tokens")).isEmpty)
+    assert(scrub.filter(col("n_kept") > col("n_tokens")).isEmpty)
+  }
+
   test("centroid gate rows are the posexploded view of centroidVectors") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val vecs = Similarity.centroidVectors(emb)
