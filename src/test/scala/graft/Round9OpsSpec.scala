@@ -179,6 +179,29 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("r9 additions: no cartesian, no single-partition exchange") {
+    // same audit as the expensive-5, over this round's new gate rows.
+    // x_sim_hard_negatives/x_eval_retrieval join on a non-equi label
+    // predicate against a BROADCAST side — BroadcastNestedLoopJoin over
+    // a 10-row build is the intended plan, a CartesianProduct is not.
+    val names = Seq("x_corpus_lm_score", "x_corpus_shuffle",
+      "x_sim_hard_negatives", "x_sim_centroid_outliers",
+      "x_eval_retrieval", "x_dedup_span_scrub")
+    names.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n: cartesian product")
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val child = lines.slice(i + 1, i + 3).mkString("\n")
+          assert(child.contains("__pid"),
+            s"$n: single-partition exchange over non-offset data")
+        }
+    }
+  }
+
   test("oovProfile: coverage math on a hand-checked fixture") {
     val docs = Seq(
       (1L, "a", "x x x y"), // x:3 y:1
