@@ -39,7 +39,10 @@ object PlanCheck {
         "x_corpus_lm_score", "x_corpus_shuffle",
         // r9: contrastive-mining and label-outlier TopK paths
         "x_sim_hard_negatives", "x_sim_centroid_outliers",
-        "x_eval_retrieval", "x_dedup_span_scrub")
+        "x_eval_retrieval", "x_dedup_span_scrub",
+        // r9: partition-local Gram accumulation (shuffle = P x d^2/2,
+        // row-count independent) + scan-only winnowing fingerprints
+        "x_sim_gram", "x_text_winnowing")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -444,6 +444,71 @@ object Similarity {
       .select(col("label"), col("pos"), col("m"))
       .orderBy("label", "pos")
 
+  /** Distributed Gram matrix G[i][j] = Σ_rows q_i * q_j over integer-
+    * quantized embeddings (q = floor(x * scale), exact int64) — the
+    * X^T X primitive behind PCA / whitening / ZCA that embedding-
+    * curation pipelines (SemDeDup-style preprocessing, covariance
+    * diagnostics) run before clustering. Quantization makes the sum
+    * order-independent AND engine-portable, so the matrix itself is
+    * the oracle-checked contract; callers divide by n / subtract mean
+    * outer products downstream for covariance.
+    *
+    * Scale shape — this is the point: the upper triangle
+    * (d*(d+1)/2 int64 cells) is accumulated PER PARTITION in one
+    * typed mapPartitions pass (a d²/2-long local array, ~16 KB at
+    * d=64), and only the per-partition partials are shuffled:
+    * shuffle volume = #partitions × d²/2 rows, INDEPENDENT of row
+    * count. A posexplode²+groupBy formulation would shuffle
+    * |corpus| × d² rows — at 100 TB that is the difference between a
+    * broadcastable result and a dead job. Overflow headroom:
+    * |q| <= scale, so a cell sum fits int64 up to ~9e18/scale² rows
+    * (~8.7e12 rows at scale=1024).
+    *
+    * Rows with a wrong-length embedding fail loudly (require) rather
+    * than silently truncating the accumulator. */
+  def gramMatrix(emb: DataFrame, dim: Int, scale: Int = 1024): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
+    val q = emb.select(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast(LongType)).as("q"))
+    val partials = q.as[Array[Long]].mapPartitions { it =>
+      val acc = new Array[Long](tri)
+      var any = false
+      it.foreach { v =>
+        require(v.length == dim,
+          s"gramMatrix: embedding length ${v.length} != dim $dim")
+        any = true
+        var i = 0; var idx = 0
+        while (i < dim) {
+          val vi = v(i)
+          var j = i
+          while (j < dim) { acc(idx) += vi * v(j); idx += 1; j += 1 }
+          i += 1
+        }
+      }
+      if (any) Iterator.single(acc) else Iterator.empty
+    }
+    // reduce: explode each partial to (idx, s) and sum — P × tri rows
+    // through the exchange, then one map from triangle index to (i, j).
+    partials.toDF("acc")
+      .select(posexplode(col("acc")).as(Seq("idx", "s")))
+      .groupBy("idx").agg(sum("s").as("s"))
+      // invert idx = Σ_{r<i}(d-r) + (j-i):  i = d - 1 - floor((sqrt(8*(tri-1-idx)+1)-1)/2) …
+      // float inversion is fragile at cell boundaries; a dim-sized
+      // broadcast lookup join is exact and costs nothing.
+      .join(broadcast(
+        (0 until dim).flatMap(i => (i until dim).map(j => (i, j)))
+          .zipWithIndex.map { case ((i, j), idx) => (idx, i, j) }
+          .toDF("idx", "i", "j")), Seq("idx"))
+      .select(col("i"), col("j"), col("s"))
+  }
+
+  val simGram: Q = (s, dir) =>
+    gramMatrix(t(s, dir, "embeddings"), dim = 64)
+      .orderBy("i", "j")
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar vectors with a DIFFERENT label —
     * the negatives that sit closest to the decision boundary, which
@@ -558,6 +623,7 @@ object Similarity {
     "x_sim_hard_negatives" -> simHardNegatives,
     "x_sim_centroid_outliers" -> simCentroidOutliers,
     "x_sim_centroids" -> simCentroids,
+    "x_sim_gram" -> simGram,
     "x_sim_quantized_topk" -> simQuantizedTopK,
     "x_sim_cosine_topk" -> simCosineTopK,
     "x_sim_cosine_topk_native" -> simCosineTopKNative,
@@ -638,6 +704,13 @@ object Similarity {
         "SELECT label, CAST(i - 1 AS INT) AS pos, " +
         "CAST(CAST(SUM(v9) AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS m " +
         "FROM v GROUP BY label, i ORDER BY label, pos"),
+    "x_sim_gram" ->
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS arr FROM embeddings), " +
+        "u AS (SELECT vec_id, arr, unnest(generate_series(1, len(arr))) AS i FROM q) " +
+        "SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j, " +
+        "CAST(SUM(a.arr[a.i] * b.arr[b.i]) AS BIGINT) AS s " +
+        "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i " +
+        "GROUP BY 1, 2 ORDER BY i, j"),
     "x_sim_quantized_topk" -> quantizedTopKOracle,
     "x_sim_cosine_topk_native" -> cosineTopKOracle,
     "x_sim_cosine_topk" ->

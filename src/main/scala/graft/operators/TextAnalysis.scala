@@ -160,6 +160,53 @@ object TextAnalysis {
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — public algorithm): hash every k-gram of the character
+    * stream, then keep the positions whose hash is the minimum of the
+    * trailing window of w gram hashes (local-minima selection). Any
+    * two documents sharing a substring of length >= w + k - 1 are
+    * guaranteed to share a fingerprint, so a plain equi-join on
+    * (hash) finds candidate plagiarism/quote/boilerplate overlaps at
+    * corpus scale with NO pairwise stage — the fingerprint table is a
+    * fraction ~2/(w+1) of the gram stream.
+    *
+    * The gram hash is the same portable polynomial fold as
+    * [[rollingHash]] (acc*257+cp mod 1e15 — every intermediate
+    * < 2.6e17, exact in int64 on any engine), so the fingerprints are
+    * DuckDB-oracle-checked, not just rows-counted. Cost is a pure
+    * per-row projection — one codegen'd scan, no shuffle, O(n*k) work
+    * per doc; docs shorter than k + w - 1 chars emit no rows (the
+    * `when` guards dodge sequence()'s descending-range behavior on
+    * negative spans). */
+  def winnowing(df: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing: k and w must be >= 1 (got $k, $w)")
+    val emptyLongs = array().cast("array<bigint>")
+    val cps = transform(filter(split(col("text"), ""), c => c =!= ""),
+      c => ascii(c).cast(LongType))
+    val withGrams = df
+      .withColumn("__cp", cps)
+      .withColumn("__gh",
+        when(size(col("__cp")) >= k,
+          transform(sequence(lit(0), size(col("__cp")) - k),
+            p => aggregate(slice(col("__cp"), p + 1, lit(k)), lit(0L),
+              (a, c) => pmod(a * lit(257L) + c, lit(1000000000000000L)))))
+          .otherwise(emptyLongs))
+    val sel = when(size(col("__gh")) >= w,
+      filter(
+        transform(sequence(lit(w - 1), size(col("__gh")) - 1),
+          p => struct(p.cast("int").as("pos"),
+            element_at(col("__gh"), p + 1).as("hash"),
+            array_min(slice(col("__gh"), p - lit(w - 2), lit(w))).as("m"))),
+        s => s.getField("hash") === s.getField("m")))
+      .otherwise(array().cast("array<struct<pos:int,hash:bigint,m:bigint>>"))
+    withGrams
+      .select(col("doc_id"), explode(sel).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.hash").as("hash"))
+  }
+
+  val textWinnowing: Q = (s, dir) =>
+    winnowing(t(s, dir, "documents")).orderBy("doc_id", "pos")
+
   /** Count of the most frequent element in a string array, as the
     * longest equal-run over the SORTED array: one fold of
     * struct(prev, run, best) state — O(n log n) per row vs the naive
@@ -425,7 +472,8 @@ object TextAnalysis {
     "x_text_langid" -> textLangId,
     "x_text_topicid" -> textTopicId,
     "x_text_fingerprint" -> textFingerprint,
-    "x_text_rolling_hash" -> textRollingHash)
+    "x_text_rolling_hash" -> textRollingHash,
+    "x_text_winnowing" -> textWinnowing)
 
   private def hitsSql(listExpr: String, words: Seq[String]): String =
     s"CAST(len(list_filter($listExpr, w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS INT)"
@@ -513,6 +561,15 @@ object TextAnalysis {
         "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))), " +
         "(a, b) -> (a * 257 + b) % 1000000000000000) AS rolling_hash " +
         "FROM documents ORDER BY doc_id"),
+    "x_text_winnowing" ->
+      ("WITH cps AS (SELECT doc_id, list_transform(list_filter(string_split(text, ''), c -> c <> ''), " +
+        "c -> CAST(unicode(c) AS BIGINT)) AS cp FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(0, len(cp) - 7), " +
+        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[p+1:p+8]), (a, b) -> (a * 257 + b) % 1000000000000000)) AS gh FROM cps) " +
+        "SELECT doc_id, CAST(p AS INT) AS pos, gh[p+1] AS hash " +
+        "FROM g, unnest(range(3, len(gh))) AS t(p) " +
+        "WHERE gh[p+1] = list_min(gh[p-2:p+1]) " +
+        "ORDER BY doc_id, pos"),
     "x_text_contamination" ->
       (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
         "g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g FROM w, unnest(range(1, len(ws)-2)) AS u(i) WHERE len(ws) >= 4), " +

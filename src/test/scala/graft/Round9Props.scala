@@ -140,6 +140,45 @@ object Round9Props extends Properties("graft.round9") {
       got == want
     }
 
+  property("gramMatrix == brute-force quantized upper-triangle sums") =
+    forAll(Gen.chooseNum(1, 6).flatMap(d =>
+      Gen.listOfN(8, Gen.listOfN(d, Gen.chooseNum(-1000, 1000).map(_ / 997.0f)))
+        .map(vs => (d, vs)))) { case (d, vs) =>
+      import spark.implicits._
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity.gramMatrix(emb, dim = d)
+        .as[(Int, Int, Long)].collect().toSet
+      val qs = vs.map(_.map(x => math.floor(x.toDouble * 1024).toLong))
+      val want = (for { i <- 0 until d; j <- i until d } yield
+        (i, j, qs.map(q => q(i) * q(j)).sum)).toSet
+      got == want
+    }
+
+  property("winnowing == brute-force local-minima fingerprints") = {
+    val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))
+    forAll(Gen.listOfN(5, textGen), Gen.chooseNum(2, 5), Gen.chooseNum(2, 4)) {
+      (texts, k, w) =>
+        import spark.implicits._
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val got = graft.operators.TextAnalysis
+          .winnowing(docs.toDF("doc_id", "text"), k, w)
+          .as[(Long, Int, Long)].collect().toSet
+        val want = docs.flatMap { case (id, t) =>
+          val cps = t.map(_.toLong)
+          val gh = (0 to cps.length - k).map(p =>
+            cps.slice(p, p + k).foldLeft(0L)((a, c) =>
+              (a * 257L + c) % 1000000000000000L))
+          ((w - 1) until gh.length).collect {
+            case p if gh(p) == gh.slice(p - w + 1, p + 1).min =>
+              (id, p, gh(p))
+          }
+        }.toSet
+        got == want
+    }
+  }
+
   property("ngramLm == brute-force trigram top-k with (n desc, w3) tiebreak") =
     forAll(corpusGen, Gen.oneOf(1, 3)) { (docs, k) =>
       import spark.implicits._
