@@ -510,6 +510,20 @@ object Soak {
     time("centroid_outliers_400k") {
       Similarity.centroidOutliers(labVecs(400000L * mult), k = 10) }
 
+    // Gram matrix: the claim under test is that wall-clock is the SCAN
+    // (per-partition d^2/2 accumulation, constant shuffle) — doubling
+    // rows should double time, nothing worse.
+    time("gram_matrix_400k") {
+      Similarity.gramMatrix(labVecs(400000L * mult), dim = 64) }
+    time("gram_matrix_800k") {
+      Similarity.gramMatrix(labVecs(800000L * mult), dim = 64) }
+    // Winnowing: pure per-row projection — linear, and the fingerprint
+    // table should stay ~2/(w+1) of the gram stream.
+    time("winnowing_200k") {
+      TextAnalysis.winnowing(synDocs(200000L * mult)) }
+    time("winnowing_400k") {
+      TextAnalysis.winnowing(synDocs(400000L * mult)) }
+
     spark.stop()
   }
 }

@@ -155,15 +155,17 @@ object Round9Props extends Properties("graft.round9") {
       got == want
     }
 
-  property("winnowing == brute-force local-minima fingerprints") = {
+  property("winnowing (native) == composable == brute-force local minima") = {
     val textGen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))
     forAll(Gen.listOfN(5, textGen), Gen.chooseNum(2, 5), Gen.chooseNum(2, 4)) {
       (texts, k, w) =>
         import spark.implicits._
         val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        val got = graft.operators.TextAnalysis
-          .winnowing(docs.toDF("doc_id", "text"), k, w)
+        val df = docs.toDF("doc_id", "text")
+        val got = graft.operators.TextAnalysis.winnowing(df, k, w)
+          .as[(Long, Int, Long)].collect().toSet
+        val comp = graft.operators.TextAnalysis.winnowingComposable(df, k, w)
           .as[(Long, Int, Long)].collect().toSet
         val want = docs.flatMap { case (id, t) =>
           val cps = t.map(_.toLong)
@@ -175,7 +177,7 @@ object Round9Props extends Properties("graft.round9") {
               (id, p, gh(p))
           }
         }.toSet
-        got == want
+        got == want && comp == want
     }
   }
 
