@@ -42,7 +42,11 @@ object PlanCheck {
         "x_eval_retrieval", "x_dedup_span_scrub",
         // r9: partition-local Gram accumulation (shuffle = P x d^2/2,
         // row-count independent) + scan-only winnowing fingerprints
-        "x_sim_gram", "x_text_winnowing")
+        "x_sim_gram", "x_text_winnowing",
+        // r9 second batch: broadcast-vocab importance scoring, one-pass
+        // profiling, wedge-bounded link prediction, salted skew join
+        "x_corpus_importance", "x_profile_checks", "x_profile_summary",
+        "x_graph_common_neighbors", "x_join_salted")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -34,7 +34,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ EventsOps.queries ++
       Temporal.queries ++ Sampling.queries ++ Curation.queries ++
       Corpus.queries ++ Cdc.queries ++ BloomPrune.queries ++
-      Layout.queries ++ Graph.queries ++ Linkage.queries
+      Layout.queries ++ Graph.queries ++ Linkage.queries ++ Profile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -45,5 +45,5 @@ object SparkEntry {
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventsOps.oracles ++
       Temporal.oracles ++ Sampling.oracles ++ Curation.oracles ++
       Corpus.oracles ++ Cdc.oracles ++ BloomPrune.oracles ++
-      Layout.oracles ++ Graph.oracles ++ Linkage.oracles
+      Layout.oracles ++ Graph.oracles ++ Linkage.oracles ++ Profile.oracles
 }

@@ -140,6 +140,70 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * via Importance Resampling" — arXiv:2302.03169): score every raw
+    * document by how much its hashed-n-gram profile looks like a small
+    * TARGET domain versus the raw corpus, then keep the top quantile.
+    * The published method weights by log p_target(x) - log p_raw(x)
+    * under bag-of-bigrams models; logs are not engine-portable, so the
+    * affinity here is the difference of SMOOTHED INTEGER per-mille-mille
+    * rates — `(cnt+1) * 1e6 div (total + V)` per bigram, summed over the
+    * document with multiplicity. Monotone in the same direction,
+    * bit-exact on every engine and shuffle order. Out-of-vocabulary
+    * bigrams (unseen in the target) contribute 0 by construction —
+    * the vocabulary IS the target's observed bigram set.
+    *
+    * Scale shape (the reason DSIR works at 100 TB): the target domain
+    * is small by definition (an eval set, a curated corpus), so its
+    * bigram profile is vocabulary-sized and BROADCASTS; the raw corpus
+    * is touched twice — once to count vocab-bigram occurrences
+    * (semi-join against the broadcast vocab BEFORE the groupBy, so the
+    * count shuffle carries only vocab grams) and once to score docs
+    * (broadcast affinity join + one partial-aggregated groupBy on
+    * doc_id). No shuffle ever carries the full raw bigram space.
+    * Overflow headroom: `(cnt+1) * 1e6` stays under 2^63 to ~9e12
+    * occurrences of one bigram in either domain. */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      scale: Long = 1000000L): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), isTarget.as("__tgt"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("__tgt"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("__tgt"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tg = g.filter(col("__tgt"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_t"))
+    val rg = g.filter(!col("__tgt"))
+      .join(broadcast(tg.select("w1", "w2")), Seq("w1", "w2"), "left_semi")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_r"))
+    val tots = tg.agg(sum("c_t").as("tt"), count(lit(1)).as("v"))
+      .crossJoin(rg.agg(coalesce(sum("c_r"), lit(0L)).as("tr")))
+    val aff = tg.join(rg, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("w1"), col("w2"),
+        (expr(s"((c_t + 1) * ${scale}L) div (tt + v)") -
+          expr(s"((coalesce(c_r, 0L) + 1) * ${scale}L) div (tr + v)")).as("a"))
+    val ds = g.join(broadcast(aff), Seq("w1", "w2"))
+      .groupBy("doc_id").agg(sum("a").as("score"))
+    docs.select("doc_id").join(ds, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Gate: importance-resample toward the `src0` domain — per-doc
+    * integer affinity score plus the keep verdict at the exact 80th
+    * percentile threshold (same aggregate-to-scalar → broadcast →
+    * filter shape as [[qualityGate]]; ties at the threshold all keep,
+    * so the verdict needs no ordering). */
+  val importanceGate: Q = (s, dir) => {
+    val sc = importanceWeights(t(s, dir, "documents"), col("source") === "src0")
+    val thr = sc.agg(
+      expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY score)").as("thr"))
+    sc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("score"), (col("score") >= col("thr")).as("keep"))
+  }
+
   /** Dataset-mix rebalancing: deterministically down-sample each
     * source toward an equal-share token target. Per source, the keep
     * fraction is `min(1, target / source_tokens)` with
@@ -613,6 +677,7 @@ object Corpus {
     trainingOrder(t(s, dir, "documents"), 256L, "shuf1").orderBy("pos")
 
   val queries: Map[String, Q] = Map(
+    "x_corpus_importance" -> importanceGate,
     "x_corpus_lm_score" -> lmScoreGate,
     "x_corpus_shuffle" -> trainingOrderGate,
     "x_corpus_diversity" -> diversityGate,
@@ -639,6 +704,24 @@ object Corpus {
     s"(CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_importance" ->
+      (s"WITH w AS (SELECT doc_id, source = 'src0' AS tgt, $wsExpr AS ws FROM documents), " +
+        "g AS (SELECT doc_id, tgt, ws[i] AS w1, ws[i+1] AS w2 " +
+        "FROM w, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2), " +
+        "tg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_t FROM g WHERE tgt GROUP BY 1, 2), " +
+        "rg AS (SELECT g.w1, g.w2, CAST(COUNT(*) AS BIGINT) AS c_r FROM g " +
+        "JOIN tg ON g.w1 = tg.w1 AND g.w2 = tg.w2 WHERE NOT g.tgt GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST((SELECT SUM(c_t) FROM tg) AS BIGINT) AS tt, " +
+        "CAST((SELECT COUNT(*) FROM tg) AS BIGINT) AS v, " +
+        "CAST((SELECT COALESCE(SUM(c_r), 0) FROM rg) AS BIGINT) AS tr), " +
+        "aff AS (SELECT tg.w1, tg.w2, " +
+        "((tg.c_t + 1) * 1000000) // (tot.tt + tot.v) - ((COALESCE(rg.c_r, 0) + 1) * 1000000) // (tot.tr + tot.v) AS a " +
+        "FROM tg LEFT JOIN rg ON tg.w1 = rg.w1 AND tg.w2 = rg.w2 CROSS JOIN tot), " +
+        "ds AS (SELECT g.doc_id, CAST(SUM(aff.a) AS BIGINT) AS score FROM g " +
+        "JOIN aff ON g.w1 = aff.w1 AND g.w2 = aff.w2 GROUP BY g.doc_id), " +
+        "sc AS (SELECT d.doc_id, COALESCE(ds.score, 0) AS score FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id), " +
+        "th AS (SELECT CAST(quantile_disc(score, 0.8) AS DOUBLE) AS thr FROM sc) " +
+        "SELECT sc.doc_id, sc.score, sc.score >= th.thr AS keep FROM sc CROSS JOIN th"),
     "x_corpus_lm_score" ->
       (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
         "tri AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 " +

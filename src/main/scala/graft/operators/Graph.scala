@@ -123,9 +123,60 @@ object Graph {
     pageRankInt(pairs)
   }
 
+  /** Common-neighbor link prediction: the top-k NON-adjacent node
+    * pairs ranked by how many neighbors they share — the classic
+    * "these two docs aren't flagged as near-dups but sit in the same
+    * neighborhood" triage signal over the similarity graph (and the
+    * integer-exact core of Jaccard/Adamic-Adar link scores, which are
+    * monotone in it for fixed degrees).
+    *
+    * Scale shape: common-neighbor counting IS wedge enumeration, so
+    * the candidate volume is sum(deg²) over wedge centers — quadratic
+    * in a hub's degree. `maxDeg` is the [[Dedup]] `maxDf` lesson
+    * applied to graphs: drop centers above the cap (a boilerplate hub
+    * connected to everything predicts nothing useful anyway) and the
+    * volume bound becomes |nodes| * maxDeg². Everything else is
+    * equi-joins + one partial-aggregated groupBy; the top-k lands as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def commonNeighbors(edges0: DataFrame, k: Int,
+      maxDeg: Option[Long] = None): DataFrame = {
+    val edges = graft.core.Materialize.pin(edges0)
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val centers = maxDeg match {
+      case Some(cap) =>
+        val deg = sym.groupBy("u").agg(count(lit(1)).as("du"))
+        sym.join(broadcast(deg.filter(col("du") <= cap)), Seq("u"), "left_semi")
+      case None => sym
+    }
+    val left = graft.core.Materialize.pin(centers)
+    val wedges = left.join(left.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(edges.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"),
+        "left_anti")
+      .orderBy(col("n_common").desc, col("v"), col("w"))
+      .limit(k)
+      .select(col("v").as("node_a"), col("w").as("node_b"), col("n_common"))
+  }
+
+  /** Gate query: top-20 predicted links of the verified 0.5-Jaccard
+    * near-dup graph (same edge derivation as x_graph_triangles; the
+    * degree cap, like [[Dedup.GateMaxDf]], is a no-op on the gate
+    * corpus — Round9bSpec holds capped == uncapped there). */
+  val graphCommonNeighbors: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    commonNeighbors(pairs, k = 20, maxDeg = Some(1000L))
+  }
+
   val queries: Map[String, Q] = Map(
     "x_graph_triangles" -> graphTriangles,
-    "x_graph_pagerank" -> graphPageRank)
+    "x_graph_pagerank" -> graphPageRank,
+    "x_graph_common_neighbors" -> graphCommonNeighbors)
 
   /** Shared oracle prefix: the verified-Jaccard edge list `e(a, b)`
     * with `a < b` — identical to the x_dedup_ngram_jaccard oracle's
@@ -152,6 +203,14 @@ object Graph {
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 " +
         "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"),
+    "x_graph_common_neighbors" ->
+      (edgeCte + ", " +
+        "sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "wed AS (SELECT s1.v AS v, s2.v AS w, CAST(COUNT(*) AS BIGINT) AS n_common " +
+        "FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v GROUP BY 1, 2) " +
+        "SELECT v AS node_a, w AS node_b, n_common FROM wed " +
+        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wed.v AND e.b = wed.w) " +
+        "ORDER BY n_common DESC, node_a, node_b LIMIT 20"),
     "x_graph_pagerank" ->
       (edgeCte + ", " +
         "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +

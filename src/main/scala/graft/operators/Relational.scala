@@ -322,6 +322,28 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** J12 (beyond the reference): the SALTED skew join —
+    * [[graft.core.Skew.saltedJoin]] run as a gate query so the skew
+    * machinery itself is oracle-checked, not just spec-covered. The
+    * fact side takes a deterministic salt, the dimension side
+    * replicates `buckets` ways, the join key widens to (key, salt):
+    * output is EXACTLY the plain equi-join (the oracle), while a hot
+    * key now spreads across `buckets` tasks — the explicit fallback
+    * for hot keys beyond what AQE skew-splitting can rebalance.
+    * Aggregated to nation grain (integer cents) so the gate row is
+    * dimension-sized. */
+  val j12SaltedJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    graft.core.Skew.saltedJoin(li, sup, "l_suppkey", buckets = 8,
+        spread = Seq(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+      .orderBy("s_nationkey")
+  }
+
   // -------------------------------------------------------------- aggs
 
   /** A1: group-by count (build_all_pset_tables.py:112-113). */
@@ -686,6 +708,7 @@ object Relational {
     "j9_lookup_chain" -> j9LookupChain,
     "j10_cross_join" -> j10CrossJoin,
     "j11_full_outer" -> j11FullOuter,
+    "x_join_salted" -> j12SaltedJoin,
     "a1_groupby_count" -> a1GroupByCount,
     "a2_dedup_all" -> a2DedupAll,
     "a3_dedup_subset" -> a3DedupSubset,
@@ -813,6 +836,11 @@ object Relational {
         "cnt AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey) " +
         "SELECT COALESCE(cust.c_custkey, cnt.o_custkey) AS c_custkey, c_name, n_orders " +
         "FROM cust FULL OUTER JOIN cnt ON cust.c_custkey = cnt.o_custkey ORDER BY c_custkey"),
+    "x_join_salted" ->
+      ("SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "a1_groupby_count" ->
       "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "a2_dedup_all" ->
