@@ -524,6 +524,30 @@ object Soak {
     time("winnowing_400k") {
       TextAnalysis.winnowing(synDocs(400000L * mult)) }
 
+    // DSIR importance scoring: target = 5% slice, shared 2000-token
+    // vocabulary -> bigram vocab is bounded, so cost should be the
+    // two corpus passes (target-leg count + score join) — linear.
+    def dsirDocs(n: Long) = synDocs(n)
+      .withColumn("tgt", pmod(col("doc_id"), lit(20)) === 0)
+    time("importance_200k") {
+      graft.operators.Corpus.importanceWeights(dsirDocs(200000L * mult), col("tgt")) }
+    time("importance_400k") {
+      graft.operators.Corpus.importanceWeights(dsirDocs(400000L * mult), col("tgt")) }
+
+    // common-neighbor link prediction on a degree-4 ring-with-chords
+    // graph: wedge volume = sum(deg^2) ~ 16n — linear when degrees are
+    // bounded (the maxDeg cap enforces that shape on real graphs).
+    def ringChords(n: Long) = spark.range(n).select(col("id").as("a"),
+        pmod(col("id") + 1, lit(n)).as("b"))
+      .unionAll(spark.range(n).select(col("id").as("a"),
+        pmod(col("id") + 7, lit(n)).as("b")))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+    time("common_neighbors_1m") {
+      graft.operators.Graph.commonNeighbors(ringChords(1000000L * mult), k = 20) }
+    time("common_neighbors_2m") {
+      graft.operators.Graph.commonNeighbors(ringChords(2000000L * mult), k = 20) }
+
     spark.stop()
   }
 }

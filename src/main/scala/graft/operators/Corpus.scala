@@ -173,11 +173,14 @@ object Corpus {
         slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("__tgt"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val tg = g.filter(col("__tgt"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c_t"))
-    val rg = g.filter(!col("__tgt"))
+    // both count tables are vocabulary-sized and feed 2-3 consumers
+    // each (semi-join, totals, affinity) — pin them so the corpus
+    // explode behind them runs once per domain, not once per consumer
+    val tg = graft.core.Materialize.pin(g.filter(col("__tgt"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_t")))
+    val rg = graft.core.Materialize.pin(g.filter(!col("__tgt"))
       .join(broadcast(tg.select("w1", "w2")), Seq("w1", "w2"), "left_semi")
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c_r"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_r")))
     val tots = tg.agg(sum("c_t").as("tt"), count(lit(1)).as("v"))
       .crossJoin(rg.agg(coalesce(sum("c_r"), lit(0L)).as("tr")))
     val aff = tg.join(rg, Seq("w1", "w2"), "left")
@@ -197,7 +200,11 @@ object Corpus {
     * filter shape as [[qualityGate]]; ties at the threshold all keep,
     * so the verdict needs no ordering). */
   val importanceGate: Q = (s, dir) => {
-    val sc = importanceWeights(t(s, dir, "documents"), col("source") === "src0")
+    // pin: the scored frame feeds both the threshold aggregate and the
+    // verdict rows — without it Spark re-runs the whole scoring DAG
+    // (two corpus scans + three joins) once per consumer
+    val sc = graft.core.Materialize.pin(
+      importanceWeights(t(s, dir, "documents"), col("source") === "src0"))
     val thr = sc.agg(
       expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY score)").as("thr"))
     sc.crossJoin(broadcast(thr))
