@@ -123,6 +123,53 @@ object Graph {
     pageRankInt(pairs)
   }
 
+  /** Bounded k-core peel: `rounds` rounds of "drop every node whose
+    * CURRENT degree is below k", returning the surviving nodes with
+    * their residual degrees. The k-core (maximal subgraph of min
+    * degree >= k) is this peel's fixpoint; a FIXED round count is the
+    * gate contract (same convention as [[pageRankInt]] — an unrollable
+    * recursion both engines compute identically), and each round only
+    * ever removes nodes, so the bounded peel is a sound over-
+    * approximation that GraphSpec shows reaches the true core on
+    * fixture graphs within 2 rounds. Degeneracy-style chain graphs
+    * that need O(n) rounds want the to-fixpoint driver loop of
+    * [[Dedup.canonicalClusters]]; corpus similarity graphs peel in a
+    * few rounds because near-dup clusters are locally dense.
+    *
+    * Scale shape: per round, one partial-aggregated degree count
+    * (node-sized) broadcast back into two semi-joins on the live edge
+    * list — edges stream, nothing quadratic; per-round pins keep round
+    * N's output from re-running rounds 1..N-1 per consumer (and cap
+    * the lineage like the CC loop). */
+  def kCorePeel(edges0: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val edges = graft.core.Materialize.pin(edges0)
+    var alive = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    for (_ <- 1 to rounds) {
+      val keep = graft.core.Materialize.pin(
+        alive.groupBy("u").agg(count(lit(1)).as("du"))
+          .filter(col("du") >= k).select("u"))
+      alive = graft.core.Materialize.pin(
+        alive.join(broadcast(keep), Seq("u"), "left_semi")
+          .join(broadcast(keep.select(col("u").as("v"))), Seq("v"), "left_semi"))
+    }
+    alive.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .orderBy("node")
+  }
+
+  /** Gate query: 3-round 2-core of the verified 0.5-Jaccard near-dup
+    * graph (same edge derivation as the other graph gates) — the
+    * "dense cluster cores vs borderline chains" triage. */
+  val graphKCore: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    kCorePeel(pairs, k = 2)
+  }
+
   /** Common-neighbor link prediction: the top-k NON-adjacent node
     * pairs ranked by how many neighbors they share — the classic
     * "these two docs aren't flagged as near-dups but sit in the same
@@ -176,7 +223,8 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "x_graph_triangles" -> graphTriangles,
     "x_graph_pagerank" -> graphPageRank,
-    "x_graph_common_neighbors" -> graphCommonNeighbors)
+    "x_graph_common_neighbors" -> graphCommonNeighbors,
+    "x_graph_kcore" -> graphKCore)
 
   /** Shared oracle prefix: the verified-Jaccard edge list `e(a, b)`
     * with `a < b` — identical to the x_dedup_ngram_jaccard oracle's
@@ -211,6 +259,19 @@ object Graph {
         "SELECT v AS node_a, w AS node_b, n_common FROM wed " +
         "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wed.v AND e.b = wed.w) " +
         "ORDER BY n_common DESC, node_a, node_b LIMIT 20"),
+    "x_graph_kcore" ->
+      (edgeCte + ", " +
+        "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "d0 AS (SELECT u, COUNT(*) AS du FROM ed GROUP BY u), " +
+        "k0 AS (SELECT u FROM d0 WHERE du >= 2), " +
+        "a1 AS (SELECT * FROM ed WHERE u IN (SELECT u FROM k0) AND v IN (SELECT u FROM k0)), " +
+        "d1 AS (SELECT u, COUNT(*) AS du FROM a1 GROUP BY u), " +
+        "k1 AS (SELECT u FROM d1 WHERE du >= 2), " +
+        "a2 AS (SELECT * FROM a1 WHERE u IN (SELECT u FROM k1) AND v IN (SELECT u FROM k1)), " +
+        "d2 AS (SELECT u, COUNT(*) AS du FROM a2 GROUP BY u), " +
+        "k2 AS (SELECT u FROM d2 WHERE du >= 2), " +
+        "a3 AS (SELECT * FROM a2 WHERE u IN (SELECT u FROM k2) AND v IN (SELECT u FROM k2)) " +
+        "SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM a3 GROUP BY u ORDER BY node"),
     "x_graph_pagerank" ->
       (edgeCte + ", " +
         "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +

@@ -138,6 +138,38 @@ class Round9bSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  // ----------------------------------------------------------- KCore
+
+  test("kCorePeel: chain peels fully, triangle survives, tail strips") {
+    // chain 1-2-3-4 under k=2: ends peel, then the middle pair's
+    // degrees drop below 2 -> empty within 2 rounds
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.kCorePeel(chain, k = 2).count() == 0)
+    // triangle + pendant tail: tail node 4 peels round 1, triangle is
+    // the exact 2-core with all residual degrees 2
+    val triTail = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.kCorePeel(triTail, k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k=1 keeps every non-isolated node
+    assert(Graph.kCorePeel(triTail, k = 1).count() == 4)
+  }
+
+  test("kCorePeel: bounded peel reaches the fixpoint on the gate graph") {
+    import graft.operators.Dedup
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(graft.core.Tables.t(spark, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val r3 = Graph.kCorePeel(pairs, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    val r5 = Graph.kCorePeel(pairs, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(r3 == r5, "3-round peel is not the fixpoint on the gate graph")
+    assert(r3.nonEmpty)
+    assert(r3.forall(_._2 >= 2))
+  }
+
   // ------------------------------------------------------ SaltedJoin
 
   test("salted join gate == plain equi-join aggregate") {
