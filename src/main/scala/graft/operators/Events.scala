@@ -72,6 +72,58 @@ object EventsOps {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** Session-path Markov transition profile: counts of consecutive
+    * within-session (from_type -> to_type) event pairs, with a `^`
+    * pseudo-state for session starts so the profile is a complete
+    * first-order chain (initial distribution included). Same 30-min
+    * gap rule as [[eventsSessionize]] — a transition exists iff the
+    * gap to the previous event is <= 1800s; otherwise the event is a
+    * session start. Scale shape: ONE shuffle on user_id for the lag
+    * window, then a partial-aggregated groupBy whose key space is at
+    * most (|types|+1) x |types| — the shuffle after the window moves
+    * one row per transition pre-combined per task, and users are
+    * independent so 1000 executors partition cleanly. */
+  val eventsPathBigrams: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("ts_sec"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    e.withColumn("prev_sec", lag("ts_sec", 1).over(w))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("from_type",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, lit("^"))
+          .otherwise(col("prev_type")))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Top-20 most common full session paths ("view>click>purchase"),
+    * ties broken by path. Within-session order is made deterministic
+    * engine-independently by sorting (ts_sec, event_id, type) structs
+    * INSIDE the aggregate (array_sort of collect_list — collect order
+    * is not a contract, the sort is), mirroring the oracle's ordered
+    * string_agg. Scale shape: sessions are bounded (30-min gaps), so
+    * per-group state is small; the path->count agg is partial-combined
+    * and the top-20 is a TakeOrderedAndProject, never a global sort. */
+  val eventsPathTopk: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("ts_sec"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    e.withColumn("prev_sec", lag("ts_sec", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_sess").over(w))
+      .groupBy("user_id", "sid")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_sec"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path")).limit(20)
+  }
+
   /** Per-user click/purchase timeline via typed COGROUP — the
     * Dataset-API surface for "merge two grouped streams with arbitrary
     * logic" (SURVEY §2.10's per-group apply, beyond what joins
@@ -236,6 +288,8 @@ object EventsOps {
     "x_events_hourly" -> eventsHourly,
     "x_events_sessionize" -> eventsSessionize,
     "x_events_session_window" -> eventsSessionWindow,
+    "x_events_path_bigrams" -> eventsPathBigrams,
+    "x_events_path_topk" -> eventsPathTopk,
     "x_events_cogroup" -> eventsCogroup)
 
   val oracles: Map[String, String] = Map(
@@ -311,6 +365,23 @@ object EventsOps {
         "g AS (SELECT user_id, sec, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM s) " +
         "SELECT user_id, CAST(MIN(sec) AS BIGINT) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events " +
         "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "x_events_path_bigrams" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "w AS (SELECT user_id, event_type, ts_sec, " +
+        "lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type FROM e) " +
+        "SELECT CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN '^' ELSE prev_type END AS from_type, " +
+        "event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM w GROUP BY 1, 2 ORDER BY from_type, to_type"),
+    "x_events_path_topk" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "s AS (SELECT user_id, event_id, event_type, ts_sec, " +
+        "CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL " +
+        "OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "g AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s), " +
+        "p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ts_sec, event_id) AS path FROM g GROUP BY user_id, sid) " +
+        "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p " +
+        "GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"),
     "x_events_cogroup" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
         "c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks, MIN(sec) AS first_click_sec FROM e WHERE event_type = 'click' GROUP BY user_id), " +

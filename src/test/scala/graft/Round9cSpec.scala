@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.EventsOps
+import org.apache.spark.sql.functions._
+
+/** Round-9 third batch: session-path analytics over the events table.
+  */
+class Round9cSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------- Session paths
+
+  test("eventsPathBigrams: transitions respect session boundaries") {
+    // user 1: a@0 b@10 [gap 2000s] c@2010 a@2015  -> ^>a a>b ^>c c>a
+    // user 2: b@0                                  -> ^>b
+    val rows = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 10L),
+      (3L, 1L, "c", 2010L), (4L, 1L, "a", 2015L),
+      (5L, 2L, "b", 0L))
+    val df = rows.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    withEventsView(df) { d =>
+      val out = EventsOps.eventsPathBigrams(spark, d)
+        .as[(String, String, Long)].collect().toSeq
+      assert(out == Seq(
+        ("^", "a", 1L), ("^", "b", 1L), ("^", "c", 1L),
+        ("a", "b", 1L), ("c", "a", 1L)))
+    }
+  }
+
+  test("eventsPathTopk: path assembly is ordered and gap-split") {
+    // user 1 session 1: a>b ; session 2: c ; user 2: a>b
+    val rows = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 5L), (3L, 1L, "c", 5000L),
+      (4L, 2L, "a", 0L), (5L, 2L, "b", 100L))
+    val df = rows.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    withEventsView(df) { d =>
+      val out = EventsOps.eventsPathTopk(spark, d)
+        .as[(String, Long)].collect().toSeq
+      assert(out == Seq(("a>b", 2L), ("c", 1L)))
+    }
+  }
+
+  test("eventsPathBigrams: transition mass == events (gate data)") {
+    // every event is the target of exactly one transition (real or ^)
+    val total = EventsOps.eventsPathBigrams(spark, dir)
+      .agg(sum("n")).as[Long].head()
+    val nEvents = graft.core.Tables.t(spark, dir, "events").count()
+    assert(total == nEvents)
+    // and ^-mass == number of sessions from the sessionize op
+    val caret = EventsOps.eventsPathBigrams(spark, dir)
+      .filter(col("from_type") === "^").agg(sum("n")).as[Long].head()
+    val sessions = EventsOps.eventsSessionize(spark, dir)
+      .agg(sum("n_sessions")).as[Long].head()
+    assert(caret == sessions)
+  }
+
+  /** Write a synthetic events table to a temp dir so the (s, dir)
+    * query contract can run against fixture rows. The events reader
+    * expects nanos-long ts; timestamp parquet round-trips through
+    * Tables.t's nanosAsLong handling only for TIMESTAMP(NANOS), so
+    * write ts as the raw nanos long the reader produces. */
+  private def withEventsView(df: org.apache.spark.sql.DataFrame)(
+      f: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events").toString
+    df.withColumn("ts_nanos", (col("sec") * lit(1000000000L)).cast("long"))
+      .drop("ts", "sec").withColumnRenamed("ts_nanos", "ts")
+      .select("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    try f(tmp)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+}
