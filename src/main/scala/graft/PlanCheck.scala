@@ -46,7 +46,12 @@ object PlanCheck {
         // r9 second batch: broadcast-vocab importance scoring, one-pass
         // profiling, wedge-bounded link prediction, salted skew join
         "x_corpus_importance", "x_profile_checks", "x_profile_summary",
-        "x_graph_common_neighbors", "x_join_salted")
+        "x_graph_common_neighbors", "x_join_salted",
+        // r9 third batch: bounded k-core peel, session-path analytics,
+        // ingest-quality baseline (the streaming drift monitor's
+        // static side)
+        "x_graph_kcore", "x_events_path_bigrams", "x_events_path_topk",
+        "x_quality_baseline")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -127,9 +127,19 @@ object Profile {
     columnSummary(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Gate: the per-source ingest-quality baseline over `documents` —
+    * the static side of the streaming drift monitor
+    * ([[graft.streaming.QualityMonitor.qualityDrift]]); oracle-checking
+    * it here pins the exact integer-bp semantics the stream compares
+    * against. */
+  val qualityBaseline: Q = (s, dir) =>
+    graft.streaming.QualityMonitor.baselineProfile(t(s, dir, "documents"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "x_profile_checks" -> profileChecks,
-    "x_profile_summary" -> profileSummary)
+    "x_profile_summary" -> profileSummary,
+    "x_quality_baseline" -> qualityBaseline)
 
   private def summaryLeg(c: String): String =
     s"SELECT '$c' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n, " +
@@ -156,5 +166,18 @@ object Profile {
         "ORDER BY \"check\""),
     "x_profile_summary" ->
       (Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
-        .map(summaryLeg).mkString("", " UNION ALL ", " ORDER BY \"column\"")))
+        .map(summaryLeg).mkString("", " UNION ALL ", " ORDER BY \"column\"")),
+    "x_quality_baseline" ->
+      ("WITH d AS (SELECT source, " +
+        "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END AS empty, " +
+        "length(COALESCE(text, '')) AS len, " +
+        "CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END AS nonascii " +
+        "FROM documents), " +
+        "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS b_docs, " +
+        "CAST(SUM(empty) AS BIGINT) AS b_empty, CAST(SUM(len) AS BIGINT) AS b_chars, " +
+        "CAST(SUM(nonascii) AS BIGINT) AS b_nonascii FROM d GROUP BY source) " +
+        "SELECT source, b_chars * 10000 // greatest(b_docs - b_empty, 1) AS base_len_bp, " +
+        "b_empty * 10000 // b_docs AS base_empty_bp, " +
+        "b_nonascii * 10000 // b_docs AS base_nonascii_bp " +
+        "FROM g ORDER BY source"))
 }

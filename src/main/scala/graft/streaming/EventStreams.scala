@@ -214,4 +214,45 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class PathState(lastType: String, lastMs: Long)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of [[graft.operators.EventsOps.eventsPathBigrams]]:
+    * per-user keyed state holds only the LAST event's (type, time);
+    * each arriving event emits one transition row — `^` as the
+    * from-state when there is no prior event or the gap exceeds
+    * `gapMs` (session start), the prior type otherwise. The transition
+    * stream is append-mode and can feed a downstream windowed
+    * `groupBy(from, to).count` or a raw sink unchanged.
+    *
+    * State is one (string, long) per active user — O(users), not
+    * O(events) — and the emit rule is exactly the batch op's lag
+    * semantics, so a replayed history produces the identical
+    * transition multiset (spec-verified against the batch plan).
+    * Production note: same GroupStateTimeout caveat as [[sessionize]]
+    * — add an event-time timeout to evict idle users; NoTimeout here
+    * keeps processAllAvailable deterministic for specs. */
+  def pathTransitions(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evts, state: GroupState[PathState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(PathState(null, Long.MinValue))
+          val out = sorted.map { e =>
+            val t = e.ts.getTime
+            val from =
+              if (st.lastMs == Long.MinValue || t - st.lastMs > gapMs) "^"
+              else st.lastType
+            st = PathState(e.event_type, t)
+            Transition(uid, from, e.event_type)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

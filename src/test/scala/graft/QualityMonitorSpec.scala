@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.QualityMonitor
+import graft.streaming.QualityMonitor.Doc
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class QualityMonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowedQuality: per-window per-source metrics, state split by window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = QualityMonitor.windowedQuality(input.toDF())
+      .writeStream.format("memory").queryName("wq")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Doc(1, ts(10), "crawl", "hello world"),   // 11 chars
+        Doc(2, ts(20), "crawl", "   "),           // whitespace-only: empty
+        Doc(3, ts(30), "crawl", "café"),     // non-ascii
+        Doc(4, ts(70), "crawl", "second window"),
+        Doc(5, ts(15), "api", null))              // null text: empty
+      q.processAllAvailable()
+      val rows = spark.table("wq")
+        .select("source", "n_docs", "n_empty", "n_chars", "n_nonascii")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set(
+        ("crawl", 3L, 1L, 18L, 1L),   // 11 + 3 + 4 chars
+        ("crawl", 1L, 0L, 13L, 0L),
+        ("api", 1L, 1L, 0L, 0L)))
+    } finally q.stop()
+  }
+
+  test("qualityDrift: baseline join flags drifted windows and new sources") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: crawl docs average 10 chars, no empties, no non-ascii
+    val baseline = QualityMonitor.baselineProfile(Seq(
+      Doc(100, ts(0), "crawl", "0123456789"),
+      Doc(101, ts(0), "crawl", "0123456789")).toDF())
+    assert(baseline.as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("crawl", 100000L, 0L, 0L)))
+    val input = MemoryStream[Doc]
+    val q = QualityMonitor.qualityDrift(input.toDF(), baseline)
+      .writeStream.format("memory").queryName("qd")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Doc(1, ts(10), "crawl", "0123456789"),  // on-baseline
+        Doc(2, ts(70), "crawl", "xx"),          // 5x shorter: len drift
+        Doc(3, ts(10), "wild", "?"))            // unseen source: all flags
+      q.processAllAvailable()
+      val rows = spark.table("qd")
+        .select("source", "n_docs", "drift_len", "drift_empty", "drift_nonascii")
+        .as[(String, Long, Boolean, Boolean, Boolean)].collect().toSet
+      assert(rows == Set(
+        ("crawl", 1L, false, false, false),
+        ("crawl", 1L, true, false, false),
+        ("wild", 1L, true, true, true)))
+    } finally q.stop()
+  }
+
+  test("qualityDrift: batch replay of the same data yields identical bp values") {
+    // integer-bp determinism: run the same rows through the BATCH
+    // windowedQuality plan (streaming and batch share the transform)
+    val docs = Seq(
+      Doc(1, ts(1), "a", "abcdefg"),
+      Doc(2, ts(2), "a", "hij"),
+      Doc(3, ts(3), "a", "")).toDF()
+    val base = QualityMonitor.baselineProfile(docs)
+    val out1 = QualityMonitor.qualityDrift(docs, base)
+    val out2 = QualityMonitor.qualityDrift(docs, base)
+    assert(out1.collect().toSet == out2.collect().toSet)
+    val r = out1.select("len_bp", "empty_bp").as[(Long, Long)].head()
+    assert(r == ((50000L, 3333L)))   // 10 chars / 2 non-empty, 1/3 empty
+  }
+
+  test("pathTransitions: state carries the last event across batches") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.pathTransitions(input.toDS())
+      .writeStream.format("memory").queryName("paths")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "b", 0),
+        Event(3, ts(0), 2, "x", 0))
+      q.processAllAvailable()
+      // batch 2: user 1 continues within gap (b>c), then re-sessions
+      // after 90 min (^>a); user 2's state also survives the batch gap
+      input.addData(
+        Event(4, ts(20), 1, "c", 0), Event(5, ts(115), 1, "a", 0),
+        Event(6, ts(5), 2, "y", 0))
+      q.processAllAvailable()
+      val got = spark.table("paths")
+        .select("from_type", "to_type").as[(String, String)]
+        .collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(got == Map(
+        ("^", "a") -> 2L, ("a", "b") -> 1L, ("b", "c") -> 1L,
+        ("^", "x") -> 1L, ("x", "y") -> 1L))
+      // shared-semantics invariant with the batch op: every event is
+      // the target of exactly one transition
+      assert(spark.table("paths").count() == 6L)
+    } finally q.stop()
+  }
+}
