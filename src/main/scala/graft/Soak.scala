@@ -548,6 +548,44 @@ object Soak {
     time("common_neighbors_2m") {
       graft.operators.Graph.commonNeighbors(ringChords(2000000L * mult), k = 20) }
 
+    // session-path transition profile at event scale: one user_id
+    // window shuffle; aggregate output is |types+1| x |types| rows
+    // regardless of input size — the curve should be sort/shuffle-bound
+    time("path_bigrams_2m") {
+      graft.operators.EventsOps.pathBigrams(
+        events.select(col("user_id"), col("event_id"), col("event_type"),
+          col("sec").as("ts_sec")))
+    }
+    time("path_bigrams_4m") {
+      val e2 = spark.range(nEvents * 2).select(
+        col("id").as("event_id"),
+        pmod(col("id") * 7919, lit(10000)).as("user_id"),
+        (col("id") % 2000000L).as("ts_sec"),
+        when(pmod(col("id"), lit(20)) === 0, "purchase")
+          .when(pmod(col("id"), lit(3)) === 0, "click")
+          .otherwise("view").as("event_type"))
+      graft.operators.EventsOps.pathBigrams(e2)
+    }
+
+    // k-core peel on hub-triangle graphs: 3 rounds, each one
+    // node-sized degree table + two semi-joins over a shrinking edge
+    // list — cost tracks |E| per round. The hub (degree ~n/2) is kept,
+    // triangles are 2-core-complete; structure is scale-invariant so
+    // doubling |E| should ~double wall-clock. (Run after the path legs
+    // so the first-leg JVM warm-up doesn't pollute the curve.)
+    def hubTri(n: Long) = spark.range(n).select(col("id")).flatMap { r =>
+      val i = r.getLong(0)
+      val base = 1L + i * 3
+      Seq((0L, base), (0L, base + 1), (0L, base + 2),
+        (base, base + 1), (base + 1, base + 2), (base, base + 2))
+    }.toDF("a", "b")
+    time("kcore_1.8M_edges") {
+      graft.operators.Graph.kCorePeel(hubTri(300000L * mult), k = 2)
+    }
+    time("kcore_3.6M_edges") {
+      graft.operators.Graph.kCorePeel(hubTri(600000L * mult), k = 2)
+    }
+
     spark.stop()
   }
 }

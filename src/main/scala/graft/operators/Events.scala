@@ -83,14 +83,18 @@ object EventsOps {
     * most (|types|+1) x |types| — the shuffle after the window moves
     * one row per transition pre-combined per task, and users are
     * independent so 1000 executors partition cleanly. */
-  val eventsPathBigrams: Q = (s, dir) => {
-    val e = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("ts_sec"))
+  val eventsPathBigrams: Q = (s, dir) =>
+    pathBigrams(t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("ts_sec")))
+
+  /** DataFrame core of [[eventsPathBigrams]]: input carries
+    * (user_id, event_id, event_type, ts_sec). */
+  def pathBigrams(e: DataFrame, gapSec: Long = 1800L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     e.withColumn("prev_sec", lag("ts_sec", 1).over(w))
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .withColumn("from_type",
-        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, lit("^"))
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSec, lit("^"))
           .otherwise(col("prev_type")))
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))

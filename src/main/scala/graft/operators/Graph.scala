@@ -137,10 +137,15 @@ object Graph {
     * few rounds because near-dup clusters are locally dense.
     *
     * Scale shape: per round, one partial-aggregated degree count
-    * (node-sized) broadcast back into two semi-joins on the live edge
+    * (node-sized) joined back into two semi-joins on the live edge
     * list — edges stream, nothing quadratic; per-round pins keep round
     * N's output from re-running rounds 1..N-1 per consumer (and cap
-    * the lineage like the CC loop). */
+    * the lineage like the CC loop). The keep-set is deliberately NOT
+    * broadcast-hinted: it is node-sized, so AQE promotes it to a
+    * broadcast join only while it actually fits (gate graphs), and the
+    * same code degrades to a shuffled semi-join when the surviving
+    * node set is beyond driver memory — a forced hint would OOM the
+    * driver exactly on the graphs that need the peel most. */
   def kCorePeel(edges0: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val edges = graft.core.Materialize.pin(edges0)
@@ -151,8 +156,8 @@ object Graph {
         alive.groupBy("u").agg(count(lit(1)).as("du"))
           .filter(col("du") >= k).select("u"))
       alive = graft.core.Materialize.pin(
-        alive.join(broadcast(keep), Seq("u"), "left_semi")
-          .join(broadcast(keep.select(col("u").as("v"))), Seq("v"), "left_semi"))
+        alive.join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi"))
     }
     alive.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
