@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the near-dup similarity graph (the edge lists
@@ -175,6 +176,54 @@ object Graph {
     kCorePeel(pairs, k = 2)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), made
+    * deterministic: every round, EVERY node simultaneously takes the
+    * most frequent label among its neighbors, ties broken to the
+    * SMALLEST label — no randomized visit order, so the result is a
+    * pure function of the graph and both engines compute it
+    * identically (the classic async LPA is order-dependent by design;
+    * determinism is what makes the op oracle-checkable and
+    * replay-stable in a pipeline). A FIXED round count is the gate
+    * contract, same convention as [[pageRankInt]]/[[kCorePeel]];
+    * synchronous LPA can oscillate on bipartite structure, which a
+    * fixed horizon sidesteps — callers wanting convergence run the
+    * driver loop to a fixpoint exactly like the CC operator.
+    *
+    * Scale shape: per round, ONE shuffle join of the edge list with
+    * the node-sized label table (un-hinted — AQE broadcasts while it
+    * fits), a partial-aggregated (node, label) count, and an argmax
+    * window on the node key the join already partitioned by. Label
+    * state never exceeds one row per node; per-round pins cap lineage
+    * like the CC/PageRank loops. */
+  def labelPropagate(edges0: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val edges = graft.core.Materialize.pin(edges0)
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    var labels = und.select(col("u")).distinct().withColumn("lbl", col("u"))
+    for (_ <- 1 to rounds) {
+      val counts = und
+        .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+        .groupBy("u", "lbl").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("u").orderBy(desc("n"), col("lbl"))
+      labels = graft.core.Materialize.pin(
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("u", "lbl"))
+    }
+    labels.select(col("u").as("node"), col("lbl").as("community"))
+      .orderBy("node")
+  }
+
+  /** Gate query: 2-round deterministic LPA communities of the verified
+    * 0.5-Jaccard near-dup graph. */
+  val graphCommunities: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    labelPropagate(pairs, rounds = 2)
+  }
+
   /** Common-neighbor link prediction: the top-k NON-adjacent node
     * pairs ranked by how many neighbors they share — the classic
     * "these two docs aren't flagged as near-dups but sit in the same
@@ -229,7 +278,8 @@ object Graph {
     "x_graph_triangles" -> graphTriangles,
     "x_graph_pagerank" -> graphPageRank,
     "x_graph_common_neighbors" -> graphCommonNeighbors,
-    "x_graph_kcore" -> graphKCore)
+    "x_graph_kcore" -> graphKCore,
+    "x_graph_communities" -> graphCommunities)
 
   /** Shared oracle prefix: the verified-Jaccard edge list `e(a, b)`
     * with `a < b` — identical to the x_dedup_ngram_jaccard oracle's
@@ -264,6 +314,15 @@ object Graph {
         "SELECT v AS node_a, w AS node_b, n_common FROM wed " +
         "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wed.v AND e.b = wed.w) " +
         "ORDER BY n_common DESC, node_a, node_b LIMIT 20"),
+    "x_graph_communities" ->
+      (edgeCte + ", " +
+        "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed), " +
+        "c1 AS (SELECT ed.u, l0.lbl, CAST(COUNT(*) AS BIGINT) AS n FROM ed JOIN l0 ON ed.v = l0.node GROUP BY ed.u, l0.lbl), " +
+        "l1 AS (SELECT u, lbl FROM (SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rn FROM c1) WHERE rn = 1), " +
+        "c2 AS (SELECT ed.u, l1.lbl, CAST(COUNT(*) AS BIGINT) AS n FROM ed JOIN l1 ON ed.v = l1.u GROUP BY ed.u, l1.lbl), " +
+        "l2 AS (SELECT u, lbl FROM (SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rn FROM c2) WHERE rn = 1) " +
+        "SELECT u AS node, lbl AS community FROM l2 ORDER BY node"),
     "x_graph_kcore" ->
       (edgeCte + ", " +
         "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +

@@ -306,7 +306,46 @@ object Temporal {
       .orderBy("user_id", "v_id", "c_id")
   }
 
+  /** Hourly resample with forward fill — the time-series
+    * regularization every metrics/sensor training pipeline needs:
+    * per-user dense hour spine from the user's first to last observed
+    * hour, 0-count gap hours, and the last observed hourly cents sum
+    * carried forward (LOCF). Integer cents keep the fill value
+    * bit-portable.
+    *
+    * Scale shape: the hourly pre-aggregate is partial-combined (the
+    * raw event count never crosses the wire); the spine explode is
+    * per-user bounded by that user's own active span, not the global
+    * calendar — a user active for a day adds 24 rows no matter how
+    * long the table's history is; spine/hourly join on (user_id, h)
+    * and the LOCF window on user_id are the same key family, and
+    * users are independent so the plan partitions cleanly at any
+    * executor count. The `last(_, ignoreNulls)` frame is
+    * unbounded-preceding..current — a running value, NOT a whole-
+    * partition buffer. */
+  def resampleFfill(e: DataFrame): DataFrame = {
+    val hourly = e.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("cents_ffill", last("cents", ignoreNulls = true).over(w))
+      .select("user_id", "h", "n_events", "cents_ffill")
+  }
+
+  /** Gate: hourly LOCF-resampled per-user spend series. */
+  val eventsResample: Q = (s, dir) =>
+    resampleFfill(t(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000000000) div 3600").as("h"),
+        floor(col("value") * 100).cast(LongType).as("cents")))
+      .orderBy("user_id", "h")
+
   val queries: Map[String, Q] = Map(
+    "x_events_resample" -> eventsResample,
     "x_events_interval_overlap" -> eventsIntervalOverlap,
     "x_events_asof" -> eventsAsof,
     "x_events_asof_bucketed" -> eventsAsofBucketed,
@@ -326,6 +365,18 @@ object Temporal {
       "FROM p ORDER BY user_id, event_id"
 
   val oracles: Map[String, String] = Map(
+    "x_events_resample" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, " +
+        "CAST(floor(value * 100) AS BIGINT) AS cents FROM events), " +
+        "hr AS (SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(cents) AS BIGINT) AS cents FROM e GROUP BY user_id, h), " +
+        "sp AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM " +
+        "(SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hr GROUP BY user_id)), " +
+        "j AS (SELECT sp.user_id, sp.h, COALESCE(hr.n_events, 0) AS n_events, hr.cents " +
+        "FROM sp LEFT JOIN hr ON sp.user_id = hr.user_id AND sp.h = hr.h) " +
+        "SELECT user_id, h, n_events, last_value(cents IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill " +
+        "FROM j ORDER BY user_id, h"),
     "x_events_interval_overlap" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
         "v AS (SELECT user_id, event_id AS v_id, sec AS v_start, sec + (event_id % 600) AS v_end FROM e WHERE event_type = 'view'), " +

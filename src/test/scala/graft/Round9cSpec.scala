@@ -58,6 +58,61 @@ class Round9cSpec extends SparkSpec {
     assert(caret == sessions)
   }
 
+  // ------------------------------------------------ LabelPropagation
+
+  test("labelPropagate: two triangles with a bridge, hand-traced rounds") {
+    import graft.operators.Graph
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),     // triangle A
+      (4L, 5L), (4L, 6L), (5L, 6L),     // triangle B
+      (3L, 4L))                          // bridge
+      .toDF("a", "b")
+    // synchronous min-tie-break trace:
+    // r1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    // r2: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3
+    val out = Graph.labelPropagate(edges, rounds = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 3L), (6L, 3L)))
+    // one round reproduces the first-step trace
+    val r1 = Graph.labelPropagate(edges, rounds = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L),
+      (5L, 4L), (6L, 4L)))
+  }
+
+  test("labelPropagate: disconnected cliques resolve to their min ids") {
+    import graft.operators.Graph
+    val edges = Seq(
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("a", "b")
+    val out = Graph.labelPropagate(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // within a clique, round 1 spreads near-min labels, round 2 makes
+    // the min unanimous
+    assert(out.filterKeys(Set(10L, 11L, 12L)).values.toSet == Set(10L))
+    assert(out.filterKeys(Set(20L, 21L, 22L)).values.toSet == Set(20L))
+  }
+
+  // --------------------------------------------------- ResampleFfill
+
+  test("resampleFfill: gap hours are zero-count with LOCF cents") {
+    import graft.operators.Temporal
+    // user 1: h=10 (2 events, 300c), gap 11-12, h=13 (100c)
+    // user 2: single hour — spine is just that hour
+    val e = Seq(
+      (1L, 10L, 200L), (1L, 10L, 100L), (1L, 13L, 100L),
+      (2L, 5L, 42L))
+      .toDF("user_id", "h", "cents")
+    val out = Temporal.resampleFfill(e)
+      .orderBy("user_id", "h")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 2L, 300L), (1L, 11L, 0L, 300L), (1L, 12L, 0L, 300L),
+      (1L, 13L, 1L, 100L),
+      (2L, 5L, 1L, 42L)))
+  }
+
   /** Write a synthetic events table to a temp dir so the (s, dir)
     * query contract can run against fixture rows. The events reader
     * expects nanos-long ts; timestamp parquet round-trips through
