@@ -40,6 +40,48 @@ object Corpus {
       .orderBy(col("n_occ").desc, col("tok"))
       .limit(100)
 
+  /** Vocabulary coverage curve — the tokenizer-sizing question "how
+    * many vocabulary entries cover p% of all token occurrences?"
+    * answered for p in {50, 90, 95, 99}: per threshold, the minimal
+    * vocab size (tokens taken in count-desc, token-asc order) and the
+    * occurrences it covers. All-integer comparisons (`cum*100 >=
+    * total*p`) so the crossing points are engine-exact.
+    *
+    * Scale shape: the vocabulary is aggregated with map-side combine,
+    * then ranked by [[graft.core.Cumsum.globalCumsum]] — the two-phase
+    * distributed running total (range-partitioned sort + per-partition
+    * offsets), NEVER a single-partition global window, so the curve
+    * computes at any vocab size; the corpus total is a broadcast
+    * single-row aggregate and all four thresholds fold into ONE
+    * conditional-aggregation pass over the cumsum frame. */
+  val vocabCoverage: Q = (s, dir) =>
+    coverageCurve(t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_occ")))
+
+  /** DataFrame core of [[vocabCoverage]]: input is a (tok, n_occ)
+    * vocabulary table. */
+  def coverageCurve(vocab: DataFrame,
+      pcts: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val cum = graft.core.Cumsum.globalCumsum(vocab,
+      Seq(col("n_occ").desc, col("tok")), col("n_occ"), "cum")
+    val tot = vocab.agg(sum("n_occ").cast("long").as("total"))
+    val aggs = pcts.flatMap { p =>
+      Seq(
+        (sum(when(col("cum") * 100 < col("total") * p, 1L).otherwise(0L)) + 1L)
+          .as(s"__v$p"),
+        min(when(col("cum") * 100 >= col("total") * p, col("cum")))
+          .as(s"__c$p"))
+    }
+    val one = cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+    val rows = pcts.map { p =>
+      struct(lit(p.toLong).as("pct"), col(s"__v$p").as("vocab_size"),
+        col(s"__c$p").as("covered_occ"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("pct")
+  }
+
   /** TF-IDF-style rarity weighting, kept engine-portable: tf and df are
     * exact longs; `tf_idf = (tf / n_tokens) * (n_total / df)` is two
     * IEEE divisions and one multiply evaluated in the same order in
@@ -699,6 +741,7 @@ object Corpus {
     "x_corpus_mix_rebalance" -> mixRebalance,
     "x_corpus_chunk_sliding" -> chunkSliding,
     "x_corpus_vocab_topk" -> vocabTopK,
+    "x_corpus_vocab_coverage" -> vocabCoverage,
     "x_corpus_tfidf" -> tfIdf,
     "x_corpus_pack_sequences" -> packSequences,
     "x_corpus_quality_gate" -> qualityGate,
@@ -850,6 +893,16 @@ object Corpus {
       (s"SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs " +
         s"FROM (SELECT doc_id, unnest($wsExpr) AS tok FROM documents) " +
         "GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 100"),
+    "x_corpus_vocab_coverage" ->
+      (s"WITH tk AS (SELECT unnest($wsExpr) AS tok FROM documents), " +
+        "v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tk GROUP BY tok), " +
+        "c AS (SELECT n_occ, CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM v), " +
+        "t AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total FROM v), " +
+        "p AS (SELECT unnest([50, 90, 95, 99]) AS pct) " +
+        "SELECT CAST(pct AS BIGINT) AS pct, " +
+        "CAST(SUM(CASE WHEN cum * 100 < total * pct THEN 1 ELSE 0 END) + 1 AS BIGINT) AS vocab_size, " +
+        "CAST(MIN(CASE WHEN cum * 100 >= total * pct THEN cum END) AS BIGINT) AS covered_occ " +
+        "FROM c, t, p GROUP BY pct ORDER BY pct"),
     "x_corpus_tfidf" ->
       (s"WITH w AS (SELECT doc_id, len($wsExpr) AS n_tokens, unnest($wsExpr) AS tok FROM documents), " +
         "tf AS (SELECT doc_id, n_tokens, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, n_tokens, tok), " +

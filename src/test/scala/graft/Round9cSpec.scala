@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.EventsOps
+import graft.operators.{Corpus, EventsOps}
 import org.apache.spark.sql.functions._
 
 /** Round-9 third batch: session-path analytics over the events table.
@@ -56,6 +56,20 @@ class Round9cSpec extends SparkSpec {
     val sessions = EventsOps.eventsSessionize(spark, dir)
       .agg(sum("n_sessions")).as[Long].head()
     assert(caret == sessions)
+  }
+
+  // ----------------------------------------------- VocabCoverage
+
+  test("coverageCurve: crossing points on a hand-built vocabulary") {
+    // counts a=5 b=3 c=1 d=1 (total 10); cum = 5, 8, 9, 10
+    val vocab = Seq(("a", 5L), ("b", 3L), ("c", 1L), ("d", 1L))
+      .toDF("tok", "n_occ")
+    val out = Corpus.coverageCurve(vocab)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (50L, 1L, 5L),    // 'a' alone covers exactly 50%
+      (90L, 3L, 9L),    // a+b+c reach 90%
+      (95L, 4L, 10L), (99L, 4L, 10L)))
   }
 
   // ------------------------------------------------ LabelPropagation
