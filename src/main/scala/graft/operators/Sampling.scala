@@ -244,6 +244,42 @@ object Sampling {
         }: _*)
   }
 
+  /** Per-group equi-depth (quartile) histogram: bucket boundaries are
+    * the exact discrete p25/p50/p75 (actual data values from
+    * [[discretePercentiles]] — no interpolation, so both engines pick
+    * the identical element), broadcast back onto the fact scan for
+    * bucket assignment, then one partial-aggregated (group, bucket)
+    * count with observed min/max per bucket. Values are only ever
+    * COMPARED, never arithmetically combined, so doubles are safe in
+    * the hash gate.
+    *
+    * Scale shape: boundaries come from the rank-pick window (one
+    * shuffle on the group key, spillable sort state — not the
+    * per-percentile ObjectAggregate buffers); the boundary table is
+    * groups x 3 values — always broadcastable; the fact side shuffles
+    * once for the final (group, bucket) aggregate. Equi-depth is the
+    * histogram a skewed measure needs: equal-POPULATION buckets where
+    * the fixed-width `x_stats_histogram` would put ~all rows in one
+    * bin. */
+  def equiDepthHistogram(df: DataFrame, group: String, value: String): DataFrame = {
+    val q = discretePercentiles(df, group, value,
+      Seq(0.25 -> "__b1", 0.5 -> "__b2", 0.75 -> "__b3"))
+    df.select(col(group), col(value))
+      .join(broadcast(q), Seq(group))
+      .withColumn("bucket",
+        when(col(value) <= col("__b1"), 0L)
+          .when(col(value) <= col("__b2"), 1L)
+          .when(col(value) <= col("__b3"), 2L)
+          .otherwise(3L))
+      .groupBy(col(group), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(value).as("lo"), max(value).as("hi"))
+      .orderBy(group, "bucket")
+  }
+
+  /** Gate: quartile histogram of lineitem prices per return flag. */
+  val statsEquiDepth: Q = (s, dir) =>
+    equiDepthHistogram(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+
   val statsQuantiles: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     val pct = discretePercentiles(li, "l_returnflag", "l_extendedprice",
@@ -532,6 +568,7 @@ object Sampling {
     "x_stats_minmax_scale" -> statsMinmaxScale,
     "x_stats_percent_rank" -> statsPercentRank,
     "x_stats_quantiles" -> statsQuantiles,
+    "x_stats_equidepth" -> statsEquiDepth,
     "x_stats_distinct" -> statsDistinct,
     "x_stats_approx_distinct" -> statsApproxDistinct,
     "x_stats_hll_union" -> statsHllUnion,
@@ -619,6 +656,17 @@ object Sampling {
         "quantile_disc(l_extendedprice, 0.95) AS p95, quantile_disc(l_extendedprice, 0.99) AS p99, " +
         "MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi, CAST(COUNT(*) AS BIGINT) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "x_stats_equidepth" ->
+      ("WITH q AS (SELECT l_returnflag, quantile_disc(l_extendedprice, 0.25) AS b1, " +
+        "quantile_disc(l_extendedprice, 0.5) AS b2, quantile_disc(l_extendedprice, 0.75) AS b3 " +
+        "FROM lineitem GROUP BY l_returnflag), " +
+        "b AS (SELECT l.l_returnflag, l.l_extendedprice AS v, " +
+        "CASE WHEN l.l_extendedprice <= q.b1 THEN 0 WHEN l.l_extendedprice <= q.b2 THEN 1 " +
+        "WHEN l.l_extendedprice <= q.b3 THEN 2 ELSE 3 END AS bucket " +
+        "FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag) " +
+        "SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "MIN(v) AS lo, MAX(v) AS hi FROM b GROUP BY l_returnflag, bucket " +
+        "ORDER BY l_returnflag, bucket"),
     "x_stats_distinct" ->
       ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
