@@ -75,9 +75,13 @@ object Dedup {
     val common = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    // `counts` is DOC-sized (one row per document) — never force-
+    // broadcast it: at corpus scale that is a driver OOM. Un-hinted,
+    // AQE promotes to BHJ while it fits and degrades to a shuffle join
+    // past that (same eviction as the r9 kCorePeel fix).
     common
-      .join(broadcast(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a"))), Seq("doc_a"))
-      .join(broadcast(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b"))), Seq("doc_b"))
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), Seq("doc_a"))
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), Seq("doc_b"))
   }
 
   /** Pairwise Jaccard over distinct shingles via inverted-index join:

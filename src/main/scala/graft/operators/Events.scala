@@ -265,15 +265,17 @@ object EventsOps {
     * (the cohort), then count, per (cohort, age-in-hours), how many of
     * its users were active — the classic retention triangle. Hours are
     * integer epoch-hours so every value is exact. Scale shape: the
-    * cohort table is user-sized (tiny next to the event log) →
-    * BROADCAST back onto events; the (user, cohort, age) dedup and
-    * the final count are both partial-aggregated groupBys. No window
-    * over the raw log, no per-user sort. */
+    * cohort table is USER-sized — smaller than the event log but
+    * unbounded, so the join back onto events is deliberately un-hinted
+    * (AQE broadcasts while it fits, shuffles on user_id past that; a
+    * forced hint is a driver OOM at 100× users). The (user, cohort,
+    * age) dedup and the final count are both partial-aggregated
+    * groupBys. No window over the raw log, no per-user sort. */
   val eventsRetention: Q = (s, dir) => {
     val hours = t(s, dir, "events")
       .select(col("user_id"), expr("(ts div 1000000000) div 3600").as("h"))
     val cohort = hours.groupBy("user_id").agg(min("h").as("h0"))
-    hours.join(broadcast(cohort), Seq("user_id"))
+    hours.join(cohort, Seq("user_id"))
       .select(col("user_id"), col("h0"), (col("h") - col("h0")).as("age"))
       .distinct()
       .groupBy("h0", "age")

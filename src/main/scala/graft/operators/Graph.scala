@@ -39,10 +39,13 @@ object Graph {
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
     // total order pi = (degree, id); orient u -> v iff pi(u) < pi(v).
     // Degrees ride along so wedge endpoints can be pi-compared without
-    // another join. Degree tables are node-sized -> broadcast.
+    // another join. The degree table is NODE-sized — deliberately
+    // un-hinted: AQE promotes it to a broadcast join while it fits and
+    // falls back to a shuffle join on graphs whose node set outgrows
+    // driver memory (the r9 kCorePeel eviction, applied here).
     val withDeg = sym
-      .join(broadcast(deg), Seq("u"))
-      .join(broadcast(deg.select(col("u").as("v"), col("d").as("dv"))), Seq("v"))
+      .join(deg, Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
     // oriented feeds the wedge join twice plus the closing semi-join —
     // pin it (edge-sized) so orientation runs once
     val oriented = graft.core.Materialize.pin(withDeg.filter(
@@ -83,13 +86,14 @@ object Graph {
     * cluster runs disagree) cannot arise. Symmetrized edges mean every
     * node has out-degree >= 1 — no dangling-mass term.
     *
-    * Scale shape: degree table and rank vector are node-sized; the
-    * per-round join streams the edge list once against a BROADCAST
-    * rank vector (node-sized << edge-sized), partial-aggregates
-    * map-side, and lands one exchange per round. At graphs where the
-    * rank vector outgrows broadcast, drop the hint and the same plan
-    * becomes the standard Pregel-style shuffle join on `u` — the code
-    * path is the hint, not the algorithm. `scale` = 1e9 holds the
+    * Scale shape: degree table and rank vector are node-sized, so the
+    * per-round rank join is deliberately UN-hinted: AQE promotes it to
+    * a broadcast join while the rank vector fits (gate graphs) and the
+    * same plan degrades to the standard Pregel-style shuffle join on
+    * `u` when the node set outgrows driver memory — a forced hint
+    * would OOM the driver on exactly the graphs worth ranking. Either
+    * way the edge list streams once per round with map-side partial
+    * aggregation. `scale` = 1e9 holds the
     * per-node sum below Long overflow to ~1e8 nodes (sum of all ranks
     * is n*scale; 85x that must stay under 2^63). */
   def pageRankInt(edges0: DataFrame, iters: Int = 3,
@@ -103,7 +107,7 @@ object Graph {
     var rank = symDeg.select("u").distinct()
       .select(col("u"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
-      rank = symDeg.join(broadcast(rank), Seq("u"))
+      rank = symDeg.join(rank, Seq("u"))
         .select(col("v"), expr("r div du").as("c"))
         .groupBy("v").agg(sum("c").as("s"))
         .select(col("v").as("u"),
@@ -246,8 +250,10 @@ object Graph {
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
     val centers = maxDeg match {
       case Some(cap) =>
+        // the cap bounds DEGREE, not node count — the filtered table
+        // is still node-sized, so no forced broadcast (AQE decides)
         val deg = sym.groupBy("u").agg(count(lit(1)).as("du"))
-        sym.join(broadcast(deg.filter(col("du") <= cap)), Seq("u"), "left_semi")
+        sym.join(deg.filter(col("du") <= cap), Seq("u"), "left_semi")
       case None => sym
     }
     val left = graft.core.Materialize.pin(centers)

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * Reference analogue: the ad-hoc assertion scatter in the reference's
   * build scripts (row-count echoes and FK audits,
-  * PharmacoDI/scripts/join_pset_tables.py:41-58) — here consolidated
+  * PharmacoDI/combine_pset_tables.py:319-326) — here consolidated
   * into a declarative check list with a machine-checkable verdict per
   * constraint, the shape a pipeline gate can actually consume.
   *
