@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver testdata layout (TESTDATA.md): one parquet
   * file per table under a scale-factor directory.
@@ -13,14 +15,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos (LongType) and do integer
-      // nano arithmetic downstream (exact — double would lose precision
-      // above 2^53).
+      // events.ts has shipped as two physical encodings across testdata
+      // generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+      // reader only accepts as raw int64 via nanosAsLong) and
+      // timestamp[us] (read as TIMESTAMP_NTZ). Keep the flag so the
+      // nanos encoding still reads, then normalize whatever arrived to
+      // integer nanoseconds — downstream operators do exact integer
+      // nano arithmetic (double would lose precision above 2^53).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeTsNanos(spark.read.parquet(s"$dir/$name.parquet"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Normalize an events frame so `ts` is integer nanoseconds since the
+    * epoch (LongType), independent of the parquet encoding it was read
+    * from. Timestamp encodings are microsecond-precision in Spark, so
+    * `unix_micros * 1000` is exact; TIMESTAMP_NTZ wall-clock values are
+    * interpreted in the session timezone (UTC in all our entry points),
+    * matching DuckDB's `epoch(ts)` on the same file. Pure column math —
+    * stays inside whole-stage codegen, no shuffle, no UDF.
+    */
+  def normalizeTsNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _        => df.withColumn("ts", tsToNanos(col("ts")))
+    }
+
+  /** Column expression converting any timestamp-typed column to int64
+    * epoch nanoseconds. Exposed for streaming sources where the schema
+    * is declared up front rather than inferred.
+    */
+  def tsToNanos(c: Column): Column =
+    unix_micros(c.cast(TimestampType)) * lit(1000L)
 
   val All: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -725,6 +725,75 @@ object Dedup {
     out
   }
 
+  /** RESUMABLE connected components: the same min-label propagation as
+    * [[canonicalClusters]] but with each round persisted to a parquet
+    * work dir, so a crashed job (driver OR whole-cluster loss — the
+    * failure class even `reliable=true` checkpoints don't survive,
+    * since checkpoint blocks die with the application) resumes from
+    * the last COMPLETE round instead of restarting. A round is
+    * complete iff its `_SUCCESS` marker exists — Spark's parquet
+    * commit protocol writes it last, so a crash mid-write leaves an
+    * incomplete dir that resume transparently redoes. The propagation
+    * math is deterministic integer min-label, so an interrupted+resumed
+    * run is bit-identical to an uninterrupted one (Round11Spec injects
+    * a mid-loop failure and asserts exactly that).
+    *
+    * Scale shape: identical joins to [[canonicalClusters]]; pinning is
+    * by parquet round-trip instead of checkpoint blocks, which also
+    * flattens lineage. One extra fs round-trip per round is the price
+    * of restartability — the same trade Structured Streaming makes
+    * with its commit log. Old rounds are deleted two rounds back, so
+    * the work dir holds at most 2 label generations + the edge list.
+    *
+    * @param onRoundComplete test/ops hook invoked after round r is
+    *   durably committed (failure injection, progress reporting). */
+  def canonicalClustersResumable(pairs: DataFrame, workDir: String,
+      onRoundComplete: Int => Unit = _ => ()): DataFrame = {
+    val spark = pairs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fs(p: String) = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    def complete(p: String): Boolean =
+      fs(p).exists(new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))
+    def drop(p: String): Unit =
+      fs(p).delete(new org.apache.hadoop.fs.Path(p), true)
+    def roundPath(r: Int) = s"$workDir/labels_r$r"
+
+    val edgesPath = s"$workDir/edges"
+    if (!complete(edgesPath))
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .write.mode("overwrite").parquet(edgesPath)
+    val edges = spark.read.parquet(edgesPath)
+
+    // resume point: highest round with a durable _SUCCESS
+    var r = Iterator.from(0).takeWhile(i => complete(roundPath(i)))
+      .foldLeft(-1)((_, i) => i)
+    if (r < 0) {
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"), lit(true).as("chg"))
+        .write.mode("overwrite").parquet(roundPath(0))
+      r = 0
+      onRoundComplete(0)
+    }
+    var labels = spark.read.parquet(roundPath(r))
+    var changed = labels.filter(col("chg")).count()
+    while (changed > 0) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min("label").as("nbr_label"))
+      labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("nbr_label"), col("label"))) < col("label")).as("chg"))
+        .write.mode("overwrite").parquet(roundPath(r + 1))
+      r += 1
+      onRoundComplete(r)
+      if (r >= 2) drop(roundPath(r - 2))
+      labels = spark.read.parquet(roundPath(r))
+      changed = labels.filter(col("chg")).count()
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Canonical-id assignment over the verified Jaccard near-dup pairs
     * — the step that turns pairwise matches into keep/drop decisions.
     * Oracle-checked: DuckDB computes the same components via a

@@ -73,6 +73,18 @@ object Graph {
     triangleCount(pairs)
   }
 
+  /** Gate query for the artifact flow: build the verified near-dup
+    * edge list to parquet ONCE via [[IndexStore.buildEdgeIndex]],
+    * reload it, and count triangles from the loaded artifact — must
+    * hash-match the rebuild twin [[graphTriangles]] (same oracle). The
+    * other graph ops consume the identical artifact; Round11Spec holds
+    * all five from-index outputs equal to their rebuild twins. */
+  val graphTrianglesIndexed: Q = (s, dir) => {
+    val path = IndexStore.defaultPath("edges", dir)
+    IndexStore.buildEdgeIndex(t(s, dir, "documents"), path)
+    triangleCount(IndexStore.loadEdgeIndex(s, path))
+  }
+
   /** Integer-scaled PageRank over an undirected graph given as unique
     * `(a, b)` pairs with `a < b`, unrolled to a fixed `iters` rounds.
     *
@@ -107,11 +119,14 @@ object Graph {
     var rank = symDeg.select("u").distinct()
       .select(col("u"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
-      rank = symDeg.join(rank, Seq("u"))
+      // pin per round (as kCorePeel/labelPropagate do): caps lineage
+      // and AQE replan depth, which otherwise grow with every
+      // iteration — cheap at iters=3, load-bearing if iters is raised
+      rank = graft.core.Materialize.pin(symDeg.join(rank, Seq("u"))
         .select(col("v"), expr("r div du").as("c"))
         .groupBy("v").agg(sum("c").as("s"))
         .select(col("v").as("u"),
-          (lit(15L * scale / 100) + expr("(85 * s) div 100")).as("r"))
+          (lit(15L * scale / 100) + expr("(85 * s) div 100")).as("r")))
     }
     rank.select(col("u").as("node"), col("r").as("rank_scaled"))
       .orderBy("node")
@@ -282,6 +297,7 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "x_graph_triangles" -> graphTriangles,
+    "x_graph_triangles_indexed" -> graphTrianglesIndexed,
     "x_graph_pagerank" -> graphPageRank,
     "x_graph_common_neighbors" -> graphCommonNeighbors,
     "x_graph_kcore" -> graphKCore,
@@ -306,12 +322,15 @@ object Graph {
     s"(SELECT ed.v AS u, CAST(150000000 + (85 * CAST(SUM(p.r // d.du) AS BIGINT)) // 100 AS BIGINT) AS r " +
       s"FROM ed JOIN $prev p ON ed.u = p.u JOIN deg d ON ed.u = d.u GROUP BY ed.v)"
 
+  private val trianglesSql =
+    edgeCte + " " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 " +
+      "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+      "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+
   val oracles: Map[String, String] = Map(
-    "x_graph_triangles" ->
-      (edgeCte + " " +
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 " +
-        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
-        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"),
+    "x_graph_triangles" -> trianglesSql,
+    "x_graph_triangles_indexed" -> trianglesSql,
     "x_graph_common_neighbors" ->
       (edgeCte + ", " +
         "sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +

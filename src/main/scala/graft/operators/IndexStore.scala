@@ -29,6 +29,25 @@ object IndexStore {
   def defaultPath(kind: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_index/${kind}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
+  // ---- Verified similarity-graph edge list: (a, b) with a < b ----
+
+  /** Materialize the verified Jaccard near-dup edge list — the input
+    * every graph gate (triangles / PageRank / k-core / LPA /
+    * link-prediction) derives — as a durable parquet artifact. The
+    * edge derivation is the expensive stage of all five graph queries
+    * (~2s each at gate scale, the whole similarity self-join at corpus
+    * scale), and it is build-once / query-many by nature: analytics
+    * re-run nightly against the same day's graph. */
+  def buildEdgeIndex(docs: DataFrame, path: String,
+      minJaccard: Double = 0.5,
+      maxDf: Option[Long] = Some(Dedup.GateMaxDf)): Unit =
+    Dedup.jaccardPairs(Dedup.shingles(docs), minJaccard, maxDf = maxDf)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .write.mode("overwrite").parquet(path)
+
+  def loadEdgeIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   // ---- MinHash LSH band index: (doc_id, band, bh) ----
 
   def buildMinhashIndex(docs: DataFrame, path: String): Unit =

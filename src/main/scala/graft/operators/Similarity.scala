@@ -90,6 +90,25 @@ object Similarity {
   val PlanesPerTable = 8
   val PlaneDims = 64
 
+  /** Default bucket width for GROWING stores ([[graft.streaming.VecIngest]]):
+    * 16 planes = 65536 buckets/table. The 8-plane default is tuned for
+    * one-shot ANN queries at gate scale (recall at low cosine); a
+    * growing index keeps its width for life, and the r9 soak measured
+    * 8 planes saturating at 60k vectors (per-batch candidate volume
+    * grows linearly with corpus/2^planes) while 16 held flat. */
+  val IngestPlanesPerTable = 16
+
+  /** Bucket width sized to an expected corpus: 2^planes >= corpus
+    * (random-pair collisions per table then stay ~O(1) per probe),
+    * floored at the one-shot default and capped at 24 (16M buckets —
+    * beyond that the bucket int is still fine but per-table recall at
+    * moderate similarity is gone; shard the store instead). */
+  def planesForCorpus(expectedCorpus: Long): Int = {
+    require(expectedCorpus > 0, s"expectedCorpus must be positive (got $expectedCorpus)")
+    val need = 64 - java.lang.Long.numberOfLeadingZeros(expectedCorpus - 1).max(0)
+    need.max(PlanesPerTable).min(24)
+  }
+
   /** Deterministic random hyperplanes for NumTables independent hash
     * tables, materialized ONCE as array literals (they are constants —
     * recomputing hash-derived components per row, per dim, in an

@@ -20,13 +20,11 @@ object StreamingDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events.ts is TIMESTAMP(NANOS) parquet — read as nanos (LongType)
-    // and convert; see graft.core.Tables.t
+    // events.ts ships as either TIMESTAMP(NANOS) (read as int64 nanos
+    // via nanosAsLong) or timestamp[us]; take the file's actual schema
+    // for the stream, then normalize to nanos — see graft.core.Tables
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
     // file-source streams watch a directory (files arrive over time);
     // stage the single driver file into one
@@ -34,8 +32,11 @@ object StreamingDemo {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       watchDir.resolve("events-000.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(watchDir.toString)
+    val raw = spark.readStream.schema(schema).parquet(watchDir.toString)
+    val nanos =
+      if (schema("ts").dataType == LongType) raw
+      else raw.withColumn("ts", graft.core.Tables.tsToNanos(col("ts")))
+    val stream = nanos
       .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("hourly_demo")

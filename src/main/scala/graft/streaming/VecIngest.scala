@@ -47,7 +47,7 @@ object VecIngest {
     * output (similarity ulps are not portable; ids are). */
   def matchAgainstIndex(batch: DataFrame, corpusVecs: DataFrame,
       corpusBuckets: DataFrame, minSim: Double,
-      planesPerTable: Int = Similarity.PlanesPerTable): DataFrame = {
+      planesPerTable: Int = Similarity.IngestPlanesPerTable): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
     val batchBuckets = Similarity.lshBandIndex(batch,
       planesPerTable = planesPerTable)
@@ -69,11 +69,13 @@ object VecIngest {
     * [[Similarity.lshBandIndex]]: pick 2^planes comfortably above the
     * expected corpus/bucket occupancy so per-batch probe cost stays
     * flat as the store grows (soak-verified: 8 planes degrade
-    * linearly at 60k vectors; 16 planes hold flat). Must be constant
-    * across the life of one store. */
+    * linearly at 60k vectors; 16 planes hold flat — hence the
+    * [[Similarity.IngestPlanesPerTable]] default; size explicitly
+    * with [[Similarity.planesForCorpus]] for a known target). Must be
+    * constant across the life of one store. */
   def ingestBatch(batch: DataFrame, batchId: Long, vecsPath: String,
       indexPath: String, pairsPath: String, minSim: Double,
-      planesPerTable: Int = Similarity.PlanesPerTable): Unit = {
+      planesPerTable: Int = Similarity.IngestPlanesPerTable): Unit = {
     val s = batch.sparkSession
     // the batch feeds pair generation AND two appends — pin it so the
     // (possibly expensive) stream source is consumed once
@@ -98,7 +100,7 @@ object VecIngest {
     * (vec_id, embedding); extra columns ride along into the store. */
   def start(vecStream: DataFrame, vecsPath: String, indexPath: String,
       pairsPath: String, checkpointDir: String, minSim: Double = 0.9,
-      planesPerTable: Int = Similarity.PlanesPerTable): StreamingQuery =
+      planesPerTable: Int = Similarity.IngestPlanesPerTable): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, batchId: Long) =>

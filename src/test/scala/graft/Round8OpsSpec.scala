@@ -62,7 +62,9 @@ class Round8OpsSpec extends SparkSpec {
   }
 
   test("intervalOverlapJoin: equals the naive inequality join, no duplicate pairs") {
-    val e = spark.read.parquet(s"$dir/events.parquet")
+    // via Tables.t: ts arrives as nanos-Long regardless of the
+    // testdata generation's parquet encoding (SchemaDriftSpec)
+    val e = graft.core.Tables.t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000000000").as("sec"))
     val v = e.filter(col("event_type") === "view")
@@ -398,9 +400,30 @@ class Round8OpsSpec extends SparkSpec {
       "cluster map broadcasts onto the corpus")
     assert(shape(Sampling.statsHistogram(spark, dir)) == ((0, 0)),
       "histogram is scan + aggregation, no join at all")
-    val (prBhj, prSmj) = shape(Graph.graphPageRank(spark, dir))
-    assert(prBhj >= 1 && prSmj == 0,
-      "every PageRank round joins against a broadcast rank vector")
+    // PageRank's rank join is deliberately un-hinted (r10 broadcast
+    // eviction) and each round is eagerly pinned (r11), so the final
+    // frame's own plan is a checkpoint scan with no joins left to
+    // inspect. Assert the eviction's actual claim on ONE un-pinned
+    // round: AQE promotes the node-sized rank join to broadcast at
+    // gate scale once it sees the runtime shuffle size.
+    val prEdges = graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.shingles(
+          graft.core.Tables.t(spark, dir, "documents")), 0.5,
+        maxDf = Some(graft.operators.Dedup.GateMaxDf))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val prSym = prEdges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(prEdges.select(col("b").as("u"), col("a").as("v")))
+    val prRank0 = prSym.select("u").distinct()
+      .select(col("u"), org.apache.spark.sql.functions.lit(1000000000L).as("r"))
+    val prRound = prSym
+      .join(prSym.groupBy("u").agg(count(lit(1)).as("du")), Seq("u"))
+      .join(prRank0, Seq("u"))
+      .select(col("v"), expr("r div du").as("c"))
+      .groupBy("v").agg(sum("c").as("s"))
+    prRound.collect()
+    val prPlan = prRound.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(prPlan).size >= 1,
+      "AQE promotes the un-hinted node-sized rank join to broadcast at gate scale")
     // PPS: scalar total broadcasts back (nested-loop on a 1-row side is
     // the only join); the fact table itself is never exchanged
     val pps = Sampling.queries("x_sample_weighted")(spark, dir)

@@ -57,6 +57,41 @@ class VecIngestSpec extends SparkSpec {
       "replayed vectors overwrite their own partition only")
   }
 
+  test("16-plane ingest default holds candidate volume flat where 8 planes saturate") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // 2000 independent corpus directions + a 50-vector probe batch:
+    // candidate volume (the per-batch cost driver) is the bucket-join
+    // row count BEFORE verification. At 8 planes random pairs collide
+    // per table at ~2^-8 -> expected ~ 50*2000*8/256 candidates; at 16
+    // planes ~ /65536 -> near zero. The assertions bound both. Vectors
+    // are full-plane-width (64-dim) independent directions (seeded RNG
+    // per vector — a shared-waveform fixture like sin(seed + c*d) puts
+    // every vector in one 2-D subspace and floods every bucket).
+    def vec64(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(64)(r.nextFloat() - 0.5f)
+    }
+    val corpus = (100L until 2100L).map(i => (i, vec64(i))).toDF("vec_id", "embedding")
+    val batch = (1L to 50L).map(i => (i, vec64(-i * 977L))).toDF("vec_id", "embedding")
+    def candidates(planes: Int): Long = {
+      val cb = Similarity.lshBandIndex(corpus, planesPerTable = planes)
+      val bb = Similarity.lshBandIndex(batch, planesPerTable = planes)
+        .withColumnsRenamed(Map("vec_id" -> "new_id"))
+      cb.join(bb, Seq("tbl", "bucket"))
+        .select("new_id", "vec_id").distinct().count()
+    }
+    val at8 = candidates(8)
+    val at16 = candidates(Similarity.IngestPlanesPerTable)
+    assert(at16 * 10 < at8,
+      s"16 planes must collapse false-candidate volume ($at16 vs $at8 at 8 planes)")
+    assert(at16 < 200, s"near-zero false candidates at 16 planes (got $at16)")
+    // sizing helper: 2^planes >= corpus, floored/capped
+    assert(Similarity.planesForCorpus(100) == 8)
+    assert(Similarity.planesForCorpus(60000) == 16)
+    assert(Similarity.planesForCorpus(1L << 30) == 24)
+  }
+
   test("bucket probe only verifies collisions: unrelated vector produces no pair") {
     val root = tmp("vingest2")
     val (vecsP, idxP, pairsP) = (s"$root/vecs", s"$root/index", s"$root/pairs")
