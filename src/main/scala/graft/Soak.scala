@@ -586,6 +586,37 @@ object Soak {
       graft.operators.Graph.kCorePeel(hubTri(600000L * mult), k = 2)
     }
 
+    // LPA communities on the same hub-triangle graphs: per round ONE
+    // edge x label join (un-hinted, node-sized label table) + an
+    // argmax window on the join's own partitioning. The hub's degree
+    // (~n/2) makes its neighbor-label count the skew stressor; cost
+    // should track |E| per round -> doubling edges ~doubles wall-clock
+    time("lpa_1.8M_edges") {
+      graft.operators.Graph.labelPropagate(hubTri(300000L * mult), rounds = 2)
+    }
+    time("lpa_3.6M_edges") {
+      graft.operators.Graph.labelPropagate(hubTri(600000L * mult), rounds = 2)
+    }
+
+    // retention triangle at event scale, un-hinted cohort join (the r9
+    // eviction): cohort table is user-sized; AQE broadcasts while it
+    // fits. Same math as the x_events_retention gate, on the synthetic
+    // log (hour-resolution; 10k users) — cost should track |events|
+    def retentionOf(e: DataFrame): DataFrame = {
+      val hours = e.select(col("user_id"), (col("sec") / 3600L).cast("long").as("h"))
+      val cohort = hours.groupBy("user_id").agg(min("h").as("h0"))
+      hours.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("h0"), (col("h") - col("h0")).as("age"))
+        .distinct()
+        .groupBy("h0", "age").agg(count(lit(1)).as("n_users"))
+    }
+    time("retention_2m_events") { retentionOf(events) }
+    time("retention_4m_events") {
+      retentionOf(spark.range(nEvents * 2).select(
+        pmod(col("id") * 7919, lit(10000)).as("user_id"),
+        (col("id") % 4000000L).as("sec")))
+    }
+
     spark.stop()
   }
 }
