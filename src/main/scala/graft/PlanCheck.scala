@@ -51,7 +51,10 @@ object PlanCheck {
         // ingest-quality baseline (the streaming drift monitor's
         // static side)
         "x_graph_kcore", "x_events_path_bigrams", "x_events_path_topk",
-        "x_quality_baseline")
+        "x_quality_baseline",
+        // r11: artifact-loaded triangle count (scan -> wedge join, no
+        // similarity subtree) — audit that the load side stays pruned
+        "x_graph_triangles_indexed")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
