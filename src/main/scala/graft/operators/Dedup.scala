@@ -783,9 +783,22 @@ object Dedup {
         .write.mode("overwrite").parquet(edgesPath)
     val edges = spark.read.parquet(edgesPath)
 
-    // resume point: highest round with a durable _SUCCESS
-    var r = Iterator.from(0).takeWhile(i => complete(roundPath(i)))
-      .foldLeft(-1)((_, i) => i)
+    // resume point: the HIGHEST round with a durable _SUCCESS, found
+    // by listing the work dir — NOT by walking a prefix from round 0,
+    // which breaks as soon as the two-generations-back GC has deleted
+    // the early rounds (a crash after round 3 would then silently
+    // restart from scratch instead of resuming)
+    val roundRe = "labels_r(\\d+)".r
+    val wd = new org.apache.hadoop.fs.Path(workDir)
+    var r =
+      if (!fs(workDir).exists(wd)) -1
+      else fs(workDir).listStatus(wd).toSeq
+        .flatMap(s => s.getPath.getName match {
+          case roundRe(i) => Some(i.toInt)
+          case _          => None
+        })
+        .filter(i => complete(roundPath(i)))
+        .sorted.lastOption.getOrElse(-1)
     if (r < 0) {
       edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"), lit(true).as("chg"))

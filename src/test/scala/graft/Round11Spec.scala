@@ -78,5 +78,21 @@ class Round11Spec extends SparkSpec {
     assert(resumedRounds.forall(_ >= 3),
       s"resume re-ran pre-crash rounds: ${resumedRounds.sorted}")
     assert(recovered == truth, "recovered cluster map is bit-identical")
+
+    // crash LATE, after the two-generations-back GC has deleted the
+    // early rounds (rounds 0..2 gone by round 4): resume must find the
+    // highest complete round by listing, not by walking from round 0
+    val lateDir = Files.createTempDirectory("cc-late").toFile.getAbsolutePath
+    intercept[Killed] {
+      Dedup.canonicalClustersResumable(pairs, lateDir,
+        onRoundComplete = r => if (r == 4) throw new Killed)
+    }
+    var lateRounds = List.empty[Int]
+    val lateRecovered = Dedup.canonicalClustersResumable(pairs, lateDir,
+        onRoundComplete = r => lateRounds ::= r)
+      .orderBy("doc_id").collect().toSeq
+    assert(lateRounds.forall(_ >= 5),
+      s"late resume re-ran pre-crash rounds: ${lateRounds.sorted}")
+    assert(lateRecovered == truth, "late-crash recovery is bit-identical")
   }
 }
