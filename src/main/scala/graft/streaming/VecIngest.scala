@@ -42,6 +42,31 @@ object VecIngest {
     hp.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(hp)
   }
 
+  /** Stamp/check the store's bucket width: `<indexPath>_planes` holds
+    * the plane count the index was built with; first write creates it,
+    * every later batch must match it exactly. */
+  private def requirePlanesMarker(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, planesPerTable: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"${indexPath}_planes")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      require(stored == planesPerTable,
+        s"LSH store at $indexPath was built with $stored planes/table; " +
+          s"probing or appending at $planesPerTable would silently lose " +
+          "recall — pass the store's width explicitly")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(planesPerTable.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Batch-vs-index near-dup pairs: bucket-collision candidates from
     * the (tbl, bucket) equi-join, exact-cosine verified. Ids-only
     * output (similarity ulps are not portable; ids are). */
@@ -77,6 +102,13 @@ object VecIngest {
       indexPath: String, pairsPath: String, minSim: Double,
       planesPerTable: Int = Similarity.IngestPlanesPerTable): Unit = {
     val s = batch.sparkSession
+    // bucket-width guard: a store probed/appended at a DIFFERENT plane
+    // count than it was built with silently loses recall (probe
+    // buckets never equal index buckets), so the width is stamped into
+    // the store on first write and every later batch must match — a
+    // default change (8 -> 16 in r11) or a mis-parameterized resume
+    // fails loudly instead
+    requirePlanesMarker(s, indexPath, planesPerTable)
     // the batch feeds pair generation AND two appends — pin it so the
     // (possibly expensive) stream source is consumed once
     val b = graft.core.Materialize.pin(batch)

@@ -92,6 +92,22 @@ class VecIngestSpec extends SparkSpec {
     assert(Similarity.planesForCorpus(1L << 30) == 24)
   }
 
+  test("plane-width marker: probing a store at a different width fails loudly") {
+    val root = tmp("vingest3")
+    val (vecsP, idxP, pairsP) = (s"$root/vecs", s"$root/index", s"$root/pairs")
+    VecIngest.ingestBatch(Seq((1L, vec(1))).toDF("vec_id", "embedding"),
+      0L, vecsP, idxP, pairsP, 0.99, planesPerTable = 8)
+    // same width: fine (replay/continuation)
+    VecIngest.ingestBatch(Seq((2L, vec(2))).toDF("vec_id", "embedding"),
+      1L, vecsP, idxP, pairsP, 0.99, planesPerTable = 8)
+    // different width (e.g. a default change): must not silently degrade
+    val e = intercept[IllegalArgumentException] {
+      VecIngest.ingestBatch(Seq((3L, vec(3))).toDF("vec_id", "embedding"),
+        2L, vecsP, idxP, pairsP, 0.99, planesPerTable = 16)
+    }
+    assert(e.getMessage.contains("built with 8 planes"))
+  }
+
   test("bucket probe only verifies collisions: unrelated vector produces no pair") {
     val root = tmp("vingest2")
     val (vecsP, idxP, pairsP) = (s"$root/vecs", s"$root/index", s"$root/pairs")
