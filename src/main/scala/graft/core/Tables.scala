@@ -24,10 +24,30 @@ object Tables {
       // nano arithmetic (double would lose precision above 2^53).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeTsNanos(spark.read.parquet(s"$dir/$name.parquet"))
+    } else if (name == "embeddings") {
+      normalizeEmbedding(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** Normalize the embeddings frame so `embedding` is `array<float>` —
+    * the element type the native kernels (CosineSimilarity,
+    * SignBuckets) are compiled against. A regenerated testdata (or a
+    * mixed-producer parquet forest at scale) shipping `array<double>`
+    * would otherwise fail analysis at every vector op — the same drift
+    * class the `events.ts` encoding change hit in r10, guarded at the
+    * same read chokepoint. Float-to-float is a no-op; the cast is
+    * per-element column math inside codegen. */
+  def normalizeEmbedding(df: DataFrame): DataFrame =
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"embeddings.embedding must be an array type, got $other")
+    }
 
   /** Normalize an events frame so `ts` is integer nanoseconds since the
     * epoch (LongType), independent of the parquet encoding it was read

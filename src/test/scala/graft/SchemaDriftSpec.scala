@@ -57,6 +57,37 @@ class SchemaDriftSpec extends SparkSpec {
     assert(rowsA.map(_.getLong(1)) == nanos) // exact values survive, in event_id order
   }
 
+  test("Tables.t casts a drifted array<double> embedding back to array<float>") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(0.25f, -1.5f, 3.0f)),
+      (1L, Seq(1.0f, 2.0f, -0.5f)))
+    val dirF = tmpDir("emb-float")
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dirF/embeddings.parquet")
+    val dirD = tmpDir("emb-double")
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dirD/embeddings.parquet")
+
+    val f = Tables.t(spark, dirF, "embeddings")
+    val d = Tables.t(spark, dirD, "embeddings")
+    assert(f.schema("embedding").dataType == ArrayType(FloatType))
+    assert(d.schema("embedding").dataType == ArrayType(FloatType))
+    // the values above are exactly float-representable, so the
+    // double round-trip is lossless and the native kernel agrees
+    import graft.functions.CosineSimilarity.cosineSim
+    def sim(df: org.apache.spark.sql.DataFrame): Double = {
+      val e = df.select(col("vec_id"), col("embedding"))
+      e.filter(col("vec_id") === 0L)
+        .crossJoin(e.filter(col("vec_id") === 1L)
+          .select(col("embedding").as("other")))
+        .select(cosineSim(col("embedding"), col("other")).as("s"))
+        .as[Double].head()
+    }
+    assert(sim(f) == sim(d))
+  }
+
   test("tsToNanos is exact at microsecond precision") {
     import spark.implicits._
     val micros = Seq(0L, 1L, 999999L, 1614834367123456L, -1L)
