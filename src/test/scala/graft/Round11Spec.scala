@@ -95,4 +95,27 @@ class Round11Spec extends SparkSpec {
       s"late resume re-ran pre-crash rounds: ${lateRounds.sorted}")
     assert(lateRecovered == truth, "late-crash recovery is bit-identical")
   }
+
+  test("partition-count invariance: integer-exact gates are identical at 5 vs 32 shuffle partitions") {
+    // These gates document bit-portable results (integer sums, hash
+    // total orders, min-label fixpoints) — which implies independence
+    // from PHYSICAL parallelism. Assert it directly: same rows at a
+    // prime, tiny partition count and at the benchmark's 32. Multiset
+    // compare (row order can legitimately differ where the trailing
+    // ORDER BY key is non-unique).
+    val names = Seq("x_graph_pagerank", "x_sample_systematic",
+      "x_sample_weighted", "x_dedup_clusters", "x_corpus_pack_sequences")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (n <- names) {
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        val at5 = SparkEntry.queries(n)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val at32 = SparkEntry.queries(n)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        assert(at5 == at32, s"$n differs across shuffle partition counts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
