@@ -43,27 +43,42 @@ object VecIngest {
   }
 
   /** Stamp/check the store's bucket width: `<indexPath>_planes` holds
-    * the plane count the index was built with; first write creates it,
-    * every later batch must match it exactly. */
+    * the plane count the index was built with; the FIRST write of a
+    * GENUINELY NEW store creates it, every later batch must match it
+    * exactly. Three guard properties (r11 review findings, all
+    * spec-pinned in VecIngestSpec):
+    *   - an EXISTING store with NO marker fails loudly instead of
+    *     being stamped at the caller's width — a store built before
+    *     width stamping (at the then-default 8 planes) resumed under
+    *     the 16-plane default would otherwise be probed/appended at
+    *     the wrong width, the exact silent recall loss the marker
+    *     exists to prevent;
+    *   - marker creation is atomic (temp + rename via
+    *     [[graft.core.Markers]]) — a crash mid-stamp can never leave
+    *     an empty marker that later dies as a NumberFormatException;
+    *   - first-stamp is first-writer-wins: two racing writers at
+    *     different widths cannot both proceed — the rename loser
+    *     re-reads the winner's width and must match it. */
   private def requirePlanesMarker(s: org.apache.spark.sql.SparkSession,
       indexPath: String, planesPerTable: Int): Unit = {
+    import graft.core.Markers
     val marker = new org.apache.hadoop.fs.Path(s"${indexPath}_planes")
     val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val stored =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-        finally in.close()
-      require(stored == planesPerTable,
-        s"LSH store at $indexPath was built with $stored planes/table; " +
-          s"probing or appending at $planesPerTable would silently lose " +
-          "recall — pass the store's width explicitly")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(planesPerTable.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    def check(stored: Int): Unit = require(stored == planesPerTable,
+      s"LSH store at $indexPath was built with $stored planes/table; " +
+        s"probing or appending at $planesPerTable would silently lose " +
+        "recall — pass the store's width explicitly")
+    Markers.read(fs, marker) match {
+      case Some(v) => check(v.toInt)
+      case None =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(indexPath)),
+          s"LSH store at $indexPath exists but has no plane-width marker " +
+            "(it predates width stamping). Refusing to stamp " +
+            s"$planesPerTable blindly: pass the width the store was " +
+            s"originally built with, or backfill ${indexPath}_planes " +
+            "with that width")
+        if (!Markers.tryCreate(fs, marker, planesPerTable.toString))
+          check(Markers.read(fs, marker).get.toInt) // lost the stamp race
     }
   }
 
@@ -129,14 +144,27 @@ object VecIngest {
   }
 
   /** Start the ingest stream. `vecStream` must carry at least
-    * (vec_id, embedding); extra columns ride along into the store. */
+    * (vec_id, embedding); extra columns ride along into the store.
+    *
+    * `expectedCorpus` is the ergonomic way to size the store: when
+    * set, the bucket width comes from
+    * [[Similarity.planesForCorpus]] (2^planes >= expected corpus, so
+    * per-batch probe cost stays flat for the store's whole life)
+    * instead of requiring the caller to know the corpus→planes
+    * mapping; it takes precedence over `planesPerTable`. Either way
+    * the width is stamped into the store on first write and a
+    * mismatched resume fails loudly. */
   def start(vecStream: DataFrame, vecsPath: String, indexPath: String,
       pairsPath: String, checkpointDir: String, minSim: Double = 0.9,
-      planesPerTable: Int = Similarity.IngestPlanesPerTable): StreamingQuery =
+      planesPerTable: Int = Similarity.IngestPlanesPerTable,
+      expectedCorpus: Option[Long] = None): StreamingQuery = {
+    val planes = expectedCorpus.map(Similarity.planesForCorpus)
+      .getOrElse(planesPerTable)
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, vecsPath, indexPath, pairsPath, minSim,
-          planesPerTable))
+          planes))
       .start()
+  }
 }

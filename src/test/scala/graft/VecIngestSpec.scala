@@ -108,6 +108,57 @@ class VecIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("built with 8 planes"))
   }
 
+  test("an existing store with NO width marker is refused, not blindly stamped") {
+    // the r11 ADVICE scenario: a store built before width stamping (at
+    // the then-default 8 planes) resumed under the 16-plane default —
+    // stamping 16 onto it would make the silent-recall-loss guard
+    // itself cause the loss. The marker-less store must fail loudly.
+    val root = tmp("vingest4")
+    val (vecsP, idxP, pairsP) = (s"$root/vecs", s"$root/index", s"$root/pairs")
+    VecIngest.ingestBatch(Seq((1L, vec(1))).toDF("vec_id", "embedding"),
+      0L, vecsP, idxP, pairsP, 0.99, planesPerTable = 8)
+    // simulate the pre-stamping store: drop the marker, keep the index
+    val fs = new org.apache.hadoop.fs.Path(idxP).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${idxP}_planes"), false)
+    val e = intercept[IllegalArgumentException] {
+      VecIngest.ingestBatch(Seq((2L, vec(2))).toDF("vec_id", "embedding"),
+        1L, vecsP, idxP, pairsP, 0.99) // 16-plane default
+    }
+    assert(e.getMessage.contains("no plane-width marker"))
+    // backfilling the marker with the original width recovers the store
+    assert(graft.core.Markers.tryCreate(fs,
+      new org.apache.hadoop.fs.Path(s"${idxP}_planes"), "8"))
+    VecIngest.ingestBatch(Seq((2L, vec(2))).toDF("vec_id", "embedding"),
+      1L, vecsP, idxP, pairsP, 0.99, planesPerTable = 8)
+  }
+
+  test("expectedCorpus sizes the store via planesForCorpus and stamps that width") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("vingest5")
+    val (vecsP, idxP, pairsP) = (s"$root/vecs", s"$root/index", s"$root/pairs")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = VecIngest.start(input.toDF().toDF("vec_id", "embedding"),
+      vecsP, idxP, pairsP, tmp("vingest5-ckpt"), minSim = 0.99,
+      expectedCorpus = Some(1L << 20))
+    try {
+      input.addData((1L, vec(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(idxP).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(s"${idxP}_planes")).contains("20"),
+      "a 2^20 expected corpus must build a 20-plane store")
+    // and a continuation that forgets the sizing fails loudly at the
+    // 16-plane default instead of probing the wrong width
+    val e = intercept[IllegalArgumentException] {
+      VecIngest.ingestBatch(Seq((2L, vec(2))).toDF("vec_id", "embedding"),
+        1L, vecsP, idxP, pairsP, 0.99)
+    }
+    assert(e.getMessage.contains("built with 20 planes"))
+  }
+
   test("bucket probe only verifies collisions: unrelated vector produces no pair") {
     val root = tmp("vingest2")
     val (vecsP, idxP, pairsP) = (s"$root/vecs", s"$root/index", s"$root/pairs")
