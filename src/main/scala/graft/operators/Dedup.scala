@@ -763,10 +763,29 @@ object Dedup {
     * with its commit log. Old rounds are deleted two rounds back, so
     * the work dir holds at most 2 label generations + the edge list.
     *
+    * Workdir lifecycle: the dir is LEASED to one application at a time
+    * — a `_graft_lease` marker (atomic create, [[graft.core.Markers]])
+    * holds the owner's applicationId, and a second job pointed at the
+    * same workDir fails loudly instead of interleaving round writes
+    * with the first (two writers would corrupt each other's label
+    * generations silently — the plane-stamp lesson applied to state
+    * dirs). The SAME application re-entering its own workDir is the
+    * resume path and always proceeds; taking over a dead application's
+    * workDir needs explicit `breakLease = true` (resume state is
+    * deterministic, so takeover is sound — the guard only exists to
+    * catch two LIVE writers). On success the workDir (rounds + edges +
+    * lease) is deleted by default — the result is eagerly pinned off
+    * the round parquet first — so completed runs leave no scratch
+    * behind; pass `cleanupOnSuccess = false` to keep the final label
+    * generation for inspection (the lease alone is released then).
+    *
     * @param onRoundComplete test/ops hook invoked after round r is
     *   durably committed (failure injection, progress reporting). */
   def canonicalClustersResumable(pairs: DataFrame, workDir: String,
-      onRoundComplete: Int => Unit = _ => ()): DataFrame = {
+      onRoundComplete: Int => Unit = _ => (),
+      cleanupOnSuccess: Boolean = true,
+      breakLease: Boolean = false): DataFrame = {
+    import graft.core.Markers
     val spark = pairs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     def fs(p: String) = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
@@ -775,6 +794,26 @@ object Dedup {
     def drop(p: String): Unit =
       fs(p).delete(new org.apache.hadoop.fs.Path(p), true)
     def roundPath(r: Int) = s"$workDir/labels_r$r"
+
+    val leasePath = new org.apache.hadoop.fs.Path(s"$workDir/_graft_lease")
+    val appId = spark.sparkContext.applicationId
+    val lfs = fs(workDir)
+    def takeoverOrDie(holder: String): Unit =
+      if (breakLease) Markers.forceWrite(lfs, leasePath, appId)
+      else throw new IllegalStateException(
+        s"CC workDir $workDir is leased by application $holder — two jobs " +
+          "sharing a workDir would corrupt each other's round state. If " +
+          "that job is dead, resume with breakLease = true (or delete " +
+          s"$leasePath)")
+    Markers.read(lfs, leasePath) match {
+      case Some(holder) if holder == appId => () // our own resume
+      case Some(holder) => takeoverOrDie(holder)
+      case None =>
+        if (!Markers.tryCreate(lfs, leasePath, appId)) {
+          val holder = Markers.read(lfs, leasePath).get // just renamed in
+          if (holder != appId) takeoverOrDie(holder)
+        }
+    }
 
     val edgesPath = s"$workDir/edges"
     if (!complete(edgesPath))
@@ -822,7 +861,18 @@ object Dedup {
       labels = spark.read.parquet(roundPath(r))
       changed = labels.filter(col("chg")).count()
     }
-    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
+    val out = labels.select(col("node").as("doc_id"),
+      col("label").as("canonical_id"))
+    if (cleanupOnSuccess) {
+      // pin BEFORE deleting: the frame reads the round parquet we are
+      // about to remove, so materialize it off the workDir first
+      val pinned = graft.core.Materialize.pin(out)
+      drop(workDir)
+      pinned
+    } else {
+      lfs.delete(leasePath, false) // release; keep rounds for inspection
+      out
+    }
   }
 
   /** Canonical-id assignment over the verified Jaccard near-dup pairs
@@ -834,6 +884,22 @@ object Dedup {
     canonicalClusters(
       jaccardPairs(shingles(t(s, dir, "documents")), 0.5,
         maxDf = Some(GateMaxDf)))
+      .orderBy("doc_id")
+
+  /** Gate query for the RESUMABLE flow: the same cluster map as
+    * [[dedupClusters]] computed through the parquet-per-round workDir
+    * — the min-label propagation is deterministic integer math, so
+    * the durable path hash-matches the same recursive-CTE oracle.
+    * `breakLease = true` because each gate run is a fresh application
+    * and this workDir has exactly one writer by construction — a
+    * previous CRASHED gate run's lease must not wedge the gate (its
+    * round state is valid resume input either way). */
+  val dedupClustersResumable: Q = (s, dir) =>
+    canonicalClustersResumable(
+      jaccardPairs(shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(GateMaxDf)),
+      IndexStore.defaultPath("ccwork", dir),
+      breakLease = true)
       .orderBy("doc_id")
 
   /** Keep-BEST dedup decision table: instead of the min-id canonical
@@ -982,6 +1048,7 @@ object Dedup {
     "x_dedup_incremental" -> dedupIncremental,
     "x_dedup_incremental_indexed" -> dedupIncrementalIndexed,
     "x_dedup_clusters" -> dedupClusters,
+    "x_dedup_clusters_resumable" -> dedupClustersResumable,
     "x_dedup_keep_best" -> dedupKeepBest,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1059,17 +1126,9 @@ object Dedup {
     // it shares the oracle
     "x_dedup_incremental" -> incrementalOracle,
     "x_dedup_incremental_indexed" -> incrementalOracle,
-    "x_dedup_clusters" ->
-      ("WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
-        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
-        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
-        "pairs AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
-        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5), " +
-        "ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-        "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
-        "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src) " +
-        "SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a ORDER BY doc_id"),
+    "x_dedup_clusters" -> clustersOracle,
+    // durable-path twin: identical deterministic cluster map
+    "x_dedup_clusters_resumable" -> clustersOracle,
     "x_dedup_keep_best" ->
       ("WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
@@ -1087,6 +1146,20 @@ object Dedup {
         "(SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id) AS rk FROM m) WHERE rk = 1) " +
         "SELECT m.doc_id, m.cluster_id, b.keep_id, m.doc_id = b.keep_id AS keep " +
         "FROM m JOIN b USING (cluster_id) ORDER BY m.doc_id"))
+
+  /** Recursive-CTE transitive closure of the verified 0.5-Jaccard
+    * pairs — shared by the in-memory and resumable cluster gates. */
+  private lazy val clustersOracle: String =
+    ("WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+      "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+      "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+      "pairs AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+      "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5), " +
+      "ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+      "nodes AS (SELECT DISTINCT src AS n FROM ed), " +
+      "reach(a, b) AS (SELECT n, n FROM nodes UNION SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src) " +
+      "SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a ORDER BY doc_id")
 
   private lazy val incrementalOracle: String =
     ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
