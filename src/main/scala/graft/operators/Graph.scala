@@ -73,17 +73,38 @@ object Graph {
     triangleCount(pairs)
   }
 
-  /** Gate query for the artifact flow: build the verified near-dup
-    * edge list to parquet ONCE via [[IndexStore.buildEdgeIndex]],
-    * reload it, and count triangles from the loaded artifact — must
-    * hash-match the rebuild twin [[graphTriangles]] (same oracle). The
-    * other graph ops consume the identical artifact; Round11Spec holds
-    * all five from-index outputs equal to their rebuild twins. */
-  val graphTrianglesIndexed: Q = (s, dir) => {
+  /** The shared artifact all five `*_indexed` gates consume: the
+    * verified near-dup edge list, built to parquet ONCE per run via
+    * [[IndexStore.ensureEdgeIndex]] (per-JVM memo — whichever indexed
+    * gate runs first pays the edge derivation, the other four reload).
+    * This is the reference's build-once / query-many shape: every
+    * consumer of the combined tables re-reads the keyed artifacts
+    * rather than rebuilding (combine_pset_tables.py:230,
+    * build_synonym_tables.py:38-43). */
+  private def indexedEdges(s: SparkSession, dir: String): DataFrame = {
     val path = IndexStore.defaultPath("edges", dir)
-    IndexStore.buildEdgeIndex(t(s, dir, "documents"), path)
-    triangleCount(IndexStore.loadEdgeIndex(s, path))
+    IndexStore.ensureEdgeIndex(t(s, dir, "documents"), path)
+    IndexStore.loadEdgeIndex(s, path)
   }
+
+  /** Gate query for the artifact flow: triangles from the loaded edge
+    * artifact — must hash-match the rebuild twin [[graphTriangles]]
+    * (same oracle). */
+  val graphTrianglesIndexed: Q = (s, dir) => triangleCount(indexedEdges(s, dir))
+
+  /** Artifact-flow twin of [[graphPageRank]] (same oracle). */
+  val graphPageRankIndexed: Q = (s, dir) => pageRankInt(indexedEdges(s, dir))
+
+  /** Artifact-flow twin of [[graphKCore]] (same oracle). */
+  val graphKCoreIndexed: Q = (s, dir) => kCorePeel(indexedEdges(s, dir), k = 2)
+
+  /** Artifact-flow twin of [[graphCommunities]] (same oracle). */
+  val graphCommunitiesIndexed: Q = (s, dir) =>
+    labelPropagate(indexedEdges(s, dir), rounds = 2)
+
+  /** Artifact-flow twin of [[graphCommonNeighbors]] (same oracle). */
+  val graphCommonNeighborsIndexed: Q = (s, dir) =>
+    commonNeighbors(indexedEdges(s, dir), k = 20, maxDeg = Some(1000L))
 
   /** Integer-scaled PageRank over an undirected graph given as unique
     * `(a, b)` pairs with `a < b`, unrolled to a fixed `iters` rounds.
@@ -299,9 +320,13 @@ object Graph {
     "x_graph_triangles" -> graphTriangles,
     "x_graph_triangles_indexed" -> graphTrianglesIndexed,
     "x_graph_pagerank" -> graphPageRank,
+    "x_graph_pagerank_indexed" -> graphPageRankIndexed,
     "x_graph_common_neighbors" -> graphCommonNeighbors,
+    "x_graph_common_neighbors_indexed" -> graphCommonNeighborsIndexed,
     "x_graph_kcore" -> graphKCore,
-    "x_graph_communities" -> graphCommunities)
+    "x_graph_kcore_indexed" -> graphKCoreIndexed,
+    "x_graph_communities" -> graphCommunities,
+    "x_graph_communities_indexed" -> graphCommunitiesIndexed)
 
   /** Shared oracle prefix: the verified-Jaccard edge list `e(a, b)`
     * with `a < b` — identical to the x_dedup_ngram_jaccard oracle's
@@ -328,18 +353,16 @@ object Graph {
       "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
       "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
 
-  val oracles: Map[String, String] = Map(
-    "x_graph_triangles" -> trianglesSql,
-    "x_graph_triangles_indexed" -> trianglesSql,
-    "x_graph_common_neighbors" ->
+  private val commonNeighborsSql =
       (edgeCte + ", " +
         "sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
         "wed AS (SELECT s1.v AS v, s2.v AS w, CAST(COUNT(*) AS BIGINT) AS n_common " +
         "FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v GROUP BY 1, 2) " +
         "SELECT v AS node_a, w AS node_b, n_common FROM wed " +
         "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wed.v AND e.b = wed.w) " +
-        "ORDER BY n_common DESC, node_a, node_b LIMIT 20"),
-    "x_graph_communities" ->
+        "ORDER BY n_common DESC, node_a, node_b LIMIT 20")
+
+  private val communitiesSql =
       (edgeCte + ", " +
         "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
         "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed), " +
@@ -347,8 +370,9 @@ object Graph {
         "l1 AS (SELECT u, lbl FROM (SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rn FROM c1) WHERE rn = 1), " +
         "c2 AS (SELECT ed.u, l1.lbl, CAST(COUNT(*) AS BIGINT) AS n FROM ed JOIN l1 ON ed.v = l1.u GROUP BY ed.u, l1.lbl), " +
         "l2 AS (SELECT u, lbl FROM (SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rn FROM c2) WHERE rn = 1) " +
-        "SELECT u AS node, lbl AS community FROM l2 ORDER BY node"),
-    "x_graph_kcore" ->
+        "SELECT u AS node, lbl AS community FROM l2 ORDER BY node")
+
+  private val kcoreSql =
       (edgeCte + ", " +
         "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
         "d0 AS (SELECT u, COUNT(*) AS du FROM ed GROUP BY u), " +
@@ -360,8 +384,9 @@ object Graph {
         "d2 AS (SELECT u, COUNT(*) AS du FROM a2 GROUP BY u), " +
         "k2 AS (SELECT u FROM d2 WHERE du >= 2), " +
         "a3 AS (SELECT * FROM a2 WHERE u IN (SELECT u FROM k2) AND v IN (SELECT u FROM k2)) " +
-        "SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM a3 GROUP BY u ORDER BY node"),
-    "x_graph_pagerank" ->
+        "SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM a3 GROUP BY u ORDER BY node")
+
+  private val pagerankSql =
       (edgeCte + ", " +
         "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
         "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM ed GROUP BY u), " +
@@ -369,5 +394,19 @@ object Graph {
         s"r1 AS ${prRoundSql("r0")}, " +
         s"r2 AS ${prRoundSql("r1")}, " +
         s"r3 AS ${prRoundSql("r2")} " +
-        "SELECT u AS node, r AS rank_scaled FROM r3 ORDER BY node"))
+        "SELECT u AS node, r AS rank_scaled FROM r3 ORDER BY node")
+
+  /** Each `*_indexed` gate shares its rebuild twin's oracle: the
+    * artifact IS the twin's edge derivation, parquet-round-tripped. */
+  val oracles: Map[String, String] = Map(
+    "x_graph_triangles" -> trianglesSql,
+    "x_graph_triangles_indexed" -> trianglesSql,
+    "x_graph_common_neighbors" -> commonNeighborsSql,
+    "x_graph_common_neighbors_indexed" -> commonNeighborsSql,
+    "x_graph_communities" -> communitiesSql,
+    "x_graph_communities_indexed" -> communitiesSql,
+    "x_graph_kcore" -> kcoreSql,
+    "x_graph_kcore_indexed" -> kcoreSql,
+    "x_graph_pagerank" -> pagerankSql,
+    "x_graph_pagerank_indexed" -> pagerankSql)
 }

@@ -48,6 +48,24 @@ object IndexStore {
   def loadEdgeIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Build-ONCE edge artifact: the first caller per (path, params) per
+    * JVM builds, every later caller reuses the parquet on disk — the
+    * contract all five `x_graph_*_indexed` gates share, so one bench
+    * or verify run pays the edge derivation (the expensive stage of
+    * every graph query) exactly once for five analytics. Memoized
+    * per-JVM, never across JVMs: a fresh session always rebuilds on
+    * first touch, so a stale artifact from an earlier run with
+    * different inputs can never be served ([[defaultPath]] keying by
+    * data dir already prevents cross-scale-factor collisions within a
+    * run). `computeIfAbsent` blocks concurrent first callers until the
+    * build commits. */
+  private val builtEdge = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  def ensureEdgeIndex(docs: DataFrame, path: String,
+      minJaccard: Double = 0.5,
+      maxDf: Option[Long] = Some(Dedup.GateMaxDf)): Unit =
+    builtEdge.computeIfAbsent(s"$path|$minJaccard|$maxDf",
+      _ => buildEdgeIndex(docs, path, minJaccard, maxDf))
+
   // ---- MinHash LSH band index: (doc_id, band, bh) ----
 
   def buildMinhashIndex(docs: DataFrame, path: String): Unit =
