@@ -88,6 +88,37 @@ class SchemaDriftSpec extends SparkSpec {
     assert(sim(f) == sim(d))
   }
 
+  test("Tables.t yields exact nanos for TIMESTAMP_MILLIS and INT96 parquet encodings") {
+    import spark.implicits._
+    // a THIRD and FOURTH physical encoding the environment could ship
+    // next (r11 verdict item 8): parquet TIMESTAMP(MILLIS) and the
+    // legacy Hive INT96. Values are millis-precision (whole ms) so
+    // every encoding represents them exactly; includes pre-epoch.
+    val rnd = new scala.util.Random(7)
+    val nanos = (Seq(0L, -123L, 1614834367000L, 1614834368123L) ++
+      Seq.fill(40)(rnd.between(-4102444800000L, 4102444800000L)))
+      .map(_ * 1000000L) // millis -> nanos
+    val base = nanos.zipWithIndex
+      .map { case (n, i) => (i.toLong, n, i.toLong % 2, s"e$i", i.toDouble, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def writeAs(outType: String): String = {
+      val d = tmpDir(outType.toLowerCase)
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, outType)
+      try base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      finally spark.conf.set(key, prev)
+      d
+    }
+    for (enc <- Seq("TIMESTAMP_MILLIS", "INT96")) {
+      val got = Tables.t(spark, writeAs(enc), "events")
+      assert(got.schema("ts").dataType == LongType, s"encoding $enc")
+      val rows = got.orderBy("event_id").select("ts").as[Long].collect().toSeq
+      assert(rows == nanos, s"encoding $enc drifts through Tables.t")
+    }
+  }
+
   test("tsToNanos is exact at microsecond precision") {
     import spark.implicits._
     val micros = Seq(0L, 1L, 999999L, 1614834367123456L, -1L)
