@@ -617,6 +617,74 @@ object Soak {
         (col("id") % 4000000L).as("sec")))
     }
 
+    // Artifact flow at hub scale: materialize the 1.8M-edge hub
+    // fixture to parquet ONCE, run all five graph analytics from the
+    // loaded artifact, then run the same five with the edge derivation
+    // inline — the build-once / query-many contract the five
+    // x_graph_*_indexed gates encode. The derivation cost (encoder
+    // flatMap + parquet round-trip here; the whole similarity
+    // self-join in the corpus gates) should be paid once by the
+    // artifact suite and five times by the rebuild suite.
+    if (want("artifact_flow")) {
+      val edgePath = s"${sys.props("java.io.tmpdir")}/graft_soak_edges"
+      val t0 = System.nanoTime()
+      hubTri(300000L * mult).write.mode("overwrite").parquet(edgePath)
+      println(f"SOAK artifact_flow_build          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val art = spark.read.parquet(edgePath)
+      def re = hubTri(300000L * mult)
+      // untimed warm pass: when this group runs alone (regex-selected),
+      // the first heavy leg would otherwise absorb JVM/codegen warm-up
+      // and bias the artifact-vs-rebuild comparison
+      graft.operators.Graph.triangleCount(hubTri(30000L))
+        .write.format("noop").mode("overwrite").save()
+      // the derivation stage in isolation: what each rebuild consumer
+      // pays to re-derive, vs what each artifact consumer pays to scan
+      // — five consumers cost 5x the former inline, build + 5x the
+      // latter through the artifact
+      time("artifact_flow_derive_inline") { re }
+      time("artifact_flow_scan_artifact") { art }
+      // end-to-end per analytic, rebuild first so any residual
+      // later-is-warmer bias favors the REBUILD side
+      time("artifact_flow_rebuild_tris") { graft.operators.Graph.triangleCount(re) }
+      time("artifact_flow_triangles") { graft.operators.Graph.triangleCount(art) }
+      time("artifact_flow_rebuild_pr") { graft.operators.Graph.pageRankInt(re) }
+      time("artifact_flow_pagerank") { graft.operators.Graph.pageRankInt(art) }
+      time("artifact_flow_rebuild_kcore") { graft.operators.Graph.kCorePeel(re, k = 2) }
+      time("artifact_flow_kcore") { graft.operators.Graph.kCorePeel(art, k = 2) }
+      time("artifact_flow_rebuild_lpa") { graft.operators.Graph.labelPropagate(re, rounds = 2) }
+      time("artifact_flow_lpa") { graft.operators.Graph.labelPropagate(art, rounds = 2) }
+      time("artifact_flow_rebuild_cn") {
+        graft.operators.Graph.commonNeighbors(re, k = 20, maxDeg = Some(1000L)) }
+      time("artifact_flow_cn") {
+        graft.operators.Graph.commonNeighbors(art, k = 20, maxDeg = Some(1000L)) }
+
+      // …and with a derivation that DOMINATES: the verified-Jaccard
+      // self-join on the 50k-doc cluster corpus — the gates' real
+      // edge derivation. This is where build-once pays: five rebuild
+      // consumers each re-pay the derivation below; the artifact
+      // suite pays it once (the build leg) plus a ~0.5s scan per
+      // consumer. One rebuild analytic is timed as the spot check
+      // (rebuild_i ≈ derive + artifact_i by construction).
+      val jDocs = curationCorpus(50000L * mult)
+      def jPairs = graft.operators.Dedup.jaccardPairs(
+          graft.operators.Dedup.shingles(jDocs), 0.5,
+          maxDf = Some(graft.operators.Dedup.GateMaxDf))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      time("artifact_flow_jc_derive") { jPairs }
+      val jPath = s"${sys.props("java.io.tmpdir")}/graft_soak_jc_edges"
+      val tj = System.nanoTime()
+      graft.operators.IndexStore.buildEdgeIndex(jDocs, jPath)
+      println(f"SOAK artifact_flow_jc_build       ${(System.nanoTime() - tj) / 1e9}%8.2f s")
+      val jArt = graft.operators.IndexStore.loadEdgeIndex(spark, jPath)
+      time("artifact_flow_jc_tris") { graft.operators.Graph.triangleCount(jArt) }
+      time("artifact_flow_jc_pr") { graft.operators.Graph.pageRankInt(jArt) }
+      time("artifact_flow_jc_kcore") { graft.operators.Graph.kCorePeel(jArt, k = 2) }
+      time("artifact_flow_jc_lpa") { graft.operators.Graph.labelPropagate(jArt, rounds = 2) }
+      time("artifact_flow_jc_cn") {
+        graft.operators.Graph.commonNeighbors(jArt, k = 20, maxDeg = Some(1000L)) }
+      time("artifact_flow_jc_tris_rebuild") { graft.operators.Graph.triangleCount(jPairs) }
+    }
+
     spark.stop()
   }
 }
