@@ -34,7 +34,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ EventsOps.queries ++
       Temporal.queries ++ Sampling.queries ++ Curation.queries ++
       Corpus.queries ++ Cdc.queries ++ BloomPrune.queries ++
-      Layout.queries ++ Graph.queries ++ Linkage.queries ++ Profile.queries
+      Layout.queries ++ Graph.queries ++ Linkage.queries ++
+      Profile.queries ++ graft.streaming.Compaction.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -45,5 +46,6 @@ object SparkEntry {
       TextAnalysis.oracles ++ Multimodal.oracles ++ EventsOps.oracles ++
       Temporal.oracles ++ Sampling.oracles ++ Curation.oracles ++
       Corpus.oracles ++ Cdc.oracles ++ BloomPrune.oracles ++
-      Layout.oracles ++ Graph.oracles ++ Linkage.oracles ++ Profile.oracles
+      Layout.oracles ++ Graph.oracles ++ Linkage.oracles ++
+      Profile.oracles ++ graft.streaming.Compaction.oracles
 }

@@ -143,6 +143,26 @@ object VecIngest {
       Similarity.lshBandIndex(b, planesPerTable = planesPerTable), batchId)
   }
 
+  /** Offline maintenance: compact all three stores (vectors, bucket
+    * index, pairs) below the stream's own replay watermark in one
+    * call — run it between ingest sessions (never against a LIVE
+    * stream: [[Compaction.compact]]'s claim marker serializes
+    * compactors, not compactor-vs-sink). The watermark comes from the
+    * checkpoint's commit log, so only batches that can never replay
+    * are touched; a restarted stream probes and appends the compacted
+    * stores exactly as before (CompactionSpec proves the full
+    * ingest → compact → resume cycle end-to-end). The pairs store may
+    * legitimately have nothing to compact (zero-pair batches write no
+    * partition) — its entry is then None. */
+  def compactStores(spark: org.apache.spark.sql.SparkSession, vecsPath: String,
+      indexPath: String, pairsPath: String, checkpointDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Option[Compaction.CompactionStats]] = {
+    val safe = Compaction.safeBelowFromCheckpoint(spark, checkpointDir)
+    Map("vecs" -> vecsPath, "index" -> indexPath, "pairs" -> pairsPath)
+      .map { case (k, p) =>
+        k -> Compaction.compact(spark, p, safe, targetFileBytes) }
+  }
+
   /** Start the ingest stream. `vecStream` must carry at least
     * (vec_id, embedding); extra columns ride along into the store.
     *
