@@ -74,6 +74,21 @@ object DocIngest {
     EventStreams.idempotentParquetSink(indexPath)(Dedup.minhashBands(b), batchId)
   }
 
+  /** Offline maintenance, identical contract to
+    * [[VecIngest.compactStores]]: fold each store's small
+    * per-micro-batch partitions into one segment below the stream's
+    * replay watermark. Run between ingest sessions only; the pairs
+    * store may have nothing to compact (zero-pair batches write no
+    * partition) — its entry is then None. */
+  def compactStores(spark: org.apache.spark.sql.SparkSession, docsPath: String,
+      indexPath: String, pairsPath: String, checkpointDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Option[Compaction.CompactionStats]] = {
+    val safe = Compaction.safeBelowFromCheckpoint(spark, checkpointDir)
+    Map("docs" -> docsPath, "index" -> indexPath, "pairs" -> pairsPath)
+      .map { case (k, p) =>
+        k -> Compaction.compact(spark, p, safe, targetFileBytes) }
+  }
+
   /** Start the ingest stream. `docStream` must carry at least
     * (doc_id, text); extra columns ride along into the docs store. */
   def start(docStream: DataFrame, docsPath: String, indexPath: String,

@@ -58,6 +58,38 @@ class DocIngestSpec extends SparkSpec {
       "replayed docs overwrite their own partition only")
   }
 
+  test("compactStores folds committed batches and the resumed stream matches over the segment") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("ingest3")
+    val (docsP, idxP, pairsP, ckpt) =
+      (s"$root/docs", s"$root/index", s"$root/pairs", s"$root/ckpt")
+    // one MemoryStream across both query incarnations — its offsets
+    // must outlive the query for the checkpointed restart
+    val input = MemoryStream[(Long, String)]
+    def stream() = DocIngest.start(input.toDF().toDF("doc_id", "text"),
+      docsP, idxP, pairsP, ckpt)
+    val q1 = stream()
+    try {
+      input.addData((1L, base), (2L, unrelated)); q1.processAllAvailable()
+      input.addData((3L, nearDup)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    val stats = DocIngest.compactStores(spark, docsP, idxP, pairsP, ckpt)
+    assert(stats("docs").get.batchesMerged == 2)
+    assert(stats("index").get.batchesMerged == 2)
+    assert(spark.read.parquet(docsP).count() == 3)
+
+    val q2 = stream()
+    try {
+      input.addData((4L, nearDup2)); q2.processAllAvailable()
+    } finally q2.stop()
+    val pairs = spark.read.parquet(pairsP)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 1L), (4L, 1L), (4L, 3L)),
+      s"resumed batch must match against the compacted band index, got $pairs")
+    assert(spark.read.parquet(docsP).count() == 4, "no duplicated docs")
+  }
+
   test("first-ever batch writes an empty pairs partition without failing") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmp("ingest2")
