@@ -108,6 +108,25 @@ class Round12Spec extends SparkSpec {
     assert(durable.nonEmpty && durable == inMem)
   }
 
+  // ---- bench fork grouping ----
+
+  test("bench groups are a deterministic exact partition of the name list") {
+    val names = ('a' to 'z').map(c => s"q_$c")
+    for (forks <- Seq(1, 3, 4, 7, 26, 40)) {
+      val gs = Bench.makeGroups(names, forks)
+      assert(gs.flatten.sorted == names.sorted,
+        s"forks=$forks must cover every name exactly once")
+      assert(gs.size == math.min(forks.max(1), names.size))
+      assert(gs == Bench.makeGroups(names, forks), "pure function of input")
+      // striping: group sizes differ by at most one, so no child JVM
+      // inherits an alphabetical block of heavy neighbors
+      assert(gs.map(_.size).max - gs.map(_.size).min <= 1)
+    }
+    // striping shape: group i holds every forks-th name from offset i
+    assert(Bench.makeGroups(names, 4).head.take(3) == Seq("q_a", "q_e", "q_i"))
+    assert(Bench.makeGroups(names, 4)(1).take(3) == Seq("q_b", "q_f", "q_j"))
+  }
+
   // ---- atomic markers ----
 
   test("Markers.tryCreate is first-writer-wins and never leaves partial content") {
