@@ -685,6 +685,39 @@ object Soak {
       time("artifact_flow_jc_tris_rebuild") { graft.operators.Graph.triangleCount(jPairs) }
     }
 
+    // The small-files tax and what compaction buys back: a streaming
+    // sink that ran for 64 micro-batches holds 64 partition dirs x
+    // up-to-32 files each; every later consumer pays open/footer cost
+    // per file. Compact folds the committed range into one segment of
+    // target-sized files; the scan legs measure the same aggregate
+    // before and after.
+    if (want("compaction")) {
+      val store = s"${sys.props("java.io.tmpdir")}/graft_soak_compact"
+      val sp = new org.apache.hadoop.fs.Path(store)
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(sp)) fs.delete(sp, true)
+      val nBatches = 64
+      val ti = System.nanoTime()
+      for (b <- 0 until nBatches)
+        graft.streaming.EventStreams.idempotentParquetSink(store)(
+          events.filter(pmod(col("event_id"), lit(nBatches)) === b), b.toLong)
+      println(f"SOAK compaction_ingest_64     ${(System.nanoTime() - ti) / 1e9}%8.2f s")
+      def nFiles = fs.listStatus(sp).filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+      def scanAgg = spark.read.parquet(store).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("user_id").as("s"))
+      println(s"SOAK compaction_files_before  $nFiles")
+      time("compaction_scan_small") { scanAgg }
+      val tc = System.nanoTime()
+      val stats = graft.streaming.Compaction.compact(
+        spark, store, nBatches.toLong).get
+      println(f"SOAK compaction_compact       ${(System.nanoTime() - tc) / 1e9}%8.2f s " +
+        s"(${stats.filesBefore} files -> ${stats.filesAfter}, ${stats.rows} rows)")
+      time("compaction_scan_compacted") { scanAgg }
+    }
+
     spark.stop()
   }
 }
