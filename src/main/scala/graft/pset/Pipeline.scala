@@ -58,14 +58,35 @@ object Pipeline {
   /** Phase 1+2: per-PSet builds (parallelizable per PSet — each is an
     * independent Spark job DAG) then cross-PSet consolidation. Returns
     * the consolidated tables; synonym/cellosaurus phases run when
-    * their inputs are configured. */
+    * their inputs are configured.
+    *
+    * `resumePerPset` makes phase 1 restartable at PSet granularity —
+    * the unit the reference also checkpoints at (each PSet's tables
+    * are written to disk before combining, build_all_pset_tables.py:
+    * 30-78): a `_graft_pset_done` marker is stamped AFTER a PSet's
+    * full table set commits, and a resumed run skips marked PSets. A
+    * crash mid-build leaves no marker, so that PSet (and only it)
+    * rebuilds — with hundreds of PSets at production scale, a died
+    * run redoes one unit instead of the whole phase. Opt-in because
+    * skipping is only sound while the raw exports are unchanged;
+    * delete the marker (or the PSet's workDir) to force a rebuild. */
   def run(spark: SparkSession, cfg: PipelineConfig, compoundMeta: DataFrame,
-      audit: (String, DataFrame) => Unit = (_, _) => ()): Map[String, DataFrame] = {
+      audit: (String, DataFrame) => Unit = (_, _) => (),
+      resumePerPset: Boolean = false): Map[String, DataFrame] = {
 
     // Phase 1: per-PSet table builds (E1)
     cfg.psetNames.foreach { name =>
-      val pset = PSetReader.read(spark, cfg.rawDir, name)
-      PSetBuilders.writeAll(PSetBuilders.buildAll(spark, pset), name, cfg.workDir)
+      val done = new org.apache.hadoop.fs.Path(
+        s"${cfg.workDir}/$name/_graft_pset_done")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(resumePerPset && graft.core.Markers.read(fs, done).isDefined)) {
+        val pset = PSetReader.read(spark, cfg.rawDir, name)
+        val tables = PSetBuilders.buildAll(spark, pset)
+        PSetBuilders.writeAll(tables, name, cfg.workDir)
+        // stamped only after every table committed; content lists the
+        // tables for operator inspection
+        graft.core.Markers.forceWrite(fs, done, tables.keys.toSeq.sorted.mkString("\n"))
+      }
     }
 
     // Phase 2: cross-PSet consolidation (E2)

@@ -109,4 +109,51 @@ class PipelineOrchestratorSpec extends SparkSpec {
     for (n <- Seq("cell_synonym", "gene_compound_tissue", "target", "clinical_trial"))
       assert(new java.io.File(s"${cfg.finalDir}/$n.parquet").exists(), n)
   }
+
+  test("resumePerPset skips completed PSets and rebuilds after a crash (no marker)") {
+    val root = Files.createTempDirectory("orch-r").toString
+    val dir = new java.io.File(s"$root/Mini_PSet"); dir.mkdirs()
+    def w(n: String, s: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(dir.getPath, n), s)
+    w("cell.csv", "cellid,tissueid\nc1,lung\n")
+    w("drug.csv", "drugid,smiles,inchikey,cid,FDA\nd1,CC,IK1,1.0,true\n")
+    w("sensitivity$info.csv", ".rownames,cellid,drugid\ne1,c1,d1\n")
+    w("sensitivity$raw.Dose.csv", ".exp_id,doses1\ne1,0.5\n")
+    w("sensitivity$raw.Viability.csv", ".exp_id,doses1\ne1,42.0\n")
+    w("sensitivity$profiles.csv",
+      ".rownames,aac_recomputed,ic50_recomputed,HS,einf,ec50,DSS1,DSS2,DSS3\ne1,0.5,0.3,1,0.1,0.2,1,2,3\n")
+    w("molecularProfiles$rna$rowData.csv", ".features\nENSG1.2\n")
+    w("molecularProfiles$rna$colData.csv", "cellid\nc1\n")
+    val cfg = PipelineConfig(
+      rawDir = root,
+      workDir = Files.createTempDirectory("orch-r-work").toString,
+      finalDir = Files.createTempDirectory("orch-r-final").toString,
+      psetNames = Seq("Mini"))
+    val meta = Seq(("d1", "UID1")).toDF("name", "compound_uid")
+    val probe = new java.io.File(s"${cfg.workDir}/Mini/Mini_cell.parquet")
+    val marker = new java.io.File(s"${cfg.workDir}/Mini/_graft_pset_done")
+
+    val first = Pipeline.run(spark, cfg, meta, resumePerPset = true)
+    assert(marker.exists(), "marker stamped after the PSet's tables commit")
+    val mtime1 = probe.lastModified()
+    val cells1 = first("cell").collect().map(_.toString).toSeq
+
+    // resumed run: phase 1 untouched, consolidated output identical
+    val second = Pipeline.run(spark, cfg, meta, resumePerPset = true)
+    assert(probe.lastModified() == mtime1, "completed PSet must be skipped")
+    assert(second("cell").collect().map(_.toString).toSeq == cells1)
+
+    // crash simulation: tables present but no marker -> full rebuild
+    Thread.sleep(1100) // parquet dir mtime has second granularity on some fs
+    assert(marker.delete())
+    Pipeline.run(spark, cfg, meta, resumePerPset = true)
+    assert(probe.lastModified() > mtime1, "unmarked PSet must rebuild")
+    assert(marker.exists(), "rebuild re-stamps")
+
+    // default (resume off) always rebuilds
+    Thread.sleep(1100)
+    val mtime2 = probe.lastModified()
+    Pipeline.run(spark, cfg, meta)
+    assert(probe.lastModified() > mtime2)
+  }
 }
