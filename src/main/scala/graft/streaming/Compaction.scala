@@ -252,7 +252,11 @@ object Compaction {
     val sp = new Path(store)
     val fs = fsOf(s, sp)
     if (fs.exists(sp)) fs.delete(sp, true)
-    val events = s.read.parquet(s"$dir/events.parquet")
+    // through the read chokepoint: a TIMESTAMP(NANOS)-encoded ts fails
+    // a plain parquet read at schema conversion even though this gate
+    // never aggregates ts — the r10 drift class, guarded once in
+    // core.Tables for every consumer
+    val events = graft.core.Tables.t(s, dir, "events")
     for (b <- 0L until 6L)
       EventStreams.idempotentParquetSink(store)(
         events.filter(pmod(col("event_id"), lit(6)) === b), b)
