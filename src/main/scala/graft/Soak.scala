@@ -718,6 +718,53 @@ object Soak {
       time("compaction_scan_compacted") { scanAgg }
     }
 
+    // What the pruned bulk tier buys a growing-index probe: the flat
+    // store is scanned whole every batch (O(corpus)); the tier is read
+    // only at the pb dirs the batch's own buckets hash into. 200k-vec
+    // corpus at the 16-plane ingest width, 20-vec probe batch (160
+    // buckets -> <=160 of 1024 pbs).
+    if (want("tiering")) {
+      import graft.operators.Similarity
+      val store = s"${sys.props("java.io.tmpdir")}/graft_soak_tieridx"
+      val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      for (suffix <- Seq("", "_tier", "_tier_mod", "_planes")) {
+        val p = new org.apache.hadoop.fs.Path(store + suffix)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val bands = Similarity.lshBandIndex(vecs,
+        planesPerTable = Similarity.IngestPlanesPerTable)
+      graft.streaming.EventStreams.idempotentParquetSink(store)(bands, 0L)
+      val batch = spark.range(20).select(
+        (col("id") + nVecs).as("vec_id"),
+        expr("transform(sequence(0, 63), i -> CAST(sin((id + 7) * 13 + i * 31) AS FLOAT))")
+          .as("embedding"))
+      val batchBuckets = Similarity.lshBandIndex(batch,
+        planesPerTable = Similarity.IngestPlanesPerTable)
+        .withColumnsRenamed(Map("vec_id" -> "new_id"))
+      def probe(buckets: DataFrame): DataFrame =
+        buckets.join(broadcast(batchBuckets), Seq("tbl", "bucket"))
+          .select(col("new_id"), col("vec_id").as("corpus_id")).distinct()
+      time("tiering_probe_flat") {
+        probe(spark.read.parquet(store).select("vec_id", "tbl", "bucket")) }
+      val ckpt = s"$store-ckpt"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/commits"))
+      graft.core.Markers.tryCreate(fs,
+        new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), "{}")
+      val tt = System.nanoTime()
+      val ts = graft.streaming.VecIngest.tierIndexStore(spark, store, ckpt).get
+      println(f"SOAK tiering_build               ${(System.nanoTime() - tt) / 1e9}%8.2f s " +
+        s"(${ts.rows} rows re-laid by pb)")
+      val tier = graft.streaming.Compaction.loadTier(spark, s"${store}_tier").get
+      val pbs = batchBuckets
+        .select(pmod(col("bucket"), lit(graft.streaming.VecIngest.IndexTierMod)).as("pb"))
+        .distinct().collect().map(_.getInt(0))
+      println(s"SOAK tiering_probe_pbs           ${pbs.length} of ${graft.streaming.VecIngest.IndexTierMod}")
+      time("tiering_probe_pruned") {
+        probe(tier.filter(col("pb").isin(pbs.map(Integer.valueOf): _*))
+          .select("vec_id", "tbl", "bucket")) }
+    }
+
     spark.stop()
   }
 }

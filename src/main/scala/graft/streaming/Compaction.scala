@@ -148,21 +148,33 @@ object Compaction {
           "one's commit marker). If no compactor is live, run " +
           "Compaction.recover to roll it forward/back, then retry")
 
-    // BUILD: under the claim, any leftover scratch is dead garbage
+    // BUILD: under the claim, any leftover scratch is dead garbage.
+    // A build failure (corrupt file, resource exhaustion) releases
+    // the claim itself — nothing has moved, so rollback is just
+    // dropping scratch + marker; without this every failed build
+    // would strand the marker and force a manual recover() for a
+    // state the claimer can prove is clean.
     val scratch = scratchPath(store)
-    if (fs.exists(scratch)) fs.delete(scratch, true)
-    // basePath keeps batch_id a column so one read spans partitions;
-    // dropped after — the target DIR name re-derives it
-    val merged = spark.read.option("basePath", storePath)
-      .parquet(eligible.map(_._2.toString): _*)
-      .drop("batch_id")
-    // coalesce, not repartition: narrowing file count needs no shuffle
-    merged.coalesce(nOut).write.mode("errorifexists").parquet(scratch.toString)
-    // gen stamp last = completeness marker; recovery rolls back a
-    // scratch that lacks it
-    require(Markers.tryCreate(fs, genPath(scratch), runId),
-      s"scratch gen stamp already present under claim $runId — " +
-        s"another writer is interleaving with $storePath")
+    try {
+      if (fs.exists(scratch)) fs.delete(scratch, true)
+      // basePath keeps batch_id a column so one read spans partitions;
+      // dropped after — the target DIR name re-derives it
+      val merged = spark.read.option("basePath", storePath)
+        .parquet(eligible.map(_._2.toString): _*)
+        .drop("batch_id")
+      // coalesce, not repartition: narrowing file count needs no shuffle
+      merged.coalesce(nOut).write.mode("errorifexists").parquet(scratch.toString)
+      // gen stamp last = completeness marker; recovery rolls back a
+      // scratch that lacks it
+      require(Markers.tryCreate(fs, genPath(scratch), runId),
+        s"scratch gen stamp already present under claim $runId — " +
+          s"another writer is interleaving with $storePath")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        fs.delete(markerPath(store), false)
+        throw e
+    }
     onPhase("built")
 
     onPhase("swapping")
@@ -233,6 +245,125 @@ object Compaction {
         true
       case None =>
         if (fs.exists(scratch)) { fs.delete(scratch, true); true } else false
+    }
+  }
+
+  // ---- cross-store tiering -------------------------------------------
+
+  /** What one [[tierByKey]] call did: moved `batchesMoved` committed
+    * source partitions (`rows` rows) into the bulk tier generation
+    * `gen`. */
+  case class TierStats(gen: String, batchesMoved: Int, rows: Long)
+
+  private def tierMarkerPath(store: Path) = new Path(store, "_tier_commit")
+
+  /** Move every `batch_id < safeBelow` partition of `storePath` into a
+    * BULK TIER at `tierPath`, re-laid-out as partition dirs of
+    * `keyName` = `keyCol` (e.g. `pb = bucket mod 64`) — the layout a
+    * point/probe read can PRUNE, where the flat sink store can only be
+    * scanned. This is the growing-index answer to "per-batch probe
+    * cost grows with the corpus": the append-only tail stays small
+    * (only batches the stream could still replay), probes prune the
+    * bulk tier to the key values they actually touch
+    * ([[VecIngest.matchAgainstIndex]]), and maintenance keeps folding
+    * the committed tail in.
+    *
+    * Same claim/build/swap discipline as [[compact]], one store-level
+    * maintenance op at a time (the ops share the store's dirs; run
+    * compact OR tier on a given store, never concurrently): claim the
+    * `_tier_commit` marker; build the tier generation at
+    * `tierPath/gen=<runId>` (its parquet `_SUCCESS` is the
+    * completeness mark — readers via [[loadTier]] ignore uncommitted
+    * generations, so a crashed build is invisible); then delete the
+    * moved sources and release. [[recoverTier]] rolls a crashed run
+    * forward iff the generation committed, else back. */
+  def tierByKey(spark: SparkSession, storePath: String, tierPath: String,
+      safeBelow: Long, keyCol: org.apache.spark.sql.Column,
+      keyName: String = "pb",
+      onPhase: String => Unit = _ => ()): Option[TierStats] = {
+    val store = new Path(storePath)
+    val fs = fsOf(spark, store)
+    val eligible = partitionDirs(fs, store).filter(_._1 < safeBelow).sortBy(_._1)
+    if (eligible.isEmpty) return None
+
+    val runId = java.util.UUID.randomUUID().toString
+    val manifest = (Seq(runId) ++ eligible.map(_._2.getName)).mkString("\n")
+    if (!Markers.tryCreate(fs, tierMarkerPath(store), manifest))
+      throw new IllegalStateException(
+        s"store $storePath already has a tiering run in flight (or a dead " +
+          "one's marker). If no maintenance job is live, run " +
+          "Compaction.recoverTier, then retry")
+    val genDir = new Path(s"$tierPath/gen=$runId")
+    try {
+      spark.read.option("basePath", storePath)
+        .parquet(eligible.map(_._2.toString): _*)
+        .drop("batch_id")
+        .withColumn(keyName, keyCol)
+        // repartition on the key first: without it every write task
+        // opens a file in every key dir (tasks x keys small files);
+        // with it each key's rows land in one task -> one file per
+        // key dir. One shuffle — the price of the pruned layout, paid
+        // at maintenance time, never at probe time.
+        .repartition(col(keyName))
+        .write.partitionBy(keyName).mode("errorifexists").parquet(genDir.toString)
+    } catch {
+      case scala.util.control.NonFatal(e) => // release: nothing moved
+        if (fs.exists(genDir)) fs.delete(genDir, true)
+        fs.delete(tierMarkerPath(store), false)
+        throw e
+    }
+    onPhase("built")
+    onPhase("swapping")
+    finishTierSwap(fs, store, eligible.map(_._2.getName))
+    val rows = spark.read.parquet(genDir.toString).count()
+    Some(TierStats(runId, eligible.size, rows))
+  }
+
+  private def finishTierSwap(fs: FileSystem, store: Path,
+      sourceNames: Seq[String]): Unit = {
+    sourceNames.foreach { n =>
+      val p = new Path(store, n)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    fs.delete(tierMarkerPath(store), false)
+  }
+
+  /** The committed generations of a bulk tier, or None when the tier
+    * has none. Uncommitted (crashed-build) generations are excluded by
+    * their missing `_SUCCESS`, so readers never see a partial move.
+    * Columns: the store's data columns + the tier key + `gen`. */
+  def loadTier(spark: SparkSession, tierPath: String): Option[DataFrame] = {
+    val tier = new Path(tierPath)
+    val fs = fsOf(spark, tier)
+    if (!fs.exists(tier)) return None
+    val committed = fs.listStatus(tier).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+    if (committed.isEmpty) None
+    else Some(spark.read.option("basePath", tierPath).parquet(committed: _*))
+  }
+
+  /** Resolve an interrupted [[tierByKey]]: forward (delete the moved
+    * sources, release) iff the generation committed; back (drop the
+    * partial generation, release, sources untouched) otherwise.
+    * OPERATOR-invoked, same contract as [[recover]]. */
+  def recoverTier(spark: SparkSession, storePath: String, tierPath: String): Boolean = {
+    val store = new Path(storePath)
+    val fs = fsOf(spark, store)
+    Markers.read(fs, tierMarkerPath(store)) match {
+      case None => false
+      case Some(manifest) =>
+        val lines = manifest.split("\n").toSeq
+        val (runId, sources) = (lines.head, lines.tail)
+        val genDir = new Path(s"$tierPath/gen=$runId")
+        if (fs.exists(new Path(genDir, "_SUCCESS")))
+          finishTierSwap(fs, store, sources)
+        else {
+          if (fs.exists(genDir)) fs.delete(genDir, true)
+          fs.delete(tierMarkerPath(store), false)
+        }
+        true
     }
   }
 

@@ -82,17 +82,51 @@ object VecIngest {
     }
   }
 
+  /** Default partition-key modulus for the index's bulk tier:
+    * committed batches re-laid-out as `pb = bucket mod 1024` dirs, so
+    * a probe reads only the pb values its own buckets hash into
+    * instead of scanning an index that grows with the corpus. The mod
+    * must be LARGE relative to a batch's bucket count (batch x tables)
+    * or every residue is hit and nothing prunes — at 1024, a 20-vec
+    * batch (160 buckets) skips ~85% of the bulk tier. Like the LSH
+    * plane width, the mod is a property of the STORE for its whole
+    * life: it is stamped at first tiering and checked on every later
+    * tiering and probe, so a changed default can never silently
+    * mis-prune (missed partitions = quietly lost recall — the exact
+    * failure class the plane-width stamp guards). */
+  val IndexTierMod = 1024
+
   /** Batch-vs-index near-dup pairs: bucket-collision candidates from
     * the (tbl, bucket) equi-join, exact-cosine verified. Ids-only
-    * output (similarity ulps are not portable; ids are). */
+    * output (similarity ulps are not portable; ids are).
+    *
+    * `tier`: the index's bulk tier with its stamped layout mod
+    * ([[Compaction.loadTier]] + the `_tier_mod` stamp), probed with
+    * partition pruning — the batch's own distinct `pb` values (at
+    * most min(batch x tables, mod) of them, one tiny driver collect)
+    * become an `isin` filter on the tier's partition column, so the
+    * scan touches only matching `pb=` dirs. The flat tail store is
+    * still scanned whole, but maintenance keeps it at
+    * replay-window size. */
   def matchAgainstIndex(batch: DataFrame, corpusVecs: DataFrame,
       corpusBuckets: DataFrame, minSim: Double,
-      planesPerTable: Int = Similarity.IngestPlanesPerTable): DataFrame = {
+      planesPerTable: Int = Similarity.IngestPlanesPerTable,
+      tier: Option[(DataFrame, Int)] = None): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
     val batchBuckets = Similarity.lshBandIndex(batch,
       planesPerTable = planesPerTable)
       .withColumnsRenamed(Map("vec_id" -> "new_id"))
-    val cand = corpusBuckets.join(broadcast(batchBuckets), Seq("tbl", "bucket"))
+    val allBuckets = tier match {
+      case None => corpusBuckets
+      case Some((t, mod)) =>
+        val pbs = batchBuckets
+          .select(pmod(col("bucket"), lit(mod)).as("pb"))
+          .distinct().collect().map(_.getInt(0))
+        corpusBuckets.unionByName(
+          t.filter(col("pb").isin(pbs.map(Integer.valueOf): _*))
+            .select("vec_id", "tbl", "bucket"))
+    }
+    val cand = allBuckets.join(broadcast(batchBuckets), Seq("tbl", "bucket"))
       .select(col("new_id"), col("vec_id").as("corpus_id"))
       .distinct()
     cand
@@ -127,14 +161,31 @@ object VecIngest {
     // the batch feeds pair generation AND two appends — pin it so the
     // (possibly expensive) stream source is consumed once
     val b = graft.core.Materialize.pin(batch)
+    // committed batches may have been moved to the bulk tier; the tier
+    // holds only ids below the replay watermark, so it needs no
+    // own-batch exclusion
+    val tier = loadIndexTier(s, indexPath)
     val pairs =
-      if (exists(b, vecsPath) && exists(b, indexPath)) {
+      if (exists(b, vecsPath) && (exists(b, indexPath) || tier.nonEmpty)) {
         val prior = col("batch_id") =!= batchId // replay: exclude own vectors
         val corpus = s.read.parquet(vecsPath).filter(prior)
           .select("vec_id", "embedding")
-        val buckets = s.read.parquet(indexPath).filter(prior)
-          .select("vec_id", "tbl", "bucket")
-        matchAgainstIndex(b, corpus, buckets, minSim, planesPerTable)
+        // a fully-tiered flat store has a root dir but no partitions
+        // left — unreadable IS empty for the tail
+        val buckets =
+          try s.read.parquet(indexPath).filter(prior)
+            .select("vec_id", "tbl", "bucket")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("vec_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("tbl",
+                  org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("bucket",
+                  org.apache.spark.sql.types.IntegerType))))
+          }
+        matchAgainstIndex(b, corpus, buckets, minSim, planesPerTable, tier)
       } else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         PairsSchema)
     EventStreams.idempotentParquetSink(pairsPath)(pairs, batchId)
@@ -162,6 +213,68 @@ object VecIngest {
       .map { case (k, p) =>
         k -> Compaction.compact(spark, p, safe, targetFileBytes) }
   }
+
+  /** Offline maintenance, stronger form for the INDEX store: move its
+    * committed batches into the bulk tier at `<indexPath>_tier`,
+    * re-laid-out as `pb = bucket mod` [[IndexTierMod]] partition dirs
+    * that probes PRUNE ([[matchAgainstIndex]]). This is what caps
+    * per-batch probe cost as the corpus grows: a flat store is scanned
+    * whole every batch (O(corpus)); after tiering, the scanned tail
+    * holds only the replay window and the bulk tier contributes only
+    * the pb dirs the batch's own buckets hash into. Run between
+    * ingest sessions, never concurrently with another maintenance op
+    * on the same store; crashed runs resolve via
+    * [[Compaction.recoverTier]]. */
+  def tierIndexStore(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, checkpointDir: String,
+      pbMod: Int = IndexTierMod): Option[Compaction.TierStats] = {
+    requireTierMod(spark, indexPath, pbMod, stampIfNew = true)
+    Compaction.tierByKey(spark, indexPath, s"${indexPath}_tier",
+      Compaction.safeBelowFromCheckpoint(spark, checkpointDir),
+      pmod(col("bucket"), lit(pbMod)))
+  }
+
+  /** The tier-mod stamp (`<indexPath>_tier_mod`): created at first
+    * tiering, checked on every later tiering and read by every probe —
+    * the same store-lifetime-constant contract as the plane-width
+    * marker, because pruning with a different mod than the layout was
+    * built with silently drops matching partitions. */
+  private def tierModPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"${indexPath}_tier_mod")
+
+  private def requireTierMod(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, pbMod: Int, stampIfNew: Boolean): Unit = {
+    import graft.core.Markers
+    val p = tierModPath(indexPath)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    def check(stored: Int): Unit = require(stored == pbMod,
+      s"index tier at ${indexPath}_tier is laid out with bucket mod $stored; " +
+        s"tiering or probing at mod $pbMod would silently drop matching " +
+        "partitions — pass the store's mod explicitly")
+    Markers.read(fs, p) match {
+      case Some(v) => check(v.toInt)
+      case None if stampIfNew =>
+        if (!Markers.tryCreate(fs, p, pbMod.toString))
+          check(Markers.read(fs, p).get.toInt)
+      case None => throw new IllegalStateException(
+        s"index tier exists at ${indexPath}_tier but has no mod stamp — " +
+          s"backfill ${indexPath}_tier_mod with the mod it was built with")
+    }
+  }
+
+  /** The committed bulk tier with its stamped mod, for probe pruning;
+    * None when the store has no tier. */
+  private def loadIndexTier(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(org.apache.spark.sql.DataFrame, Int)] =
+    Compaction.loadTier(s, s"${indexPath}_tier").map { t =>
+      val p = tierModPath(indexPath)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val mod = graft.core.Markers.read(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"index tier exists at ${indexPath}_tier but has no mod stamp — " +
+            s"backfill ${indexPath}_tier_mod with the mod it was built with")).toInt
+      (t, mod)
+    }
 
   /** Start the ingest stream. `vecStream` must carry at least
     * (vec_id, embedding); extra columns ride along into the store.

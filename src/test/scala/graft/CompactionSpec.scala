@@ -109,6 +109,24 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("in flight"))
   }
 
+  test("a failed build releases the claim and leaves the store usable") {
+    val store = tmp("compact-buildfail")
+    mkStore(store, 4)
+    val before = contents(store)
+    // a garbage non-parquet file inside an eligible partition makes
+    // the merge read fail mid-build
+    val junk = new Path(s"$store/batch_id=1/part-junk.parquet")
+    Markers.tryCreate(fs, junk, "not parquet")
+    intercept[Exception] { Compaction.compact(spark, store, safeBelow = 4) }
+    assert(!fs.exists(new Path(s"$store/_compact_commit")),
+      "claim must be released on build failure")
+    assert(!fs.exists(new Path(s"$store/.compact-scratch")))
+    // remove the cause and the store compacts cleanly, no recover() needed
+    fs.delete(junk, false)
+    assert(Compaction.compact(spark, store, safeBelow = 4).nonEmpty)
+    assert(contents(store) == before)
+  }
+
   test("crash before the build completes rolls BACK: sources untouched") {
     val store = tmp("compact-rollback")
     mkStore(store, 4)
@@ -232,6 +250,112 @@ class CompactionSpec extends SparkSpec {
     assert(pairsAfter == pairsBefore ++ Set((5L, 1L), (5L, 3L), (5L, 4L)),
       s"resumed batch must match against the COMPACTED index, got $pairsAfter")
     assert(spark.read.parquet(vecsP).count() == 5, "no duplicated vectors")
+  }
+
+  test("tiered index store: matching is unchanged, the tail empties, resume still pairs") {
+    import graft.streaming.VecIngest
+    def vec(seed: Int, wobble: Float = 0f): Seq[Float] =
+      Seq.tabulate(16)(d => math.sin(seed * 31 + d * 7).toFloat +
+        (if (d == 0) wobble else 0f))
+    val root = tmp("compact-tier").stripSuffix("/store")
+    val (vecsP, idxP, pairsP) = (s"$root/vecs", s"$root/index", s"$root/pairs")
+    def ingest(id: Long, batch: Long, w: Float): Unit =
+      VecIngest.ingestBatch(Seq((id, vec(1, w))).toDF("vec_id", "embedding"),
+        batch, vecsP, idxP, pairsP, 0.99)
+    VecIngest.ingestBatch(
+      Seq((1L, vec(1)), (2L, vec(99))).toDF("vec_id", "embedding"),
+      0L, vecsP, idxP, pairsP, 0.99)
+    ingest(3L, 1L, 0.01f)
+    ingest(4L, 2L, -0.01f)
+    def pairs = spark.read.parquet(pairsP)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 1L), (4L, 1L), (4L, 3L)))
+
+    // a checkpoint that committed batches 0..2
+    val ckpt = s"$root/ckpt"
+    fs.mkdirs(new Path(s"$ckpt/commits"))
+    for (i <- 0 to 2) Markers.tryCreate(fs, new Path(s"$ckpt/commits/$i"), "{}")
+    val stats = VecIngest.tierIndexStore(spark, idxP, ckpt).get
+    assert(stats.batchesMoved == 3)
+    assert(!fs.listStatus(new Path(idxP)).exists(
+      _.getPath.getName.startsWith("batch_id=")), "tail must be empty")
+    val tier = Compaction.loadTier(spark, s"${idxP}_tier").get
+    assert(tier.select("vec_id").distinct().count() == 4)
+    assert(tier.columns.contains("pb"), "tier is laid out by the pruning key")
+
+    // the next batch probes THROUGH the tier: same near-dup direction
+    // must still pair with everything, via pb-pruned tier + empty tail
+    ingest(5L, 3L, 0.02f)
+    assert(pairs == Set((3L, 1L), (4L, 1L), (4L, 3L),
+      (5L, 1L), (5L, 3L), (5L, 4L)),
+      s"tiered probe must find all prior near-dups, got $pairs")
+    // replaying the post-tier batch stays a no-op
+    ingest(5L, 3L, 0.02f)
+    assert(pairs.count(_._1 == 5L) == 3)
+
+    // the layout mod is a store-lifetime constant: a later maintenance
+    // run at a different mod would mis-prune every probe — fails loudly
+    for (i <- Seq(3)) Markers.tryCreate(fs, new Path(s"$ckpt/commits/$i"), "{}")
+    val e = intercept[IllegalArgumentException] {
+      VecIngest.tierIndexStore(spark, idxP, ckpt, pbMod = 64)
+    }
+    assert(e.getMessage.contains("mod 1024"))
+  }
+
+  test("tier crash at each phase recovers forward; a partial generation rolls back") {
+    val store = tmp("tier-crash")
+    mkStore(store, 4)
+    val before = contents(store)
+    val tierP = s"$store-tier"
+    // crash after build: marker durable, generation committed ->
+    // recovery rolls FORWARD and the tier holds exactly the store's rows
+    for (phase <- Seq("built", "swapping")) {
+      val s2 = tmp(s"tier-crash-$phase"); mkStore(s2, 4)
+      val t2 = s"$s2-tier"
+      val rows2 = contents(s2)
+      intercept[RuntimeException] {
+        Compaction.tierByKey(spark, s2, t2, 4L, pmod(col("v"), lit(8)), "pb",
+          onPhase = p => if (p == phase) throw new RuntimeException("die"))
+      }
+      assert(Compaction.recoverTier(spark, s2, t2))
+      assert(!fs.listStatus(new Path(s2)).exists(
+        _.getPath.getName.startsWith("batch_id=")))
+      val moved = Compaction.loadTier(spark, t2).get
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      assert(moved == rows2, s"tier content must equal the store's at $phase")
+    }
+    // a partial (uncommitted) generation rolls back: sources intact
+    val runId = "dead-run"
+    Markers.tryCreate(fs, new Path(s"$store/_tier_commit"),
+      (Seq(runId) ++ (0 to 3).map(b => s"batch_id=$b")).mkString("\n"))
+    fs.mkdirs(new Path(s"$tierP/gen=$runId/pb=0"))
+    assert(Compaction.recoverTier(spark, store, tierP))
+    assert(contents(store) == before, "rollback leaves the store intact")
+    assert(!fs.exists(new Path(s"$tierP/gen=$runId")))
+    assert(Compaction.loadTier(spark, tierP).isEmpty)
+    // and the store tiers cleanly afterwards
+    assert(Compaction.tierByKey(spark, store, tierP, 4L,
+      pmod(col("v"), lit(8))).nonEmpty)
+    assert(Compaction.loadTier(spark, tierP).get.count() == 160)
+  }
+
+  test("generations accumulate across tiering runs and load as one frame") {
+    val store = tmp("tier-gens")
+    val tierP = s"$store-tier"
+    mkStore(store, 2)
+    assert(Compaction.tierByKey(spark, store, tierP, 2L,
+      pmod(col("v"), lit(8))).get.batchesMoved == 2)
+    // two more batches arrive, second maintenance run
+    for (b <- 2 until 4)
+      graft.streaming.EventStreams.idempotentParquetSink(store)(
+        spark.range(b * 40, (b + 1) * 40)
+          .select(col("id"), (col("id") * 7 % 13).as("v")), b.toLong)
+    assert(Compaction.tierByKey(spark, store, tierP, 4L,
+      pmod(col("v"), lit(8))).get.batchesMoved == 2)
+    val tier = Compaction.loadTier(spark, tierP).get
+    assert(tier.select("gen").distinct().count() == 2)
+    assert(tier.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 160L).toSeq)
   }
 
   test("gate row equals the direct aggregate over events") {
