@@ -344,6 +344,45 @@ object Compaction {
     else Some(spark.read.option("basePath", tierPath).parquet(committed: _*))
   }
 
+  // -- layout-mod stamp: the tier's pruning key is a store-lifetime
+  //    constant (prune with a different mod than the layout was built
+  //    with and matching partitions silently drop — lost recall, the
+  //    plane-width failure class). Stamped at first tiering, checked
+  //    at every later tiering, read by every probe.
+
+  private def modStampPath(indexPath: String) = new Path(s"${indexPath}_tier_mod")
+
+  def requireTierMod(spark: SparkSession, indexPath: String, mod: Int,
+      stampIfNew: Boolean): Unit = {
+    val p = modStampPath(indexPath)
+    val fs = fsOf(spark, p)
+    def check(stored: Int): Unit = require(stored == mod,
+      s"index tier at ${indexPath}_tier is laid out with key mod $stored; " +
+        s"tiering or probing at mod $mod would silently drop matching " +
+        "partitions — pass the store's mod explicitly")
+    Markers.read(fs, p) match {
+      case Some(v) => check(v.toInt)
+      case None if stampIfNew =>
+        if (!Markers.tryCreate(fs, p, mod.toString))
+          check(Markers.read(fs, p).get.toInt)
+      case None => throw new IllegalStateException(
+        s"index tier exists at ${indexPath}_tier but has no mod stamp — " +
+          s"backfill ${indexPath}_tier_mod with the mod it was built with")
+    }
+  }
+
+  /** The committed bulk tier of `<indexPath>_tier` together with its
+    * stamped layout mod, for probe pruning; None when no tier. */
+  def loadTierWithMod(spark: SparkSession, indexPath: String): Option[(DataFrame, Int)] =
+    loadTier(spark, s"${indexPath}_tier").map { t =>
+      val p = modStampPath(indexPath)
+      val fs = fsOf(spark, p)
+      val mod = Markers.read(fs, p).getOrElse(throw new IllegalStateException(
+        s"index tier exists at ${indexPath}_tier but has no mod stamp — " +
+          s"backfill ${indexPath}_tier_mod with the mod it was built with")).toInt
+      (t, mod)
+    }
+
   /** Resolve an interrupted [[tierByKey]]: forward (delete the moved
     * sources, release) iff the generation committed; back (drop the
     * partial generation, release, sources untouched) otherwise.

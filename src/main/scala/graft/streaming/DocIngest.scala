@@ -59,13 +59,42 @@ object DocIngest {
     // the batch feeds pair generation AND two appends — pin it so the
     // (possibly expensive) stream source is consumed once
     val b = graft.core.Materialize.pin(batch)
+    // committed batches may have been moved to the pruned bulk tier
+    // ([[tierIndexStore]]); it holds only ids below the replay
+    // watermark, so it needs no own-batch exclusion
+    val tier = Compaction.loadTierWithMod(s, indexPath)
     val pairs =
-      if (exists(b, docsPath) && exists(b, indexPath)) {
+      if (exists(b, docsPath) && (exists(b, indexPath) || tier.nonEmpty)) {
         val prior = col("batch_id") =!= batchId // replay: exclude own docs
         val corpus = s.read.parquet(docsPath).filter(prior)
           .select("doc_id", "text")
-        val bands = s.read.parquet(indexPath).filter(prior)
-          .select("doc_id", "band", "bh")
+        // a fully-tiered flat store has a root dir but no partitions
+        // left — unreadable IS empty for the tail
+        val tail =
+          try s.read.parquet(indexPath).filter(prior)
+            .select("doc_id", "band", "bh")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("band",
+                  org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("bh",
+                  org.apache.spark.sql.types.LongType))))
+          }
+        val bands = tier match {
+          case None => tail
+          case Some((t, mod)) =>
+            // probe pruning: the batch's own band hashes pick the pb
+            // dirs to read (one tiny driver collect)
+            val pbs = Dedup.minhashBands(b)
+              .select(pmod(col("bh"), lit(mod.toLong)).as("pb"))
+              .distinct().collect().map(_.getLong(0))
+            tail.unionByName(
+              t.filter(col("pb").isin(pbs.map(java.lang.Long.valueOf): _*))
+                .select("doc_id", "band", "bh"))
+        }
         Dedup.minhashLshIncrementalIndexed(b, corpus, bands, minJaccard)
       } else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         PairsSchema)
@@ -87,6 +116,27 @@ object DocIngest {
     Map("docs" -> docsPath, "index" -> indexPath, "pairs" -> pairsPath)
       .map { case (k, p) =>
         k -> Compaction.compact(spark, p, safe, targetFileBytes) }
+  }
+
+  /** Default partition-key modulus for the band index's bulk tier —
+    * see [[VecIngest.IndexTierMod]] for the sizing reasoning (must be
+    * large vs a batch's band count or nothing prunes). */
+  val IndexTierMod = 1024
+
+  /** Offline maintenance, stronger form for the BAND-INDEX store:
+    * move its committed batches into the pruned bulk tier at
+    * `<indexPath>_tier`, laid out as `pb = bh mod` [[IndexTierMod]]
+    * dirs that probes prune — caps per-batch probe cost at
+    * replay-window + matching-pb size instead of O(corpus). Same
+    * stamped-mod / recoverTier contract as
+    * [[VecIngest.tierIndexStore]]. */
+  def tierIndexStore(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, checkpointDir: String,
+      pbMod: Int = IndexTierMod): Option[Compaction.TierStats] = {
+    Compaction.requireTierMod(spark, indexPath, pbMod, stampIfNew = true)
+    Compaction.tierByKey(spark, indexPath, s"${indexPath}_tier",
+      Compaction.safeBelowFromCheckpoint(spark, checkpointDir),
+      pmod(col("bh"), lit(pbMod.toLong)))
   }
 
   /** Start the ingest stream. `docStream` must carry at least

@@ -164,7 +164,7 @@ object VecIngest {
     // committed batches may have been moved to the bulk tier; the tier
     // holds only ids below the replay watermark, so it needs no
     // own-batch exclusion
-    val tier = loadIndexTier(s, indexPath)
+    val tier = Compaction.loadTierWithMod(s, indexPath)
     val pairs =
       if (exists(b, vecsPath) && (exists(b, indexPath) || tier.nonEmpty)) {
         val prior = col("batch_id") =!= batchId // replay: exclude own vectors
@@ -228,53 +228,11 @@ object VecIngest {
   def tierIndexStore(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, checkpointDir: String,
       pbMod: Int = IndexTierMod): Option[Compaction.TierStats] = {
-    requireTierMod(spark, indexPath, pbMod, stampIfNew = true)
+    Compaction.requireTierMod(spark, indexPath, pbMod, stampIfNew = true)
     Compaction.tierByKey(spark, indexPath, s"${indexPath}_tier",
       Compaction.safeBelowFromCheckpoint(spark, checkpointDir),
       pmod(col("bucket"), lit(pbMod)))
   }
-
-  /** The tier-mod stamp (`<indexPath>_tier_mod`): created at first
-    * tiering, checked on every later tiering and read by every probe —
-    * the same store-lifetime-constant contract as the plane-width
-    * marker, because pruning with a different mod than the layout was
-    * built with silently drops matching partitions. */
-  private def tierModPath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(s"${indexPath}_tier_mod")
-
-  private def requireTierMod(s: org.apache.spark.sql.SparkSession,
-      indexPath: String, pbMod: Int, stampIfNew: Boolean): Unit = {
-    import graft.core.Markers
-    val p = tierModPath(indexPath)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    def check(stored: Int): Unit = require(stored == pbMod,
-      s"index tier at ${indexPath}_tier is laid out with bucket mod $stored; " +
-        s"tiering or probing at mod $pbMod would silently drop matching " +
-        "partitions — pass the store's mod explicitly")
-    Markers.read(fs, p) match {
-      case Some(v) => check(v.toInt)
-      case None if stampIfNew =>
-        if (!Markers.tryCreate(fs, p, pbMod.toString))
-          check(Markers.read(fs, p).get.toInt)
-      case None => throw new IllegalStateException(
-        s"index tier exists at ${indexPath}_tier but has no mod stamp — " +
-          s"backfill ${indexPath}_tier_mod with the mod it was built with")
-    }
-  }
-
-  /** The committed bulk tier with its stamped mod, for probe pruning;
-    * None when the store has no tier. */
-  private def loadIndexTier(s: org.apache.spark.sql.SparkSession,
-      indexPath: String): Option[(org.apache.spark.sql.DataFrame, Int)] =
-    Compaction.loadTier(s, s"${indexPath}_tier").map { t =>
-      val p = tierModPath(indexPath)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      val mod = graft.core.Markers.read(fs, p).getOrElse(
-        throw new IllegalStateException(
-          s"index tier exists at ${indexPath}_tier but has no mod stamp — " +
-            s"backfill ${indexPath}_tier_mod with the mod it was built with")).toInt
-      (t, mod)
-    }
 
   /** Start the ingest stream. `vecStream` must carry at least
     * (vec_id, embedding); extra columns ride along into the store.

@@ -302,6 +302,32 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("mod 1024"))
   }
 
+  test("tiered band index: DocIngest matching is unchanged after tiering") {
+    import graft.streaming.DocIngest
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " o1 o2"
+    val nearDup2 = (1 to 37).map(i => s"tok$i").mkString(" ") + " p1 p2 p3"
+    val root = tmp("compact-doctier").stripSuffix("/store")
+    val (docsP, idxP, pairsP) = (s"$root/docs", s"$root/index", s"$root/pairs")
+    DocIngest.ingestBatch(Seq((1L, base)).toDF("doc_id", "text"),
+      0L, docsP, idxP, pairsP, 0.5)
+    DocIngest.ingestBatch(Seq((3L, nearDup)).toDF("doc_id", "text"),
+      1L, docsP, idxP, pairsP, 0.5)
+    val ckpt = s"$root/ckpt"
+    fs.mkdirs(new Path(s"$ckpt/commits"))
+    for (i <- 0 to 1) Markers.tryCreate(fs, new Path(s"$ckpt/commits/$i"), "{}")
+    assert(DocIngest.tierIndexStore(spark, idxP, ckpt).get.batchesMoved == 2)
+    assert(!fs.listStatus(new Path(idxP)).exists(
+      _.getPath.getName.startsWith("batch_id=")), "band tail must be empty")
+    // next batch probes through the pruned tier and still finds both
+    DocIngest.ingestBatch(Seq((4L, nearDup2)).toDF("doc_id", "text"),
+      2L, docsP, idxP, pairsP, 0.5)
+    val pairs = spark.read.parquet(pairsP)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 1L), (4L, 1L), (4L, 3L)),
+      s"tiered band probe must find all prior near-dups, got $pairs")
+  }
+
   test("tier crash at each phase recovers forward; a partial generation rolls back") {
     val store = tmp("tier-crash")
     mkStore(store, 4)
