@@ -138,6 +138,13 @@ object Compaction {
 
     val segmentId = eligible.head._1
     val runId = java.util.UUID.randomUUID().toString
+    // the two maintenance ops share the same source dirs: refuse when
+    // the OTHER op's marker is present (its claim is their mutual
+    // exclusion; this check closes the cross-op hole)
+    if (fs.exists(tierMarkerPath(store)))
+      throw new IllegalStateException(
+        s"store $storePath has a tiering run in flight (or a dead one's " +
+          "marker) — resolve it with Compaction.recoverTier before compacting")
     // CLAIM: the marker is lease + redo log in one — first writer
     // wins, and its content alone is enough to finish or undo the run
     val manifest = (Seq(runId, segmentId.toString) ++ eligible.map(_._2.getName))
@@ -287,6 +294,11 @@ object Compaction {
     if (eligible.isEmpty) return None
 
     val runId = java.util.UUID.randomUUID().toString
+    // cross-op exclusion, mirror of the check in [[compact]]
+    if (fs.exists(markerPath(store)))
+      throw new IllegalStateException(
+        s"store $storePath has a compaction in flight (or a dead one's " +
+          "marker) — resolve it with Compaction.recover before tiering")
     val manifest = (Seq(runId) ++ eligible.map(_._2.getName)).mkString("\n")
     if (!Markers.tryCreate(fs, tierMarkerPath(store), manifest))
       throw new IllegalStateException(

@@ -109,6 +109,22 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("in flight"))
   }
 
+  test("compact and tier refuse to run over each other's in-flight marker") {
+    val store = tmp("compact-crossop")
+    mkStore(store, 4)
+    Markers.tryCreate(fs, new Path(s"$store/_tier_commit"), "other\nbatch_id=0")
+    val e1 = intercept[IllegalStateException] {
+      Compaction.compact(spark, store, safeBelow = 4)
+    }
+    assert(e1.getMessage.contains("tiering run in flight"))
+    fs.delete(new Path(s"$store/_tier_commit"), false)
+    Markers.tryCreate(fs, new Path(s"$store/_compact_commit"), "other\n0\nbatch_id=0")
+    val e2 = intercept[IllegalStateException] {
+      Compaction.tierByKey(spark, store, s"$store-tier", 4L, pmod(col("v"), lit(8)))
+    }
+    assert(e2.getMessage.contains("compaction in flight"))
+  }
+
   test("a failed build releases the claim and leaves the store usable") {
     val store = tmp("compact-buildfail")
     mkStore(store, 4)
