@@ -395,6 +395,104 @@ object Compaction {
       (t, mod)
     }
 
+  // -- tier generation consolidation -----------------------------------
+
+  private def consolidateMarkerPath(tier: Path) = new Path(tier, "_consolidate_commit")
+
+  /** Fold all committed generations of a tier into ONE — every
+    * [[tierByKey]] run adds a `gen=` dir, so per-pb file count (and
+    * probe open cost) grows with maintenance cadence until folded.
+    * The new generation is built under a dot-prefixed scratch name
+    * (invisible to [[loadTier]] — readers keep seeing the old
+    * generations, complete, until the atomic rename), then renamed in
+    * and the sources dropped. A crash between rename and the source
+    * deletes leaves a DUPLICATION window, never a hole; maintenance
+    * runs between ingest sessions, and [[recoverConsolidation]]
+    * restores single-copy state before the next session reads.
+    * Safe alongside a concurrent [[tierByKey]] (it only ADDS new
+    * generations; consolidation touches only those it listed at
+    * claim time); exclusive against itself via the claim marker. */
+  def consolidateTier(spark: SparkSession, tierPath: String,
+      onPhase: String => Unit = _ => ()): Option[TierStats] = {
+    val tier = new Path(tierPath)
+    val fs = fsOf(spark, tier)
+    if (!fs.exists(tier)) return None
+    val committed = fs.listStatus(tier).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath)
+    if (committed.size < 2) return None // nothing to fold
+
+    val runId = java.util.UUID.randomUUID().toString
+    val manifest = (Seq(runId) ++ committed.map(_.getName)).mkString("\n")
+    if (!Markers.tryCreate(fs, consolidateMarkerPath(tier), manifest))
+      throw new IllegalStateException(
+        s"tier $tierPath already has a consolidation in flight (or a dead " +
+          "one's marker) — run Compaction.recoverConsolidation, then retry")
+    val scratch = new Path(tier, s".consolidating-$runId")
+    try {
+      // pb rides along as a data column from partition discovery; no
+      // re-derivation (and no mod knowledge) needed
+      spark.read.option("basePath", tierPath)
+        .parquet(committed.map(_.toString): _*)
+        .drop("gen")
+        .repartition(col("pb"))
+        .write.partitionBy("pb").mode("errorifexists").parquet(scratch.toString)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        fs.delete(consolidateMarkerPath(tier), false)
+        throw e
+    }
+    onPhase("built")
+    onPhase("swapping")
+    finishConsolidation(fs, tier, runId, committed.map(_.getName))
+    val rows = spark.read.parquet(s"$tierPath/gen=$runId").count()
+    Some(TierStats(runId, committed.size, rows))
+  }
+
+  private def finishConsolidation(fs: FileSystem, tier: Path, runId: String,
+      sourceNames: Seq[String]): Unit = {
+    val scratch = new Path(tier, s".consolidating-$runId")
+    val target = new Path(tier, s"gen=$runId")
+    if (fs.exists(scratch) && !fs.rename(scratch, target))
+      throw new IllegalStateException(
+        s"could not publish consolidated generation $scratch -> $target")
+    if (!fs.exists(new Path(target, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"consolidation state lost on $tier: generation gen=$runId absent — " +
+          "restore from a store backup")
+    sourceNames.foreach { n =>
+      val p = new Path(tier, n)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    fs.delete(consolidateMarkerPath(tier), false)
+  }
+
+  /** Resolve an interrupted [[consolidateTier]]: forward iff the new
+    * generation committed (in scratch or already renamed), else back.
+    * OPERATOR-invoked, same contract as [[recover]]. */
+  def recoverConsolidation(spark: SparkSession, tierPath: String): Boolean = {
+    val tier = new Path(tierPath)
+    val fs = fsOf(spark, tier)
+    Markers.read(fs, consolidateMarkerPath(tier)) match {
+      case None => false
+      case Some(manifest) =>
+        val lines = manifest.split("\n").toSeq
+        val (runId, sources) = (lines.head, lines.tail)
+        val scratch = new Path(tier, s".consolidating-$runId")
+        val target = new Path(tier, s"gen=$runId")
+        val built = fs.exists(new Path(scratch, "_SUCCESS")) ||
+          fs.exists(new Path(target, "_SUCCESS"))
+        if (built) finishConsolidation(fs, tier, runId, sources)
+        else {
+          if (fs.exists(scratch)) fs.delete(scratch, true)
+          fs.delete(consolidateMarkerPath(tier), false)
+        }
+        true
+    }
+  }
+
   /** Resolve an interrupted [[tierByKey]]: forward (delete the moved
     * sources, release) iff the generation committed; back (drop the
     * partial generation, release, sources untouched) otherwise.

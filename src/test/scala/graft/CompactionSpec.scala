@@ -400,6 +400,52 @@ class CompactionSpec extends SparkSpec {
       (0L until 160L).toSeq)
   }
 
+  test("consolidateTier folds generations to one, content-neutral, crash-safe") {
+    def mkTiered(tag: String): (String, String, Seq[(Long, Long)]) = {
+      val store = tmp(tag)
+      val tierP = s"$store-tier"
+      mkStore(store, 2)
+      Compaction.tierByKey(spark, store, tierP, 2L, pmod(col("v"), lit(8)))
+      for (b <- 2 until 4)
+        graft.streaming.EventStreams.idempotentParquetSink(store)(
+          spark.range(b * 40, (b + 1) * 40)
+            .select(col("id"), (col("id") * 7 % 13).as("v")), b.toLong)
+      Compaction.tierByKey(spark, store, tierP, 4L, pmod(col("v"), lit(8)))
+      val rows = Compaction.loadTier(spark, tierP).get
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      (store, tierP, rows)
+    }
+    // clean fold: 2 gens -> 1, same rows, fewer (or equal) files per pb
+    val (_, tierP, rows) = mkTiered("consolidate")
+    val stats = Compaction.consolidateTier(spark, tierP).get
+    assert(stats.batchesMoved == 2, "two generations folded")
+    val after = Compaction.loadTier(spark, tierP).get
+    assert(after.select("gen").distinct().count() == 1)
+    assert(after.select("id", "v").as[(Long, Long)]
+      .collect().sorted.toSeq == rows)
+    assert(Compaction.consolidateTier(spark, tierP).isEmpty,
+      "a single generation is a no-op")
+
+    // crash at each phase, recover, content identical
+    for (phase <- Seq("built", "swapping")) {
+      val (_, t2, rows2) = mkTiered(s"consolidate-$phase")
+      intercept[RuntimeException] {
+        Compaction.consolidateTier(spark, t2,
+          onPhase = p => if (p == phase) throw new RuntimeException("die"))
+      }
+      // pre-recovery readers still see complete data (the scratch
+      // build is invisible; at worst sources are still all present)
+      val mid = Compaction.loadTier(spark, t2).get
+        .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+      assert(mid == rows2, s"readers mid-crash must see complete data at $phase")
+      assert(Compaction.recoverConsolidation(spark, t2))
+      val rec = Compaction.loadTier(spark, t2).get
+      assert(rec.select("gen").distinct().count() == 1)
+      assert(rec.select("id", "v").as[(Long, Long)]
+        .collect().sorted.toSeq == rows2, s"recovered content differs at $phase")
+    }
+  }
+
   test("gate row equals the direct aggregate over events") {
     val dir = "/root/testdata/sf0.001"
     val got = Compaction.compactionGate(spark, dir)
