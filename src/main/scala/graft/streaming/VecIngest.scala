@@ -234,6 +234,28 @@ object VecIngest {
       pmod(col("bucket"), lit(pbMod)))
   }
 
+  /** The full between-sessions maintenance runbook in one call, in
+    * the order that keeps every intermediate state probe-consistent:
+    * (1) tier the index's committed batches into the pruned bulk tier,
+    * (2) fold accumulated tier generations back to one,
+    * (3) compact the vecs and pairs stores' remaining partitions.
+    * Each step is independently crash-safe; a crashed run resolves
+    * with the matching recover call and maintain() can simply re-run. */
+  def maintainStores(spark: org.apache.spark.sql.SparkSession, vecsPath: String,
+      indexPath: String, pairsPath: String, checkpointDir: String,
+      pbMod: Int = IndexTierMod): Map[String, String] = {
+    val tiered = tierIndexStore(spark, indexPath, checkpointDir, pbMod)
+    val folded = Compaction.consolidateTier(spark, s"${indexPath}_tier")
+    val safe = Compaction.safeBelowFromCheckpoint(spark, checkpointDir)
+    val vecs = Compaction.compact(spark, vecsPath, safe)
+    val pairs = Compaction.compact(spark, pairsPath, safe)
+    Map(
+      "index_tiered" -> tiered.map(t => s"${t.batchesMoved} batches").getOrElse("no-op"),
+      "tier_folded" -> folded.map(t => s"${t.batchesMoved} generations").getOrElse("no-op"),
+      "vecs_compacted" -> vecs.map(c => s"${c.filesBefore}->${c.filesAfter} files").getOrElse("no-op"),
+      "pairs_compacted" -> pairs.map(c => s"${c.filesBefore}->${c.filesAfter} files").getOrElse("no-op"))
+  }
+
   /** Start the ingest stream. `vecStream` must carry at least
     * (vec_id, embedding); extra columns ride along into the store.
     *

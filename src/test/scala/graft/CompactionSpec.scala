@@ -400,6 +400,40 @@ class CompactionSpec extends SparkSpec {
       (0L until 160L).toSeq)
   }
 
+  test("maintainStores runs the full runbook and the stream keeps pairing across cycles") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.VecIngest
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int, wobble: Float = 0f): Seq[Float] =
+      Seq.tabulate(16)(d => math.sin(seed * 31 + d * 7).toFloat +
+        (if (d == 0) wobble else 0f))
+    val root = tmp("compact-maintain").stripSuffix("/store")
+    val (vecsP, idxP, pairsP, ckpt) =
+      (s"$root/vecs", s"$root/index", s"$root/pairs", s"$root/ckpt")
+    val input = MemoryStream[(Long, Seq[Float])]
+    def stream() = VecIngest.start(input.toDF().toDF("vec_id", "embedding"),
+      vecsP, idxP, pairsP, ckpt, minSim = 0.99)
+    def cycle(data: (Long, Seq[Float])*): Unit = {
+      val q = stream()
+      try { input.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    cycle((1L, vec(1)), (2L, vec(99)))
+    cycle((3L, vec(1, 0.01f)))
+    val r1 = VecIngest.maintainStores(spark, vecsP, idxP, pairsP, ckpt)
+    assert(r1("index_tiered") == "2 batches" && r1("tier_folded") == "no-op")
+    // second session + second maintenance: new batch tiers in, two
+    // generations fold to one, and matching still spans everything
+    cycle((4L, vec(1, -0.01f)))
+    val r2 = VecIngest.maintainStores(spark, vecsP, idxP, pairsP, ckpt)
+    assert(r2("index_tiered") == "1 batches" && r2("tier_folded") == "2 generations")
+    cycle((5L, vec(1, 0.02f)))
+    val pairs = spark.read.parquet(pairsP)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 1L), (4L, 1L), (4L, 3L),
+      (5L, 1L), (5L, 3L), (5L, 4L)),
+      s"matching must survive two maintenance cycles, got $pairs")
+  }
+
   test("consolidateTier folds generations to one, content-neutral, crash-safe") {
     def mkTiered(tag: String): (String, String, Seq[(Long, Long)]) = {
       val store = tmp(tag)
