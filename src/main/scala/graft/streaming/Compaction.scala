@@ -154,6 +154,15 @@ object Compaction {
         s"store $storePath already has a compaction in flight (or a dead " +
           "one's commit marker). If no compactor is live, run " +
           "Compaction.recover to roll it forward/back, then retry")
+    // double-check under our own claim: a tier run claiming in the
+    // window between the pre-check and our create would otherwise
+    // slip past both pre-checks — release and fail (nothing moved)
+    if (fs.exists(tierMarkerPath(store))) {
+      fs.delete(markerPath(store), false)
+      throw new IllegalStateException(
+        s"store $storePath gained a concurrent tiering claim — retry after " +
+          "the other maintenance op finishes")
+    }
 
     // BUILD: under the claim, any leftover scratch is dead garbage.
     // A build failure (corrupt file, resource exhaustion) releases
@@ -305,6 +314,14 @@ object Compaction {
         s"store $storePath already has a tiering run in flight (or a dead " +
           "one's marker). If no maintenance job is live, run " +
           "Compaction.recoverTier, then retry")
+    // double-check under our own claim (mirror of compact's):
+    // a compaction claiming in the pre-check window must not coexist
+    if (fs.exists(markerPath(store))) {
+      fs.delete(tierMarkerPath(store), false)
+      throw new IllegalStateException(
+        s"store $storePath gained a concurrent compaction claim — retry " +
+          "after the other maintenance op finishes")
+    }
     val genDir = new Path(s"$tierPath/gen=$runId")
     try {
       spark.read.option("basePath", storePath)
