@@ -330,6 +330,44 @@ object Sampling {
           <= 0.1).as("within_bound"))
       .orderBy("l_returnflag")
 
+  /** Self-verifying count-min gate, the frequency analog of
+    * [[statsApproxDistinct]]: ONE fixed-memory sketch
+    * ([[graft.functions.CountMinSketch]], depth 7 x width 4096 =
+    * 224 KB total, map-side partial-merged) is built over every
+    * whitespace token of `documents`, then the 20 lexicographically
+    * first distinct tokens are probed and each estimate checked
+    * IN-QUERY against the CMS one-sided guarantee: exact <= est <=
+    * exact + ceil(e/width * N). The reduced boolean hashes portably;
+    * the oracle emits the exact counts and a TRUE literal, so a
+    * sketch drifting out of bound fails the hash gate (hashing is
+    * deterministic MurmurHash3, so the outcome is a fixed property of
+    * the data, not a per-run coin). Probe evaluation is driver-side
+    * over the 224 KB array + 20 collected exact counts — the
+    * DISTRIBUTED work is the sketch build and the exact counts; the
+    * probe frame is inherently tiny. */
+  val statsCmsBound: Q = (s, dir) => {
+    import s.implicits._
+    val (depth, width) = (7, 4096)
+    val toks = graft.core.Materialize.pin(
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= ""))
+    val sketch = toks.as[String]
+      .select(new graft.functions.CountMinSketch(depth, width).toColumn).head()
+    val n = toks.count()
+    val bound = math.ceil(math.E / width * n).toLong
+    val probes = toks.select("tok").distinct().orderBy("tok").limit(20)
+      .as[String].collect()
+    val exact = toks.filter(col("tok").isin(probes.map(x => x: Any): _*))
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .as[(String, Long)].collect().toMap
+    probes.toSeq.sorted.map { p =>
+      val est = graft.functions.CountMinSketch.estimate(sketch, depth, width, p)
+      val ex = exact(p)
+      (p, ex, est >= ex && est <= ex + bound)
+    }.toDF("tok", "n_exact", "within_bound")
+  }
+
   /** Mergeable distinct sketches (Apache DataSketches HLL via Spark
     * 4's hll_sketch_agg / hll_union_agg): per-(type, hour) user
     * sketches are built ONCE, then merged across hours per type. This
@@ -571,6 +609,7 @@ object Sampling {
     "x_stats_equidepth" -> statsEquiDepth,
     "x_stats_distinct" -> statsDistinct,
     "x_stats_approx_distinct" -> statsApproxDistinct,
+    "x_stats_cms_bound" -> statsCmsBound,
     "x_stats_hll_union" -> statsHllUnion,
     "x_events_distinct_users" -> eventsDistinctUsers)
 
@@ -679,6 +718,12 @@ object Sampling {
     "x_stats_approx_distinct" ->
       ("SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact, " +
         "TRUE AS within_bound FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "x_stats_cms_bound" ->
+      ("WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), " +
+        "tf AS (SELECT tok FROM toks WHERE tok <> ''), " +
+        "probes AS (SELECT DISTINCT tok FROM tf ORDER BY tok LIMIT 20) " +
+        "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS within_bound " +
+        "FROM tf JOIN probes USING (tok) GROUP BY tok ORDER BY tok"),
     "x_stats_hll_union" ->
       ("WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour, user_id FROM events) " +
         "SELECT event_type, CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hours, " +
