@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   *
   * At 100 TB: stateless query (no streaming state store); per-batch
   * cost is batch-buckets x index-postings join plus exact verification
-  * of collisions only; the bucket store can be bucketed by `bucket`
-  * when the corpus outgrows a shuffle-free scan, and the `batch_id=`
-  * partition forest compacts offline like any streaming sink table.
+  * of collisions only. When the corpus outgrows a shuffle-free scan,
+  * [[tierIndexStore]] moves committed batches into a pb-partitioned
+  * bulk tier that probes prune to their own bucket residues, and
+  * [[compactStores]] / [[Compaction.consolidateTier]] fold the
+  * `batch_id=` partition forest — [[maintainStores]] runs the whole
+  * runbook in order.
   */
 object VecIngest {
 

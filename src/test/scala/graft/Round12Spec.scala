@@ -108,6 +108,13 @@ class Round12Spec extends SparkSpec {
     assert(durable.nonEmpty && durable == inMem)
   }
 
+  test("x_stats_cms_bound: every probe estimate within the one-sided CMS bound") {
+    val rows = SparkEntry.queries("x_stats_cms_bound")(spark, dir).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getBoolean(2)),
+      "a deterministic-hash sketch out of bound means the sketch or the bound is wrong")
+  }
+
   // ---- bench fork grouping ----
 
   test("bench groups are a deterministic exact partition of the name list") {
