@@ -723,6 +723,53 @@ object Soak {
     // only at the pb dirs the batch's own buckets hash into. 200k-vec
     // corpus at the 16-plane ingest width, 20-vec probe batch (160
     // buckets -> <=160 of 1024 pbs).
+    // End-to-end ingest + maintenance runbook: 24 direct ingestBatch
+    // calls of 10k vecs each (240k-vec corpus), per-batch wall time
+    // printed so the flat-store growth trend is visible, then
+    // maintainStores (tier + fold + compact) and one more batch over
+    // the maintained stores — the claim under test is that the
+    // post-maintenance batch costs what an EARLY batch cost, not what
+    // the last pre-maintenance batch cost.
+    if (want("runbook")) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_soak_runbook"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rfs.exists(rp)) rfs.delete(rp, true)
+      val (vecsP, idxP, pairsP, ckpt) =
+        (s"$root/vecs", s"$root/index", s"$root/pairs", s"$root/ckpt")
+      // hash-based independent directions, NOT the sin-waveform fixture:
+      // sin(id*13 + i*31) has near-recurrences (ids 29 apart differ by
+      // ~0.006 rad in EVERY dim), so every vector belongs to a long
+      // near-dup chain and pair volume explodes quadratically — a
+      // pathological corpus, not an ingest-cost measurement
+      val perBatch = 10000L
+      def batchDf(b: Long) = spark.range(b * perBatch, (b + 1) * perBatch)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "i -> CAST((pmod(hash(id, i), 1000) - 500) / 500.0 AS FLOAT))")
+            .as("embedding"))
+      var reported = Set(0L, 11L, 23L)
+      for (b <- 0L until 24L) {
+        val t0 = System.nanoTime()
+        graft.streaming.VecIngest.ingestBatch(batchDf(b), b, vecsP, idxP,
+          pairsP, minSim = 0.95)
+        if (reported(b))
+          println(f"SOAK runbook_batch_$b%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      rfs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/commits"))
+      for (i <- 0L until 24L) graft.core.Markers.tryCreate(rfs,
+        new org.apache.hadoop.fs.Path(s"$ckpt/commits/$i"), "{}")
+      val tm = System.nanoTime()
+      val report = graft.streaming.VecIngest.maintainStores(
+        spark, vecsP, idxP, pairsP, ckpt)
+      println(f"SOAK runbook_maintain         ${(System.nanoTime() - tm) / 1e9}%8.2f s " +
+        report.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
+      val t0 = System.nanoTime()
+      graft.streaming.VecIngest.ingestBatch(batchDf(24L), 24L, vecsP, idxP,
+        pairsP, minSim = 0.95)
+      println(f"SOAK runbook_batch_post       ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
     if (want("tiering")) {
       import graft.operators.Similarity
       val store = s"${sys.props("java.io.tmpdir")}/graft_soak_tieridx"

@@ -125,9 +125,14 @@ object VecIngest {
         val pbs = batchBuckets
           .select(pmod(col("bucket"), lit(mod)).as("pb"))
           .distinct().collect().map(_.getInt(0))
-        corpusBuckets.unionByName(
-          t.filter(col("pb").isin(pbs.map(Integer.valueOf): _*))
-            .select("vec_id", "tbl", "bucket"))
+        // a bulk batch (buckets >> mod) covers every residue — skip
+        // the isin so the scan at least avoids 1024 pushed-down IN
+        // probes. The tier's WIN regime is micro-batch probes (pbs <<
+        // mod); bulk backfills read the whole tier either way (soak
+        // `runbook` vs `tiering` readings)
+        val pruned =
+          if (pbs.length >= mod) t else t.filter(col("pb").isin(pbs.map(Integer.valueOf): _*))
+        corpusBuckets.unionByName(pruned.select("vec_id", "tbl", "bucket"))
     }
     val cand = allBuckets.join(broadcast(batchBuckets), Seq("tbl", "bucket"))
       .select(col("new_id"), col("vec_id").as("corpus_id"))
