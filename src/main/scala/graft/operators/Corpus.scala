@@ -474,6 +474,77 @@ object Corpus {
     merges.toList
   }
 
+  /** Fixed ordered merge table for [[bpeEncodeWords]]' gate row — in
+    * production this is the artifact [[bpeMerges]] trains once and the
+    * encoder ships forever after (a tokenizer IS its merge list);
+    * hardcoding a table keeps the gate row a pure function of the
+    * data, identically expressible in the DuckDB oracle. Later merges
+    * consume earlier merges' outputs (e+r → er, then or+d → ord, then
+    * ord+er → order), so the chain exercises real multi-level BPE. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "r", "or" -> "d", "ord" -> "er", "s" -> "c", "sc" -> "an",
+    "a" -> "t", "o" -> "u", "r" -> "ow", "ro" -> "w")
+
+  /** BPE ENCODING — the production side of [[bpeMerges]]: apply an
+    * ordered merge table to a word table. Each word is spelled as
+    * brace-delimited symbols (`scan` → `{s}{c}{a}{n}`), then every
+    * merge rewrites ALL its adjacent occurrences left-to-right
+    * non-overlapping (one literal `replace` per merge — codegen'd
+    * string ops, no UDF, no loop state). The full-token delimiters are
+    * what make a flat string replace SAFE: a pattern `{a}{b}` can only
+    * match a whole symbol followed by a whole symbol, never a symbol
+    * boundary mid-token (undelimited `a b` matching the tail of token
+    * `ba` was the failure this encoding exists to prevent). Words must
+    * be `[a-z0-9]*` (the declared pretokenizer normalization) so the
+    * braces can never collide with content.
+    *
+    * Scale shape: encoding depends only on the WORD, so run it on the
+    * vocabulary (Heaps' law: orders of magnitude smaller than the
+    * corpus) and broadcast the result back onto word occurrences —
+    * the corpus itself is never touched by the merge chain. At 100 TB
+    * that turns tokenization from a per-occurrence regex pipeline into
+    * one tiny-table projection plus a broadcast hash join.
+    *
+    * Returns (w, toks ARRAY<STRING>, n_toks INT); `concat_ws("",
+    * toks) == w` by construction — merges only ever concatenate. */
+  def bpeEncodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spelled = regexp_replace(col("w"), "(.)", "{$1}")
+    val enc = merges.foldLeft(spelled) { case (c, (l, r)) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s"{$l}{$r}"), lit(s"{$l$r}"))
+    }
+    words.withColumn("__enc", enc)
+      .withColumn("toks",
+        split(regexp_replace(col("__enc"), "^\\{|\\}$", ""), "\\}\\{"))
+      .withColumn("n_toks",
+        (length(col("__enc")) -
+          length(org.apache.spark.sql.functions.replace(
+            col("__enc"), lit("{"), lit("")))).cast("int"))
+      .drop("__enc")
+  }
+
+  /** Gate row: tokenize `documents` with [[DefaultMerges]] and emit
+    * per-doc BPE token / word / char totals. The encode chain runs on
+    * the distinct vocabulary only; `n_chars` rides along as the
+    * conservation check (tokens partition each word's characters). */
+  val bpeEncodeGate: Q = (s, dir) => {
+    val occ = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w0"))
+      .select(col("doc_id"),
+        regexp_replace(lower(col("w0")), "[^a-z0-9]", "").as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n_occ"))
+    val enc = bpeEncodeWords(occ.select("w").distinct(), DefaultMerges)
+      .select(col("w"), col("n_toks"))
+    occ.join(broadcast(enc), Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"),
+        sum("n_occ").as("n_words"),
+        sum(col("n_occ") * length(col("w"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Out-of-vocabulary profile: coverage of each source's token mass
     * by the corpus-wide top-`k` vocabulary — the first question a
     * tokenizer budget decision asks (how much of each source would
@@ -738,6 +809,7 @@ object Corpus {
     "x_corpus_temperature" -> temperatureMix,
     "x_corpus_split_safe" -> splitSafeGate,
     "x_corpus_bpe_pairs" -> bpePairs,
+    "x_corpus_bpe_encode" -> bpeEncodeGate,
     "x_corpus_mix_rebalance" -> mixRebalance,
     "x_corpus_chunk_sliding" -> chunkSliding,
     "x_corpus_vocab_topk" -> vocabTopK,
@@ -748,6 +820,13 @@ object Corpus {
     "x_corpus_group_topk" -> groupTopK)
 
   private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB rendering of [[bpeEncodeWords]]' merge chain: one nested
+    * literal replace() per [[DefaultMerges]] entry, same order. */
+  private def bpeReplaceChainSql(inner: String): String =
+    DefaultMerges.foldLeft(inner) { case (acc, (l, r)) =>
+      s"replace($acc, '{$l}{$r}', '{$l$r}')"
+    }
 
   /** DuckDB rendering of [[Sampling.hashScore]] (shared literal). */
   private def scoreSql(key: String): String =
@@ -872,6 +951,16 @@ object Corpus {
         "p AS (SELECT n_w, w, unnest(generate_series(1, length(w) - 1)) AS i FROM w WHERE length(w) >= 2), " +
         "pc AS (SELECT substring(w, i, 2) AS pair, CAST(SUM(n_w) AS BIGINT) AS n_pair FROM p GROUP BY pair) " +
         "SELECT pair, n_pair FROM pc ORDER BY n_pair DESC, pair LIMIT 20"),
+    "x_corpus_bpe_encode" ->
+      (s"WITH w0 AS (SELECT doc_id, unnest($wsExpr) AS t FROM documents), " +
+        "wn AS (SELECT doc_id, regexp_replace(lower(t), '[^a-z0-9]', '', 'g') AS w FROM w0), " +
+        "occ AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM wn WHERE w <> '' GROUP BY doc_id, w), " +
+        "vocab AS (SELECT DISTINCT w FROM occ), " +
+        s"enc AS (SELECT w, ${bpeReplaceChainSql("regexp_replace(w, '(.)', '{\\1}', 'g')")} AS e FROM vocab), " +
+        "cnt AS (SELECT w, CAST(length(e) - length(replace(e, '{', '')) AS BIGINT) AS n_toks FROM enc) " +
+        "SELECT occ.doc_id, CAST(SUM(n_occ * n_toks) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(SUM(n_occ) AS BIGINT) AS n_words, CAST(SUM(n_occ * length(w)) AS BIGINT) AS n_chars " +
+        "FROM occ JOIN cnt USING (w) GROUP BY occ.doc_id ORDER BY doc_id"),
     "x_corpus_mix_rebalance" ->
       (s"WITH d AS (SELECT doc_id, source, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents), " +
         "bs AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source), " +

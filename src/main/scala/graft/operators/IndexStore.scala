@@ -131,4 +131,41 @@ object IndexStore {
     val (assigned, centroids) = loadIvfIndex(spark, path)
     Similarity.ivfSearch(emb, assigned, centroids, nQueries, k, nProbe)
   }
+
+  // ---- PQ index: codes (vec_id, codes) + codebooks (sub_j, cell, codeword) ----
+
+  /** Train codebooks + encode the corpus, both to parquet. The codes
+    * table is the index (m small ints per vector — 32x smaller than
+    * the embedding column it replaces at search time); the codebooks
+    * table is the quantizer (m * ksub * dim/m floats, always
+    * driver-sized). */
+  def buildPqIndex(emb: DataFrame, path: String, m: Int = 16,
+      ksub: Int = 256, iters: Int = 3,
+      dim: Int = Similarity.PlaneDims): Unit = {
+    import emb.sparkSession.implicits._
+    val books = Similarity.pqCodebooks(emb, m, ksub, iters, dim)
+    Similarity.pqEncode(emb, books)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+    }.toDF("sub_j", "cell", "codeword")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** (codes frame, driver-held codebooks — books(j)(c) = codeword). */
+  def loadPqIndex(spark: SparkSession, path: String): (DataFrame, Seq[Seq[Seq[Float]]]) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub_j", "cell").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    (codes, books)
+  }
+
+  def pqTopKFromIndex(emb: DataFrame, spark: SparkSession, path: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val (codes, books) = loadPqIndex(spark, path)
+    Similarity.pqSearch(emb, codes, books, nQueries, k)
+  }
 }

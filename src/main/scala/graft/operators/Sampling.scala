@@ -368,6 +368,38 @@ object Sampling {
     }.toDF("tok", "n_exact", "within_bound")
   }
 
+  /** Self-verifying Misra-Gries heavy-hitters gate: one k=64-counter
+    * [[graft.functions.HeavyHitters]] summary (map-side
+    * partial-merged, at most 64 (token, counter) pairs per partial —
+    * the frequent-items dual of [[statsCmsBound]]) is built over every
+    * whitespace token of `documents`, then every TRUE heavy hitter —
+    * token with exact count strictly above N/(k+1), an exact integer
+    * comparison `n*65 > N` so the qualifying set is engine-portable —
+    * is checked to be PRESENT in the summary. That presence is the MG
+    * guarantee (est >= true - N/(k+1) > 0), deterministic under any
+    * partitioning even though the counter VALUES are order-dependent,
+    * which is why the row emits the exact counts + the boolean and
+    * never the counters. On the gate corpus (31-token vocab) the
+    * summary holds everything; the lossy regime (domain >> k, Zipf
+    * tail evictions) is pinned in FunctionsSpec. */
+  val statsHeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val k = 64
+    val toks = graft.core.Materialize.pin(
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= ""))
+    val summary = toks.as[String]
+      .select(new graft.functions.HeavyHitters(k).toColumn).head()
+    val n = toks.count()
+    val hh = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") * (k + 1) > n)
+      .as[(String, Long)].collect()
+    hh.toSeq.sortBy(_._1).map { case (tk, ex) =>
+      (tk, ex, summary.contains(tk))
+    }.toDF("tok", "n_exact", "in_summary")
+  }
+
   /** Mergeable distinct sketches (Apache DataSketches HLL via Spark
     * 4's hll_sketch_agg / hll_union_agg): per-(type, hour) user
     * sketches are built ONCE, then merged across hours per type. This
@@ -610,6 +642,7 @@ object Sampling {
     "x_stats_distinct" -> statsDistinct,
     "x_stats_approx_distinct" -> statsApproxDistinct,
     "x_stats_cms_bound" -> statsCmsBound,
+    "x_stats_heavy_hitters" -> statsHeavyHitters,
     "x_stats_hll_union" -> statsHllUnion,
     "x_events_distinct_users" -> eventsDistinctUsers)
 
@@ -724,6 +757,12 @@ object Sampling {
         "probes AS (SELECT DISTINCT tok FROM tf ORDER BY tok LIMIT 20) " +
         "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS within_bound " +
         "FROM tf JOIN probes USING (tok) GROUP BY tok ORDER BY tok"),
+    "x_stats_heavy_hitters" ->
+      ("WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), " +
+        "tf AS (SELECT tok FROM toks WHERE tok <> ''), " +
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tf) " +
+        "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS in_summary " +
+        "FROM tf, n GROUP BY tok, total HAVING COUNT(*) * 65 > total ORDER BY tok"),
     "x_stats_hll_union" ->
       ("WITH ev AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour, user_id FROM events) " +
         "SELECT event_type, CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hours, " +

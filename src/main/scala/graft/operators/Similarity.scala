@@ -637,8 +637,131 @@ object Similarity {
     retrievalEval(t(s, dir, "embeddings"), nQueries = 10, k = 5)
       .orderBy("query_id")
 
+  // ---- Product quantization (PQ, Jégou et al. 2011) ----
+
+  /** PQ codebook training: split the `dim` space into `m` contiguous
+    * subspaces of dim/m and k-means EACH subspace independently
+    * (deterministic init: the subvectors of the `ksub` lowest vec_ids;
+    * Lloyd rounds minimize per-subspace L2 — reconstruction error,
+    * which is why assignment is [[graft.functions.ArgMinL2]], not
+    * cosine). Returns codebooks(j)(c) = codeword `c` of subspace `j` —
+    * m * ksub * dim/m floats, ALWAYS driver-held (the quantizer a
+    * production PQ index ships, like the IVF coarse quantizer).
+    *
+    * Scale shape: one posexplode turns the corpus into (sub_j,
+    * subvector) rows; each Lloyd round is one fused-kernel assignment
+    * projection plus ONE map-side-combined (sub_j, cell, pos) mean
+    * aggregation for ALL subspaces together — never a per-subspace
+    * corpus pass, and nothing driver-side but the codebooks. */
+  def pqCodebooks(emb: DataFrame, m: Int = 16, ksub: Int = 256,
+      iters: Int = 3, dim: Int = PlaneDims): Seq[Seq[Seq[Float]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val books: Array[Array[Array[Float]]] = {
+      val rows = emb.select("vec_id", "embedding")
+        .filter(col("vec_id") < ksub).orderBy("vec_id").collect()
+      require(rows.nonEmpty, "PQ training needs at least one vector")
+      Array.tabulate(m)(j =>
+        rows.map(_.getSeq[Float](1).slice(j * sub, (j + 1) * sub).toArray))
+    }
+    val subs = emb.select(col("vec_id"), posexplode(
+      expr(s"transform(sequence(0, ${m - 1}), j -> slice(embedding, j * $sub + 1, $sub))"))
+      .as(Seq("sub_j", "sv")))
+    for (_ <- 1 to iters) {
+      val cell = pqCellCol(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val means = subs.select(col("sub_j"), cell.as("cell"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub_j", "cell", "pos").agg(avg("x").as("mval"))
+        .groupBy("sub_j", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+          s => s.getField("mval").cast("float")).as("cw"))
+        .collect()
+      // empty cells keep their previous codeword
+      means.foreach { r =>
+        books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+      }
+    }
+    books.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** Nearest codeword of `sv` within its own subspace's codebook: a
+    * CASE chain over sub_j — conditions short-circuit, so each row
+    * runs exactly ONE fused argmin kernel. */
+  private def pqCellCol(books: Seq[Seq[Seq[Float]]]): Column = {
+    import graft.functions.ArgMinL2.argminL2
+    books.indices.foldLeft(lit(-1)) { (acc, j) =>
+      when(col("sub_j") === j, argminL2(col("sv"), books(j))).otherwise(acc)
+    }
+  }
+
+  /** Encode each vector as `m` codeword ids — the PQ index row. At the
+    * defaults (m=16, ksub=256) each code is exactly one byte, so 16
+    * bytes stand in for 256 bytes of floats: a 16x memory/bandwidth
+    * cut, the step beyond [[quantizeInt8]]'s 4x when the corpus won't
+    * fit even quantized (ints here; the parquet artifact
+    * dictionary-encodes them down to bytes anyway). One codegen'd
+    * projection — m fused [[graft.functions.ArgMinL2]] kernels per
+    * row, no shuffle. Defaults chosen by measured gate-corpus recall
+    * (m=16/ksub=256/iters=3 reads 0.84 / 0.86 / 0.70 at
+    * sf0.001/0.01/0.1; fewer-but-wider subspaces lose resolution
+    * faster than fewer codewords — m=8/ksub=32 read 0.32). */
+  def pqEncode(emb: DataFrame, books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    import graft.functions.ArgMinL2.argminL2
+    val sub = books.head.head.length
+    emb.select(col("vec_id"), array(books.indices.map(j =>
+      argminL2(expr(s"slice(embedding, ${j * sub + 1}, $sub)"), books(j))): _*)
+      .as("codes"))
+  }
+
+  /** Reconstructed vector from PQ codes: concatenate each subspace's
+    * looked-up codeword. */
+  private def pqReconCol(books: Seq[Seq[Seq[Float]]]): Column =
+    flatten(array(books.indices.map(j =>
+      element_at(typedlit(books(j)), element_at(col("codes"), j + 1) + 1)): _*))
+
+  /** PQ top-k (asymmetric distance): score = cosine(query, recon(c)) —
+    * identical arithmetic to the classic per-query ADC lookup table
+    * (dot(q, recon) = sum over subspaces of dot(q_sub, codeword)), but
+    * expressed as ONE reconstruction projection on the codes scan plus
+    * the native cosine kernel, which keeps the whole score inside
+    * whole-stage codegen instead of per-query table state. The corpus
+    * side reads CODES only (never the embedding column); queries stay
+    * raw (asymmetric — only the corpus side pays quantization error)
+    * and broadcast. Approximate by construction: the gate row reduces
+    * through [[annRecall]]; Round13Spec pins exactness when vectors
+    * sit on codewords. */
+  def pqSearch(emb: DataFrame, codes: DataFrame, books: Seq[Seq[Seq[Float]]],
+      nQueries: Int, k: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val recon = codes.select(col("vec_id").as("neighbor_id"),
+      pqReconCol(books).as("r_emb"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val sims = recon.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("q_emb"), col("r_emb")).as("sim"))
+    sims.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Same artifact flow as [[simLshAnn]]/[[simIvfAnn]]: codebooks
+    * trained + codes written once, search runs from the loaded
+    * artifact; gate output is the [[annRecall]] reduction. */
+  val simPqTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = IndexStore.defaultPath("pq", dir)
+    IndexStore.buildPqIndex(emb, path)
+    val (codes, books) = IndexStore.loadPqIndex(s, path)
+    val ann = pqSearch(emb, codes, books, nQueries = 10, k = 5)
+    annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.5)
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_eval_retrieval" -> simRetrievalEval,
+    "x_sim_pq_topk" -> simPqTopK,
     "x_sim_hard_negatives" -> simHardNegatives,
     "x_sim_centroid_outliers" -> simCentroidOutliers,
     "x_sim_centroids" -> simCentroids,
@@ -716,6 +839,7 @@ object Similarity {
         "WHERE rank <= 10 ORDER BY label, rank"),
     "x_sim_lsh_ann" -> annRecallOracle,
     "x_sim_ivf_ann" -> annRecallOracle,
+    "x_sim_pq_topk" -> annRecallOracle,
     "x_sim_centroids" ->
       ("WITH e AS (SELECT label, embedding AS arr FROM embeddings), " +
         "p AS (SELECT label, arr, unnest(generate_series(1, len(arr))) AS i FROM e), " +

@@ -146,6 +146,39 @@ class FunctionsSpec extends SparkSpec {
       "every row's counters sum to the stream length (merge is element-wise sum)")
   }
 
+  test("HeavyHitters: MG guarantee survives lossy evictions and partition merges") {
+    import graft.functions.HeavyHitters
+    val k = 16
+    // Zipf-ish stream over a domain (2000 singleton-ish tails) that is
+    // 125x the counter budget, spread over 8 partitions so the keyed
+    // merge-and-cut path MUST run; heads are far above N/(k+1)
+    val heads = (0 until 4).flatMap(i => Seq.fill(800 - 100 * i)(s"head_$i"))
+    val tail = (0 until 2000).map(i => s"tail_${i % 997}")
+    val items = scala.util.Random.shuffle(heads ++ tail)
+    val n = items.size
+    val ds = spark.sparkContext.parallelize(items, 8).toDS()
+    val summary = ds.select(new HeavyHitters(k).toColumn).head()
+    assert(summary.size <= k, "summary never exceeds its counter budget")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every item with true count > N/(k+1) is present (the guarantee)
+    exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { x =>
+      assert(summary.contains(x), s"true heavy hitter $x evicted")
+    }
+    // counters under-count, never fabricate: est <= true, and the
+    // undercount is bounded by N/(k+1)
+    summary.foreach { case (t, est) =>
+      assert(exact.contains(t), s"summary fabricated unseen item $t")
+      assert(est >= 1L && est <= exact(t), s"$t over-counted: $est > ${exact(t)}")
+      assert(est >= exact(t) - n / (k + 1) - 1, s"$t undercount beyond bound")
+    }
+    // exact regime: domain <= k means no eviction ever fires and the
+    // summary IS the exact frequency table
+    val small = spark.sparkContext.parallelize(
+      Seq("a", "b", "a", "c", "a", "b"), 3).toDS()
+    assert(small.select(new HeavyHitters(8).toColumn).head() ==
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("native top-k query equals window-rank top-k query") {
     val emb = (0L until 30L).map(i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))).toDF("vec_id", "embedding")

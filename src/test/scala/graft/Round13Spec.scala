@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, IndexStore, Similarity}
+
+/** Round 13: product quantization (codebooks / encode / ADC search +
+  * artifact flow), BPE encoding with a fixed merge table (the
+  * production side of bpeMerges), and the heavy-hitters gate twin. */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // ---- product quantization ----
+
+  test("PQ is EXACT when vectors sit on codewords (tiled corpus)") {
+    // 4 distinct subvectors per subspace, vectors tiled from them:
+    // with ksub >= 4 every subvector IS a codeword after training, so
+    // encode -> reconstruct is the identity and PQ top-k == exact
+    val protos = Seq(
+      Seq.tabulate(8)(i => 1.0f + i * 0.1f),
+      Seq.tabulate(8)(i => -0.5f + i * 0.05f),
+      Seq.tabulate(8)(i => 2.0f - i * 0.2f),
+      Seq.tabulate(8)(i => 0.3f * (i % 3)))
+    val emb = (0L until 40L).map { id =>
+      (id, (0 until 8).flatMap(j => protos(((id + j) % 4).toInt)).toArray.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 8, iters = 3, dim = 64)
+    val pq = Similarity.pqSearch(emb, Similarity.pqEncode(emb, books), books, 5, 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    val exact = Similarity.cosineTopK(emb, 5, 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(pq == exact, "codeword-exact corpus must reproduce exact top-k")
+  }
+
+  test("PQ recall on the gate corpus clears the gate bound with margin") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val books = Similarity.pqCodebooks(emb)
+    val ann = Similarity.pqSearch(emb, Similarity.pqEncode(emb, books), books, 10, 5)
+    val exact = Similarity.cosineTopK(emb, 10, 5)
+    val hits = exact.select("query_id", "neighbor_id")
+      .intersect(ann.select("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    assert(recall >= 0.6, s"PQ corpus recall $recall below spec floor 0.6 " +
+      "(gate bound is 0.5; rising corpus drift should trip HERE first)")
+  }
+
+  test("PQ artifact flow: indexed search equals inline, codes are m small ints") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val path = tmp("pq_idx")
+    IndexStore.buildPqIndex(emb, path)
+    val (codes, books) = IndexStore.loadPqIndex(spark, path)
+    assert(books.length == 16 && books.forall(_.length == 256) &&
+      books.forall(_.forall(_.length == 4)), "codebook shape m=16 x ksub=256 x sub=4")
+    val c = codes.select(size(col("codes")).as("m"),
+      array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi"))
+      .agg(min("m"), max("m"), min("lo"), max("hi")).head()
+    assert(c.getInt(0) == 16 && c.getInt(1) == 16, "every vector carries m=16 codes")
+    assert(c.getInt(2) >= 0 && c.getInt(3) < 256, "codes address the codebook (byte range)")
+    val inline = {
+      val bks = Similarity.pqCodebooks(emb)
+      Similarity.pqSearch(emb, Similarity.pqEncode(emb, bks), bks, 10, 5)
+    }.orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    val indexed = IndexStore.pqTopKFromIndex(emb, spark, path, 10, 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(indexed == inline, "from-index search must equal the inline twin")
+  }
+
+  // ---- BPE encode ----
+
+  test("bpeEncodeWords: greedy left-to-right merge semantics and round-trip") {
+    val words = Seq("the", "order", "scan", "aaa", "thethe", "xyz").toDF("w")
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "a",
+      "e" -> "r", "o" -> "r", "or" -> "d", "ord" -> "er")
+    val enc = Corpus.bpeEncodeWords(words, merges)
+      .select("w", "toks").as[(String, Seq[String])].collect().toMap
+    assert(enc("the") == Seq("the"), "chained merges t+h, th+e collapse the word")
+    assert(enc("order") == Seq("order"), "e+r then or+d then ord+er")
+    assert(enc("aaa") == Seq("aa", "a"), "left-to-right non-overlapping merge")
+    assert(enc("thethe") == Seq("the", "the"))
+    assert(enc("xyz") == Seq("x", "y", "z"), "untouched word stays char-split")
+    // round-trip: merges only concatenate, so tokens rebuild the word
+    enc.foreach { case (w, toks) => assert(toks.mkString("") == w) }
+  }
+
+  test("bpeEncodeWords cannot merge across symbol boundaries") {
+    // merge (b, a) must NOT fire inside "ab a" token layout: after
+    // tokens {ab}{a}, the undelimited string 'b a' appears but no
+    // symbol b is ADJACENT to a symbol a — the brace delimiters are
+    // what encode that distinction
+    val words = Seq("aba").toDF("w")
+    val enc = Corpus.bpeEncodeWords(words, Seq("a" -> "b", "b" -> "a"))
+      .select("toks").as[Seq[String]].head()
+    assert(enc == Seq("ab", "a"),
+      s"b+a merged across the {ab}|{a} boundary: $enc")
+  }
+
+  test("bpe encode gate: per-doc token mass conserves characters") {
+    val g = SparkEntry.queries("x_corpus_bpe_encode")(spark, dir)
+      .agg(sum("n_bpe_tokens"), sum("n_words"), sum("n_chars")).head()
+    val (toks, words, chars) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    assert(toks > 0 && words > 0 && chars > 0)
+    assert(toks <= chars, "tokens can never exceed characters")
+    assert(toks >= words, "every word is at least one token")
+    assert(toks < chars, "the default merge table must actually fire here")
+  }
+
+  // ---- heavy hitters gate twin ----
+
+  test("heavy-hitters gate: every true heavy hitter is captured") {
+    val rows = SparkEntry.queries("x_stats_heavy_hitters")(spark, dir)
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty, "gate corpus has ~30 heavy tokens")
+    assert(rows.forall(_._3), "MG guarantee: every true heavy hitter present")
+  }
+}
