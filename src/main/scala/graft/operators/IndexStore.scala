@@ -168,4 +168,41 @@ object IndexStore {
     val (codes, books) = loadPqIndex(spark, path)
     Similarity.pqSearch(emb, codes, books, nQueries, k)
   }
+
+  // ---- IVFADC index: one (vec_id, cell, codes) table + centroids + codebooks ----
+
+  /** Coarse cells + PQ codes in ONE index table — cell for partition
+    * pruning, codes for in-scan scoring; the search never reads raw
+    * embeddings. Written partitioned by cell so a probe's scan prunes
+    * to its own cells' directories (the `pb`-tier lesson applied to
+    * ANN). */
+  def buildIvfPqIndex(emb: DataFrame, path: String, nCentroids: Int = 8,
+      ivfIters: Int = 2, m: Int = 16, ksub: Int = 256, pqIters: Int = 3,
+      dim: Int = Similarity.PlaneDims): Unit = {
+    import emb.sparkSession.implicits._
+    val (assigned, centroids) =
+      Similarity.ivfIndexWithCentroids(emb, nCentroids, ivfIters)
+    val books = Similarity.pqCodebooks(emb, m, ksub, pqIters, dim)
+    Similarity.pqEncode(emb, books).join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    centroids.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+    }.toDF("sub_j", "cell", "codeword")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadIvfPqIndex(spark: SparkSession, path: String): (DataFrame, Seq[(Long, Seq[Float])], Seq[Seq[Seq[Float]]]) = {
+    val index = spark.read.parquet(s"$path/index")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub_j", "cell").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    (index, centroids, books)
+  }
 }

@@ -746,6 +746,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVFADC (IVF + PQ, the FAISS-style production layout): the coarse
+    * quantizer PRUNES — each query scores only its `nProbe` nearest
+    * cells' rows — and PQ codes COMPRESS what is scanned, so the
+    * per-query cost is (corpus/cells * nProbe) rows of 16-byte codes
+    * instead of the full corpus of raw vectors. This is the 100 TB ANN
+    * shape: the index table is (vec_id, cell, codes) — cell for
+    * partition pruning (store it partitioned/clustered by cell and the
+    * probe join becomes a partition-pruned scan), codes for in-scan
+    * scoring; raw embeddings are never read at search time. Same
+    * asymmetric scoring as [[pqSearch]] (queries stay raw), same
+    * window top-k resolution as [[ivfSearch]]. */
+  def ivfPqSearch(emb: DataFrame, index: DataFrame,
+      centroids: Seq[(Long, Seq[Float])], books: Seq[Seq[Seq[Float]]],
+      nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    import emb.sparkSession.implicits._
+    val reps = centroids.toDF("cell", "rep_emb")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(reps))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosineSim(col("q_emb"), col("rep_emb")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+    val sims = index
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        pqReconCol(books).as("r_emb"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("q_emb"), col("r_emb")).as("sim"))
+    sims.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Artifact-flow gate for IVFADC: coarse cells + codebooks + codes
+    * built/written once, search runs cell-pruned + code-compressed
+    * from the loaded index; output is the [[annRecall]] reduction
+    * (losses multiply — probe misses x quantization error — so the
+    * bound sits below both parents'). */
+  val simIvfPqAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = IndexStore.defaultPath("ivfpq", dir)
+    IndexStore.buildIvfPqIndex(emb, path)
+    val (index, centroids, books) = IndexStore.loadIvfPqIndex(s, path)
+    val ann = ivfPqSearch(emb, index, centroids, books, nQueries = 10, k = 5)
+    annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.4)
+      .orderBy("query_id")
+  }
+
   /** Same artifact flow as [[simLshAnn]]/[[simIvfAnn]]: codebooks
     * trained + codes written once, search runs from the loaded
     * artifact; gate output is the [[annRecall]] reduction. */
@@ -762,6 +816,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "x_eval_retrieval" -> simRetrievalEval,
     "x_sim_pq_topk" -> simPqTopK,
+    "x_sim_ivfpq_ann" -> simIvfPqAnn,
     "x_sim_hard_negatives" -> simHardNegatives,
     "x_sim_centroid_outliers" -> simCentroidOutliers,
     "x_sim_centroids" -> simCentroids,
@@ -840,6 +895,7 @@ object Similarity {
     "x_sim_lsh_ann" -> annRecallOracle,
     "x_sim_ivf_ann" -> annRecallOracle,
     "x_sim_pq_topk" -> annRecallOracle,
+    "x_sim_ivfpq_ann" -> annRecallOracle,
     "x_sim_centroids" ->
       ("WITH e AS (SELECT label, embedding AS arr FROM embeddings), " +
         "p AS (SELECT label, arr, unnest(generate_series(1, len(arr))) AS i FROM e), " +

@@ -77,6 +77,30 @@ class Round13Spec extends SparkSpec {
     assert(indexed == inline, "from-index search must equal the inline twin")
   }
 
+  test("IVFADC artifact flow: cell-pruned code scan clears the gate bound") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val path = tmp("ivfpq_idx")
+    IndexStore.buildIvfPqIndex(emb, path)
+    val (index, centroids, books) = IndexStore.loadIvfPqIndex(spark, path)
+    assert(index.columns.toSet == Set("vec_id", "codes", "cell"),
+      "index table carries exactly (vec_id, codes, cell)")
+    val ann = Similarity.ivfPqSearch(emb, index, centroids, books, 10, 5)
+    val exact = Similarity.cosineTopK(emb, 10, 5)
+    val hits = exact.select("query_id", "neighbor_id")
+      .intersect(ann.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.5, s"IVFADC recall $recall below spec floor 0.5 (gate bound 0.4)")
+    // pruning is real: nProbe=2 of 8 cells caps each query's scored
+    // candidates at its two probed cells' populations, not the corpus
+    val cellSizes = index.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val top2 = cellSizes.values.toSeq.sorted.reverse.take(2).sum
+    val maxScored = ann.groupBy("query_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxScored <= 5 && top2 < cellSizes.values.sum,
+      "top-k resolved from a strict subset of the corpus")
+  }
+
   // ---- BPE encode ----
 
   test("bpeEncodeWords: greedy left-to-right merge semantics and round-trip") {
