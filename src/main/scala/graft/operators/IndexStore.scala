@@ -169,6 +169,27 @@ object IndexStore {
     Similarity.pqSearch(emb, codes, books, nQueries, k)
   }
 
+  // ---- BPE merge table: (rank, l, r, n) — the tokenizer artifact ----
+
+  /** Train [[Corpus.bpeMerges]] and persist the ordered merge table —
+    * THE artifact a tokenizer is: train once on the corpus, encode
+    * with the loaded table forever after ([[Corpus.bpeEncodeWords]]).
+    * Round13Spec proves trainer/encoder state equivalence (encoding
+    * with the first n merges reproduces exactly the symbol state the
+    * trainer's round n+1 counted). */
+  def buildBpeMerges(docs: DataFrame, path: String, nMerges: Int): Unit = {
+    import docs.sparkSession.implicits._
+    Corpus.bpeMerges(docs, nMerges)
+      .toDF("rank", "l", "r", "n")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Ordered (left, right) merge pairs, ready for
+    * [[Corpus.bpeEncodeWords]]. */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   // ---- IVFADC index: one (vec_id, cell, codes) table + centroids + codebooks ----
 
   /** Coarse cells + PQ codes in ONE index table — cell for partition

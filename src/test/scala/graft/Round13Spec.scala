@@ -140,6 +140,40 @@ class Round13Spec extends SparkSpec {
     assert(toks < chars, "the default merge table must actually fire here")
   }
 
+  test("BPE tokenizer artifact: saved merges drive an encoder equal to the trainer") {
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.t(spark, dir, "documents").select("doc_id", "text")
+    // train 9 merges; persist the first 8 as the tokenizer artifact
+    val m9 = Corpus.bpeMerges(docs, 9)
+    assert(m9.length == 9 && m9.map(_._1) == (1 to 9))
+    val path = tmp("bpe_merges")
+    IndexStore.buildBpeMerges(docs, path, 8)
+    val loaded = IndexStore.loadBpeMerges(spark, path)
+    assert(loaded == m9.take(8).map(m => (m._2, m._3)),
+      "artifact round-trips the ordered merge table")
+    // trainer/encoder equivalence: encode the training vocabulary with
+    // the 8 loaded merges, recount weighted adjacent pairs, and the
+    // top pair (count desc, l, r — the trainer's total order) must be
+    // EXACTLY the 9th merge the trainer itself chose. This
+    // cross-validates the fold-based trainer state against the
+    // replace-based encoder on real data.
+    val vocab = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val enc = Corpus.bpeEncodeWords(vocab, loaded)
+    enc.select("w", "toks").as[(String, Seq[String])].collect()
+      .foreach { case (w, toks) => assert(toks.mkString("") == w, s"round-trip broke on $w") }
+    val top = enc.filter(size(col("toks")) >= 2)
+      .select(col("n_w"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("n_w").as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(1).as[(String, String, Long)].head()
+    assert(top == ((m9(8)._2, m9(8)._3, m9(8)._4)),
+      s"merge 9 recomputed from the encoder's state was $top, trainer chose ${m9(8)}")
+  }
+
   // ---- heavy hitters gate twin ----
 
   test("heavy-hitters gate: every true heavy hitter is captured") {
