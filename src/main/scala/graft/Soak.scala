@@ -75,6 +75,33 @@ object Soak {
     }
     time("lsh_ann") { Similarity.lshAnn(vecs, nQueries = 10, k = 5) }
     time("quantized_topk") { Similarity.quantizedTopK(vecs, nQueries = 10, k = 5) }
+
+    // PQ / IVFADC: build the durable index once, then compare the
+    // three search regimes over the SAME corpus — exact brute force
+    // (reads raw embeddings), flat ADC (reads 16-byte codes, full
+    // scan), and IVFADC (reads codes in probed cells only). Also
+    // reports the measured on-disk footprint of codes vs embeddings —
+    // the 16x claim as parquet bytes, not arithmetic.
+    if (want("pq")) {
+      val pqDir = java.nio.file.Files.createTempDirectory("soak_pq").toString
+      val embDir = java.nio.file.Files.createTempDirectory("soak_emb").toString
+      val t0 = System.nanoTime()
+      graft.operators.IndexStore.buildIvfPqIndex(vecs, pqDir, nCentroids = 64)
+      println(f"SOAK pq_build_index           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val (index, cents, books) = graft.operators.IndexStore.loadIvfPqIndex(spark, pqDir)
+      time("pq_exact_brute") { Similarity.cosineTopKNative(vecs, nQueries = 10, k = 5) }
+      time("pq_adc_flat") {
+        Similarity.pqSearch(vecs, index.select("vec_id", "codes"), books, 10, 5) }
+      time("pq_ivfadc_probe") { Similarity.ivfPqSearch(vecs, index, cents, books, 10, 5) }
+      vecs.write.mode("overwrite").parquet(embDir)
+      val fs = new org.apache.hadoop.fs.Path(pqDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def bytes(p: String): Long =
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      println(f"SOAK pq_bytes codes=${bytes(s"$pqDir/index")}%,d " +
+        f"embeddings=${bytes(embDir)}%,d " +
+        f"ratio=${bytes(embDir).toDouble / bytes(s"$pqDir/index")}%.1fx")
+    }
     time("hash_sample") { Sampling.hashSample(docs, col("doc_id"), 0.1) }
     // PPS: one scalar-total pass + the per-row coin — must track
     // hash_sample's scan-bound cost, not add a shuffle

@@ -77,6 +77,27 @@ class Round13Spec extends SparkSpec {
     assert(indexed == inline, "from-index search must equal the inline twin")
   }
 
+  test("fused pq_cosine is bit-equal to cosine over the reconstructed vector") {
+    import graft.functions.CosineSimilarity.cosineSim
+    import graft.functions.PqCosine.pqCosine
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val books = Similarity.pqCodebooks(emb)
+    val withQ = Similarity.pqEncode(emb, books)
+      .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
+    val both = withQ.select(col("vec_id"),
+      pqCosine(col("codes"), col("q_emb"), books).as("fused"),
+      cosineSim(col("q_emb"), Similarity.pqReconCol(books)).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed") ||
+      col("fused").isNull =!= col("composed").isNull).count() == 0,
+      "fused kernel must reproduce the composed form bit-for-bit")
+    // mismatch conventions: wrong query dimension nulls out
+    val shortQ = withQ.limit(5).select(col("codes"),
+      expr("slice(q_emb, 1, 10)").as("q_emb"))
+    assert(shortQ.select(pqCosine(col("codes"), col("q_emb"), books).as("s"))
+      .filter(col("s").isNotNull).count() == 0,
+      "dimension mismatch must null, never score a prefix")
+  }
+
   test("IVFADC artifact flow: cell-pruned code scan clears the gate bound") {
     val emb = graft.core.Tables.t(spark, dir, "embeddings")
     val path = tmp("ivfpq_idx")
