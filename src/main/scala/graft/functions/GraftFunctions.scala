@@ -60,6 +60,20 @@ object GraftFunctions {
         require(args.length == 2,
           "sign_buckets(vec, plane_tensor) takes two arguments")
         SignBuckets(args.head, args(1))
+      }),
+    (FunctionIdentifier("argmin_l2"),
+      new ExpressionInfo(classOf[ArgMinL2].getName, "argmin_l2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "argmin_l2(vec, codebook) takes two arguments")
+        ArgMinL2(args.head, args(1))
+      }),
+    (FunctionIdentifier("pq_cosine"),
+      new ExpressionInfo(classOf[PqCosine].getName, "pq_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "pq_cosine(codes, query, codebooks) takes three arguments")
+        PqCosine(args.head, args(1), args(2))
       }))
 
   /** Register into a live session (uses the classic session's registry

@@ -60,11 +60,40 @@ object IndexStore {
     * run). `computeIfAbsent` blocks concurrent first callers until the
     * build commits. */
   private val builtEdge = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  private def once(key: String)(build: => Unit): Unit =
+    builtEdge.computeIfAbsent(key, _ => build)
   def ensureEdgeIndex(docs: DataFrame, path: String,
       minJaccard: Double = 0.5,
       maxDf: Option[Long] = Some(Dedup.GateMaxDf)): Unit =
-    builtEdge.computeIfAbsent(s"$path|$minJaccard|$maxDf",
-      _ => buildEdgeIndex(docs, path, minJaccard, maxDf))
+    once(s"edge|$path|$minJaccard|$maxDf")(
+      buildEdgeIndex(docs, path, minJaccard, maxDf))
+
+  /** Build-once variants for the ANN artifact gates — the same per-JVM
+    * memoization contract as [[ensureEdgeIndex]]: one bench/verify run
+    * pays each index build exactly once (production shape: index once,
+    * query many; a min-of-k bench rerun then times the SEARCH, not a
+    * redundant rebuild), while a fresh session always rebuilds on
+    * first touch so stale artifacts are never served. */
+  def ensureLshIndex(emb: DataFrame, path: String,
+      dim: Int = Similarity.PlaneDims): Unit =
+    once(s"lsh|$path|$dim")(buildLshIndex(emb, path, dim))
+
+  def ensureIvfIndex(emb: DataFrame, path: String, nCentroids: Int,
+      iters: Int = 2): Unit =
+    once(s"ivf|$path|$nCentroids|$iters")(
+      buildIvfIndex(emb, path, nCentroids, iters))
+
+  def ensurePqIndex(emb: DataFrame, path: String, m: Int = 16,
+      ksub: Int = 256, iters: Int = 3,
+      dim: Int = Similarity.PlaneDims): Unit =
+    once(s"pq|$path|$m|$ksub|$iters|$dim")(
+      buildPqIndex(emb, path, m, ksub, iters, dim))
+
+  def ensureIvfPqIndex(emb: DataFrame, path: String, nCentroids: Int = 8,
+      ivfIters: Int = 2, m: Int = 16, ksub: Int = 256, pqIters: Int = 3,
+      dim: Int = Similarity.PlaneDims): Unit =
+    once(s"ivfpq|$path|$nCentroids|$ivfIters|$m|$ksub|$pqIters|$dim")(
+      buildIvfPqIndex(emb, path, nCentroids, ivfIters, m, ksub, pqIters, dim))
 
   // ---- MinHash LSH band index: (doc_id, band, bh) ----
 

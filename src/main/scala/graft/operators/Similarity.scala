@@ -251,7 +251,7 @@ object Similarity {
   val simLshAnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = IndexStore.defaultPath("lsh", dir)
-    IndexStore.buildLshIndex(emb, path)
+    IndexStore.ensureLshIndex(emb, path)
     val ann = lshSearch(emb, IndexStore.loadLshIndex(s, path), nQueries = 10, k = 5)
     annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.4)
       .orderBy("query_id")
@@ -362,7 +362,7 @@ object Similarity {
   val simIvfAnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = IndexStore.defaultPath("ivf", dir)
-    IndexStore.buildIvfIndex(emb, path, nCentroids = 8)
+    IndexStore.ensureIvfIndex(emb, path, nCentroids = 8)
     val (assigned, centroids) = IndexStore.loadIvfIndex(s, path)
     val ann = ivfSearch(emb, assigned, centroids, nQueries = 10, k = 5)
     annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.6)
@@ -796,7 +796,7 @@ object Similarity {
   val simIvfPqAnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = IndexStore.defaultPath("ivfpq", dir)
-    IndexStore.buildIvfPqIndex(emb, path)
+    IndexStore.ensureIvfPqIndex(emb, path)
     val (index, centroids, books) = IndexStore.loadIvfPqIndex(s, path)
     val ann = ivfPqSearch(emb, index, centroids, books, nQueries = 10, k = 5)
     annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.4)
@@ -809,7 +809,7 @@ object Similarity {
   val simPqTopK: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val path = IndexStore.defaultPath("pq", dir)
-    IndexStore.buildPqIndex(emb, path)
+    IndexStore.ensurePqIndex(emb, path)
     val (codes, books) = IndexStore.loadPqIndex(s, path)
     val ann = pqSearch(emb, codes, books, nQueries = 10, k = 5)
     annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.5)

@@ -107,6 +107,21 @@ class FunctionsSpec extends SparkSpec {
       "SELECT sign_buckets(v, array(array(array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))))) AS b FROM sqlfn_vecs")
       .as[Seq[Int]].head()
     assert(sb == Seq(1))
+    // nearest-by-L2 differs from nearest-by-cosine when magnitudes do:
+    // (0,1) is closer (L2) to (0,2)? no — dist((0,1),(1,0))=sqrt2,
+    // dist((0,1),(0,3))=2 -> index 0 wins by L2
+    val al = spark.sql(
+      "SELECT argmin_l2(v, array(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(0 AS FLOAT), CAST(3 AS FLOAT)))) AS c FROM sqlfn_vecs")
+      .as[Int].head()
+    assert(al == 0)
+    // pq_cosine: 1 subspace, codebook [(1,0),(0,1)], code 1 -> recon
+    // (0,1) == query -> cosine 1.0
+    val pq = spark.sql(
+      "SELECT pq_cosine(array(1), v, array(array(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))))) AS s FROM sqlfn_vecs")
+      .as[Double].head()
+    assert(pq == 1.0)
   }
 
   test("TopK aggregator: bounded buffer, ordered output, tiebreak by id") {
