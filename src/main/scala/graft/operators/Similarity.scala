@@ -788,6 +788,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Two-stage PQ search (the production recall recipe): ADC shortlist
+    * of `shortlist` candidates per query from CODES ONLY, then exact
+    * re-rank of just the shortlist against raw embeddings. The raw
+    * vectors are touched for |queries| * shortlist rows instead of the
+    * corpus — at 100 TB the join back to the embedding table is a
+    * candidate-pruned point lookup (semi-join on vec_id), not a scan —
+    * and quantization error can no longer reorder the final top-k, only
+    * hide a true neighbor from the shortlist. With shortlist >= corpus
+    * the result is bit-equal to [[cosineTopK]] (same kernel, same
+    * tiebreak — Round13Spec pins it); at shortlist = 4k it recovers
+    * most of the ADC recall gap for a 4k/corpus fraction of raw reads. */
+  def pqSearchRerank(emb: DataFrame, codes: DataFrame,
+      books: Seq[Seq[Seq[Float]]], nQueries: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineSim
+    val short = pqSearch(emb, codes, books, nQueries, shortlist)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cand = short.select("query_id", "neighbor_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("q_emb"), col("n_emb")).as("sim"))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Re-ranked gate twin of [[simPqTopK]]: same artifact, shortlist
+    * 4k, bound raised to 0.7 — the re-rank stage must buy real recall
+    * over the flat ADC bound (0.5) or it is not earning its raw
+    * reads. */
+  val simPqRerank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = IndexStore.defaultPath("pq", dir)
+    IndexStore.ensurePqIndex(emb, path)
+    val (codes, books) = IndexStore.loadPqIndex(s, path)
+    val ann = pqSearchRerank(emb, codes, books, nQueries = 10, k = 5,
+      shortlist = 20)
+    annRecall(ann, cosineTopK(emb, nQueries = 10, k = 5), minRecall = 0.7)
+      .orderBy("query_id")
+  }
+
   /** Artifact-flow gate for IVFADC: coarse cells + codebooks + codes
     * built/written once, search runs cell-pruned + code-compressed
     * from the loaded index; output is the [[annRecall]] reduction
@@ -819,6 +864,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "x_eval_retrieval" -> simRetrievalEval,
     "x_sim_pq_topk" -> simPqTopK,
+    "x_sim_pq_rerank" -> simPqRerank,
     "x_sim_ivfpq_ann" -> simIvfPqAnn,
     "x_sim_hard_negatives" -> simHardNegatives,
     "x_sim_centroid_outliers" -> simCentroidOutliers,
@@ -898,6 +944,7 @@ object Similarity {
     "x_sim_lsh_ann" -> annRecallOracle,
     "x_sim_ivf_ann" -> annRecallOracle,
     "x_sim_pq_topk" -> annRecallOracle,
+    "x_sim_pq_rerank" -> annRecallOracle,
     "x_sim_ivfpq_ann" -> annRecallOracle,
     "x_sim_centroids" ->
       ("WITH e AS (SELECT label, embedding AS arr FROM embeddings), " +

@@ -53,6 +53,34 @@ object QualityMonitor {
         col("n_docs"), col("n_empty"), col("n_chars"),
         col("min_len"), col("max_len"), col("n_ids_approx"), col("n_nonascii"))
 
+  /** Per-(window, source) frequent tokens with BOUNDED state: the
+    * [[graft.functions.HeavyHitters]] Misra-Gries summary as a
+    * streaming aggregate — state per open window is k (token, counter)
+    * pairs plus the token total, never the token domain, and the MG
+    * merge (keyed sum + cut) is exactly what the state store applies
+    * per micro-batch, so the N/(k+1) capture guarantee holds across
+    * any batch arrival order (the mergeable-summaries property, now
+    * load-bearing under streaming). The content tripwire next to
+    * [[windowedQuality]]'s shape metrics: a boilerplate flood or a
+    * stuck upstream producer shows up as one token (or template
+    * fragment) suddenly dominating its window's summary. Counters are
+    * order-dependent (only the capture guarantee is deterministic) —
+    * QualityMonitorSpec checks the guarantee against per-window exact
+    * counts, the same contract as the batch gate row. */
+  def windowedHeavyHitters(docs: DataFrame, k: Int = 64,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val hh = udaf(new graft.functions.HeavyHitters(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs.withWatermark("ts", watermark)
+      .select(col("ts"), col("source"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("source"))
+      .agg(count(lit(1)).as("n_toks"), hh(col("tok")).as("candidates"))
+      .select(col("w.start").as("window_start"), col("source"),
+        col("n_toks"), col("candidates"))
+  }
+
   /** Static baseline from a reference corpus: per-source mean length
     * and empty/non-ASCII ratios, all in exact basis points. */
   def baselineProfile(docs: DataFrame): DataFrame =

@@ -108,4 +108,38 @@ class QualityMonitorSpec extends SparkSpec {
       assert(spark.table("paths").count() == 6L)
     } finally q.stop()
   }
+
+  test("windowedHeavyHitters: MG capture guarantee holds across batch merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    // window 0: 'dup' floods (far above N/(k+1)) amid a tail domain
+    // wider than k, split across TWO batches so the state store must
+    // merge partial summaries; window 1: a different dominant token
+    def doc(id: Long, min: Long, text: String) = Doc(id, ts(min), "crawl", text)
+    val input = MemoryStream[Doc]
+    val q = QualityMonitor.windowedHeavyHitters(input.toDF(), k = k)
+      .writeStream.format("memory").queryName("whh")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        doc(1, 5, "dup dup dup dup t1 t2"),
+        doc(2, 10, "dup dup dup t3 t4"))
+      q.processAllAvailable()
+      input.addData(
+        doc(3, 20, "dup dup dup t5 t6 t7"),
+        doc(4, 70, "other other other t8"))
+      q.processAllAvailable()
+      val rows = spark.table("whh")
+        .select("window_start", "n_toks", "candidates")
+        .as[(Timestamp, Long, Map[String, Long])].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap // last update per window
+      val w0 = rows(new Timestamp(0L)); val w1 = rows(new Timestamp(3600000L))
+      assert(w0._2 == 17L && w0._3.contains("dup"),
+        s"window-0 flood token must survive the summary: $w0")
+      assert(w0._3.size <= k, "state is bounded by k counters")
+      assert(w0._3("dup") <= 10L && w0._3("dup") >= 10L - 17L / (k + 1) - 1,
+        "counter under-counts within the MG bound")
+      assert(w1._2 == 4L && w1._3.contains("other"), s"window 1: $w1")
+    } finally q.stop()
+  }
 }

@@ -77,6 +77,29 @@ class Round13Spec extends SparkSpec {
     assert(indexed == inline, "from-index search must equal the inline twin")
   }
 
+  test("PQ re-rank: full shortlist is bit-equal to exact; 4k shortlist beats flat ADC") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val n = emb.count().toInt
+    val books = Similarity.pqCodebooks(emb)
+    val codes = Similarity.pqEncode(emb, books)
+    // shortlist = whole corpus -> quantization can hide nothing; the
+    // re-rank stage IS the exact query (same kernel, same tiebreak)
+    val full = Similarity.pqSearchRerank(emb, codes, books, 10, 5, shortlist = n)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    val exact = Similarity.cosineTopK(emb, 10, 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(full == exact, "corpus-wide shortlist must reproduce exact top-k")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val e = Similarity.cosineTopK(emb, 10, 5)
+      e.select("query_id", "neighbor_id")
+        .intersect(df.select("query_id", "neighbor_id")).count().toDouble / e.count()
+    }
+    val flat = recallOf(Similarity.pqSearch(emb, codes, books, 10, 5))
+    val rr = recallOf(Similarity.pqSearchRerank(emb, codes, books, 10, 5, 20))
+    assert(rr >= flat, s"re-rank recall $rr must never lose to flat ADC $flat")
+    assert(rr >= 0.8, s"re-rank recall $rr below spec floor 0.8 (gate bound 0.7)")
+  }
+
   test("fused pq_cosine is bit-equal to cosine over the reconstructed vector") {
     import graft.functions.CosineSimilarity.cosineSim
     import graft.functions.PqCosine.pqCosine
