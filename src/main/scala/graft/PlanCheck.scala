@@ -54,7 +54,14 @@ object PlanCheck {
         "x_quality_baseline",
         // r11: artifact-loaded triangle count (scan -> wedge join, no
         // similarity subtree) — audit that the load side stays pruned
-        "x_graph_triangles_indexed")
+        "x_graph_triangles_indexed",
+        // r13: PQ family — audit that the code-scan side never reads
+        // the embedding column (ReadSchema on codes only) and the
+        // IVFADC probe join partition-prunes on cell
+        "x_sim_pq_topk", "x_sim_ivfpq_ann", "x_sim_pq_rerank",
+        // r13: vocabulary-hoisted BPE encode (merge chain on the
+        // distinct-word table, broadcast back — corpus side one scan)
+        "x_corpus_bpe_encode")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
