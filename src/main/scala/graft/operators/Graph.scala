@@ -316,6 +316,57 @@ object Graph {
     commonNeighbors(pairs, k = 20, maxDeg = Some(1000L))
   }
 
+  /** Resource-allocation link prediction (Zhou/Lü/Zhang 2009):
+    * RA(v,w) = sum over common neighbors u of 1/deg(u) — a shared RARE
+    * neighbor is strong evidence, a shared hub is weak, which is
+    * exactly the failure mode of raw common-neighbor counts on
+    * boilerplate-heavy near-dup graphs (every doc sharing a template
+    * hub looks linked). Same wedge-enumeration shape as
+    * [[commonNeighbors]] — the weight is attached to the CENTER before
+    * the wedge self-join, so it rides the same shuffle and the
+    * aggregation is a plain sum. Weights are exact integers
+    * (`1000000 div deg` — parts-per-million; floor division is
+    * engine-portable where 1.0/deg is not), so the ranking and the
+    * gate hash are bit-stable. `maxDeg` caps the center table like
+    * the parent op: at 100 TB a template hub of degree d contributes
+    * d^2 wedges and at most 1e6/d per pair — quadratic cost for
+    * vanishing signal, the same economics as [[Dedup]]'s `maxDf`. */
+  def resourceAllocation(edges0: DataFrame, k: Int,
+      maxDeg: Option[Long] = None): DataFrame = {
+    val edges = graft.core.Materialize.pin(edges0)
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("du"))
+    val centers = maxDeg match {
+      case Some(cap) =>
+        sym.join(deg.filter(col("du") <= cap), Seq("u"), "left_semi")
+      case None => sym
+    }
+    val weighted = centers.join(deg, Seq("u"))
+      .select(col("u"), col("v"), expr("1000000L div du").as("wu"))
+    val left = graft.core.Materialize.pin(weighted)
+    val wedges = left.join(left.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy("v", "w")
+      .agg(sum("wu").as("ra_ppm"), count(lit(1)).as("n_common"))
+    wedges
+      .join(edges.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"),
+        "left_anti")
+      .orderBy(col("ra_ppm").desc, col("v"), col("w"))
+      .limit(k)
+      .select(col("v").as("node_a"), col("w").as("node_b"),
+        col("ra_ppm"), col("n_common"))
+  }
+
+  /** Gate twin of [[graphCommonNeighbors]] under the RA weighting. */
+  val graphResourceAllocation: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    resourceAllocation(pairs, k = 20, maxDeg = Some(1000L))
+  }
+
   val queries: Map[String, Q] = Map(
     "x_graph_triangles" -> graphTriangles,
     "x_graph_triangles_indexed" -> graphTrianglesIndexed,
@@ -323,6 +374,7 @@ object Graph {
     "x_graph_pagerank_indexed" -> graphPageRankIndexed,
     "x_graph_common_neighbors" -> graphCommonNeighbors,
     "x_graph_common_neighbors_indexed" -> graphCommonNeighborsIndexed,
+    "x_graph_resource_alloc" -> graphResourceAllocation,
     "x_graph_kcore" -> graphKCore,
     "x_graph_kcore_indexed" -> graphKCoreIndexed,
     "x_graph_communities" -> graphCommunities,
@@ -361,6 +413,18 @@ object Graph {
         "SELECT v AS node_a, w AS node_b, n_common FROM wed " +
         "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wed.v AND e.b = wed.w) " +
         "ORDER BY n_common DESC, node_a, node_b LIMIT 20")
+
+  private val resourceAllocSql =
+      (edgeCte + ", " +
+        "sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM sym GROUP BY u), " +
+        "wsym AS (SELECT s.u, s.v, 1000000 // d.du AS wu FROM sym s JOIN deg d USING (u)), " +
+        "wed AS (SELECT s1.v AS v, s2.v AS w, CAST(SUM(s1.wu) AS BIGINT) AS ra_ppm, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_common " +
+        "FROM wsym s1 JOIN wsym s2 ON s1.u = s2.u AND s1.v < s2.v GROUP BY 1, 2) " +
+        "SELECT v AS node_a, w AS node_b, ra_ppm, n_common FROM wed " +
+        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wed.v AND e.b = wed.w) " +
+        "ORDER BY ra_ppm DESC, node_a, node_b LIMIT 20")
 
   private val communitiesSql =
       (edgeCte + ", " +
@@ -403,6 +467,7 @@ object Graph {
     "x_graph_triangles_indexed" -> trianglesSql,
     "x_graph_common_neighbors" -> commonNeighborsSql,
     "x_graph_common_neighbors_indexed" -> commonNeighborsSql,
+    "x_graph_resource_alloc" -> resourceAllocSql,
     "x_graph_communities" -> communitiesSql,
     "x_graph_communities_indexed" -> communitiesSql,
     "x_graph_kcore" -> kcoreSql,

@@ -218,6 +218,30 @@ class Round13Spec extends SparkSpec {
       s"merge 9 recomputed from the encoder's state was $top, trainer chose ${m9(8)}")
   }
 
+  test("resource allocation outranks hub-mediated pairs that common-neighbors prefers") {
+    import graft.operators.Graph
+    // (v,w) share ONE rare neighbor (deg 2): RA = 500000
+    // (x,y) share TWO hubs (deg 10 each):   RA = 200000, n_common = 2
+    val spokes = (0 until 8).flatMap(i =>
+      Seq((100L, 200L + i), (101L, 300L + i))) // hubs 100, 101 + 8 spokes each
+    val edges = (Seq((50L, 1L), (50L, 2L), // rare neighbor 50 links v=1, w=2
+      (100L, 10L), (100L, 11L), (101L, 10L), (101L, 11L)) ++ spokes)
+      .toDF("a", "b")
+    val ra = Graph.resourceAllocation(edges, k = 50)
+      .as[(Long, Long, Long, Long)].collect()
+    val cn = Graph.commonNeighbors(edges, k = 50)
+      .as[(Long, Long, Long)].collect()
+    val raMap = ra.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(raMap((1L, 2L)) == ((500000L, 1L)), s"rare-neighbor pair: ${raMap.get((1L, 2L))}")
+    assert(raMap((10L, 11L)) == ((200000L, 2L)), s"hub pair: ${raMap.get((10L, 11L))}")
+    val raRank = ra.sortBy(r => (-r._3, r._1, r._2)).map(r => (r._1, r._2)).toSeq
+    assert(raRank.indexOf((1L, 2L)) < raRank.indexOf((10L, 11L)),
+      "RA must rank the rare-neighbor pair above the hub pair")
+    val cnTop = cn.maxBy(_._3)
+    assert((cnTop._1, cnTop._2) == ((10L, 11L)),
+      "common-neighbors prefers the hub pair — the disagreement RA exists for")
+  }
+
   // ---- heavy hitters gate twin ----
 
   test("heavy-hitters gate: every true heavy hitter is captured") {
