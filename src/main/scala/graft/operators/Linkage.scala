@@ -106,6 +106,50 @@ object Linkage {
       .withColumnsRenamed(Map("id_a" -> "cust_a", "id_b" -> "cust_b"))
       .orderBy("cust_a", "cust_b")
 
+  /** Sorted-neighborhood blocking (Hernández/Stolfo 1995): total-sort
+    * the records on the link key, then candidates are only pairs
+    * within `window` positions — a FIXED n*(window-1) candidate budget
+    * regardless of key length or typo model, where
+    * [[editDistancePairs]]' deletion fan-out grows with |s| (d=1) or
+    * |s|^2 (d=2). The complementary trade: deletion blocking is
+    * candidate-COMPLETE for its distance bound; sorted-neighborhood is
+    * not — a typo in the leading characters teleports a record across
+    * the sort order and out of its twin's window (Round13Spec pins
+    * both sides of this trade). Production recipe: multiple passes
+    * with independent keys (name, reversed name, phonetic) union'd —
+    * each pass is this operator.
+    *
+    * Scale shape: the global position comes from [[graft.core.Ids
+    * .denseId]] (range-partitioned total sort + per-partition offsets
+    * — never a single-partition window); each record then probes its
+    * window-1 successors through ONE equi-join on position, and every
+    * candidate is verified with the thresholded codegen'd levenshtein.
+    * Nothing is quadratic; nothing is driver-side. */
+  def sortedNeighborhoodPairs(df: DataFrame, id: Column, s: Column,
+      window: Int, maxDist: Int = 1): DataFrame = {
+    require(window >= 2, s"window must cover at least one neighbor (got $window)")
+    val base = df.select(id.as("__id"), s.as("__s"))
+    val pos = graft.core.Materialize.pin(
+      graft.core.Ids.denseId(base, Seq(col("__s"), col("__id")), "__pos"))
+    val probes = pos.select(col("__id").as("ia"), col("__s").as("__sa"),
+      explode(expr(s"transform(sequence(1, ${window - 1}), o -> __pos + o)"))
+        .as("__ppos"))
+    probes.join(pos.select(col("__id").as("ib"), col("__s").as("__sb"),
+        col("__pos").as("__ppos")), Seq("__ppos"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Gate twin of [[linkEditNames]] under the fixed-budget blocking:
+    * ED<=1 pairs whose names sit within 10 sort positions. */
+  val linkSortedNeighborhood: Q = (s, dir) =>
+    sortedNeighborhoodPairs(t(s, dir, "customer"), col("c_custkey"),
+      col("c_name"), window = 10, maxDist = 1)
+      .withColumnsRenamed(Map("id_a" -> "cust_a", "id_b" -> "cust_b"))
+      .orderBy("cust_a", "cust_b")
+
   /** Exact term-frequency cosine similarity self-join: all doc pairs
     * with cos(tf_a, tf_b) >= `minCos` over whitespace-token multisets,
     * where `minCos` is a RATIONAL p/q so the threshold test runs in
@@ -173,6 +217,7 @@ object Linkage {
 
   val queries: Map[String, Q] = Map(
     "x_link_edit_names" -> linkEditNames,
+    "x_link_sorted_neighborhood" -> linkSortedNeighborhood,
     "x_link_tf_cosine" -> linkTfCosine)
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +227,14 @@ object Linkage {
         "FROM customer a, customer b " +
         "WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1 " +
         "ORDER BY cust_a, cust_b"),
+    "x_link_sorted_neighborhood" ->
+      ("WITH p AS (SELECT c_custkey AS id, c_name AS s, " +
+        "row_number() OVER (ORDER BY c_name, c_custkey) AS pos FROM customer), " +
+        "c AS (SELECT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb " +
+        "FROM p a JOIN p b ON b.pos > a.pos AND b.pos < a.pos + 10) " +
+        "SELECT LEAST(ia, ib) AS cust_a, GREATEST(ia, ib) AS cust_b, " +
+        "CAST(levenshtein(sa, sb) AS INT) AS dist " +
+        "FROM c WHERE levenshtein(sa, sb) <= 1 ORDER BY cust_a, cust_b"),
     "x_link_tf_cosine" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents WHERE doc_id % 10 = 0), " +
         "tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +

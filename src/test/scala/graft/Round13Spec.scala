@@ -218,6 +218,36 @@ class Round13Spec extends SparkSpec {
       s"merge 9 recomputed from the encoder's state was $top, trainer chose ${m9(8)}")
   }
 
+  test("sorted-neighborhood blocking: window recall and its documented blind spot") {
+    import graft.operators.Linkage
+    val recs = Seq(
+      (1L, "anderson"), (2L, "andersen"),   // tail typo: sort-adjacent
+      (3L, "smith"), (4L, "zmith"),         // HEAD typo: teleported in sort order
+      (5L, "baker"), (6L, "baker"),         // exact duplicate
+      (7L, "carter"), (8L, "dawson"), (9L, "ellis"), (10L, "foster"),
+      (11L, "garner"), (12L, "harper"), (13L, "irwin"), (14L, "jones"),
+      // t..y fillers keep smith and zmith more than a window apart
+      (15L, "thomas"), (16L, "upton"), (17L, "victor"), (18L, "walker"),
+      (19L, "xavier"), (20L, "young"))
+      .toDF("id", "name")
+    val sn = Linkage.sortedNeighborhoodPairs(recs, col("id"), col("name"),
+      window = 3, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sn.contains((1L, 2L)), "tail-typo twins are sort-adjacent and found")
+    assert(sn.contains((5L, 6L)), "exact duplicates always share a window")
+    // the documented trade: a leading-character typo moves the record
+    // across the sort order, out of every shared window — the pair the
+    // deletion-neighborhood blocking DOES find
+    assert(!sn.contains((3L, 4L)), "head-typo pair is the known blind spot")
+    val dn = Linkage.editDistancePairs(recs, col("id"), col("name"), 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dn.contains((3L, 4L)), "deletion blocking is candidate-complete at d=1")
+    // candidate budget: window w over n rows probes at most n*(w-1) pairs
+    val nCand = Linkage.sortedNeighborhoodPairs(recs, col("id"), col("name"),
+      window = 3, maxDist = 100).count()
+    assert(nCand <= recs.count() * 2, "fixed n*(w-1) candidate budget")
+  }
+
   test("resource allocation outranks hub-mediated pairs that common-neighbors prefers") {
     import graft.operators.Graph
     // (v,w) share ONE rare neighbor (deg 2): RA = 500000
