@@ -126,11 +126,13 @@ object Linkage {
     * candidate is verified with the thresholded codegen'd levenshtein.
     * Nothing is quadratic; nothing is driver-side. */
   def sortedNeighborhoodPairs(df: DataFrame, id: Column, s: Column,
-      window: Int, maxDist: Int = 1): DataFrame = {
+      window: Int, maxDist: Int = 1,
+      keyOf: Column => Column = identity): DataFrame = {
     require(window >= 2, s"window must cover at least one neighbor (got $window)")
-    val base = df.select(id.as("__id"), s.as("__s"))
+    val base = df.select(id.as("__id"), s.as("__s"),
+      keyOf(s).as("__k"))
     val pos = graft.core.Materialize.pin(
-      graft.core.Ids.denseId(base, Seq(col("__s"), col("__id")), "__pos"))
+      graft.core.Ids.denseId(base, Seq(col("__k"), col("__id")), "__pos"))
     val probes = pos.select(col("__id").as("ia"), col("__s").as("__sa"),
       explode(expr(s"transform(sequence(1, ${window - 1}), o -> __pos + o)"))
         .as("__ppos"))
@@ -142,11 +144,35 @@ object Linkage {
       .filter(col("dist") >= 0)
   }
 
+  /** Multi-pass sorted neighborhood — the standard remedy for the
+    * single-key blind spot: run one pass per independent sort key
+    * (name, reversed name, a phonetic code, ...) and union the
+    * verified pairs. A head typo that escapes the forward-sorted
+    * window is tail-adjacent under the reversed key; k passes cost
+    * k * n * (window-1) candidates, still linear. Pairs found by
+    * several passes dedup on (id_a, id_b, dist) — dist is a function
+    * of the pair, so distinct is exact. */
+  def sortedNeighborhoodMultiPass(df: DataFrame, id: Column, s: Column,
+      window: Int, maxDist: Int,
+      keys: Seq[Column => Column]): DataFrame = {
+    require(keys.nonEmpty, "at least one sort key pass")
+    keys.map(k => sortedNeighborhoodPairs(df, id, s, window, maxDist, k))
+      .reduce(_ unionByName _).distinct()
+  }
+
   /** Gate twin of [[linkEditNames]] under the fixed-budget blocking:
     * ED<=1 pairs whose names sit within 10 sort positions. */
   val linkSortedNeighborhood: Q = (s, dir) =>
     sortedNeighborhoodPairs(t(s, dir, "customer"), col("c_custkey"),
       col("c_name"), window = 10, maxDist = 1)
+      .withColumnsRenamed(Map("id_a" -> "cust_a", "id_b" -> "cust_b"))
+      .orderBy("cust_a", "cust_b")
+
+  /** Two-pass gate: forward + reversed-name sort keys union'd. */
+  val linkSnMultipass: Q = (s, dir) =>
+    sortedNeighborhoodMultiPass(t(s, dir, "customer"), col("c_custkey"),
+      col("c_name"), window = 10, maxDist = 1,
+      keys = Seq(identity, reverse))
       .withColumnsRenamed(Map("id_a" -> "cust_a", "id_b" -> "cust_b"))
       .orderBy("cust_a", "cust_b")
 
@@ -218,6 +244,7 @@ object Linkage {
   val queries: Map[String, Q] = Map(
     "x_link_edit_names" -> linkEditNames,
     "x_link_sorted_neighborhood" -> linkSortedNeighborhood,
+    "x_link_sn_multipass" -> linkSnMultipass,
     "x_link_tf_cosine" -> linkTfCosine)
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +260,18 @@ object Linkage {
         "c AS (SELECT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb " +
         "FROM p a JOIN p b ON b.pos > a.pos AND b.pos < a.pos + 10) " +
         "SELECT LEAST(ia, ib) AS cust_a, GREATEST(ia, ib) AS cust_b, " +
+        "CAST(levenshtein(sa, sb) AS INT) AS dist " +
+        "FROM c WHERE levenshtein(sa, sb) <= 1 ORDER BY cust_a, cust_b"),
+    "x_link_sn_multipass" ->
+      ("WITH p1 AS (SELECT c_custkey AS id, c_name AS s, " +
+        "row_number() OVER (ORDER BY c_name, c_custkey) AS pos FROM customer), " +
+        "p2 AS (SELECT c_custkey AS id, c_name AS s, " +
+        "row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS pos FROM customer), " +
+        "c AS (SELECT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb " +
+        "FROM p1 a JOIN p1 b ON b.pos > a.pos AND b.pos < a.pos + 10 " +
+        "UNION ALL SELECT a.id, b.id, a.s, b.s " +
+        "FROM p2 a JOIN p2 b ON b.pos > a.pos AND b.pos < a.pos + 10) " +
+        "SELECT DISTINCT LEAST(ia, ib) AS cust_a, GREATEST(ia, ib) AS cust_b, " +
         "CAST(levenshtein(sa, sb) AS INT) AS dist " +
         "FROM c WHERE levenshtein(sa, sb) <= 1 ORDER BY cust_a, cust_b"),
     "x_link_tf_cosine" ->

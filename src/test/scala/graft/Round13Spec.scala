@@ -242,6 +242,14 @@ class Round13Spec extends SparkSpec {
     val dn = Linkage.editDistancePairs(recs, col("id"), col("name"), 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(dn.contains((3L, 4L)), "deletion blocking is candidate-complete at d=1")
+    // the standard remedy: a second pass on the REVERSED key makes the
+    // head-typo pair tail-adjacent; the union recovers it
+    val mp = Linkage.sortedNeighborhoodMultiPass(recs, col("id"), col("name"),
+      window = 3, maxDist = 1, keys = Seq(identity, reverse))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mp.contains((3L, 4L)), "reversed-key pass recovers the head typo")
+    assert(mp.contains((1L, 2L)) && mp.contains((5L, 6L)),
+      "multi-pass is a superset of the forward pass here")
     // candidate budget: window w over n rows probes at most n*(w-1) pairs
     val nCand = Linkage.sortedNeighborhoodPairs(recs, col("id"), col("name"),
       window = 3, maxDist = 100).count()
