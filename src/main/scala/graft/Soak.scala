@@ -480,6 +480,15 @@ object Soak {
     time("edit_distance_2m") {
       graft.operators.Linkage.editDistancePairs(
         linkKeys(2000000L * mult), col("id"), col("s"), 1) }
+    // sorted-neighborhood on the same key distribution: cost is the
+    // total sort + n*(w-1) candidates — compare the slope against the
+    // deletion-variant fan-out above (which scales with key length)
+    time("sorted_neighborhood_1m") {
+      graft.operators.Linkage.sortedNeighborhoodPairs(
+        linkKeys(1000000L * mult), col("id"), col("s"), window = 10, maxDist = 1) }
+    time("sorted_neighborhood_2m") {
+      graft.operators.Linkage.sortedNeighborhoodPairs(
+        linkKeys(2000000L * mult), col("id"), col("s"), window = 10, maxDist = 1) }
 
     // tf-cosine similarity join: vocabulary grows WITH the corpus
     // (0.4n types, 20 tokens/doc -> df ~ 50), so posting-list volume
