@@ -338,6 +338,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — output-identical to
+    * [[textContamination]] (the exact join removes bloom false
+    * positives; identity IS the contract, so both share one oracle).
+    * The scale story this buys: the corpus side's gram stream is cut
+    * AT THE SCAN by a few-MB bloom of the eval-set grams, so the
+    * grams that reach the verify join are true hits plus the fpp
+    * tail — at 100 TB, where the eval gram set is too large to
+    * broadcast raw and the verify must shuffle, the bloom removes
+    * ~all of the shuffle volume first (the [[BloomPrune]] pattern
+    * applied to n-gram decontamination; same deliberate scala-UDF
+    * position — behind the pushed-down scan, before every exchange). */
+  val textContaminationBloom: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(wordNgrams(col("ws"), 4)).as("g"))
+    val evalGrams = graft.core.Materialize.pin(
+      grams.filter(col("doc_id") < 10).select("g").distinct())
+    val bf = evalGrams.stat.bloomFilter("g", 100000L, 0.01)
+    val might = udf((g: String) => g != null && bf.mightContainString(g))
+    grams.filter(col("doc_id") >= 10)
+      .filter(might(col("g")))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Dataset-mix statistics: per-source doc/token counts and each
     * source's share of total tokens — the bookkeeping behind sampling
     * weights when mixing sources into a training run. One partial-
@@ -473,6 +500,7 @@ object TextAnalysis {
     "x_text_collocations" -> textCollocations,
     "x_text_eval_confusion" -> textEvalConfusion,
     "x_text_contamination" -> textContamination,
+    "x_text_contamination_bloom" -> textContaminationBloom,
     "x_text_mix_stats" -> textMixStats,
     "x_text_repetition" -> textRepetition,
     "x_dedup_simhash_portable" -> textSimhashPortable,
@@ -489,6 +517,15 @@ object TextAnalysis {
     s"CAST(len(list_filter($listExpr, w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS INT)"
 
   private val wsExpr = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Shared by the plain and bloom-prefiltered decontamination rows —
+    * the bloom leg's contract is output identity. */
+  private val contaminationSql: String =
+    (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
+      "g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g FROM w, unnest(range(1, len(ws)-2)) AS u(i) WHERE len(ws) >= 4), " +
+      "e AS (SELECT DISTINCT g FROM g WHERE doc_id < 10) " +
+      "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams FROM g JOIN e USING (g) " +
+      "WHERE g.doc_id >= 10 GROUP BY g.doc_id ORDER BY doc_id")
 
   val oracles: Map[String, String] = Map(
     "x_text_pii_scrub" ->
@@ -580,12 +617,9 @@ object TextAnalysis {
         "FROM g, unnest(range(3, len(gh))) AS t(p) " +
         "WHERE gh[p+1] = list_min(gh[p-2:p+1]) " +
         "ORDER BY doc_id, pos"),
-    "x_text_contamination" ->
-      (s"WITH w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
-        "g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g FROM w, unnest(range(1, len(ws)-2)) AS u(i) WHERE len(ws) >= 4), " +
-        "e AS (SELECT DISTINCT g FROM g WHERE doc_id < 10) " +
-        "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams FROM g JOIN e USING (g) " +
-        "WHERE g.doc_id >= 10 GROUP BY g.doc_id ORDER BY doc_id"),
+    // bloom twin is output-identical by contract -> one shared oracle
+    "x_text_contamination_bloom" -> contaminationSql,
+    "x_text_contamination" -> contaminationSql,
     "x_text_mix_stats" ->
       (s"WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         s"CAST(SUM(len($wsExpr)) AS BIGINT) AS n_tokens FROM documents GROUP BY source) " +

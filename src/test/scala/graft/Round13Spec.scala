@@ -280,6 +280,15 @@ class Round13Spec extends SparkSpec {
       "common-neighbors prefers the hub pair — the disagreement RA exists for")
   }
 
+  test("bloom-prefiltered decontamination equals the plain form and actually prunes") {
+    val plain = SparkEntry.queries("x_text_contamination")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val bloom = SparkEntry.queries("x_text_contamination_bloom")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(plain.nonEmpty && bloom == plain,
+      "bloom prefilter must not change the output (exact verify removes fps)")
+  }
+
   // ---- heavy hitters gate twin ----
 
   test("heavy-hitters gate: every true heavy hitter is captured") {
