@@ -744,10 +744,7 @@ object Similarity {
     val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         pqCosine(col("codes"), col("q_emb"), books).as("sim"))
-    sims.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    resolveTopK(sims, k)
   }
 
   /** IVFADC (IVF + PQ, the FAISS-style production layout): the coarse
@@ -782,10 +779,30 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.PqCosine.pqCosine(col("codes"), col("q_emb"), books).as("sim"))
-    sims.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    resolveTopK(sims, k)
+  }
+
+  /** Per-query top-k resolution via the [[graft.functions.TopK]]
+    * partial aggregator: map tasks emit <= k rows per query BEFORE the
+    * exchange, so shuffle volume is O(queries * k) instead of the
+    * O(corpus * queries) a window-rank formulation drags through one
+    * partition per query. Ordering contract identical to the window
+    * form (sim desc, neighbor_id asc) — [[cosineTopKNative]] pins the
+    * bit-equality of the two formulations on the exact kernel, and
+    * the PQ rows' oracles held unchanged across the switch. */
+  private def resolveTopK(sims: DataFrame, k: Int): DataFrame = {
+    import sims.sparkSession.implicits._
+    import graft.functions.TopK
+    sims.filter(col("sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new TopK(k).toColumn.name("top"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((_, nid), i) => (qid, nid, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
   }
 
   /** Two-stage PQ search (the production recall recipe): ADC shortlist
@@ -812,10 +829,7 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("q_emb"), col("n_emb")).as("sim"))
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    resolveTopK(cand, k)
   }
 
   /** Re-ranked gate twin of [[simPqTopK]]: same artifact, shortlist
