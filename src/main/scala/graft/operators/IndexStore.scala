@@ -232,8 +232,14 @@ object IndexStore {
     import emb.sparkSession.implicits._
     val (assigned, centroids) =
       Similarity.ivfIndexWithCentroids(emb, nCentroids, ivfIters)
-    val books = Similarity.pqCodebooks(emb, m, ksub, pqIters, dim)
-    Similarity.pqEncode(emb, books).join(assigned, Seq("vec_id"))
+    // codebooks train on and codes encode the RESIDUAL v - centroid
+    // (FAISS-style): the coarse quantizer explains the cell mean, PQ
+    // spends its 16 bytes on what is left
+    val resid = graft.core.Materialize.pin(
+      Similarity.residualFrame(emb, assigned, centroids))
+    val books = Similarity.pqCodebooks(resid, m, ksub, pqIters, dim)
+    Similarity.pqEncode(resid, books)
+      .join(assigned, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
     centroids.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
