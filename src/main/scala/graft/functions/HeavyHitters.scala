@@ -14,6 +14,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * Spark can partial-aggregate it map-side and the guarantee survives
   * any partitioning / merge order.
   *
+  * Hot-path shape (the buffer sees every token of a 100 TB stream):
+  * the classic "decrement ALL counters when full and unseen" step is
+  * carried as a lazy global `debt` — effective(x) = stored(x) - debt —
+  * so the saturated-unseen case (the COMMON case on a Zipf tail,
+  * domain >> k) is one Long increment plus a comparison against a
+  * cached minimum, not an O(k) map rebuild. Stored counters are only
+  * physically pruned when the debt actually overtakes the cached
+  * minimum (at least one entry dies per prune, so prunes are bounded
+  * by insertions); the cached minimum may go stale LOW when the
+  * minimal entry is incremented, which only ever triggers a prune
+  * that removes nothing — conservative, never wrong. Within a
+  * partition Spark keeps this buffer deserialized (object-hash
+  * aggregation), so per-row cost is the in-memory update.
+  *
   * Why this shape for 100 TB: the exact frequent-items query needs a
   * shuffle keyed on an unbounded item domain (tokens, URLs, shingles);
   * this summary is `k` pairs TOTAL per partial, answers "which items
@@ -28,37 +42,65 @@ import org.apache.spark.sql.expressions.Aggregator
   * bound rows.
   */
 class HeavyHitters(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, (Map[String, Long], Long, Long), Map[String, Long]] {
   require(k > 0, "k must be positive")
 
-  override def zero: Map[String, Long] = Map.empty
+  /** (stored counters, debt, cached min stored value). Effective
+    * count = stored - debt; entries with stored <= debt are dead. */
+  override def zero: (Map[String, Long], Long, Long) =
+    (Map.empty, 0L, Long.MaxValue)
 
-  override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
-    buf.get(x) match {
-      case Some(c) => buf.updated(x, c + 1L)
-      case None if buf.size < k => buf.updated(x, 1L)
-      // full and unseen: decrement every counter instead of inserting
-      // (the classic MG step — charges the new item and one occurrence
-      // of each tracked item together, bounding total undercount)
-      case None => buf.collect { case (t, c) if c > 1L => t -> (c - 1L) }
-    }
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val m = b.foldLeft(a) { case (acc, (t, c)) =>
-      acc.updated(t, acc.getOrElse(t, 0L) + c)
-    }
-    if (m.size <= k) m
-    else {
-      // keep the k largest counters; subtracting the (k+1)-th largest
-      // from all preserves the per-item undercount bound additively
-      val cut = m.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
-      m.collect { case (t, c) if c > cut => t -> (c - cut) }
+  override def reduce(buf: (Map[String, Long], Long, Long),
+      x: String): (Map[String, Long], Long, Long) = {
+    val (m, debt, minS) = buf
+    m.get(x) match {
+      case Some(c) =>
+        // minS may now be stale-low if x was the unique minimum —
+        // harmless: a stale-low min only triggers a no-op prune
+        (m.updated(x, c + 1L), debt, minS)
+      case None if m.size < k =>
+        val c = debt + 1L // effective 1
+        (m.updated(x, c), debt, math.min(minS, c))
+      case None =>
+        // classic MG: the unseen item cancels against one global
+        // decrement of every tracked counter — lazily, debt += 1
+        val nd = debt + 1L
+        if (nd >= minS) {
+          val pruned = m.filter(_._2 > nd)
+          val newMin = if (pruned.isEmpty) Long.MaxValue
+            else pruned.valuesIterator.min
+          (pruned, nd, newMin)
+        } else (m, nd, minS)
     }
   }
 
-  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+  private def effective(buf: (Map[String, Long], Long, Long)): Map[String, Long] = {
+    val (m, debt, _) = buf
+    if (debt == 0L) m
+    else m.collect { case (t, c) if c > debt => t -> (c - debt) }
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
+  override def merge(a: (Map[String, Long], Long, Long),
+      b: (Map[String, Long], Long, Long)): (Map[String, Long], Long, Long) = {
+    val ea = effective(a)
+    val m = effective(b).foldLeft(ea) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    val cut =
+      if (m.size <= k) m
+      else {
+        // keep the k largest; subtracting the (k+1)-th largest from
+        // all preserves the per-item undercount bound additively
+        val c = m.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
+        m.collect { case (t, v) if v > c => t -> (v - c) }
+      }
+    (cut, 0L, if (cut.isEmpty) Long.MaxValue else cut.valuesIterator.min)
+  }
+
+  override def finish(buf: (Map[String, Long], Long, Long)): Map[String, Long] =
+    effective(buf)
+
+  override def bufferEncoder: Encoder[(Map[String, Long], Long, Long)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -509,7 +509,15 @@ object Corpus {
     * Returns (w, toks ARRAY<STRING>, n_toks INT); `concat_ws("",
     * toks) == w` by construction — merges only ever concatenate. */
   def bpeEncodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val spelled = regexp_replace(col("w"), "(.)", "{$1}")
+    // the delimiter safety argument requires brace-free words; a caller
+    // skipping the declared normalization would get silently corrupt
+    // tokens, so the precondition fails loudly instead (one cheap rlike
+    // per VOCAB row, not per occurrence)
+    val guarded = when(col("w").rlike("[{}]"),
+      raise_error(concat(lit("bpeEncodeWords: word contains a brace "),
+        lit("delimiter — normalize to [a-z0-9]* first: "), col("w"))))
+      .otherwise(col("w"))
+    val spelled = regexp_replace(guarded, "(.)", "{$1}")
     val enc = merges.foldLeft(spelled) { case (c, (l, r)) =>
       org.apache.spark.sql.functions.replace(
         c, lit(s"{$l}{$r}"), lit(s"{$l$r}"))

@@ -174,6 +174,16 @@ class Round13Spec extends SparkSpec {
       s"b+a merged across the {ab}|{a} boundary: $enc")
   }
 
+  test("bpeEncodeWords rejects brace-bearing words loudly") {
+    val bad = Seq("ok", "br{ace").toDF("w")
+    val e = intercept[Exception] {
+      Corpus.bpeEncodeWords(bad, Seq("o" -> "k")).collect()
+    }
+    assert(e.getMessage.contains("brace") ||
+      e.getCause != null && e.getCause.getMessage.contains("brace"),
+      s"expected the precondition error, got: ${e.getMessage}")
+  }
+
   test("bpe encode gate: per-doc token mass conserves characters") {
     val g = SparkEntry.queries("x_corpus_bpe_encode")(spark, dir)
       .agg(sum("n_bpe_tokens"), sum("n_words"), sum("n_chars")).head()
