@@ -121,6 +121,36 @@ class Round13Spec extends SparkSpec {
       "dimension mismatch must null, never score a prefix")
   }
 
+  test("fused residual scorer is bit-equal to cosine over centroid + reconstruction") {
+    import graft.functions.CosineSimilarity.cosineSim
+    import graft.functions.PqCosineResidual.pqCosineResidual
+    import org.apache.spark.sql.functions.{broadcast, typedlit}
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val (assigned, cents) = Similarity.ivfIndexWithCentroids(emb, 8, 2)
+    val resid = Similarity.residualFrame(emb, assigned, cents)
+    val books = Similarity.pqCodebooks(resid)
+    val reps = cents.toDF("cell", "__cent")
+    val withQ = Similarity.pqEncode(resid, books)
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(broadcast(reps), Seq("cell"))
+      .join(emb.select(col("vec_id"), col("embedding").as("q_emb")), Seq("vec_id"))
+    // composed reference: float-add centroid + looked-up codeword, then
+    // the plain cosine kernel — the fused form must match bitwise
+    val recon = org.apache.spark.sql.functions.flatten(
+      org.apache.spark.sql.functions.array(books.indices.map(j =>
+        org.apache.spark.sql.functions.element_at(typedlit(books(j)),
+          org.apache.spark.sql.functions.element_at(col("codes"), j + 1) + 1)): _*))
+    val composed = expr("transform(zip_with(__cent, __recon, (a, b) -> a + b), " +
+      "v -> CAST(v AS FLOAT))")
+    val both = withQ.withColumn("__recon", recon)
+      .select(col("vec_id"),
+        pqCosineResidual(col("codes"), col("q_emb"), col("__cent"), books).as("fused"),
+        cosineSim(col("q_emb"), composed).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed") ||
+      col("fused").isNull =!= col("composed").isNull).count() == 0,
+      "fused residual kernel must reproduce the composed form bit-for-bit")
+  }
+
   test("IVFADC artifact flow: cell-pruned code scan clears the gate bound") {
     val emb = graft.core.Tables.t(spark, dir, "embeddings")
     val path = tmp("ivfpq_idx")
