@@ -658,8 +658,16 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
     val books: Array[Array[Array[Float]]] = {
-      val rows = emb.select("vec_id", "embedding")
-        .filter(col("vec_id") < ksub).orderBy("vec_id").collect()
+      // deterministic pseudo-random init: the ksub first vectors in
+      // xxhash64(vec_id) order (a TakeOrderedAndProject, never a full
+      // collect). Hash order is id-layout independent — the earlier
+      // "lowest vec_ids" init inherited whatever bias the id
+      // assignment carried (sorted-by-source corpora, clustered id
+      // ranges) and Lloyd at small iters does not recover from a
+      // bad start (r13 measurement: m=8 ksub=32 READ WORSE at 4
+      // iters than 2 from the biased start).
+      val rows = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub).collect()
       require(rows.nonEmpty, "PQ training needs at least one vector")
       Array.tabulate(m)(j =>
         rows.map(_.getSeq[Float](1).slice(j * sub, (j + 1) * sub).toArray))
@@ -702,9 +710,10 @@ object Similarity {
     * dictionary-encodes them down to bytes anyway). One codegen'd
     * projection — m fused [[graft.functions.ArgMinL2]] kernels per
     * row, no shuffle. Defaults chosen by measured gate-corpus recall
-    * (m=16/ksub=256/iters=3 reads 0.84 / 0.86 / 0.70 at
-    * sf0.001/0.01/0.1; fewer-but-wider subspaces lose resolution
-    * faster than fewer codewords — m=8/ksub=32 read 0.32). */
+    * (m=16/ksub=256/iters=3 reads 0.74 / 0.84 / 0.64 at
+    * sf0.001/0.01/0.1 under the hash-order init; fewer-but-wider
+    * subspaces lose resolution faster than fewer codewords —
+    * m=8/ksub=32 read 0.32). */
   def pqEncode(emb: DataFrame, books: Seq[Seq[Seq[Float]]]): DataFrame = {
     import graft.functions.ArgMinL2.argminL2
     val sub = books.head.head.length
