@@ -490,6 +490,28 @@ object Soak {
       graft.operators.Linkage.sortedNeighborhoodPairs(
         linkKeys(2000000L * mult), col("id"), col("s"), window = 10, maxDist = 1) }
 
+    // heavy hitters over a Zipf-ish stream whose domain (1M tails) is
+    // ~16000x the counter budget: the saturated-unseen case dominates,
+    // which is exactly the branch the lazy-debt rewrite made O(1) —
+    // guarantee still checked at the end of the run
+    if (want("heavy_hitters")) {
+      import spark.implicits._
+      val n = 20000000L * mult
+      val toks = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) < 3,
+          concat(lit("head_"), pmod(col("id"), lit(8))))
+          .otherwise(concat(lit("tail_"), pmod(col("id") * 7919, lit(1000000))))
+          .as("tok"))
+      val t0 = System.nanoTime()
+      val summary = toks.as[String]
+        .select(new graft.functions.HeavyHitters(64).toColumn).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SOAK heavy_hitters_20m        $sec%8.2f s  (${n / sec / 1e6}%.1f M tok/s)")
+      val captured = (0 until 8).count(i => summary.contains(s"head_$i"))
+      println(s"SOAK heavy_hitters guarantee: $captured/8 head tokens captured " +
+        s"(each ~3.75% of stream >> 1/65), summary size ${summary.size}")
+    }
+
     // tf-cosine similarity join: vocabulary grows WITH the corpus
     // (0.4n types, 20 tokens/doc -> df ~ 50), so posting-list volume
     // sum(df^2) ~ 1000n stays linear in docs — the regime the maxDf

@@ -553,6 +553,32 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY profile: BPE tokens per word, per source —
+    * the standard tokenizer-evaluation metric (a tokenizer trained on
+    * one distribution fragments text from another into more pieces;
+    * fertility per source/language is how that cost is budgeted before
+    * training). Integer basis points (`tokens * 10000 div words`) so
+    * the profile hashes portably. Same vocabulary-hoisted shape as
+    * [[bpeEncodeGate]]: the merge chain runs on distinct words only
+    * and broadcasts back; the corpus contributes one scan. */
+  val bpeFertilityGate: Q = (s, dir) => {
+    val occ = t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("w0"))
+      .select(col("source"),
+        regexp_replace(lower(col("w0")), "[^a-z0-9]", "").as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("n_occ"))
+    val enc = bpeEncodeWords(occ.select("w").distinct(), DefaultMerges)
+      .select(col("w"), col("n_toks"))
+    occ.join(broadcast(enc), Seq("w"))
+      .groupBy("source")
+      .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"),
+        sum("n_occ").as("n_words"))
+      .select(col("source"), col("n_bpe_tokens"), col("n_words"),
+        expr("n_bpe_tokens * 10000 div n_words").as("fertility_bp"))
+      .orderBy("source")
+  }
+
   /** Out-of-vocabulary profile: coverage of each source's token mass
     * by the corpus-wide top-`k` vocabulary — the first question a
     * tokenizer budget decision asks (how much of each source would
@@ -818,6 +844,7 @@ object Corpus {
     "x_corpus_split_safe" -> splitSafeGate,
     "x_corpus_bpe_pairs" -> bpePairs,
     "x_corpus_bpe_encode" -> bpeEncodeGate,
+    "x_corpus_bpe_fertility" -> bpeFertilityGate,
     "x_corpus_mix_rebalance" -> mixRebalance,
     "x_corpus_chunk_sliding" -> chunkSliding,
     "x_corpus_vocab_topk" -> vocabTopK,
@@ -969,6 +996,17 @@ object Corpus {
         "SELECT occ.doc_id, CAST(SUM(n_occ * n_toks) AS BIGINT) AS n_bpe_tokens, " +
         "CAST(SUM(n_occ) AS BIGINT) AS n_words, CAST(SUM(n_occ * length(w)) AS BIGINT) AS n_chars " +
         "FROM occ JOIN cnt USING (w) GROUP BY occ.doc_id ORDER BY doc_id"),
+    "x_corpus_bpe_fertility" ->
+      (s"WITH w0 AS (SELECT source, unnest($wsExpr) AS t FROM documents), " +
+        "wn AS (SELECT source, regexp_replace(lower(t), '[^a-z0-9]', '', 'g') AS w FROM w0), " +
+        "occ AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM wn WHERE w <> '' GROUP BY source, w), " +
+        "vocab AS (SELECT DISTINCT w FROM occ), " +
+        s"enc AS (SELECT w, ${bpeReplaceChainSql("regexp_replace(w, '(.)', '{\\1}', 'g')")} AS e FROM vocab), " +
+        "cnt AS (SELECT w, CAST(length(e) - length(replace(e, '{', '')) AS BIGINT) AS n_toks FROM enc), " +
+        "agg AS (SELECT occ.source, CAST(SUM(n_occ * n_toks) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(SUM(n_occ) AS BIGINT) AS n_words FROM occ JOIN cnt USING (w) GROUP BY occ.source) " +
+        "SELECT source, n_bpe_tokens, n_words, n_bpe_tokens * 10000 // n_words AS fertility_bp " +
+        "FROM agg ORDER BY source"),
     "x_corpus_mix_rebalance" ->
       (s"WITH d AS (SELECT doc_id, source, CAST(len($wsExpr) AS BIGINT) AS n_tokens FROM documents), " +
         "bs AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source), " +
