@@ -1042,6 +1042,29 @@ object Dedup {
   val dedupSpanScrub: Q = (s, dir) =>
     spanScrub(t(s, dir, "documents"), 2).orderBy("doc_id")
 
+  /** Self-verifying LSH RECALL gate — the dedup analog of
+    * [[Similarity.annRecall]]: the banded-minhash pipeline's found
+    * pairs are checked IN-QUERY against the exact prefix-filtered
+    * Jaccard join, reduced to (exact pair count, recall >= 0.9). The
+    * DedupSpec recall claims ("verified-Jaccard output = all-pairs
+    * oracle at full recall on the gate corpora") become
+    * driver-hash-checked instead of spec-only: an LSH regression
+    * (banding bug, signature drift, band-knee shift) flips the
+    * boolean and fails the gate. The oracle computes the exact pair
+    * count + TRUE, like every sketch-bound row. */
+  val dedupLshRecall: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val exact = jaccardPairsPrefix(shingles(docs), 0.5)
+      .select("doc_a", "doc_b")
+    val found = exact.join(
+      minhashLsh(docs, 0.5).select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_semi")
+    val nE = exact.count()
+    val nF = found.count()
+    Seq((nE, nF * 10L >= nE * 9L)).toDF("n_exact_pairs", "recall_ok")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_dedup_span_crossdoc" -> dedupSpanCrossdoc,
     "x_dedup_span_scrub" -> dedupSpanScrub,
@@ -1055,6 +1078,7 @@ object Dedup {
     "x_dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "x_dedup_containment" -> dedupContainment,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "x_dedup_lsh_recall" -> dedupLshRecall,
     "x_dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "x_dedup_embedding" -> dedupEmbedding)
 
@@ -1103,6 +1127,14 @@ object Dedup {
     "x_dedup_minhash_lsh" -> ngramJaccardOracle,
     "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
     "x_dedup_jaccard_prefix" -> ngramJaccardOracle,
+    "x_dedup_lsh_recall" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), " +
+        "com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), " +
+        "p AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
+        "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok FROM p"),
     "x_dedup_containment" ->
       ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
