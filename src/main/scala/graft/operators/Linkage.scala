@@ -131,8 +131,11 @@ object Linkage {
     require(window >= 2, s"window must cover at least one neighbor (got $window)")
     val base = df.select(id.as("__id"), s.as("__s"),
       keyOf(s).as("__k"))
-    val pos = graft.core.Materialize.pin(
-      graft.core.Ids.denseId(base, Seq(col("__k"), col("__id")), "__pos"))
+    // no outer pin: denseId already pins its sorted frame internally,
+    // so both consumers below re-derive positions from that cache with
+    // one cheap offsets join each — pinning again would hold a SECOND
+    // corpus-sized copy for the whole session (r13 self-review)
+    val pos = graft.core.Ids.denseId(base, Seq(col("__k"), col("__id")), "__pos")
     val probes = pos.select(col("__id").as("ia"), col("__s").as("__sa"),
       explode(expr(s"transform(sequence(1, ${window - 1}), o -> __pos + o)"))
         .as("__ppos"))

@@ -744,9 +744,26 @@ object Similarity {
     * and broadcast. Approximate by construction: the gate row reduces
     * through [[annRecall]]; Round13Spec pins exactness when vectors
     * sit on codewords. */
+  /** Loud dimension check shared by the PQ search paths: a query
+    * dimension that disagrees with the codebook's total dimension
+    * would otherwise NULL every score and silently drop whole queries
+    * from the result (the resolveTopK null filter) — the same silent
+    * recall-loss class the LSH plane-width marker guards. One
+    * limit(1) sample; embeddings are read-chokepoint-normalized for
+    * element TYPE but not length. */
+  private def requireQueryDim(emb: DataFrame, books: Seq[Seq[Seq[Float]]]): Unit = {
+    val bookDim = books.map(_.head.length).sum
+    emb.select(size(col("embedding"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == bookDim,
+        s"query dimension ${r.getInt(0)} != codebook total dimension $bookDim — " +
+          "every score would null out; rebuild or load the matching PQ index")
+    }
+  }
+
   def pqSearch(emb: DataFrame, codes: DataFrame, books: Seq[Seq[Seq[Float]]],
       nQueries: Int, k: Int): DataFrame = {
     import graft.functions.PqCosine.pqCosine
+    requireQueryDim(emb, books)
     val c = codes.select(col("vec_id").as("neighbor_id"), col("codes"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -795,6 +812,7 @@ object Similarity {
       nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
     import graft.functions.CosineSimilarity.cosineSim
     import emb.sparkSession.implicits._
+    requireQueryDim(emb, books)
     val reps = centroids.toDF("cell", "rep_emb")
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
