@@ -329,6 +329,36 @@ class Round13Spec extends SparkSpec {
       "bloom prefilter must not change the output (exact verify removes fps)")
   }
 
+  test("parquet aggregate pushdown answers count/min/max from footers") {
+    // the 100 TB lever: COUNT/MIN/MAX over a clean parquet scan can be
+    // answered from row-group METADATA — zero data pages read. Session
+    // -conf-gated (not a per-read option), so it lives here as a
+    // pinned capability + equality check rather than as a gate row
+    // that would mutate global planner state mid-verify.
+    // needs the V2 parquet reader (V1, the default, has no aggregate
+    // pushdown surface at all)
+    val confs = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    def agg() = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n"), min("l_orderkey").as("lo"),
+        max("l_orderkey").as("hi"))
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val pushed = agg()
+      assert(pushed.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT(*)"),
+        "aggregate must reach the scan as PushedAggregation")
+      val r = pushed.as[(Long, Long, Long)].head()
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      assert(agg().as[(Long, Long, Long)].head() == r,
+        "footer-answered aggregate equals the data-scan aggregate")
+    } finally prev.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
   // ---- heavy hitters gate twin ----
 
   test("heavy-hitters gate: every true heavy hitter is captured") {
