@@ -9,10 +9,9 @@ import org.apache.spark.sql.SparkSession
 object CheckCuration {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    val spark = graft.core.GraftSession.configure(SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.core.Tables.t(spark, sfDir, "documents")
     val lsh = Curation.curate(docs).collect().map(_.toString).sorted.toSeq

@@ -21,12 +21,10 @@ object Soak {
     val only = args.drop(1).headOption.map(_.r)
     def want(name: String): Boolean =
       only.forall(_.findFirstIn(name).isDefined)
-    val spark = SparkSession.builder()
+    val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -84,14 +82,24 @@ object Soak {
     // the 16x claim as parquet bytes, not arithmetic.
     if (want("pq")) {
       val pqDir = java.nio.file.Files.createTempDirectory("soak_pq").toString
+      val pqFlatDir = java.nio.file.Files.createTempDirectory("soak_pqflat").toString
       val embDir = java.nio.file.Files.createTempDirectory("soak_emb").toString
       val t0 = System.nanoTime()
       graft.operators.IndexStore.buildIvfPqIndex(vecs, pqDir, nCentroids = 64)
       println(f"SOAK pq_build_index           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       val (index, cents, books) = graft.operators.IndexStore.loadIvfPqIndex(spark, pqDir)
+      // the flat-ADC leg gets its OWN plain PQ artifact: the IVFADC
+      // index's codes encode residuals (v - centroid), so scoring them
+      // through plain pqSearch would produce semantically meaningless
+      // cosines — fine as a timing proxy, garbage for any recall read.
+      // A plain artifact keeps this leg honest on both axes.
+      val tF = System.nanoTime()
+      graft.operators.IndexStore.buildPqIndex(vecs, pqFlatDir)
+      println(f"SOAK pq_build_flat            ${(System.nanoTime() - tF) / 1e9}%8.2f s")
+      val (flatCodes, flatBooks) = graft.operators.IndexStore.loadPqIndex(spark, pqFlatDir)
       time("pq_exact_brute") { Similarity.cosineTopKNative(vecs, nQueries = 10, k = 5) }
       time("pq_adc_flat") {
-        Similarity.pqSearch(vecs, index.select("vec_id", "codes"), books, 10, 5) }
+        Similarity.pqSearch(vecs, flatCodes, flatBooks, 10, 5) }
       time("pq_ivfadc_probe") { Similarity.ivfPqSearch(vecs, index, cents, books, 10, 5) }
       vecs.write.mode("overwrite").parquet(embDir)
       val fs = new org.apache.hadoop.fs.Path(pqDir)

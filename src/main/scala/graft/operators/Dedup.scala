@@ -1051,18 +1051,32 @@ object Dedup {
     * driver-hash-checked instead of spec-only: an LSH regression
     * (banding bug, signature drift, band-knee shift) flips the
     * boolean and fails the gate. The oracle computes the exact pair
-    * count + TRUE, like every sketch-bound row. */
+    * count + TRUE, like every sketch-bound row.
+    *
+    * The exact join feeds TWO consumers (the semi-join probe and its
+    * own count) and Spark re-executes shared subtrees per consumer,
+    * so the prefix-filtered join — the row's dominant cost — would
+    * run twice without a pin. Pinning the (tiny: pair-id rows only)
+    * result and releasing it after both counts matches the
+    * canonicalClusters discipline and halves the row's exact-side
+    * work; the inner pins at jaccardPairsPrefix:129/:138 bound what a
+    * re-execution would redo but not the verify tail itself. */
   val dedupLshRecall: Q = (s, dir) => {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val exact = jaccardPairsPrefix(shingles(docs), 0.5)
-      .select("doc_a", "doc_b")
-    val found = exact.join(
-      minhashLsh(docs, 0.5).select("doc_a", "doc_b"),
-      Seq("doc_a", "doc_b"), "left_semi")
-    val nE = exact.count()
-    val nF = found.count()
-    Seq((nE, nF * 10L >= nE * 9L)).toDF("n_exact_pairs", "recall_ok")
+    val exact = graft.core.Materialize.pin(
+      jaccardPairsPrefix(shingles(docs), 0.5).select("doc_a", "doc_b"))
+    try {
+      val found = exact.join(
+        minhashLsh(docs, 0.5).select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_semi")
+      val nE = exact.count()
+      val nF = found.count()
+      Seq((nE, nF * 10L >= nE * 9L)).toDF("n_exact_pairs", "recall_ok")
+    } finally {
+      if (!graft.core.Materialize.isReliable(s))
+        org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(exact)
+    }
   }
 
   val queries: Map[String, Q] = Map(

@@ -163,6 +163,26 @@ object Linkage {
       .reduce(_ unionByName _).distinct()
   }
 
+  /** Phonetic sort key for the multi-pass scaffold: soundex code first
+    * (Spark's codegen'd `SoundEx` — no UDF), full string as the
+    * intra-block tiebreak so equal-code records sort deterministically
+    * and land adjacent. This closes the blind spot the forward and
+    * reversed passes SHARE: an adjacent transposition ("Johnson" →
+    * "Jhonson") breaks the head for the forward sort AND sits far from
+    * the tail anchor under enough same-suffix neighbors, but soundex
+    * is transposition-stable for same-class consonants, so both
+    * variants key to the same block (Round14Spec pins the case).
+    *
+    * Deliberately NOT added to the `x_link_sn_multipass` gate row: the
+    * gate corpus's `c_name` values share the constant "Customer#"
+    * prefix and differ only in DIGITS, which soundex ignores — every
+    * row would key to the same code ("C236"), collapsing the phonetic
+    * pass into a duplicate of the forward pass (same tiebreak order,
+    * zero new recall) while roughly doubling the row's cost. The pass
+    * earns its budget on letter-bearing person/org names, which the
+    * spec fixture models. */
+  val phoneticKey: Column => Column = s => concat(soundex(upper(s)), s)
+
   /** Gate twin of [[linkEditNames]] under the fixed-budget blocking:
     * ED<=1 pairs whose names sit within 10 sort positions. */
   val linkSortedNeighborhood: Q = (s, dir) =>

@@ -716,6 +716,13 @@ object Similarity {
     * m=8/ksub=32 read 0.32). */
   def pqEncode(emb: DataFrame, books: Seq[Seq[Seq[Float]]]): DataFrame = {
     import graft.functions.ArgMinL2.argminL2
+    // Build-side twin of the search path's requireQueryDim guard: a
+    // corpus whose vectors disagree with the codebook dimension would
+    // otherwise encode silently-garbage codes (ArgMinL2 compares over
+    // min(lengths)) into a DURABLE index artifact that persists across
+    // sessions — strictly worse than the search-side failure the query
+    // guard catches, so it fails just as loudly here.
+    requireQueryDim(emb, books)
     val sub = books.head.head.length
     emb.select(col("vec_id"), array(books.indices.map(j =>
       argminL2(expr(s"slice(embedding, ${j * sub + 1}, $sub)"), books(j))): _*)
@@ -755,8 +762,9 @@ object Similarity {
     val bookDim = books.map(_.head.length).sum
     emb.select(size(col("embedding"))).limit(1).collect().headOption.foreach { r =>
       require(r.getInt(0) == bookDim,
-        s"query dimension ${r.getInt(0)} != codebook total dimension $bookDim — " +
-          "every score would null out; rebuild or load the matching PQ index")
+        s"embedding dimension ${r.getInt(0)} != codebook total dimension $bookDim — " +
+          "at search time every score would null out; at encode time the codes " +
+          "would be garbage; rebuild or load the matching PQ index")
     }
   }
 
@@ -813,7 +821,19 @@ object Similarity {
     import graft.functions.CosineSimilarity.cosineSim
     import emb.sparkSession.implicits._
     requireQueryDim(emb, books)
+    // The centroid table's cell id must match the INDEX's cell type
+    // exactly: the index's cell is a partition-directory column (int
+    // under partition-type inference), and an equi-join between int
+    // and the Seq[(Long,_)]-derived bigint makes Catalyst wrap the
+    // SCAN side in cast(cell as bigint) — which disqualifies the
+    // partition column from dynamic partition pruning (the DPP rule
+    // requires the bare attribute as the join key), silently turning
+    // the probe into a full-index scan. Casting the tiny broadcast
+    // side instead keeps the scan key bare; Round14Spec asserts the
+    // dynamicpruning node survives in the executed plan.
+    val cellType = index.schema("cell").dataType
     val reps = centroids.toDF("cell", "rep_emb")
+      .withColumn("cell", col("cell").cast(cellType))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probes = q.crossJoin(broadcast(reps))
@@ -825,11 +845,27 @@ object Similarity {
       .select("query_id", "q_emb", "cell")
     // codes encode the RESIDUAL, so scoring re-adds the row's cell
     // centroid inside the fused kernel; the centroid column arrives
-    // through the same broadcast cell table the probe used
+    // through the same broadcast cell table the probe used.
+    // Partition pruning is planted STATICALLY: the probed-cell set is
+    // collected (bounded by queries * nProbe — the probe table is
+    // broadcast-sized by contract, and only the bare cell ids come
+    // back) and pushed as an isin on the partition column, so the scan
+    // prunes to the probed directories at PLANNING time. r13 relied on
+    // Catalyst's dynamic partition pruning here, but that was a
+    // V1-reader behavior: the V2 FileScan does not implement
+    // SupportsRuntimeV2Filtering in Spark 4.1, so under the engine's
+    // V2 default (GraftSession) the DPP subquery is never planted and
+    // the probe silently degrades to a full-index scan. The static
+    // filter is also strictly earlier than DPP (no runtime subquery
+    // wait) and works under either reader; Round14Spec asserts the
+    // cell filter reaches the scan's PartitionFilters. Same move as
+    // VecIngest's pb-tier probe, for the same reason.
+    val probedCells = probes.select("cell").distinct().collect().map(_.get(0))
     val sims = index
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
-      .join(broadcast(reps.withColumnsRenamed(Map("rep_emb" -> "__cent"))), Seq("cell"))
+      .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(reps.withColumnsRenamed(Map("rep_emb" -> "__cent"))), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.PqCosineResidual.pqCosineResidual(

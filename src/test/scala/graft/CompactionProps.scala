@@ -17,10 +17,10 @@ import org.scalacheck.Prop.forAll
   * CompactionSpec cannot sweep. */
 object CompactionProps extends Properties("graft.compaction") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
+  private lazy val spark: SparkSession = graft.core.GraftSession.configure(
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4"))
     .getOrCreate()
 
   private lazy val fs =

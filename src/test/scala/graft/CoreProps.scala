@@ -13,10 +13,10 @@ import org.scalacheck.Prop.forAll
   */
 object CoreProps extends Properties("graft.core") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
+  private lazy val spark: SparkSession = graft.core.GraftSession.configure(
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4"))
     .getOrCreate()
 
   private val smallInts = Gen.listOfN(30, Gen.chooseNum(-1000, 1000))

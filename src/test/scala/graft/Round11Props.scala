@@ -16,10 +16,10 @@ import org.scalacheck.Prop.forAll
   */
 object Round11Props extends Properties("graft.round11") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
+  private lazy val spark: SparkSession = graft.core.GraftSession.configure(
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4"))
     .getOrCreate()
 
   // random sparse graphs over <= 24 nodes, including self-contained

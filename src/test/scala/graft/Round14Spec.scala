@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexStore, Linkage, Similarity}
+
+/** Round 14: the V2-parquet-reader default (footer-answered aggregates
+  * always on), a plan-level pin for the IVFADC dynamic partition
+  * pruning (previously verified only by PlanCheck eyeball), the
+  * build-side PQ dimension guard, and the phonetic third
+  * sorted-neighborhood pass with its swap-typo blind-spot case. */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // ---- V2 reader is the engine-wide default ----
+
+  test("GraftSession defaults put every entry point on the V2 reader") {
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList") == "",
+      "suite session must run the V2 parquet reader")
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") == "true",
+      "footer aggregate pushdown must be on by default")
+  }
+
+  test("footer-answered aggregates are an ALWAYS-ON capability (no conf flip)") {
+    // the Round13Spec pin flipped session confs around the assertion;
+    // with GraftSession the DEFAULT session must plan PushedAggregation
+    val agg = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n"), min("l_orderkey").as("lo"),
+        max("l_orderkey").as("hi"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: [COUNT(*)"),
+      "default session must push COUNT/MIN/MAX to the parquet footer scan")
+    val (n, lo, hi) = agg.as[(Long, Long, Long)].head()
+    assert(n > 0 && hi >= lo)
+  }
+
+  // ---- IVFADC dynamic partition pruning: plan-asserted ----
+
+  test("IVFADC probe scan is partition-pruned to the probed cells") {
+    // r13's claim was "the cell-partitioned index gets DPP for free"
+    // — verified only by PlanCheck eyeball, and in fact a V1-reader
+    // behavior: V2 FileScan has no runtime-filtering surface in Spark
+    // 4.1, so under the engine's V2 default Catalyst plants nothing
+    // and the probe would read EVERY cell directory. ivfPqSearch now
+    // plants the probed-cell set as a static isin (the quantizer is
+    // driver-held, so the set is quantizer-sized); this pin asserts
+    // the filter actually reaches the scan's PartitionFilters — the
+    // regression it guards is exactly the silent full-index scan the
+    // V2 migration would have shipped.
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val path = tmp("r14-ivfpq")
+    IndexStore.buildIvfPqIndex(emb, path)
+    val (index, cents, books) = IndexStore.loadIvfPqIndex(spark, path)
+    val ann = Similarity.ivfPqSearch(emb, index, cents, books, nQueries = 10, k = 5)
+    val plan = ann.queryExecution.executedPlan.toString
+    val indexScan = plan.linesIterator
+      .filter(l => l.contains("ParquetScan") && l.contains("/index")).toSeq
+    assert(indexScan.nonEmpty,
+      s"expected the codes index scan in the plan:\n$plan")
+    assert(indexScan.forall(_.contains("PartitionFilters: [cell")),
+      s"index scan must carry a cell partition filter; got:\n${indexScan.mkString("\n")}")
+    val searched = ann.select("neighbor_id").distinct().count()
+    assert(searched > 0, "probe must still find neighbors")
+  }
+
+  // ---- PQ build-side dimension guard ----
+
+  test("pqEncode refuses a corpus whose dimension disagrees with the codebook") {
+    // search side was guarded in r13 (requireQueryDim); the build side
+    // writes a DURABLE artifact, so garbage codes from a wrong-dim
+    // corpus would persist across sessions — it must fail loudly too
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val books = Similarity.pqCodebooks(emb)
+    val wrong = emb.select(col("vec_id"),
+      expr("slice(embedding, 1, 32)").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(wrong, books).collect()
+    }
+    assert(e.getMessage.contains("codebook total dimension"))
+  }
+
+  // ---- phonetic third sorted-neighborhood pass ----
+
+  test("adjacent transposition escapes forward AND reversed passes; phonetic catches it") {
+    // "Johnson" -> "Jhonson": the swap breaks the head (forward sort
+    // teleports) and, with enough same-suffix neighbors, the reversed
+    // key too. Soundex is transposition-stable for same-class
+    // consonants, so both variants share a code and land adjacent
+    // under the phonetic key. Fixture: >window fillers between the
+    // twins in BOTH the forward order (Ji..Jn prefixes) and the
+    // reversed order (...inson/..mnson tails), none sharing the twins'
+    // soundex block.
+    val twins = Seq((1L, "Johnson"), (2L, "Jhonson"))
+    val fwdFill = (0 until 12).map(i => (100L + i, f"J${('i' + i % 5).toChar}lander$i%02d"))
+    val revFill = (0 until 12).map(i => (200L + i, f"Pav${('i' + i % 5).toChar}nson"))
+    val df = (twins ++ fwdFill ++ revFill).toDF("id", "name")
+
+    def pairs(keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      Linkage.sortedNeighborhoodMultiPass(df, col("id"), col("name"),
+        window = 3, maxDist = 2, keys = keys)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val twoPass = pairs(Seq(identity, reverse))
+    assert(!twoPass.contains((1L, 2L)),
+      "fixture must place the transposed twin outside both windows " +
+        "(otherwise this pins nothing)")
+    val threePass = pairs(Seq(identity, reverse, Linkage.phoneticKey))
+    assert(threePass.contains((1L, 2L)),
+      "phonetic pass must recover the transposed pair")
+    assert(twoPass.subsetOf(threePass), "extra pass only ADDS pairs")
+  }
+
+  test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
+    // every c_name shares the letter skeleton "Customer#<digits>";
+    // soundex ignores digits, so the phonetic code is CONSTANT and the
+    // pass collapses into a duplicate of the forward pass. Pinning the
+    // degeneracy keeps the gate-row decision honest (see
+    // Linkage.phoneticKey doc).
+    val codes = graft.core.Tables.t(spark, dir, "customer")
+      .select(soundex(upper(col("c_name"))).as("code"))
+      .distinct().as[String].collect()
+    assert(codes.length == 1,
+      s"expected one constant soundex code over c_name, got ${codes.length}")
+  }
+}

@@ -13,10 +13,10 @@ import org.scalacheck.Prop.forAll
   */
 object Round2Props extends Properties("graft.round2") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
+  private lazy val spark: SparkSession = graft.core.GraftSession.configure(
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4"))
     .getOrCreate()
 
   private val ids = Gen.listOfN(25, Gen.chooseNum(0L, 100000L))

@@ -16,10 +16,10 @@ import org.scalacheck.Prop.forAll
   */
 object Round9Props extends Properties("graft.round9") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
+  private lazy val spark: SparkSession = graft.core.GraftSession.configure(
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4"))
     .getOrCreate()
 
   // small vocabulary forces shingle collisions; 6-14 tokens per doc
