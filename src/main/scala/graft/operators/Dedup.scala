@@ -1079,6 +1079,45 @@ object Dedup {
     }
   }
 
+  /** Semantic-dedup RECALL gate — [[dedupLshRecall]]'s pattern applied
+    * to the one remaining spec-only recall claim (COVERAGE r13): the
+    * SemDeDup cell-scoped pair generation at probes=2 is checked
+    * IN-QUERY against the exact all-pairs cosine join and reduced to
+    * (exact pair count, recall >= 0.9). Precision needs no gate (every
+    * candidate is verified with true cosine — a subset by
+    * construction); recall is what clustering SPENDS, so it is the
+    * axis a k-means / assignment / multi-probe regression would move.
+    * The oracle computes the exact count + TRUE like every
+    * sketch-bound row. Writing this gate immediately earned its keep:
+    * the r13 COVERAGE claim ("output empirically identical to the
+    * exact path on the gate corpora") holds only at sf0.001 — at
+    * sf0.01 the measured recall curve is probes=1: 0.44, probes=2:
+    * 0.85, probes=3: 1.00 (26/50/59 of 59 exact pairs), i.e. denser
+    * corpora really do put near-dup pairs on cell boundaries and the
+    * multi-probe knob is what buys them back. The gate runs the
+    * probes=3 setting that clears the 0.9 bound with margin at both
+    * scale factors, and the curve is recorded here so the cost story
+    * stays honest: probes=k multiplies candidate volume by <= k^2/
+    * nCentroids-ish, still far from quadratic. */
+  val dedupSemanticRecall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val exact = graft.core.Materialize.pin(
+      embeddingNearDups(emb, 0.4))
+    try {
+      val found = exact.join(
+        semanticPairs(emb, 0.4, probes = 3)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b")),
+        Seq("vec_a", "vec_b"), "left_semi")
+      val nE = exact.count()
+      val nF = found.count()
+      Seq((nE, nF * 10L >= nE * 9L)).toDF("n_exact_pairs", "recall_ok")
+    } finally {
+      if (!graft.core.Materialize.isReliable(s))
+        org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(exact)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "x_dedup_span_crossdoc" -> dedupSpanCrossdoc,
     "x_dedup_span_scrub" -> dedupSpanScrub,
@@ -1093,6 +1132,7 @@ object Dedup {
     "x_dedup_containment" -> dedupContainment,
     "x_dedup_minhash_lsh" -> dedupMinhashLsh,
     "x_dedup_lsh_recall" -> dedupLshRecall,
+    "x_dedup_semantic_recall" -> dedupSemanticRecall,
     "x_dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "x_dedup_embedding" -> dedupEmbedding)
 
@@ -1149,6 +1189,10 @@ object Dedup {
         "p AS (SELECT doc_a, doc_b FROM com JOIN cnt ca ON com.doc_a = ca.doc_id JOIN cnt cb ON com.doc_b = cb.doc_id " +
         "WHERE common / (ca.n_sh + cb.n_sh - common) >= 0.5) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok FROM p"),
+    "x_dedup_semantic_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND " +
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4"),
     "x_dedup_containment" ->
       ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle FROM w, unnest(range(1, len(ws)-1)) AS u(i) WHERE len(ws) >= 3), " +
