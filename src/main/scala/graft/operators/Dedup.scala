@@ -1081,7 +1081,7 @@ object Dedup {
 
   /** Semantic-dedup RECALL gate — [[dedupLshRecall]]'s pattern applied
     * to the one remaining spec-only recall claim (COVERAGE r13): the
-    * SemDeDup cell-scoped pair generation at probes=2 is checked
+    * SemDeDup cell-scoped pair generation at probes=3 is checked
     * IN-QUERY against the exact all-pairs cosine join and reduced to
     * (exact pair count, recall >= 0.9). Precision needs no gate (every
     * candidate is verified with true cosine — a subset by

@@ -828,9 +828,10 @@ object Similarity {
     // SCAN side in cast(cell as bigint) — which disqualifies the
     // partition column from dynamic partition pruning (the DPP rule
     // requires the bare attribute as the join key), silently turning
-    // the probe into a full-index scan. Casting the tiny broadcast
-    // side instead keeps the scan key bare; Round14Spec asserts the
-    // dynamicpruning node survives in the executed plan.
+    // the probe into a full-index scan under a V1 session (and would
+    // defeat any future runtime-filtering surface). Casting the tiny
+    // broadcast side instead keeps the scan key bare; the pruning
+    // itself is planted statically below.
     val cellType = index.schema("cell").dataType
     val reps = centroids.toDF("cell", "rep_emb")
       .withColumn("cell", col("cell").cast(cellType))

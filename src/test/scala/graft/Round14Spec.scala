@@ -120,6 +120,26 @@ class Round14Spec extends SparkSpec {
     assert(twoPass.subsetOf(threePass), "extra pass only ADDS pairs")
   }
 
+  test("semantic recall gate is partition-count invariant (float k-means margin)") {
+    // the gate's boolean rides k-means centroids computed with float
+    // avg, whose summation order varies with partitioning — the
+    // Round11Spec invariance pattern, applied to the one new row whose
+    // decision is NOT integer-exact. probes=3 must leave enough margin
+    // that ULP-level centroid jitter cannot flip a boundary pair out
+    // of all three probed cells (also verified by hand at sf0.01 under
+    // 4/5/32 partitions: (59, true) in all three).
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val rows = Seq("3", "4", "7").map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        SparkEntry.queries("x_dedup_semantic_recall")(spark, dir)
+          .as[(Long, Boolean)].head()
+      }
+      assert(rows.distinct.size == 1 && rows.head._2,
+        s"gate row must be partition-invariant and true: $rows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
