@@ -60,7 +60,11 @@ object PlanCheck {
         "x_sim_pq_topk", "x_sim_ivfpq_ann", "x_sim_pq_rerank",
         // r13: vocabulary-hoisted BPE encode (merge chain on the
         // distinct-word table, broadcast back — corpus side one scan)
-        "x_corpus_bpe_encode")
+        "x_corpus_bpe_encode",
+        // r14: footer-answered stats — both legs must show
+        // PushedAggregation (V2 default) and empty ReadSchema-ish
+        // footer scans, not data-page scans
+        "x_profile_footer_stats")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

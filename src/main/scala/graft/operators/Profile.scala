@@ -136,9 +136,33 @@ object Profile {
     graft.streaming.QualityMonitor.baselineProfile(t(s, dir, "documents"))
       .orderBy("source")
 
+  /** Gate: table-level bookkeeping stats — row count + key range for
+    * the two fact tables, the numbers partition planning and ingest
+    * reconciliation ask for constantly at 100 TB. Under the engine's
+    * V2-reader default (GraftSession, r14) each leg plans as
+    * `PushedAggregation: [COUNT(*), MIN(..), MAX(..)]` and is answered
+    * from parquet row-group FOOTERS — zero data pages read — so this
+    * row is the footer-read capability as a first-class oracle-checked
+    * query rather than a spec-only demonstration (Round14Spec asserts
+    * the plan shape on this exact query). The aggregate sits directly
+    * on the scan (no filter, no projection expressions) because that
+    * is the contract aggregate pushdown requires; the union of the
+    * two one-row legs happens above the pushed scans. */
+  val profileFooterStats: Q = (s, dir) => {
+    def leg(table: String, key: String) =
+      t(s, dir, table).agg(
+        count(lit(1)).as("n_rows"),
+        min(col(key)).as("key_min"), max(col(key)).as("key_max"))
+        .select(lit(table).as("table"), col("n_rows"),
+          col("key_min"), col("key_max"))
+    leg("lineitem", "l_orderkey").unionByName(leg("orders", "o_orderkey"))
+      .orderBy("table")
+  }
+
   val queries: Map[String, Q] = Map(
     "x_profile_checks" -> profileChecks,
     "x_profile_summary" -> profileSummary,
+    "x_profile_footer_stats" -> profileFooterStats,
     "x_quality_baseline" -> qualityBaseline)
 
   private def summaryLeg(c: String): String =
@@ -167,6 +191,11 @@ object Profile {
     "x_profile_summary" ->
       (Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
         .map(summaryLeg).mkString("", " UNION ALL ", " ORDER BY \"column\"")),
+    "x_profile_footer_stats" ->
+      ("SELECT 'lineitem' AS \"table\", CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "MIN(l_orderkey) AS key_min, MAX(l_orderkey) AS key_max FROM lineitem " +
+        "UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT), " +
+        "MIN(o_orderkey), MAX(o_orderkey) FROM orders ORDER BY \"table\""),
     "x_quality_baseline" ->
       ("WITH d AS (SELECT source, " +
         "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END AS empty, " +

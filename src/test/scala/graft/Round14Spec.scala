@@ -42,6 +42,11 @@ class Round14Spec extends SparkSpec {
       "default session must push COUNT/MIN/MAX to the parquet footer scan")
     val (n, lo, hi) = agg.as[(Long, Long, Long)].head()
     assert(n > 0 && hi >= lo)
+    // and the GATE ROW built on this capability plans it on BOTH legs
+    val gate = SparkEntry.queries("x_profile_footer_stats")(spark, dir)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert("PushedAggregation: \\[COUNT\\(\\*\\)".r.findAllIn(plan).size == 2,
+      s"both footer-stats legs must be footer-answered; got:\n$plan")
   }
 
   // ---- IVFADC dynamic partition pruning: plan-asserted ----
