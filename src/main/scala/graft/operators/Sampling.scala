@@ -108,6 +108,53 @@ object Sampling {
       col("o_orderkey"), col("w_cents"), 500.0)
       .orderBy("o_orderkey")
 
+  /** Weighted sampling WITHOUT replacement, exact size n — the
+    * Efraimidis–Spirakis A-ES design (Inf. Process. Lett. 97(5),
+    * 2006): each row gets the exponential race score
+    * E = -ln(u) / w with u uniform in (0,1], and the n SMALLEST
+    * scores are the sample; P(row first) = w/W exactly, and the
+    * without-replacement inclusion probabilities follow by the
+    * memoryless race. Where [[ppsSample]] hits n only in expectation
+    * and [[systematicPps]] draws heavy rows MULTIPLE times, this is
+    * the design for "pick n distinct documents, quality-weighted" —
+    * the corpus-subsampling ask.
+    *
+    * u is the same md5 key fraction as [[hashScore]] (shifted to
+    * (0,1] so ln never sees 0) — deterministic, engine-portable,
+    * reproducible across runs and partitionings like every sampler
+    * here. The score compare is IEEE-double (ln + divide, both
+    * correctly rounded), with the key as tiebreak; adjacent ranked
+    * scores differ by ~1/n relative, astronomically far from ULP.
+    *
+    * Scale shape: orderBy(score).limit(n) plans as
+    * TakeOrderedAndProject — each task keeps its own top-n heap and
+    * the driver merges P partial heaps, so nothing resembling a full
+    * sort or shuffle of the corpus happens. For n large enough that
+    * n x P merge bytes bind (n >> 10^6), switch to the two-pass
+    * threshold form (approx-quantile the score at n/N, filter, exact
+    * top-up) — same race, scan-bound. */
+  def weightedSampleNoReplace(df: DataFrame, key: Column, weight: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"weightedSampleNoReplace: n must be positive (got $n)")
+    val h = conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType)
+    val u = (h + lit(1L)) / lit(4294967296.0)
+    val score = -log(u) / guardedWeight(weight, "weightedSampleNoReplace")
+    df.withColumn("__score", score)
+      .orderBy(col("__score").asc, key.asc)
+      .limit(n)
+      .drop("__score")
+  }
+
+  /** Exactly 300 orders, value-weighted, no duplicates. */
+  val sampleWeightedNoReplace: Q = (s, dir) =>
+    weightedSampleNoReplace(
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("w_cents")),
+      col("o_orderkey"), col("w_cents"), 300)
+      .orderBy("o_orderkey")
+
   /** SYSTEMATIC PPS sampling — exact sample size n (as multiplicities),
     * inclusion probability still proportional to weight. Rows are laid
     * on the cumulative-weight line in deterministic hash order; a row
@@ -633,6 +680,7 @@ object Sampling {
     "x_sample_hash" -> sampleHash,
     "x_sample_stratified" -> sampleStratified,
     "x_sample_weighted" -> sampleWeighted,
+    "x_sample_weighted_noreplace" -> sampleWeightedNoReplace,
     "x_sample_systematic" -> sampleSystematic,
     "x_stats_mode" -> statsMode,
     "x_stats_minmax_scale" -> statsMinmaxScale,
@@ -690,6 +738,13 @@ object Sampling {
         "t AS (SELECT CAST(SUM(w_cents) AS BIGINT) AS tot FROM w) " +
         s"SELECT o_orderkey, w_cents FROM w, t " +
         s"WHERE ${scoreSql("o_orderkey")} < 500.0 * w_cents / tot ORDER BY o_orderkey"),
+    "x_sample_weighted_noreplace" ->
+      ("WITH w AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders), " +
+        "s AS (SELECT o_orderkey, w_cents, " +
+        "-ln((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) + 1) / 4294967296.0) / w_cents AS score " +
+        "FROM w) " +
+        "SELECT o_orderkey, w_cents FROM (SELECT * FROM s ORDER BY score, o_orderkey LIMIT 300) " +
+        "ORDER BY o_orderkey"),
     "x_sample_systematic" ->
       ("WITH w AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders), " +
         "t AS (SELECT CAST(SUM(w_cents) AS BIGINT) AS tot FROM w), " +

@@ -145,6 +145,38 @@ class Round14Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("A-ES weighted no-replacement sample: exact n, distinct, weight-biased, TakeOrdered plan") {
+    val orders = graft.core.Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("w_cents"))
+    val n = 300
+    val sample = graft.operators.Sampling.weightedSampleNoReplace(
+      orders, col("o_orderkey"), col("w_cents"), n)
+    val rows = sample.as[(Long, Long)].collect()
+    assert(rows.length == n, "exactly n rows")
+    assert(rows.map(_._1).distinct.length == n, "no replacement: keys distinct")
+    // weight bias: the sampled mean weight must exceed the population
+    // mean (value-weighted selection over-represents heavy orders)
+    val popMean = orders.agg(avg("w_cents")).as[Double].head()
+    val sampleMean = rows.map(_._2).sum.toDouble / n
+    assert(sampleMean > popMean,
+      s"PPS sample mean $sampleMean must exceed population mean $popMean")
+    // scale shape: top-n by score must plan as TakeOrderedAndProject,
+    // not a global sort
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    // partition-count invariance (hash scores are partition-free)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = graft.operators.Sampling.weightedSampleNoReplace(
+        orders.repartition(7), col("o_orderkey"), col("w_cents"), n)
+        .as[(Long, Long)].collect().toSet
+      assert(again == rows.toSet, "same sample under different partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
