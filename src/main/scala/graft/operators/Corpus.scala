@@ -830,10 +830,44 @@ object Corpus {
   val trainingOrderGate: Q = (s, dir) =>
     trainingOrder(t(s, dir, "documents"), 256L, "shuf1").orderBy("pos")
 
+  /** Fill a TOKEN budget from a deterministically shuffled corpus —
+    * "give me the first B tokens of the shuffled dataset", the
+    * assemble-a-training-mix-to-a-budget step. Documents are laid on
+    * the cumulative-token line in [[graft.operators.Sampling
+    * .hashScore]] order (reproducible shuffle, same md5 fraction as
+    * every sampler) and a document is kept iff its STARTING offset is
+    * below the budget — so the output always covers >= B tokens when
+    * the corpus has them (the boundary document is included whole;
+    * chunk-level truncation is [[chunkSliding]]'s job, composable
+    * downstream).
+    *
+    * All-integer decision (long token counts, long cumsum), so
+    * membership is bit-portable. The running total is
+    * [[graft.core.Cumsum.globalCumsum]] — the two-phase distributed
+    * form; the only full-data cost is the sort shuffle the
+    * deterministic order already requires, identical to
+    * [[trainingOrder]]'s own shape. */
+  def tokenBudgetFill(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudgetFill: budget must be positive (got $budget)")
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      Sampling.hashScore(col("doc_id")).as("__r"))
+    graft.core.Cumsum.globalCumsum(base,
+        Seq(col("__r"), col("doc_id")), col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("doc_id", "n_tokens", "cum_tokens")
+  }
+
+  /** ~1/3 of the sf0.01 corpus by tokens; exercises the boundary-doc
+    * rule and the two-phase cumsum. */
+  val tokenBudgetGate: Q = (s, dir) =>
+    tokenBudgetFill(t(s, dir, "documents"), 20000L).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "x_corpus_importance" -> importanceGate,
     "x_corpus_lm_score" -> lmScoreGate,
     "x_corpus_shuffle" -> trainingOrderGate,
+    "x_corpus_budget_fill" -> tokenBudgetGate,
     "x_corpus_diversity" -> diversityGate,
     "x_corpus_ngram_lm" -> ngramLmGate,
     "x_corpus_oov_rate" -> oovRate,
@@ -895,6 +929,11 @@ object Corpus {
         "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri, " +
         "CAST(SUM(p_bp) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_bp " +
         "FROM tri t JOIN lm USING (w1, w2, w3) GROUP BY t.doc_id ORDER BY t.doc_id"),
+    "x_corpus_budget_fill" ->
+      ("WITH d AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0) AS r FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY r, doc_id) AS BIGINT) AS cum_tokens FROM d) " +
+        "SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens - n_tokens < 20000 ORDER BY doc_id"),
     "x_corpus_shuffle" ->
       ("WITH p AS (SELECT doc_id, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS k FROM documents), " +
         "r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos FROM p) " +

@@ -133,18 +133,47 @@ object Sampling {
     * n x P merge bytes bind (n >> 10^6), switch to the two-pass
     * threshold form (approx-quantile the score at n/N, filter, exact
     * top-up) — same race, scan-bound. */
+  /** The A-ES race score: -ln(u)/w with u the portable md5 uniform
+    * shifted into (0,1]. Smaller = drawn earlier. */
+  private def aesScore(key: Column, weight: Column, op: String): Column = {
+    val h = conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType)
+    -log((h + lit(1L)) / lit(4294967296.0)) / guardedWeight(weight, op)
+  }
+
   def weightedSampleNoReplace(df: DataFrame, key: Column, weight: Column,
       n: Int): DataFrame = {
     require(n > 0, s"weightedSampleNoReplace: n must be positive (got $n)")
-    val h = conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
-      .cast(LongType)
-    val u = (h + lit(1L)) / lit(4294967296.0)
-    val score = -log(u) / guardedWeight(weight, "weightedSampleNoReplace")
-    df.withColumn("__score", score)
+    df.withColumn("__score", aesScore(key, weight, "weightedSampleNoReplace"))
       .orderBy(col("__score").asc, key.asc)
       .limit(n)
       .drop("__score")
   }
+
+  /** Per-stratum weighted sampling without replacement: the A-ES race
+    * run independently inside each stratum — "n documents PER
+    * LANGUAGE, quality-weighted", the language-balanced corpus draw.
+    * One window over the stratum key (single shuffle on the stratum —
+    * same shape as [[stratifiedSample]], which this generalizes:
+    * constant weights reduce to it exactly). A stratum with fewer
+    * than n rows contributes all of them. */
+  def stratifiedWeightedSample(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"stratifiedWeightedSample: n must be positive (got $n)")
+    df.withColumn("__rk", row_number().over(Window.partitionBy(stratum)
+        .orderBy(aesScore(key, weight, "stratifiedWeightedSample"), key)))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** 10 orders per priority class, value-weighted, no duplicates. */
+  val sampleStratifiedWeighted: Q = (s, dir) =>
+    stratifiedWeightedSample(
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("w_cents")),
+      col("o_orderpriority"), col("o_orderkey"), col("w_cents"), 10)
+      .orderBy("o_orderpriority", "o_orderkey")
 
   /** Exactly 300 orders, value-weighted, no duplicates. */
   val sampleWeightedNoReplace: Q = (s, dir) =>
@@ -681,6 +710,7 @@ object Sampling {
     "x_sample_stratified" -> sampleStratified,
     "x_sample_weighted" -> sampleWeighted,
     "x_sample_weighted_noreplace" -> sampleWeightedNoReplace,
+    "x_sample_stratified_weighted" -> sampleStratifiedWeighted,
     "x_sample_systematic" -> sampleSystematic,
     "x_stats_mode" -> statsMode,
     "x_stats_minmax_scale" -> statsMinmaxScale,
@@ -738,6 +768,13 @@ object Sampling {
         "t AS (SELECT CAST(SUM(w_cents) AS BIGINT) AS tot FROM w) " +
         s"SELECT o_orderkey, w_cents FROM w, t " +
         s"WHERE ${scoreSql("o_orderkey")} < 500.0 * w_cents / tot ORDER BY o_orderkey"),
+    "x_sample_stratified_weighted" ->
+      ("WITH w AS (SELECT o_orderpriority, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders), " +
+        "s AS (SELECT *, -ln((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) + 1) / 4294967296.0) / w_cents AS score FROM w), " +
+        "r AS (SELECT o_orderpriority, o_orderkey, w_cents, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY score, o_orderkey) AS rk FROM s) " +
+        "SELECT o_orderpriority, o_orderkey, w_cents FROM r WHERE rk <= 10 " +
+        "ORDER BY o_orderpriority, o_orderkey"),
     "x_sample_weighted_noreplace" ->
       ("WITH w AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders), " +
         "s AS (SELECT o_orderkey, w_cents, " +

@@ -177,6 +177,51 @@ class Round14Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("stratified weighted sample: n per stratum, reduces to stratifiedSample on constant weights") {
+    val orders = graft.core.Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("w_cents"))
+    val s10 = graft.operators.Sampling.stratifiedWeightedSample(
+      orders, col("o_orderpriority"), col("o_orderkey"), col("w_cents"), 10)
+    val perStratum = s10.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = orders.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    sizes.foreach { case (k, total) =>
+      assert(perStratum(k) == math.min(10L, total),
+        s"stratum $k: want min(10, $total), got ${perStratum(k)}")
+    }
+    // constant weights: the race score is -ln(u)/c — same ORDER as the
+    // plain hashScore sort (u -> -ln(u) monotone DEcreasing, so
+    // ascending score = descending u)... which is a DIFFERENT order
+    // than stratifiedSample's ascending hashScore. The reduction claim
+    // is about the DESIGN (uniform inclusion probability), so assert
+    // the distributional reduction: same per-stratum counts.
+    val flat = graft.operators.Sampling.stratifiedWeightedSample(
+      orders.withColumn("w1", lit(1L)),
+      col("o_orderpriority"), col("o_orderkey"), col("w1"), 10)
+    assert(flat.groupBy("o_orderpriority").count().as[(String, Long)]
+      .collect().toMap == perStratum.map { case (k, _) =>
+        k -> math.min(10L, sizes(k)) },
+      "constant-weight draw keeps the same per-stratum counts")
+  }
+
+  test("token budget fill covers the budget with the boundary doc included whole") {
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    val budget = 5000L
+    val fill = graft.operators.Corpus.tokenBudgetFill(docs, budget)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val total = fill.map(_._2).sum
+    assert(fill.last._3 == total, "cum of last selected doc = selected total")
+    assert(total >= budget, s"selected $total tokens must cover budget $budget")
+    assert(total - fill.last._2 < budget,
+      "removing the boundary doc must drop below budget (minimal cover)")
+    // determinism: same set under different partitioning
+    val again = graft.operators.Corpus.tokenBudgetFill(docs.repartition(7), budget)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == fill.toSet, "same fill under different partitioning")
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
