@@ -528,6 +528,100 @@ object Similarity {
     gramMatrix(t(s, dir, "embeddings"), dim = 64)
       .orderBy("i", "j")
 
+  /** ZCA whitening parameters (W, mean) from the distributed
+    * integer-quantized covariance: W = U diag(1/sqrt(λ+eps)) Uᵀ over
+    * the eigendecomposition of cov = G/(n·S²) − m mᵀ, with G the
+    * [[gramMatrix]] upper triangle and the per-dimension sums from the
+    * same quantization. Everything distributed is EXACT int64 (order-
+    * free, engine-portable); the d×d eigensolve runs on the driver via
+    * breeze (public Spark dependency) — d² floats is quantizer-sized,
+    * the same driver-held contract as [[pqCodebooks]]. ZCA (U Λ⁻½ Uᵀ
+    * rather than Λ⁻½ Uᵀ) keeps the whitened basis maximally close to
+    * the input axes — the standard choice when downstream ops
+    * (SemDeDup, cosine retrieval) want decorrelated-but-recognizable
+    * coordinates. eps floors near-null directions so W stays bounded.
+    *
+    * Quantization error: |x| <= ~1 at S=1024 puts ~1e-3 relative error
+    * on cov — two orders below the 0.05 identity tolerance the gate
+    * checks, and swamped by eps in the low-variance directions. */
+  def whitenParams(emb: DataFrame, dim: Int, eps: Double = 1e-4,
+      scale: Int = 1024): (Seq[Seq[Float]], Seq[Float]) = {
+    import emb.sparkSession.implicits._
+    val n = emb.count()
+    require(n > 1, s"whitenParams: need >= 2 vectors (got $n)")
+    val sums = emb.select(posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast(LongType))).as(Seq("pos", "q")))
+      .groupBy("pos").agg(sum("q").as("s"))
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    require(sums.length == dim,
+      s"whitenParams: embedding dimension ${sums.length} != dim $dim")
+    val g = Array.ofDim[Double](dim, dim)
+    gramMatrix(emb, dim, scale).as[(Int, Int, Long)].collect().foreach {
+      case (i, j, sv) => g(i)(j) = sv.toDouble; g(j)(i) = sv.toDouble
+    }
+    val s2 = scale.toDouble * scale
+    val mq = sums.map(_.toDouble / n)
+    val cov = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      (g(i)(j) / n - mq(i) * mq(j)) / s2
+    }
+    val es = breeze.linalg.eigSym((cov + cov.t) *:* 0.5)
+    val lam = es.eigenvalues
+    val u = es.eigenvectors
+    val w = Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < dim) {
+        s += u(i, k) * u(j, k) / math.sqrt(math.max(lam(k), 0.0) + eps)
+        k += 1
+      }
+      s.toFloat
+    }
+    (w.map(_.toSeq).toSeq, mq.map(v => (v / scale).toFloat).toSeq)
+  }
+
+  /** Apply ZCA whitening: one fused [[graft.functions.MatVecCentered]]
+    * codegen kernel per row, no shuffle — the corpus streams once. */
+  def whiten(emb: DataFrame, dim: Int = PlaneDims,
+      eps: Double = 1e-4): DataFrame = {
+    val (w, m) = whitenParams(emb, dim, eps)
+    emb.select(col("vec_id"),
+      graft.functions.MatVecCentered.matVecCentered(col("embedding"), w, m)
+        .as("embedding"))
+  }
+
+  /** Self-verifying whitening gate: whiten the corpus, re-measure its
+    * covariance with the SAME distributed gram primitive, and reduce
+    * to (n_vectors, identity_ok) — max |cov_w − I| over all cells
+    * must clear 0.05. A regression anywhere in the chain (gram, sums,
+    * eigensolve, kernel, quantization) moves the whitened covariance
+    * off the identity and flips the boolean. Oracle: count + TRUE,
+    * like every sketch-bound row. */
+  val simWhiten: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val wh = graft.core.Materialize.pin(whiten(emb, dim))
+    try {
+      val n = wh.count()
+      val sums = wh.select(posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1024).cast(LongType))).as(Seq("pos", "q")))
+        .groupBy("pos").agg(sum("q").as("s"))
+        .as[(Int, Long)].collect().sortBy(_._1).map(_._2.toDouble / n)
+      val s2 = 1024.0 * 1024
+      var maxDev = 0.0
+      gramMatrix(wh, dim).as[(Int, Int, Long)].collect().foreach {
+        case (i, j, sv) =>
+          val cov = (sv.toDouble / n - sums(i) * sums(j)) / s2
+          val dev = math.abs(cov - (if (i == j) 1.0 else 0.0))
+          if (dev > maxDev) maxDev = dev
+      }
+      Seq((n, maxDev < 0.05)).toDF("n_vectors", "identity_ok")
+    } finally {
+      if (!graft.core.Materialize.isReliable(s))
+        org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(wh)
+    }
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar vectors with a DIFFERENT label —
     * the negatives that sit closest to the decision boundary, which
@@ -976,6 +1070,7 @@ object Similarity {
     "x_sim_centroid_outliers" -> simCentroidOutliers,
     "x_sim_centroids" -> simCentroids,
     "x_sim_gram" -> simGram,
+    "x_sim_whiten" -> simWhiten,
     "x_sim_quantized_topk" -> simQuantizedTopK,
     "x_sim_cosine_topk" -> simCosineTopK,
     "x_sim_cosine_topk_native" -> simCosineTopKNative,
@@ -1059,6 +1154,9 @@ object Similarity {
         "SELECT label, CAST(i - 1 AS INT) AS pos, " +
         "CAST(CAST(SUM(v9) AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS m " +
         "FROM v GROUP BY label, i ORDER BY label, pos"),
+    "x_sim_whiten" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS identity_ok " +
+        "FROM embeddings"),
     "x_sim_gram" ->
       ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS arr FROM embeddings), " +
         "u AS (SELECT vec_id, arr, unnest(generate_series(1, len(arr))) AS i FROM q) " +

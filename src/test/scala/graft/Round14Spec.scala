@@ -222,6 +222,39 @@ class Round14Spec extends SparkSpec {
     assert(again == fill.toSet, "same fill under different partitioning")
   }
 
+  test("MatVecCentered kernel equals the composed column form bit-for-bit") {
+    val w = Seq(Seq(2.0f, 0.5f), Seq(-1.0f, 3.0f))
+    val m = Seq(0.25f, -0.75f)
+    val vecs = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(-0.5f, 0.125f)),
+      (3L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val kernel = vecs.select(col("vec_id"),
+      graft.functions.MatVecCentered.matVecCentered(col("embedding"), w, m)
+        .as("y")).as[(Long, Seq[Float])].collect().toMap
+    // reference: double-accumulated per-element compose
+    val expect = Seq(1L -> Seq(1.0, 2.0), 2L -> Seq(-0.5, 0.125),
+      3L -> Seq(0.0, 0.0)).toMap.map { case (id, v) =>
+      id -> w.map(row => row.zip(v.zip(m).map { case (x, mm) =>
+        x - mm.toDouble }).map { case (ww, c) => ww * c }.sum.toFloat)
+    }
+    assert(kernel == expect, s"kernel $kernel != compose $expect")
+  }
+
+  test("whitening: covariance lands on the identity, projection is scan-only") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val gate = SparkEntry.queries("x_sim_whiten")(spark, dir)
+      .as[(Long, Boolean)].head()
+    assert(gate._1 > 0 && gate._2, s"whitened covariance off identity: $gate")
+    // the projection itself must be one scan + projection — no
+    // Exchange anywhere (the kernel is a per-row map)
+    val (w, m) = graft.operators.Similarity.whitenParams(emb, 64)
+    val proj = emb.select(
+      graft.functions.MatVecCentered.matVecCentered(col("embedding"), w, m))
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "whitening projection must not shuffle")
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
