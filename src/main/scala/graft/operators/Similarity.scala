@@ -544,17 +544,23 @@ object Similarity {
     * Quantization error: |x| <= ~1 at S=1024 puts ~1e-3 relative error
     * on cov — two orders below the 0.05 identity tolerance the gate
     * checks, and swamped by eps in the low-variance directions. */
-  def whitenParams(emb: DataFrame, dim: Int, eps: Double = 1e-4,
-      scale: Int = 1024): (Seq[Seq[Float]], Seq[Float]) = {
+  /** Shared eigensolve over the distributed quantized covariance:
+    * returns (mean in input units, eigenvalues ASCENDING, eigenvector
+    * matrix U with columns matching the eigenvalue order, n). The
+    * distributed legs (per-dim sums + [[gramMatrix]]) are exact int64;
+    * only the driver-side d×d solve runs in floating point. */
+  private def covEigen(emb: DataFrame, dim: Int, scale: Int)
+      : (Array[Double], breeze.linalg.DenseVector[Double],
+         breeze.linalg.DenseMatrix[Double], Long) = {
     import emb.sparkSession.implicits._
     val n = emb.count()
-    require(n > 1, s"whitenParams: need >= 2 vectors (got $n)")
+    require(n > 1, s"covEigen: need >= 2 vectors (got $n)")
     val sums = emb.select(posexplode(transform(col("embedding"),
         x => floor(x.cast("double") * scale).cast(LongType))).as(Seq("pos", "q")))
       .groupBy("pos").agg(sum("q").as("s"))
       .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
     require(sums.length == dim,
-      s"whitenParams: embedding dimension ${sums.length} != dim $dim")
+      s"covEigen: embedding dimension ${sums.length} != dim $dim")
     val g = Array.ofDim[Double](dim, dim)
     gramMatrix(emb, dim, scale).as[(Int, Int, Long)].collect().foreach {
       case (i, j, sv) => g(i)(j) = sv.toDouble; g(j)(i) = sv.toDouble
@@ -565,8 +571,12 @@ object Similarity {
       (g(i)(j) / n - mq(i) * mq(j)) / s2
     }
     val es = breeze.linalg.eigSym((cov + cov.t) *:* 0.5)
-    val lam = es.eigenvalues
-    val u = es.eigenvectors
+    (mq.map(_ / scale), es.eigenvalues, es.eigenvectors, n)
+  }
+
+  def whitenParams(emb: DataFrame, dim: Int, eps: Double = 1e-4,
+      scale: Int = 1024): (Seq[Seq[Float]], Seq[Float]) = {
+    val (mean, lam, u, _) = covEigen(emb, dim, scale)
     val w = Array.tabulate(dim, dim) { (i, j) =>
       var s = 0.0
       var k = 0
@@ -576,7 +586,40 @@ object Similarity {
       }
       s.toFloat
     }
-    (w.map(_.toSeq).toSeq, mq.map(v => (v / scale).toFloat).toSeq)
+    (w.map(_.toSeq).toSeq, mean.map(_.toFloat).toSeq)
+  }
+
+  /** PCA parameters: the top-`k` principal axes (rows, variance-
+    * descending), the mean, and ALL eigenvalues descending — callers
+    * read captured-variance ratios off the spectrum. Same distributed
+    * legs as [[whitenParams]]; deterministic sign convention (largest-
+    * magnitude component of each axis made positive) so reruns and
+    * engines produce the same projection, not one mirrored per axis. */
+  def pcaParams(emb: DataFrame, dim: Int, k: Int, scale: Int = 1024)
+      : (Seq[Seq[Float]], Seq[Float], Seq[Double]) = {
+    require(k >= 1 && k <= dim, s"pcaParams: k must be in [1, $dim] (got $k)")
+    val (mean, lam, u, _) = covEigen(emb, dim, scale)
+    val axes = (0 until k).map { r =>
+      val c = dim - 1 - r // eigenvalues ascend; take from the top
+      val col = Array.tabulate(dim)(i => u(i, c))
+      val pivot = col.indices.maxBy(i => math.abs(col(i)))
+      val sgn = if (col(pivot) < 0) -1.0 else 1.0
+      col.map(v => (v * sgn).toFloat).toSeq
+    }
+    (axes, mean.map(_.toFloat).toSeq,
+      (0 until dim).map(r => lam(dim - 1 - r)))
+  }
+
+  /** Project to the top-`k` principal components: one fused
+    * [[graft.functions.MatVecCentered]] kernel per row, no shuffle —
+    * the 4x-and-up footprint cut that COMPOSES with [[pqEncode]] (PCA
+    * to k, then PQ the reduced vectors) when the raw dimension is the
+    * byte bottleneck. */
+  def pcaReduce(emb: DataFrame, dim: Int = PlaneDims, k: Int = 16): DataFrame = {
+    val (axes, mean, _) = pcaParams(emb, dim, k)
+    emb.select(col("vec_id"),
+      graft.functions.MatVecCentered.matVecCentered(col("embedding"), axes, mean)
+        .as("embedding"))
   }
 
   /** Apply ZCA whitening: one fused [[graft.functions.MatVecCentered]]
@@ -596,6 +639,46 @@ object Similarity {
     * eigensolve, kernel, quantization) moves the whitened covariance
     * off the identity and flips the boolean. Oracle: count + TRUE,
     * like every sketch-bound row. */
+  /** Self-verifying PCA gate: reduce to k=16, re-measure the projected
+    * covariance with the same distributed gram primitive, and check
+    * the mathematical invariant the projection must satisfy on ANY
+    * spectrum — cov(proj) = diag(top-k eigenvalues): every cell must
+    * sit within 5% of λ_max of its target. Spectrum-shape-independent
+    * (unlike a captured-variance bound, which would encode this
+    * corpus's near-flat spectrum into the gate). Oracle: count + k +
+    * TRUE. */
+  val simPca: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val k = 16
+    val (axes, mean, lam) = pcaParams(emb, dim, k)
+    val proj = graft.core.Materialize.pin(emb.select(col("vec_id"),
+      graft.functions.MatVecCentered.matVecCentered(col("embedding"), axes, mean)
+        .as("embedding")))
+    try {
+      val n = proj.count()
+      val sums = proj.select(posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1024).cast(LongType))).as(Seq("pos", "q")))
+        .groupBy("pos").agg(sum("q").as("s"))
+        .as[(Int, Long)].collect().sortBy(_._1).map(_._2.toDouble / n)
+      val s2 = 1024.0 * 1024
+      val lamMax = lam.head
+      var maxDev = 0.0
+      gramMatrix(proj, k).as[(Int, Int, Long)].collect().foreach {
+        case (i, j, sv) =>
+          val cov = (sv.toDouble / n - sums(i) * sums(j)) / s2
+          val target = if (i == j) lam(i) else 0.0
+          val dev = math.abs(cov - target) / lamMax
+          if (dev > maxDev) maxDev = dev
+      }
+      Seq((n, k, maxDev < 0.05)).toDF("n_vectors", "k", "diag_ok")
+    } finally {
+      if (!graft.core.Materialize.isReliable(s))
+        org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(proj)
+    }
+  }
+
   val simWhiten: Q = (s, dir) => {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
@@ -1071,6 +1154,7 @@ object Similarity {
     "x_sim_centroids" -> simCentroids,
     "x_sim_gram" -> simGram,
     "x_sim_whiten" -> simWhiten,
+    "x_sim_pca" -> simPca,
     "x_sim_quantized_topk" -> simQuantizedTopK,
     "x_sim_cosine_topk" -> simCosineTopK,
     "x_sim_cosine_topk_native" -> simCosineTopKNative,
@@ -1157,6 +1241,9 @@ object Similarity {
     "x_sim_whiten" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS identity_ok " +
         "FROM embeddings"),
+    "x_sim_pca" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(16 AS INT) AS k, " +
+        "TRUE AS diag_ok FROM embeddings"),
     "x_sim_gram" ->
       ("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS arr FROM embeddings), " +
         "u AS (SELECT vec_id, arr, unnest(generate_series(1, len(arr))) AS i FROM q) " +

@@ -255,6 +255,30 @@ class Round14Spec extends SparkSpec {
       "whitening projection must not shuffle")
   }
 
+  test("PCA axes are orthonormal, sign-pinned, and compose with PQ") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val (axes, _, lam) = graft.operators.Similarity.pcaParams(emb, 64, 16)
+    assert(lam.size == 64 && lam.zip(lam.tail).forall { case (a, b) => a >= b },
+      "eigenvalues must come back descending")
+    for (a <- axes.indices; b <- a until axes.size) {
+      val dot = axes(a).zip(axes(b)).map { case (x, y) => x.toDouble * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"axes $a x $b = $dot, want $want")
+    }
+    axes.foreach { ax =>
+      val pivot = ax.maxBy(v => math.abs(v))
+      assert(pivot >= 0, "sign convention: largest-magnitude component positive")
+    }
+    // the compose story: PCA to 16 dims, then PQ the reduced vectors —
+    // the dim guard must accept the reduced width end-to-end
+    val reduced = graft.operators.Similarity.pcaReduce(emb, 64, 16)
+    val books = graft.operators.Similarity.pqCodebooks(
+      reduced, m = 4, ksub = 16, iters = 2, dim = 16)
+    val codes = graft.operators.Similarity.pqEncode(reduced, books)
+    assert(codes.count() == emb.count(),
+      "every reduced vector encodes")
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
