@@ -279,6 +279,34 @@ class Round14Spec extends SparkSpec {
       "every reduced vector encodes")
   }
 
+  test("linear probe learns the REAL label beyond its majority baseline") {
+    // the gate uses a constructed separable task (machinery test);
+    // this is the interesting one: label%2 is genuinely (weakly)
+    // linearly decodable from these embeddings — 0.618 vs 0.508
+    // baseline at sf0.001 — and the probe must find that signal
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+      .withColumn("__y", (col("label") % 2).cast("int"))
+    val (w, m, b) = graft.operators.Similarity.linearProbeParams(
+      emb, col("__y"), 64)
+    val scored = graft.operators.Similarity.probeScore(emb, w, m, b)
+    val n = emb.count()
+    val acc = scored.filter((col("score") > 0.5).cast("int") === col("__y"))
+      .count().toDouble / n
+    val base = math.max(
+      emb.filter(col("__y") === 1).count().toDouble / n,
+      emb.filter(col("__y") === 0).count().toDouble / n)
+    assert(acc > base + 0.05,
+      s"probe accuracy $acc must beat majority baseline $base by 5pp")
+  }
+
+  test("linear probe refuses a single-class target") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.linearProbeParams(emb, lit(1), 64)
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
