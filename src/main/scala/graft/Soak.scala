@@ -110,7 +110,36 @@ object Soak {
         f"embeddings=${bytes(embDir)}%,d " +
         f"ratio=${bytes(embDir).toDouble / bytes(s"$pqDir/index")}%.1fx")
     }
+    // vector analytics (r14): the covariance legs behind whiten/PCA/
+    // probe are the mapPartitions gram — shuffle volume P x d^2/2,
+    // INDEPENDENT of row count — plus d-sized sums, so wall time must
+    // track the scan, not explode with rows. whiten additionally times
+    // the full param fit + the kernel projection pass over the corpus.
+    if (want("vector")) {
+      val t0 = System.nanoTime()
+      val (wMat, mVec) = Similarity.whitenParams(vecs, dim = 64)
+      println(f"SOAK vector_whiten_fit        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      time("vector_whiten_project") {
+        vecs.select(graft.functions.MatVecCentered
+          .matVecCentered(org.apache.spark.sql.functions.col("embedding"),
+            wMat, mVec).as("y"))
+      }
+      val t1 = System.nanoTime()
+      val (wP, mP, bP) = Similarity.linearProbeParams(vecs,
+        pmod(col("vec_id"), lit(2)).cast("int"), dim = 64)
+      println(f"SOAK vector_probe_fit         ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+      time("vector_probe_score") { Similarity.probeScore(vecs, wP, mP, bP) }
+    }
     time("hash_sample") { Sampling.hashSample(docs, col("doc_id"), 0.1) }
+    // A-ES exact-n draw at 2M rows: TakeOrderedAndProject per-task
+    // heaps — must stay scan-bound like the other samplers (no corpus
+    // sort ever materializes)
+    time("aes_noreplace_10k") {
+      Sampling.weightedSampleNoReplace(
+        docs.select(col("doc_id"),
+          (pmod(col("doc_id") * 131, lit(1000)) + 1).as("w")),
+        col("doc_id"), col("w"), 10000)
+    }
     // PPS: one scalar-total pass + the per-row coin — must track
     // hash_sample's scan-bound cost, not add a shuffle
     time("pps_sample") {
