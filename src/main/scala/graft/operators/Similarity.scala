@@ -528,27 +528,6 @@ object Similarity {
     gramMatrix(t(s, dir, "embeddings"), dim = 64)
       .orderBy("i", "j")
 
-  /** ZCA whitening parameters (W, mean) from the distributed
-    * integer-quantized covariance: W = U diag(1/sqrt(λ+eps)) Uᵀ over
-    * the eigendecomposition of cov = G/(n·S²) − m mᵀ, with G the
-    * [[gramMatrix]] upper triangle and the per-dimension sums from the
-    * same quantization. Everything distributed is EXACT int64 (order-
-    * free, engine-portable); the d×d eigensolve runs on the driver via
-    * breeze (public Spark dependency) — d² floats is quantizer-sized,
-    * the same driver-held contract as [[pqCodebooks]]. ZCA (U Λ⁻½ Uᵀ
-    * rather than Λ⁻½ Uᵀ) keeps the whitened basis maximally close to
-    * the input axes — the standard choice when downstream ops
-    * (SemDeDup, cosine retrieval) want decorrelated-but-recognizable
-    * coordinates. eps floors near-null directions so W stays bounded.
-    *
-    * Quantization error: |x| <= ~1 at S=1024 puts ~1e-3 relative error
-    * on cov — two orders below the 0.05 identity tolerance the gate
-    * checks, and swamped by eps in the low-variance directions. */
-  /** Shared eigensolve over the distributed quantized covariance:
-    * returns (mean in input units, eigenvalues ASCENDING, eigenvector
-    * matrix U with columns matching the eigenvalue order, n). The
-    * distributed legs (per-dim sums + [[gramMatrix]]) are exact int64;
-    * only the driver-side d×d solve runs in floating point. */
   /** Distributed covariance moments: (mean in input units, cov, n).
     * Both legs (per-dim sums + [[gramMatrix]]) are exact int64 —
     * order-free and engine-portable; only the driver-side d×d
@@ -576,6 +555,11 @@ object Similarity {
     (mq.map(_ / scale), cov, n)
   }
 
+  /** Shared eigensolve over the distributed quantized covariance:
+    * returns (mean in input units, eigenvalues ASCENDING, eigenvector
+    * matrix U with columns matching the eigenvalue order, n). The
+    * distributed legs (per-dim sums + [[gramMatrix]]) are exact int64;
+    * only the driver-side d×d solve runs in floating point. */
   private def covEigen(emb: DataFrame, dim: Int, scale: Int)
       : (Array[Double], breeze.linalg.DenseVector[Double],
          breeze.linalg.DenseMatrix[Double], Long) = {
@@ -584,6 +568,22 @@ object Similarity {
     (mean, es.eigenvalues, es.eigenvectors, n)
   }
 
+  /** ZCA whitening parameters (W, mean) from the distributed
+    * integer-quantized covariance: W = U diag(1/sqrt(λ+eps)) Uᵀ over
+    * the eigendecomposition of cov = G/(n·S²) − m mᵀ, with G the
+    * [[gramMatrix]] upper triangle and the per-dimension sums from the
+    * same quantization. Everything distributed is EXACT int64 (order-
+    * free, engine-portable); the d×d eigensolve runs on the driver via
+    * breeze (public Spark dependency) — d² floats is quantizer-sized,
+    * the same driver-held contract as [[pqCodebooks]]. ZCA (U Λ⁻½ Uᵀ
+    * rather than Λ⁻½ Uᵀ) keeps the whitened basis maximally close to
+    * the input axes — the standard choice when downstream ops
+    * (SemDeDup, cosine retrieval) want decorrelated-but-recognizable
+    * coordinates. eps floors near-null directions so W stays bounded.
+    *
+    * Quantization error: |x| <= ~1 at S=1024 puts ~1e-3 relative error
+    * on cov — two orders below the 0.05 identity tolerance the gate
+    * checks, and swamped by eps in the low-variance directions. */
   def whitenParams(emb: DataFrame, dim: Int, eps: Double = 1e-4,
       scale: Int = 1024): (Seq[Seq[Float]], Seq[Float]) = {
     val (mean, lam, u, _) = covEigen(emb, dim, scale)
@@ -642,13 +642,6 @@ object Similarity {
         .as("embedding"))
   }
 
-  /** Self-verifying whitening gate: whiten the corpus, re-measure its
-    * covariance with the SAME distributed gram primitive, and reduce
-    * to (n_vectors, identity_ok) — max |cov_w − I| over all cells
-    * must clear 0.05. A regression anywhere in the chain (gram, sums,
-    * eigensolve, kernel, quantization) moves the whitened covariance
-    * off the identity and flips the boolean. Oracle: count + TRUE,
-    * like every sketch-bound row. */
   /** Closed-form RIDGE linear probe over the embedding column — the
     * "train a quality/domain classifier on embeddings" step of a
     * curation pipeline (the learned successor to the heuristic
@@ -767,6 +760,13 @@ object Similarity {
     }
   }
 
+  /** Self-verifying whitening gate: whiten the corpus, re-measure its
+    * covariance with the SAME distributed gram primitive, and reduce
+    * to (n_vectors, identity_ok) — max |cov_w − I| over all cells
+    * must clear 0.05. A regression anywhere in the chain (gram, sums,
+    * eigensolve, kernel, quantization) moves the whitened covariance
+    * off the identity and flips the boolean. Oracle: count + TRUE,
+    * like every sketch-bound row. */
   val simWhiten: Q = (s, dir) => {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
