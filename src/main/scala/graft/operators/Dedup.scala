@@ -264,9 +264,7 @@ object Dedup {
     * bands: ~0.9999 at j=0.5) and pay the wider candidate set, or
     * run [[jaccardPairs]] for exactness. */
   def minhashLsh(docs: DataFrame, minJaccard: Double,
-      numHashes: Int = NumHashes, bandRows: Int = BandRows): DataFrame = {
-    require(numHashes % bandRows == 0,
-      s"bandRows ($bandRows) must divide numHashes ($numHashes)")
+      numHashes: Int = NumHashes, bandRows: Int = BandRows): DataFrame =
     // Materialize the shared index frames once — Spark re-executes
     // shared subtrees here (no ReusedExchange; self-join sides
     // canonicalize differently): the shingle index feeds the signature
@@ -275,7 +273,20 @@ object Dedup {
     // step (8 bytes x NumHashes per doc for signatures). Isolated
     // timing on a quiet host: 2.5s -> 2.0s at sf0.1 with both
     // checkpoints vs signature-only.
-    val sh = graft.core.Materialize.pin(shingles(docs))
+    minhashLshFromShingles(graft.core.Materialize.pin(shingles(docs)),
+      minJaccard, numHashes, bandRows)
+
+  /** [[minhashLsh]] over an ALREADY-MATERIALIZED shingle frame —
+    * callers that also feed the shingles to another consumer (the
+    * recall gate runs the exact prefix join AND this pipeline over one
+    * corpus) pass their own pin so the shingle derivation runs once,
+    * not once per consumer. `sh` must be pinned/cached by the caller;
+    * this function will re-read it for signatures AND verification
+    * sets. */
+  def minhashLshFromShingles(sh: DataFrame, minJaccard: Double,
+      numHashes: Int = NumHashes, bandRows: Int = BandRows): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"bandRows ($bandRows) must divide numHashes ($numHashes)")
     val sig = graft.core.Materialize.pin(minhashSignatures(sh, numHashes))
     val numBands = numHashes / bandRows
     val bandCols = (0 until numBands).map { b =>
@@ -1064,18 +1075,24 @@ object Dedup {
   val dedupLshRecall: Q = (s, dir) => {
     import s.implicits._
     val docs = t(s, dir, "documents")
+    // ONE shingle pin feeds both comparands (the exact prefix join and
+    // the LSH pipeline) — the shingle derivation is the row's shared
+    // prefix and would otherwise run once per side
+    val sh = graft.core.Materialize.pin(shingles(docs))
     val exact = graft.core.Materialize.pin(
-      jaccardPairsPrefix(shingles(docs), 0.5).select("doc_a", "doc_b"))
+      jaccardPairsPrefix(sh, 0.5).select("doc_a", "doc_b"))
     try {
       val found = exact.join(
-        minhashLsh(docs, 0.5).select("doc_a", "doc_b"),
+        minhashLshFromShingles(sh, 0.5).select("doc_a", "doc_b"),
         Seq("doc_a", "doc_b"), "left_semi")
       val nE = exact.count()
       val nF = found.count()
       Seq((nE, nF * 10L >= nE * 9L)).toDF("n_exact_pairs", "recall_ok")
     } finally {
-      if (!graft.core.Materialize.isReliable(s))
+      if (!graft.core.Materialize.isReliable(s)) {
         org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(exact)
+        org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(sh)
+      }
     }
   }
 
