@@ -261,4 +261,58 @@ object IndexStore {
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     (index, centroids, books)
   }
+
+  // ---- Whitening transform artifact: matrix rows + mean + dim stamp ----
+
+  /** Persist a fitted ZCA whitening transform — a trained transform IS
+    * an artifact exactly like a PQ codebook: fit once on a corpus
+    * snapshot, apply to every later batch (applying a REFIT transform
+    * to previously-whitened data is the classic train/serve skew bug).
+    * The meta row stamps (dim, eps) so a load against a mismatched
+    * corpus width fails loudly instead of silently projecting prefixes
+    * — the same contract as the LSH store's plane-width marker. */
+  def buildWhitenIndex(emb: DataFrame, path: String,
+      dim: Int = Similarity.PlaneDims, eps: Double = 1e-4): Unit = {
+    import emb.sparkSession.implicits._
+    val (w, m) = Similarity.whitenParams(emb, dim, eps)
+    w.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "w")
+      .write.mode("overwrite").parquet(s"$path/matrix")
+    m.zipWithIndex.map { case (v, p) => (p, v) }.toDF("pos", "m")
+      .write.mode("overwrite").parquet(s"$path/mean")
+    Seq((dim, eps)).toDF("dim", "eps")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def ensureWhitenIndex(emb: DataFrame, path: String,
+      dim: Int = Similarity.PlaneDims, eps: Double = 1e-4): Unit =
+    once(s"whiten|$path|$dim|$eps")(buildWhitenIndex(emb, path, dim, eps))
+
+  /** Load (W, mean); verifies the stamped dim matches `expectDim`. */
+  def loadWhitenIndex(spark: SparkSession, path: String,
+      expectDim: Int = Similarity.PlaneDims): (Seq[Seq[Float]], Seq[Float]) = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    require(meta.getInt(0) == expectDim,
+      s"whiten artifact at $path was fitted at dim ${meta.getInt(0)}, " +
+        s"caller expects $expectDim — refit or load the matching artifact")
+    val w = spark.read.parquet(s"$path/matrix").orderBy("i").collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    val m = spark.read.parquet(s"$path/mean").orderBy("pos").collect()
+      .map(_.getFloat(1)).toSeq
+    (w, m)
+  }
+
+  /** Apply a stored whitening transform — the serve-time path: one
+    * fused kernel pass, no refit, no corpus moments. */
+  def whitenFromIndex(emb: DataFrame, spark: SparkSession,
+      path: String): DataFrame = {
+    val (w, m) = loadWhitenIndex(spark, path, expectDim = w0Dim(emb))
+    emb.select(col("vec_id"),
+      graft.functions.MatVecCentered.matVecCentered(col("embedding"), w, m)
+        .as("embedding"))
+  }
+
+  /** Sampled corpus width for the loud artifact-vs-corpus dim check. */
+  private def w0Dim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(Similarity.PlaneDims)
 }

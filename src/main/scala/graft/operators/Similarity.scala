@@ -767,11 +767,13 @@ object Similarity {
     * eigensolve, kernel, quantization) moves the whitened covariance
     * off the identity and flips the boolean. Oracle: count + TRUE,
     * like every sketch-bound row. */
-  val simWhiten: Q = (s, dir) => {
+  /** Shared identity reduction for the whitening gates: pin the
+    * whitened frame, re-measure its covariance with the same gram
+    * primitive, reduce to (n_vectors, identity_ok). */
+  private def whitenIdentityGate(s: SparkSession, whitened: DataFrame,
+      dim: Int): DataFrame = {
     import s.implicits._
-    val emb = t(s, dir, "embeddings")
-    val dim = 64
-    val wh = graft.core.Materialize.pin(whiten(emb, dim))
+    val wh = graft.core.Materialize.pin(whitened)
     try {
       val n = wh.count()
       val sums = wh.select(posexplode(transform(col("embedding"),
@@ -791,6 +793,23 @@ object Similarity {
       if (!graft.core.Materialize.isReliable(s))
         org.apache.spark.sql.classic.GraftColumnBridge.unpersistCheckpoint(wh)
     }
+  }
+
+  val simWhiten: Q = (s, dir) =>
+    whitenIdentityGate(s, whiten(t(s, dir, "embeddings"), 64), 64)
+
+  /** Artifact-flow twin of [[simWhiten]]: the transform is fitted +
+    * written ONCE ([[IndexStore.ensureWhitenIndex]] — a trained
+    * transform is an artifact like a PQ codebook), then loaded and
+    * applied as the serve-time kernel pass. Output is hash-identical
+    * to the inline gate (same corpus, same fit), so the driver's
+    * compare pins build/load/apply equivalence — the same oracle-twin
+    * contract as the five `x_graph_*_indexed` rows. */
+  val simWhitenIndexed: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = IndexStore.defaultPath("whiten", dir)
+    IndexStore.ensureWhitenIndex(emb, path)
+    whitenIdentityGate(s, IndexStore.whitenFromIndex(emb, s, path), 64)
   }
 
   /** Hard-negative mining for contrastive training: for each query
@@ -1242,6 +1261,7 @@ object Similarity {
     "x_sim_centroids" -> simCentroids,
     "x_sim_gram" -> simGram,
     "x_sim_whiten" -> simWhiten,
+    "x_sim_whiten_indexed" -> simWhitenIndexed,
     "x_sim_pca" -> simPca,
     "x_sim_probe" -> simProbe,
     "x_sim_quantized_topk" -> simQuantizedTopK,
@@ -1328,6 +1348,9 @@ object Similarity {
         "CAST(CAST(SUM(v9) AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS m " +
         "FROM v GROUP BY label, i ORDER BY label, pos"),
     "x_sim_whiten" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS identity_ok " +
+        "FROM embeddings"),
+    "x_sim_whiten_indexed" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS identity_ok " +
         "FROM embeddings"),
     "x_sim_pca" ->

@@ -307,6 +307,25 @@ class Round14Spec extends SparkSpec {
     assert(e.getMessage.contains("both classes"))
   }
 
+  test("whiten artifact: store roundtrips the fit exactly, wrong dim fails loudly") {
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val path = tmp("r14-whiten")
+    IndexStore.buildWhitenIndex(emb, path)
+    val (w0, m0) = graft.operators.Similarity.whitenParams(emb, 64)
+    val (w1, m1) = IndexStore.loadWhitenIndex(spark, path)
+    assert(w1 == w0 && m1 == m0, "artifact must roundtrip the fit bit-exactly")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadWhitenIndex(spark, path, expectDim = 32)
+    }
+    assert(e.getMessage.contains("fitted at dim"))
+    // from-index apply equals the inline apply on every row
+    val inline = graft.operators.Similarity.whiten(emb, 64)
+      .as[(Long, Seq[Float])].collect().toMap
+    val fromIdx = IndexStore.whitenFromIndex(emb, spark, path)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(fromIdx == inline, "serve-time path must equal the inline path")
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
