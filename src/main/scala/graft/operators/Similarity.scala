@@ -798,6 +798,40 @@ object Similarity {
   val simWhiten: Q = (s, dir) =>
     whitenIdentityGate(s, whiten(t(s, dir, "embeddings"), 64), 64)
 
+  /** Mahalanobis distance² per vector — ‖W(x − m)‖² with W the ZCA
+    * transform, i.e. (x−m)ᵀ cov⁻¹ (x−m) up to the eps floor: the
+    * covariance-AWARE outlier score ([[centroidOutliers]]' euclidean
+    * form over-flags directions that are merely high-variance). One
+    * kernel pass + a native `aggregate` fold per row, no shuffle —
+    * the embedding-curation "drop the corrupt/degenerate vectors"
+    * step. */
+  def mahalanobisScores(emb: DataFrame, w: Seq[Seq[Float]],
+      m: Seq[Float]): DataFrame =
+    emb.select(col("vec_id"), graft.functions.MatVecCentered
+        .matVecCentered(col("embedding"), w, m).as("__wy"))
+      .select(col("vec_id"), expr(
+        "aggregate(__wy, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)")
+        .as("maha2"))
+
+  /** Self-verifying Mahalanobis gate: on the FIT corpus the mean
+    * whitened norm² is trace(W cov Wᵀ) = Σ λ/(λ+eps) ≈ d — a
+    * mathematical identity, not a corpus property — so the reduction
+    * checks |mean(maha²)/d − 1| < 0.1 (quantization + eps cost well
+    * under that) plus the tail sanity that the max score strictly
+    * exceeds the mean (a constant-score regression — e.g. W collapsing
+    * to zero — fails both). Oracle: count + TRUE. */
+  val simMahalanobis: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val (w, m) = whitenParams(emb, dim)
+    val (n, meanM, maxM) = mahalanobisScores(emb, w, m)
+      .agg(count(lit(1)), avg("maha2"), max("maha2"))
+      .as[(Long, Double, Double)].head()
+    Seq((n, math.abs(meanM / dim - 1.0) < 0.1 && maxM > meanM))
+      .toDF("n_vectors", "chi_mean_ok")
+  }
+
   /** Artifact-flow twin of [[simWhiten]]: the transform is fitted +
     * written ONCE ([[IndexStore.ensureWhitenIndex]] — a trained
     * transform is an artifact like a PQ codebook), then loaded and
@@ -1262,6 +1296,7 @@ object Similarity {
     "x_sim_gram" -> simGram,
     "x_sim_whiten" -> simWhiten,
     "x_sim_whiten_indexed" -> simWhitenIndexed,
+    "x_sim_mahalanobis" -> simMahalanobis,
     "x_sim_pca" -> simPca,
     "x_sim_probe" -> simProbe,
     "x_sim_quantized_topk" -> simQuantizedTopK,
@@ -1352,6 +1387,9 @@ object Similarity {
         "FROM embeddings"),
     "x_sim_whiten_indexed" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS identity_ok " +
+        "FROM embeddings"),
+    "x_sim_mahalanobis" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS chi_mean_ok " +
         "FROM embeddings"),
     "x_sim_pca" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(16 AS INT) AS k, " +

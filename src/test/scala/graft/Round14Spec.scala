@@ -326,6 +326,32 @@ class Round14Spec extends SparkSpec {
     assert(fromIdx == inline, "serve-time path must equal the inline path")
   }
 
+  test("Mahalanobis ranks a planted out-of-distribution vector first; corpus mean ~ d") {
+    // plant a vector ~20 whitened-sigma along the lowest-variance
+    // principal axis: its maha² is ~400 against a corpus mean of ~64
+    // (the chi-square mean = d identity the gate also checks), so it
+    // must rank first under the FIT-corpus transform
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+    val (axes, mean, lam) = graft.operators.Similarity.pcaParams(emb, 64, 64)
+    val lowAxis = axes.last // axes come variance-descending; last = lowest
+    val mag = 20.0f * math.sqrt(lam.last + 1e-4).toFloat
+    val planted = mean.zip(lowAxis).map { case (mm, a) => mm + mag * a }
+    val withOutlier = emb.unionByName(
+      Seq((999999L, planted)).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .withColumn("label", lit(0L)).select("vec_id", "embedding", "label"))
+    val (w, m) = graft.operators.Similarity.whitenParams(emb, 64)
+    val scores = graft.operators.Similarity.mahalanobisScores(withOutlier, w, m)
+    val top = scores.orderBy(col("maha2").desc).limit(1)
+      .as[(Long, Double)].head()
+    assert(top._1 == 999999L,
+      s"planted out-of-distribution vector must rank first, got $top")
+    val meanM = scores.filter(col("vec_id") =!= 999999L)
+      .agg(avg("maha2")).as[Double].head()
+    assert(math.abs(meanM / 64 - 1.0) < 0.1,
+      s"fit-corpus mean maha2 $meanM must sit near d=64")
+  }
+
   test("phonetic key is degenerate on the gate corpus — documented reason it stays out") {
     // every c_name shares the letter skeleton "Customer#<digits>";
     // soundex ignores digits, so the phonetic code is CONSTANT and the
