@@ -135,6 +135,9 @@ object Sampling {
     * top-up) — same race, scan-bound. */
   /** The A-ES race score: -ln(u)/w with u the portable md5 uniform
     * shifted into (0,1]. Smaller = drawn earlier. */
+  private[graft] def aesRaceScore(key: Column, weight: Column,
+      op: String): Column = aesScore(key, weight, op)
+
   private def aesScore(key: Column, weight: Column, op: String): Column = {
     val h = conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
       .cast(LongType)
