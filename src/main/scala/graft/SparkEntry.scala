@@ -35,7 +35,8 @@ object SparkEntry {
       Temporal.queries ++ Sampling.queries ++ Curation.queries ++
       Corpus.queries ++ Cdc.queries ++ BloomPrune.queries ++
       Layout.queries ++ Graph.queries ++ Linkage.queries ++
-      Profile.queries ++ graft.streaming.Compaction.queries
+      Profile.queries ++ Retrieval.queries ++
+      graft.streaming.Compaction.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -47,5 +48,6 @@ object SparkEntry {
       Temporal.oracles ++ Sampling.oracles ++ Curation.oracles ++
       Corpus.oracles ++ Cdc.oracles ++ BloomPrune.oracles ++
       Layout.oracles ++ Graph.oracles ++ Linkage.oracles ++
-      Profile.oracles ++ graft.streaming.Compaction.oracles
+      Profile.oracles ++ Retrieval.oracles ++
+      graft.streaming.Compaction.oracles
 }

@@ -315,4 +315,64 @@ object IndexStore {
   private def w0Dim(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(Similarity.PlaneDims)
+
+  // ---- BM25 inverted-index artifact (postings + dictionary + stats) ----
+
+  /** Token-hash partition count for the postings layout. 64 keeps
+    * gate-scale directories sane; a 100 TB corpus would raise it with
+    * the same stamped-mod discipline as [[graft.streaming.Compaction.tierByKey]]. */
+  val PostingsPbMod = 64
+
+  /** Persist the classic inverted-index triple: postings
+    * (doc_id, tok, tf, dl) partitioned by `pb = hash(tok) mod m` so a
+    * probe prunes to its query terms' directories at planning time;
+    * dictionary (tok, df) — vocabulary-sized; one-row stats
+    * (n, sumdl) stamped with the partition mod (probes re-derive pb
+    * with the stamped mod, so a layout change can never silently
+    * probe the wrong directories). */
+  def buildPostingsIndex(docs: DataFrame, path: String,
+      pbMod: Int = PostingsPbMod): Unit = {
+    val p = Retrieval.postings(docs)
+      .withColumn("pb", pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
+    p.write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
+    // df from the SAME postings frame the payload was written from:
+    // "docs containing tok" — one row per (doc, tok) by construction.
+    p.groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/dict")
+    Retrieval.corpusStats(docs).withColumn("pb_mod", lit(pbMod))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def ensurePostingsIndex(docs: DataFrame, path: String,
+      pbMod: Int = PostingsPbMod): Unit =
+    once(s"postings|$path|$pbMod")(buildPostingsIndex(docs, path, pbMod))
+
+  /** BM25 search against the stored index — the serve-time path: the
+    * query terms' pb set is computed with the STAMPED mod (one tiny
+    * job over the literal token frame, probedCells-sized collect) and
+    * planted as a static isin on the partition column, so the
+    * postings scan prunes to the query terms' directories at planning
+    * time under either parquet reader (the IVFADC move; RetrievalSpec
+    * asserts the PartitionFilters). The dictionary supplies df, so
+    * output is identical to [[Retrieval.bm25TopK]] by construction. */
+  def bm25FromIndex(docs: DataFrame, spark: SparkSession, path: String,
+      nQueries: Int, qLen: Int, k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$path/stats")
+    val pbMod = stats.select("pb_mod").head().getInt(0)
+    val qterms = Retrieval.queryTermsLocal(docs, nQueries, qLen)
+    val toks = qterms.map(_._2).distinct
+    val tokDf = toks.toDF("tok")
+    val pbs = tokDf
+      .select(pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hits = spark.read.parquet(s"$path/postings")
+      .filter(col("pb").isin(pbs: _*))
+      .join(broadcast(tokDf), Seq("tok"))
+      .select("doc_id", "tok", "tf", "dl")
+    val dfT = spark.read.parquet(s"$path/dict")
+      .join(broadcast(tokDf), Seq("tok"))
+    Retrieval.bm25Rank(hits, dfT, qterms, stats.drop("pb_mod"), k, maxDf)
+  }
 }

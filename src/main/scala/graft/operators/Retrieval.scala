@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.core.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sparse (lexical) ranked retrieval — Okapi BM25 over an inverted
+  * index. The retrieval primitive a training-data pipeline uses for
+  * decontamination lookups ("which training docs answer this benchmark
+  * question"), retrieval-based data selection, and known-item audits;
+  * complements the dense ANN family in [[Similarity]] (same top-k
+  * contract, lexical instead of embedding evidence). Cited pattern:
+  * the reference's per-table synonym grep chains
+  * (PharmacoDI/build_synonym_tables.py:41-63) are point lookups over
+  * the same token-to-row shape; BM25 is that lookup with a principled
+  * score.
+  *
+  * Scoring is Robertson/Sparck Jones BM25 (k1 = 1.2, b = 0.75) with
+  * the idf kept LINEAR — `(N - df + ½) / (df + ½)` without the log —
+  * so the whole score is a ratio of integer polynomials. With k1, b
+  * and the ½s cleared to integers:
+  *
+  *   term_bp = 10000 * (2N - 2df + 1) * 22 * tf * sumdl
+  *             DIV ((2df + 1) * (10*tf*sumdl + 3*sumdl + 9*dl*N))
+  *
+  * — every factor an exact integer (decimal(38,0) against the
+  * 10000 * idf * tf * sumdl product overflowing int64), one floor
+  * division per term, summed per (query, doc). Bit-portable across
+  * engines, same trade the linear-idf [[Corpus.tfIdf]] documents: a
+  * log idf would hang the oracle hash on libm rounding. Monotonicity
+  * in tf, 1/df, and 1/dl — the properties BM25 ranks by — survives
+  * the linearization (RetrievalSpec pins all three).
+  *
+  * Scale shape: query terms are collected once (bounded by
+  * nQueries * qLen — quantizer-sized, the adjudicated driver-collect
+  * class) and broadcast against the exploded corpus scan, so only
+  * postings of query terms ever reach a shuffle; per-(doc, tok) tf is
+  * map-combined; df over the pruned hits is vocabulary-of-the-query
+  * sized. The final per-query top-k rides [[graft.functions.TopK]]
+  * (map tasks emit <= k rows per query before the shuffle — O(q * k)
+  * shuffle, never O(matched docs)). A stopword query term makes its
+  * posting list corpus-sized; `maxDf` is the escape hatch (drop terms
+  * hotter than the cap from scoring — the [[Dedup.GateMaxDf]] move).
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gate parameters: queries are the `NQueries` smallest doc_ids,
+    * each asking its `QueryLen` lexicographically-first distinct
+    * tokens — deterministic, self-contained, and a known-item probe
+    * (the query's own doc contains every query term by construction). */
+  val NQueries = 8
+  val QueryLen = 4
+  val K = 10
+
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+
+  /** (q_id, tok) query-term pairs, collected driver-side — bounded by
+    * nQueries * qLen rows, the quantizer-sized collect class. One
+    * TakeOrdered job; the literal frame then feeds every consumer as
+    * a broadcast, instead of re-running the corpus scan per use. */
+  def queryTermsLocal(docs: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen): Seq[(Long, String)] =
+    docTokens(docs).orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(array_sort(array_distinct(col("ws"))), 1, qLen)).as("tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  /** One-row (n, sumdl) corpus statistics — the BM25 normalizer. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docTokens(docs).agg(count(lit(1)).cast("long").as("n"),
+      sum(size(col("ws"))).cast("long").as("sumdl"))
+
+  /** Full-corpus postings (doc_id, tok, tf, dl) — the inverted-index
+    * payload [[IndexStore.buildPostingsIndex]] persists. dl rides the
+    * map-combined partial agg (max of a per-doc constant) so no
+    * doc-keyed join is ever needed. */
+  def postings(docs: DataFrame): DataFrame =
+    docTokens(docs)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+
+  /** Postings pruned to the query vocabulary BEFORE the tf groupBy:
+    * the broadcast semi-prune sits against the exploded scan, so the
+    * only rows shuffled are instances of query terms. */
+  def bm25Hits(docs: DataFrame, toks: Seq[String]): DataFrame = {
+    val tokDf = docs.sparkSession.createDataFrame(
+      toks.distinct.map(Tuple1(_))).toDF("tok")
+    docTokens(docs)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("tok"))
+      .join(broadcast(tokDf), Seq("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+  }
+
+  /** The exact-integer BM25 term contribution in basis points; inputs
+    * must already be decimal(38,0) columns named tf, dl, df, n, sumdl. */
+  private val TermBp =
+    "CAST((10000 * (2*n - 2*df + 1) * 22 * tf * sumdl) DIV " +
+      "((2*df + 1) * (10*tf*sumdl + 3*sumdl + 9*dl*n)) AS BIGINT)"
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** Score + rank: joins hits against the (tiny) df table and query
+    * fan-out, folds per-term bp into per-(q, doc) scores, and takes
+    * the per-query top-k through the partial-aggregating TopK
+    * (score carried as Double in the aggregator — exact below 2^53,
+    * a bound the 10^4-bp scale keeps until N ~ 10^11 docs; documented
+    * here because the DIV arithmetic itself never rounds).
+    *
+    * `dfT` is passed in rather than derived so the index path can use
+    * its persisted dictionary: both equal "docs containing tok", so
+    * inline and from-index outputs are identical by construction. */
+  def bm25Rank(hits: DataFrame, dfT: DataFrame, qterms: Seq[(Long, String)],
+      stats: DataFrame, k: Int, maxDf: Option[Long] = None): DataFrame = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val qDf = spark.createDataFrame(qterms).toDF("q_id", "tok")
+    val dfKept = maxDf.map(m => dfT.filter(col("df") <= m)).getOrElse(dfT)
+    val scored = hits
+      .join(broadcast(dfKept), Seq("tok"))
+      .join(broadcast(qDf), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), dec(col("tf")).as("tf"),
+        dec(col("dl")).as("dl"), dec(col("df")).as("df"),
+        dec(col("n")).as("n"), dec(col("sumdl")).as("sumdl"))
+      .withColumn("term_bp", expr(TermBp))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("term_bp").as("score_bp"))
+    scored.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3.toDouble, r._2))
+      .agg(new graft.functions.TopK(k).toColumn.name("top"))
+      .flatMap { case (q, items) =>
+        items.zipWithIndex.map { case ((s, d), i) => (q, d, s.toLong, i + 1) }
+      }
+      .toDF("q_id", "doc_id", "score_bp", "rank")
+  }
+
+  /** Inline gate: query construction, pruned postings, df from the
+    * pruned hits (= docs containing tok), rank. */
+  def bm25TopK(docs: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen, k: Int = K): DataFrame = {
+    val qterms = queryTermsLocal(docs, nQueries, qLen)
+    val hits = bm25Hits(docs, qterms.map(_._2))
+    val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    bm25Rank(hits, dfT, qterms, corpusStats(docs), k)
+  }
+
+  val textBm25: Q = (s, dir) =>
+    bm25TopK(t(s, dir, "documents")).orderBy("q_id", "rank")
+
+  /** Indexed twin: same output through the persisted postings artifact
+    * ([[IndexStore.ensurePostingsIndex]] — build-once per JVM), with
+    * the probe pruned to the query terms' `pb` partitions at PLANNING
+    * time (static isin on the partition column, the IVFADC move). */
+  val textBm25Indexed: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val path = IndexStore.defaultPath("postings", dir)
+    IndexStore.ensurePostingsIndex(docs, path)
+    IndexStore.bm25FromIndex(docs, s, path, NQueries, QueryLen, K)
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_text_bm25" -> textBm25,
+    "x_text_bm25_indexed" -> textBm25Indexed)
+
+  private val bm25Sql =
+    ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w), " +
+      "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM d), " +
+      s"q AS (SELECT doc_id AS q_id, list_sort(list_distinct(ws))[1:$QueryLen] AS qs FROM w ORDER BY doc_id LIMIT $NQueries), " +
+      "qt AS (SELECT q_id, unnest(qs) AS tok FROM q), " +
+      "tk AS (SELECT doc_id, unnest(ws) AS tok FROM w), " +
+      "hits AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk " +
+      "WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok), " +
+      "dfv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY tok), " +
+      "sc AS (SELECT qt.q_id, h.doc_id, CAST(SUM(" +
+      "(CAST(10000 AS HUGEINT) * (2*st.n - 2*dfv.df + 1) * 22 * h.tf * st.sumdl) // " +
+      "(CAST(2*dfv.df + 1 AS HUGEINT) * (CAST(10 AS HUGEINT)*h.tf*st.sumdl + 3*st.sumdl + 9*d.dl*st.n))" +
+      ") AS BIGINT) AS score_bp " +
+      "FROM hits h JOIN dfv USING (tok) JOIN qt USING (tok) " +
+      "JOIN d ON h.doc_id = d.doc_id CROSS JOIN st GROUP BY qt.q_id, h.doc_id), " +
+      "r AS (SELECT q_id, doc_id, score_bp, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY score_bp DESC, doc_id) AS INT) AS rank FROM sc) " +
+      s"SELECT q_id, doc_id, score_bp, rank FROM r WHERE rank <= $K ORDER BY q_id, rank")
+
+  val oracles: Map[String, String] = Map(
+    "x_text_bm25" -> bm25Sql,
+    "x_text_bm25_indexed" -> bm25Sql)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexStore, Retrieval}
+
+/** BM25 sparse retrieval: exact-integer scoring properties, the
+  * known-item contract of the gate's query construction, inline ==
+  * from-index equality, and the planning-time pb prune on the stored
+  * postings layout. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** Score one synthetic (tf, dl, df) point through the public rank
+    * path: a single query term hitting a single one-doc posting, with
+    * corpus stats (n, sumdl) supplied directly. */
+  private def bpOf(tf: Long, dl: Long, df: Long, n: Long, sumdl: Long): Long = {
+    val hits = Seq((7L, "t", tf, dl)).toDF("doc_id", "tok", "tf", "dl")
+    val dfT = Seq(("t", df)).toDF("tok", "df")
+    val stats = Seq((n, sumdl)).toDF("n", "sumdl")
+    Retrieval.bm25Rank(hits, dfT, Seq((0L, "t")), stats, k = 1)
+      .select("score_bp").head().getLong(0)
+  }
+
+  test("term score is monotone in tf, anti-monotone in df and dl") {
+    val base = bpOf(tf = 2, dl = 100, df = 10, n = 1000, sumdl = 100000)
+    assert(bpOf(3, 100, 10, 1000, 100000) > base, "more occurrences must score higher")
+    assert(bpOf(2, 100, 50, 1000, 100000) < base, "commoner terms must score lower")
+    assert(bpOf(2, 400, 10, 1000, 100000) < base, "longer docs must score lower")
+    // tf saturation: the k1 cap bounds the tf term at (k1+1)/1 = 2.2x
+    // the tf=inf asymptote; doubling tf from an already-high value
+    // moves the score by less than the first doubling did.
+    val lo = bpOf(1, 100, 10, 1000, 100000)
+    val mid = bpOf(2, 100, 10, 1000, 100000)
+    val hi = bpOf(4, 100, 10, 1000, 100000)
+    assert(mid - lo > hi - mid, "tf gain must saturate (k1 damping)")
+  }
+
+  test("maxDf drops stopword-hot query terms from scoring") {
+    val hits = Seq((1L, "the", 5L, 10L), (1L, "rare", 1L, 10L))
+      .toDF("doc_id", "tok", "tf", "dl")
+    val dfT = Seq(("the", 900L), ("rare", 2L)).toDF("tok", "df")
+    val stats = Seq((1000L, 10000L)).toDF("n", "sumdl")
+    val qterms = Seq((0L, "the"), (0L, "rare"))
+    val capped = Retrieval.bm25Rank(hits, dfT, qterms, stats, 5, maxDf = Some(100L))
+      .select("score_bp").head().getLong(0)
+    val rareOnly = Retrieval.bm25Rank(hits, dfT, Seq((0L, "rare")), stats, 5)
+      .select("score_bp").head().getLong(0)
+    assert(capped == rareOnly,
+      "a term over the df cap must contribute exactly nothing")
+  }
+
+  test("known-item contract: each query's own doc is scored on every query term") {
+    val qterms = Retrieval.queryTermsLocal(docs)
+    val hits = Retrieval.bm25Hits(docs, qterms.map(_._2))
+    val perQ = qterms.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val own = hits.filter(col("doc_id") < Retrieval.NQueries)
+      .select("doc_id", "tok").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    perQ.foreach { case (q, toks) =>
+      assert(own.get(q).exists(toks.subsetOf(_)),
+        s"query $q's own doc must carry postings for all its terms $toks")
+    }
+  }
+
+  test("from-index search equals the inline query (df from dictionary, not recomputed)") {
+    val path = tmp("bm25idx")
+    IndexStore.buildPostingsIndex(docs, path, pbMod = 8)
+    val inline = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
+    val indexed = IndexStore.bm25FromIndex(docs, spark, path,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    assert(inline.sameElements(indexed),
+      "postings-artifact search must be output-identical to the inline path")
+  }
+
+  test("postings probe prunes to the query terms' pb partitions at planning time") {
+    val path = tmp("bm25prune")
+    IndexStore.buildPostingsIndex(docs, path, pbMod = 8)
+    val probe = IndexStore.bm25FromIndex(docs, spark, path,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+    val scans = probe.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains(path)).mkString("\n")
+    assert(scans.contains("PartitionFilters: [pb"),
+      s"postings scan must carry a static pb partition filter:\n$scans")
+  }
+}
