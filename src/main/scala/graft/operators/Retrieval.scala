@@ -169,9 +169,74 @@ object Retrieval {
       .orderBy("q_id", "rank")
   }
 
+  // ---- Hybrid retrieval: reciprocal-rank fusion of lexical + dense ----
+
+  /** Brute-force dense top-k for the SAME query ids the BM25 gate asks
+    * (self included — known-item symmetry with the lexical leg, where
+    * the query's own doc competes like any other). This is the
+    * oracle-shaped dense leg; at corpus scale the ANN family
+    * ([[Similarity]] LSH/IVF/PQ) replaces it under the same (q_id,
+    * doc_id, rank) contract, which is all the fusion consumes. */
+  def denseTopK(emb: DataFrame, qIds: Seq[Long], k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import graft.functions.{CosineSimilarity, TopK}
+    val q = emb.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        CosineSimilarity.cosineSim(col("q_emb"), col("embedding")).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new TopK(k).toColumn.name("top"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case ((_, d), i) => (qid, d, i + 1) }
+      }
+      .toDF("q_id", "doc_id", "rank")
+  }
+
+  /** Reciprocal-rank fusion constant (Cormack et al. 2009's k = 60)
+    * and the integer scale that keeps fusion scores exact:
+    * `pts(rank) = 10^7 div (60 + rank)` — a pure rank transform, so
+    * the fused score is bit-portable even though the dense leg's
+    * similarities are floats (only their ORDER crosses the boundary,
+    * the same trade every cosine gate row already makes). */
+  val RrfC = 60
+  val RrfScale = 10000000L
+
+  /** Hybrid retrieval: BM25 top-k and dense top-k are fused by RRF —
+    * a doc absent from one list simply contributes nothing for it
+    * (full outer join + coalesce-to-zero), the standard formulation.
+    * Fusion re-ranks a candidate pool of <= 2k rows per query, so the
+    * final window is bounded by the leg sizes, never the corpus. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen, k: Int = K, kOut: Int = K): DataFrame = {
+    val qterms = queryTermsLocal(docs, nQueries, qLen)
+    val hits = bm25Hits(docs, qterms.map(_._2))
+    val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lex = bm25Rank(hits, dfT, qterms, corpusStats(docs), k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = denseTopK(emb, qterms.map(_._1).distinct, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("dense_rank"))
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"CAST($RrfScale AS BIGINT) DIV ($RrfC + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"CAST($RrfScale AS BIGINT) DIV ($RrfC + dense_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= kOut)
+      .select("q_id", "doc_id", "rrf", "rank")
+  }
+
+  val textHybridRrf: Q = (s, dir) =>
+    hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"))
+      .orderBy("q_id", "rank")
+
   val queries: Map[String, Q] = Map(
     "x_text_bm25" -> textBm25,
-    "x_text_bm25_indexed" -> textBm25Indexed)
+    "x_text_bm25_indexed" -> textBm25Indexed,
+    "x_text_hybrid_rrf" -> textHybridRrf)
 
   private val bm25Sql =
     ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
@@ -193,7 +258,40 @@ object Retrieval {
       "(PARTITION BY q_id ORDER BY score_bp DESC, doc_id) AS INT) AS rank FROM sc) " +
       s"SELECT q_id, doc_id, score_bp, rank FROM r WHERE rank <= $K ORDER BY q_id, rank")
 
+  private val hybridSql =
+    ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w), " +
+      "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM d), " +
+      s"q AS (SELECT doc_id AS q_id, list_sort(list_distinct(ws))[1:$QueryLen] AS qs FROM w ORDER BY doc_id LIMIT $NQueries), " +
+      "qt AS (SELECT q_id, unnest(qs) AS tok FROM q), " +
+      "tk AS (SELECT doc_id, unnest(ws) AS tok FROM w), " +
+      "hits AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk " +
+      "WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok), " +
+      "dfv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY tok), " +
+      "sc AS (SELECT qt.q_id, h.doc_id, CAST(SUM(" +
+      "(CAST(10000 AS HUGEINT) * (2*st.n - 2*dfv.df + 1) * 22 * h.tf * st.sumdl) // " +
+      "(CAST(2*dfv.df + 1 AS HUGEINT) * (CAST(10 AS HUGEINT)*h.tf*st.sumdl + 3*st.sumdl + 9*d.dl*st.n))" +
+      ") AS BIGINT) AS score_bp " +
+      "FROM hits h JOIN dfv USING (tok) JOIN qt USING (tok) " +
+      "JOIN d ON h.doc_id = d.doc_id CROSS JOIN st GROUP BY qt.q_id, h.doc_id), " +
+      "lex AS (SELECT q_id, doc_id, rnk AS lex_rank FROM (SELECT q_id, doc_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY score_bp DESC, doc_id) AS rnk FROM sc) " +
+      s"WHERE rnk <= $K), " +
+      "sims AS (SELECT qe.vec_id AS q_id, c.vec_id AS doc_id, " +
+      "list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +
+      "FROM embeddings qe, embeddings c WHERE qe.vec_id IN (SELECT q_id FROM q)), " +
+      "dn AS (SELECT q_id, doc_id, rnk AS dense_rank FROM (SELECT q_id, doc_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rnk FROM sims) " +
+      s"WHERE rnk <= $K), " +
+      "f AS (SELECT COALESCE(lex.q_id, dn.q_id) AS q_id, COALESCE(lex.doc_id, dn.doc_id) AS doc_id, " +
+      s"COALESCE($RrfScale // ($RrfC + lex.lex_rank), 0) + COALESCE($RrfScale // ($RrfC + dn.dense_rank), 0) AS rrf " +
+      "FROM lex FULL OUTER JOIN dn ON lex.q_id = dn.q_id AND lex.doc_id = dn.doc_id) " +
+      "SELECT q_id, doc_id, rrf, CAST(rnk AS INT) AS rank FROM (SELECT q_id, doc_id, rrf, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rnk FROM f) " +
+      s"WHERE rnk <= $K ORDER BY q_id, rank")
+
   val oracles: Map[String, String] = Map(
     "x_text_bm25" -> bm25Sql,
-    "x_text_bm25_indexed" -> bm25Sql)
+    "x_text_bm25_indexed" -> bm25Sql,
+    "x_text_hybrid_rrf" -> hybridSql)
 }

@@ -85,6 +85,34 @@ class RetrievalSpec extends SparkSpec {
       "postings-artifact search must be output-identical to the inline path")
   }
 
+  test("RRF fusion: both-list docs outscore single-list docs at equal ranks") {
+    // rank transform only: pts(r) = 10^7 div (60 + r); a doc at rank 3
+    // in BOTH lists must beat a doc at rank 1 in one list only
+    // (163934*2 = 327868 > 163934+0... vs rank-1 164k: 2x rank-3 pts
+    // 158730*2 = 317460 > 163934) — the property that makes RRF favor
+    // consensus over a single leg's confidence.
+    val both = 2 * (Retrieval.RrfScale / (Retrieval.RrfC + 3))
+    val single = Retrieval.RrfScale / (Retrieval.RrfC + 1)
+    assert(both > single, "consensus at rank 3 must beat a lone rank 1")
+  }
+
+  test("hybrid gate: fused candidates come only from the two legs' top-k pools") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val fused = Retrieval.hybridRrf(docs, emb)
+    val qterms = Retrieval.queryTermsLocal(docs)
+    val lex = Retrieval.bm25TopK(docs)
+      .select("q_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dense = Retrieval.denseTopK(emb, qterms.map(_._1).distinct, Retrieval.K)
+      .select("q_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = fused.select("q_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty && out.subsetOf(lex ++ dense),
+      "fusion must re-rank the union of the leg pools, never invent candidates")
+    // per-query pool bound: <= 2k candidates ranked, k emitted
+    val perQ = fused.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ <= Retrieval.K), "output is top-kOut per query")
+  }
+
   test("postings probe prunes to the query terms' pb partitions at planning time") {
     val path = tmp("bm25prune")
     IndexStore.buildPostingsIndex(docs, path, pbMod = 8)
