@@ -36,7 +36,8 @@ object SparkEntry {
       Corpus.queries ++ Cdc.queries ++ BloomPrune.queries ++
       Layout.queries ++ Graph.queries ++ Linkage.queries ++
       Profile.queries ++ Retrieval.queries ++
-      graft.streaming.Compaction.queries
+      graft.streaming.Compaction.queries ++
+      graft.streaming.PostingsIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -49,5 +50,6 @@ object SparkEntry {
       Corpus.oracles ++ Cdc.oracles ++ BloomPrune.oracles ++
       Layout.oracles ++ Graph.oracles ++ Linkage.oracles ++
       Profile.oracles ++ Retrieval.oracles ++
-      graft.streaming.Compaction.oracles
+      graft.streaming.Compaction.oracles ++
+      graft.streaming.PostingsIngest.oracles
 }
