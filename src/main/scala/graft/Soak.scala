@@ -907,6 +907,33 @@ object Soak {
           .select("vec_id", "tbl", "bucket")) }
     }
 
+    // BM25 retrieval: what a probe pays through the postings artifact
+    // vs the inline re-explode of the corpus. 200k x 40-token docs
+    // over a 2k vocabulary -> posting lists ~4k docs/term (realistic
+    // hot-ish terms); the artifact probe reads the query terms' pb
+    // directories + the dictionary, the inline path re-tokenizes the
+    // whole corpus per search.
+    if (want("retrieval")) {
+      import graft.operators.{IndexStore, Retrieval}
+      val rDir = java.nio.file.Files.createTempDirectory("soak_postings").toString
+      val tb = System.nanoTime()
+      IndexStore.buildPostingsIndex(docs, rDir)
+      println(f"SOAK retrieval_index_build    ${(System.nanoTime() - tb) / 1e9}%8.2f s")
+      // query terms derived once and passed to BOTH legs, so the
+      // comparison times pure search (production queries arrive with
+      // their own terms, they don't re-scan the corpus to exist)
+      val qts = Retrieval.queryTermsLocal(docs)
+      // untimed warm-up against a slice so codegen/JIT don't bill leg 1
+      Retrieval.bm25TopK(docs.limit(5000))
+        .write.format("noop").mode("overwrite").save()
+      time("retrieval_inline_search") {
+        Retrieval.bm25TopK(docs, qterms = Some(qts)) }
+      time("retrieval_index_search") {
+        IndexStore.bm25FromIndex(docs, spark, rDir,
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+          qtermsIn = Some(qts)) }
+    }
+
     spark.stop()
   }
 }

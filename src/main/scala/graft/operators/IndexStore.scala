@@ -318,10 +318,35 @@ object IndexStore {
 
   // ---- BM25 inverted-index artifact (postings + dictionary + stats) ----
 
-  /** Token-hash partition count for the postings layout. 64 keeps
-    * gate-scale directories sane; a 100 TB corpus would raise it with
-    * the same stamped-mod discipline as [[graft.streaming.Compaction.tierByKey]]. */
+  /** Token-hash partition count for the postings layout at gate
+    * scale. Two forces pull on this number: pruning wants mod LARGE
+    * against a query's distinct-term count (the gate's 32 terms
+    * against 64 dirs leave ~half the index in scope), directory
+    * overhead wants dirs HOLDING real data (the r14 soak measured
+    * mod=256 LOSING to mod=64 at an 8M-posting index — 22.3 s build /
+    * 3.5 s probe vs 12.4 s / 2.3 s — because listing+opening 4x the
+    * files outweighs scanning rows that were already cheap). 64 is
+    * the measured balance for gate/soak-sized indexes;
+    * [[pbModForPostings]] scales it for real corpora. */
   val PostingsPbMod = 64
+
+  /** Corpus-sized partition mod: smallest power of two putting a
+    * directory at ~[[PostingsRowsPerDir]] postings, floored at the
+    * gate default and capped at 4096 — the same shape as
+    * [[Similarity.planesForCorpus]] (width must fit the corpus, not
+    * the query). At 8M postings this returns 64 (the measured
+    * balance); at 10^9 it returns 1024; the cap keeps a pathological
+    * estimate from exploding the filesystem. */
+  val PostingsRowsPerDir = 1000000L
+  def pbModForPostings(expectedPostings: Long): Int = {
+    require(expectedPostings > 0,
+      s"expectedPostings must be positive (got $expectedPostings)")
+    val dirs = (expectedPostings + PostingsRowsPerDir - 1) / PostingsRowsPerDir
+    // clamp the EXPONENT before shifting — 1 << 43 wraps an Int shift
+    // (shift count is mod 32) and would dodge the .min cap below
+    val pow = 64 - java.lang.Long.numberOfLeadingZeros((dirs - 1).max(0))
+    1 << pow.max(6).min(12) // 2^6 = gate floor, 2^12 = 4096 cap
+  }
 
   /** Persist the classic inverted-index triple: postings
     * (doc_id, tok, tf, dl) partitioned by `pb = hash(tok) mod m` so a
@@ -357,11 +382,13 @@ object IndexStore {
     * output is identical to [[Retrieval.bm25TopK]] by construction. */
   def bm25FromIndex(docs: DataFrame, spark: SparkSession, path: String,
       nQueries: Int, qLen: Int, k: Int,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None,
+      qtermsIn: Option[Seq[(Long, String)]] = None): DataFrame = {
     import spark.implicits._
     val stats = spark.read.parquet(s"$path/stats")
     val pbMod = stats.select("pb_mod").head().getInt(0)
-    val qterms = Retrieval.queryTermsLocal(docs, nQueries, qLen)
+    val qterms = qtermsIn.getOrElse(
+      Retrieval.queryTermsLocal(docs, nQueries, qLen))
     val toks = qterms.map(_._2).distinct
     val tokDf = toks.toDF("tok")
     val pbs = tokDf

@@ -145,13 +145,16 @@ object Retrieval {
   }
 
   /** Inline gate: query construction, pruned postings, df from the
-    * pruned hits (= docs containing tok), rank. */
+    * pruned hits (= docs containing tok), rank. Pass `qterms` to skip
+    * the self-contained query derivation (production searches arrive
+    * with their own terms; the soak times pure search this way). */
   def bm25TopK(docs: DataFrame, nQueries: Int = NQueries,
-      qLen: Int = QueryLen, k: Int = K): DataFrame = {
-    val qterms = queryTermsLocal(docs, nQueries, qLen)
-    val hits = bm25Hits(docs, qterms.map(_._2))
+      qLen: Int = QueryLen, k: Int = K,
+      qterms: Option[Seq[(Long, String)]] = None): DataFrame = {
+    val qt = qterms.getOrElse(queryTermsLocal(docs, nQueries, qLen))
+    val hits = bm25Hits(docs, qt.map(_._2))
     val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
-    bm25Rank(hits, dfT, qterms, corpusStats(docs), k)
+    bm25Rank(hits, dfT, qt, corpusStats(docs), k)
   }
 
   val textBm25: Q = (s, dir) =>

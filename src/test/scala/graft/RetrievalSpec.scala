@@ -85,6 +85,14 @@ class RetrievalSpec extends SparkSpec {
       "postings-artifact search must be output-identical to the inline path")
   }
 
+  test("pbModForPostings scales with the corpus, not the query") {
+    assert(IndexStore.pbModForPostings(8000000L) == 64,
+      "soak-sized index stays at the measured gate balance")
+    assert(IndexStore.pbModForPostings(1000000000L) == 1024)
+    assert(IndexStore.pbModForPostings(1L) == 64, "floor holds")
+    assert(IndexStore.pbModForPostings(Long.MaxValue / 2) == 4096, "cap holds")
+  }
+
   test("RRF fusion: both-list docs outscore single-list docs at equal ranks") {
     // rank transform only: pts(r) = 10^7 div (60 + r); a doc at rank 3
     // in BOTH lists must beat a doc at rank 1 in one list only
