@@ -344,12 +344,88 @@ object Temporal {
         floor(col("value") * 100).cast(LongType).as("cents")))
       .orderBy("user_id", "h")
 
+  /** Cohort retention matrix — users grouped by first-seen week,
+    * counted per week-offset of later activity, with retention as
+    * integer basis points against the cohort's size (its offset-0
+    * count, which includes every member by definition). The classic
+    * product-analytics table, here because a corpus's SOURCES have the
+    * same shape (first-crawled cohort vs continued contribution).
+    *
+    * Scale shape: first-seen is a map-combined min per user; the join
+    * back to activity shuffles on user_id (AQE co-partitions both
+    * sides); the (cohort, offset, user) distinct reduces BEFORE the
+    * final count, and cohort sizes are a cohort-count-sized broadcast.
+    * All-integer week arithmetic — floor division on positive epochs. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("((ts div 1000000000) div 86400) div 7").as("wk"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = e.join(first, Seq("user_id"))
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_wk", "wk_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = active.filter(col("wk_offset") === 0)
+      .select(col("cohort_wk"), col("n_users").as("cohort_size"))
+    active.join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("wk_offset"), col("n_users"),
+        expr("n_users * 10000 div cohort_size").as("retention_bp"))
+  }
+
+  val eventsCohortRetention: Q = (s, dir) =>
+    cohortRetention(t(s, dir, "events")).orderBy("cohort_wk", "wk_offset")
+
+  /** Ordered-funnel conversion: of the users whose first 'view' is
+    * followed (strictly later) by a 'click', and that click by a
+    * 'purchase' — per-step user counts and conversion bp against the
+    * step-1 population. Strict ordering means each step's clock
+    * starts at the PREVIOUS step's first qualifying event, the
+    * no-lookback funnel definition (an early purchase before the
+    * first view does not count).
+    *
+    * Scale shape: three filtered min-aggregations chained by
+    * user-keyed joins — each join's probe side shrinks to the
+    * previous step's survivors, every aggregation map-combines, and
+    * the final counts are one-row frames crossed broadcast. */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"))
+    val firsts = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val base = e.filter(col("event_type") === step)
+        val gated = prev match {
+          case None => base
+          case Some(p) => base
+            .join(p.select(col("user_id"), col("step_sec").as("prev_sec")), Seq("user_id"))
+            .filter(col("sec") > col("prev_sec"))
+        }
+        Some(gated.groupBy("user_id").agg(min("sec").as("step_sec")))
+    }.flatten
+    val counts = firsts.zip(steps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val top = counts.filter(col("step") === 1)
+      .select(col("n_users").as("n_top"))
+    counts.crossJoin(broadcast(top))
+      .select(col("step"), col("step_name"), col("n_users"),
+        expr("n_users * 10000 div n_top").as("conv_bp"))
+  }
+
+  val eventsFunnel: Q = (s, dir) =>
+    funnelSteps(t(s, dir, "events"), Seq("view", "click", "purchase"))
+      .orderBy("step")
+
   val queries: Map[String, Q] = Map(
     "x_events_resample" -> eventsResample,
     "x_events_interval_overlap" -> eventsIntervalOverlap,
     "x_events_asof" -> eventsAsof,
     "x_events_asof_bucketed" -> eventsAsofBucketed,
     "x_events_attribution" -> eventsAttribution,
+    "x_events_cohort_retention" -> eventsCohortRetention,
+    "x_events_funnel" -> eventsFunnel,
     "x_events_range_count" -> eventsRangeCount,
     "x_events_range_naive" -> eventsRangeNaive)
 
@@ -365,6 +441,30 @@ object Temporal {
       "FROM p ORDER BY user_id, event_id"
 
   val oracles: Map[String, String] = Map(
+    "x_events_cohort_retention" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk FROM events), " +
+        "f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS wk_offset, e.user_id " +
+        "FROM e JOIN f USING (user_id)), " +
+        "m AS (SELECT cohort_wk, wk_offset, CAST(COUNT(*) AS BIGINT) AS n_users " +
+        "FROM a GROUP BY cohort_wk, wk_offset), " +
+        "sz AS (SELECT cohort_wk, n_users AS cohort_size FROM m WHERE wk_offset = 0) " +
+        "SELECT m.cohort_wk, m.wk_offset, m.n_users, " +
+        "m.n_users * 10000 // sz.cohort_size AS retention_bp " +
+        "FROM m JOIN sz USING (cohort_wk) ORDER BY cohort_wk, wk_offset"),
+    "x_events_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+        "s1 AS (SELECT user_id, MIN(sec) AS step_sec FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, MIN(e.sec) AS step_sec FROM e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.sec > s1.step_sec GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, MIN(e.sec) AS step_sec FROM e JOIN s2 USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.sec > s2.step_sec GROUP BY e.user_id), " +
+        "c AS (SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3), " +
+        "tp AS (SELECT n_users AS n_top FROM c WHERE step = 1) " +
+        "SELECT step, step_name, n_users, n_users * 10000 // tp.n_top AS conv_bp " +
+        "FROM c, tp ORDER BY step"),
     "x_events_resample" ->
       ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, " +
         "CAST(floor(value * 100) AS BIGINT) AS cents FROM events), " +

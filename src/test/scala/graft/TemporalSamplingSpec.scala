@@ -6,6 +6,37 @@ import org.apache.spark.sql.functions._
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("funnel is strictly ordered: steps before the previous step's first event don't count") {
+    val sec = (s: Long) => s * 1000000000L
+    val events = Seq(
+      (1L, "view", sec(1)), (1L, "click", sec(2)), (1L, "purchase", sec(3)),
+      (2L, "view", sec(1)), (2L, "purchase", sec(2)), // skips click: stops at step 1
+      (3L, "click", sec(1)), (3L, "view", sec(2)), (3L, "click", sec(3)),
+      (3L, "purchase", sec(4)), // pre-view click ignored, later click counts
+      (4L, "purchase", sec(1)), (4L, "view", sec(2)) // purchase BEFORE view: no lookback
+    ).toDF("user_id", "event_type", "ts")
+    val out = Temporal.funnelSteps(events, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L, 2L),
+      s"expected 4 viewers, 2 ordered clickers, 2 ordered purchasers, got ${out.mkString(",")}")
+    assert(out.map(_.getLong(3)).toSeq == Seq(10000L, 5000L, 5000L))
+  }
+
+  test("cohort retention: offset 0 is 100% and offsets are relative to first-seen week") {
+    val wk = (w: Long) => w * 7L * 86400L * 1000000000L
+    val events = Seq(
+      (1L, wk(0)), (1L, wk(1)), (1L, wk(2)),
+      (2L, wk(0)), (2L, wk(2)),
+      (3L, wk(1)), (3L, wk(2)) // week-1 cohort: its offset 1 is absolute week 2
+    ).toDF("user_id", "ts")
+    val out = Temporal.cohortRetention(events)
+      .orderBy("cohort_wk", "wk_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 10000L), (0L, 1L, 1L, 5000L), (0L, 2L, 2L, 10000L),
+      (1L, 0L, 1L, 10000L), (1L, 1L, 1L, 10000L)), s"got ${out.mkString(",")}")
+  }
+
   test("asOfJoin attaches the greatest left sec <= right sec per key, ties inclusive") {
     val clicks = Seq((1L, 100L), (1L, 200L), (1L, 300L), (2L, 50L))
       .toDF("user_id", "sec")
