@@ -120,6 +120,42 @@ object Round14Props extends Properties("graft.round14") {
       p1.subsetOf(p2)
     }
 
+  // random tiny corpora: 2-12 docs over a 6-token vocabulary so tf,
+  // df, and dl all vary and collide
+  private val bmDocsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(2, 12)
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+      Gen.oneOf("ape", "bee", "cat", "dog", "elk", "fox")))
+  } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+
+  property("BM25 term math equals the BigInt brute force on random corpora") =
+    forAll(bmDocsGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val qterms = graft.operators.Retrieval.queryTermsLocal(df, 2, 3)
+      val got = graft.operators.Retrieval
+        .bm25TopK(df, 2, 3, k = docs.size, qterms = Some(qterms))
+        .select("q_id", "doc_id", "score_bp")
+        .as[(Long, Long, Long)].collect()
+        .map { case (q, d, s) => (q, d) -> s }.toMap
+      // brute force with BigInt arithmetic, straight from the formula
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val n = BigInt(docs.size)
+      val sumdl = BigInt(toks.values.map(_.size).sum)
+      val dfOf = (t: String) => BigInt(toks.values.count(_.contains(t)))
+      val want = (for {
+        (q, tok) <- qterms
+        (d, ws) <- toks if ws.contains(tok)
+      } yield {
+        val tf = BigInt(ws.count(_ == tok)); val dl = BigInt(ws.size)
+        val dfv = dfOf(tok)
+        val num = BigInt(10000) * (2 * n - 2 * dfv + 1) * 22 * tf * sumdl
+        val den = (2 * dfv + 1) * (10 * tf * sumdl + 3 * sumdl + 9 * dl * n)
+        ((q, d), num / den)
+      }).groupBy(_._1).view.mapValues(_.map(_._2).sum.toLong).toMap
+      got == want
+    }
+
   property("stratifiedWeightedSample: per-stratum cap holds on random strata") =
     forAll(corpusGen, Gen.chooseNum(1, 5)) { (rows, n) =>
       import spark.implicits._
