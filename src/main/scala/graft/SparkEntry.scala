@@ -28,28 +28,40 @@ object SparkEntry {
       .orderBy("r_name", "l_returnflag")
   }
 
+  /** Map-merge with a LOUD duplicate check: `++` silently overwrites,
+    * so two modules registering the same gate name would quietly drop
+    * one gate row from the suite (nearly happened in r14 — a second
+    * `x_events_funnel` shadowed the Events one until review). */
+  private def merged[V](maps: Seq[Map[String, V]]): Map[String, V] = {
+    val all = maps.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate gate names registered across modules: ${dups.mkString(", ")}")
+    maps.reduce(_ ++ _)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ EventsOps.queries ++
-      Temporal.queries ++ Sampling.queries ++ Curation.queries ++
-      Corpus.queries ++ Cdc.queries ++ BloomPrune.queries ++
-      Layout.queries ++ Graph.queries ++ Linkage.queries ++
-      Profile.queries ++ Retrieval.queries ++
-      graft.streaming.Compaction.queries ++
-      graft.streaming.PostingsIngest.queries
+    merged(Seq(Relational.queries, Dedup.queries, Similarity.queries,
+      TextAnalysis.queries, Multimodal.queries, EventsOps.queries,
+      Temporal.queries, Sampling.queries, Curation.queries,
+      Corpus.queries, Cdc.queries, BloomPrune.queries,
+      Layout.queries, Graph.queries, Linkage.queries,
+      Profile.queries, Retrieval.queries,
+      graft.streaming.Compaction.queries,
+      graft.streaming.PostingsIngest.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
     * portable across engines (minhash/simhash/rolling-hash/LSH) —
     * those get rows-only checks plus ScalaTest property coverage. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ EventsOps.oracles ++
-      Temporal.oracles ++ Sampling.oracles ++ Curation.oracles ++
-      Corpus.oracles ++ Cdc.oracles ++ BloomPrune.oracles ++
-      Layout.oracles ++ Graph.oracles ++ Linkage.oracles ++
-      Profile.oracles ++ Retrieval.oracles ++
-      graft.streaming.Compaction.oracles ++
-      graft.streaming.PostingsIngest.oracles
+    merged(Seq(Relational.oracles, Dedup.oracles, Similarity.oracles,
+      TextAnalysis.oracles, Multimodal.oracles, EventsOps.oracles,
+      Temporal.oracles, Sampling.oracles, Curation.oracles,
+      Corpus.oracles, Cdc.oracles, BloomPrune.oracles,
+      Layout.oracles, Graph.oracles, Linkage.oracles,
+      Profile.oracles, Retrieval.oracles,
+      graft.streaming.Compaction.oracles,
+      graft.streaming.PostingsIngest.oracles))
 }

@@ -344,45 +344,15 @@ object Temporal {
         floor(col("value") * 100).cast(LongType).as("cents")))
       .orderBy("user_id", "h")
 
-  /** Cohort retention matrix — users grouped by first-seen week,
-    * counted per week-offset of later activity, with retention as
-    * integer basis points against the cohort's size (its offset-0
-    * count, which includes every member by definition). The classic
-    * product-analytics table, here because a corpus's SOURCES have the
-    * same shape (first-crawled cohort vs continued contribution).
-    *
-    * Scale shape: first-seen is a map-combined min per user; the join
-    * back to activity shuffles on user_id (AQE co-partitions both
-    * sides); the (cohort, offset, user) distinct reduces BEFORE the
-    * final count, and cohort sizes are a cohort-count-sized broadcast.
-    * All-integer week arithmetic — floor division on positive epochs. */
-  def cohortRetention(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"),
-      expr("((ts div 1000000000) div 86400) div 7").as("wk"))
-    val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    val active = e.join(first, Seq("user_id"))
-      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"),
-        col("user_id"))
-      .distinct()
-      .groupBy("cohort_wk", "wk_offset")
-      .agg(count(lit(1)).as("n_users"))
-    val sizes = active.filter(col("wk_offset") === 0)
-      .select(col("cohort_wk"), col("n_users").as("cohort_size"))
-    active.join(broadcast(sizes), Seq("cohort_wk"))
-      .select(col("cohort_wk"), col("wk_offset"), col("n_users"),
-        expr("n_users * 10000 div cohort_size").as("retention_bp"))
-  }
-
-  val eventsCohortRetention: Q = (s, dir) =>
-    cohortRetention(t(s, dir, "events")).orderBy("cohort_wk", "wk_offset")
-
-  /** Ordered-funnel conversion: of the users whose first 'view' is
-    * followed (strictly later) by a 'click', and that click by a
-    * 'purchase' — per-step user counts and conversion bp against the
-    * step-1 population. Strict ordering means each step's clock
-    * starts at the PREVIOUS step's first qualifying event, the
-    * no-lookback funnel definition (an early purchase before the
-    * first view does not count).
+  /** Ordered-funnel conversion SUMMARY: per-step user counts and
+    * conversion bp against the step-1 population, for an arbitrary
+    * step list. Complements [[Events.eventsFunnel]]'s per-USER stage
+    * table: that one answers "how far did each user get" with a
+    * >=-ordered window stack; this one answers "how many converted at
+    * each step" with STRICT ordering — each step's clock starts at
+    * the previous step's first qualifying event, the no-lookback
+    * definition (an early purchase before the first view does not
+    * count, and a same-second tie does not either).
     *
     * Scale shape: three filtered min-aggregations chained by
     * user-keyed joins — each join's probe side shrinks to the
@@ -414,7 +384,7 @@ object Temporal {
         expr("n_users * 10000 div n_top").as("conv_bp"))
   }
 
-  val eventsFunnel: Q = (s, dir) =>
+  val eventsFunnelSteps: Q = (s, dir) =>
     funnelSteps(t(s, dir, "events"), Seq("view", "click", "purchase"))
       .orderBy("step")
 
@@ -424,8 +394,7 @@ object Temporal {
     "x_events_asof" -> eventsAsof,
     "x_events_asof_bucketed" -> eventsAsofBucketed,
     "x_events_attribution" -> eventsAttribution,
-    "x_events_cohort_retention" -> eventsCohortRetention,
-    "x_events_funnel" -> eventsFunnel,
+    "x_events_funnel_steps" -> eventsFunnelSteps,
     "x_events_range_count" -> eventsRangeCount,
     "x_events_range_naive" -> eventsRangeNaive)
 
@@ -441,18 +410,7 @@ object Temporal {
       "FROM p ORDER BY user_id, event_id"
 
   val oracles: Map[String, String] = Map(
-    "x_events_cohort_retention" ->
-      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk FROM events), " +
-        "f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id), " +
-        "a AS (SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS wk_offset, e.user_id " +
-        "FROM e JOIN f USING (user_id)), " +
-        "m AS (SELECT cohort_wk, wk_offset, CAST(COUNT(*) AS BIGINT) AS n_users " +
-        "FROM a GROUP BY cohort_wk, wk_offset), " +
-        "sz AS (SELECT cohort_wk, n_users AS cohort_size FROM m WHERE wk_offset = 0) " +
-        "SELECT m.cohort_wk, m.wk_offset, m.n_users, " +
-        "m.n_users * 10000 // sz.cohort_size AS retention_bp " +
-        "FROM m JOIN sz USING (cohort_wk) ORDER BY cohort_wk, wk_offset"),
-    "x_events_funnel" ->
+    "x_events_funnel_steps" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
         "s1 AS (SELECT user_id, MIN(sec) AS step_sec FROM e WHERE event_type = 'view' GROUP BY user_id), " +
         "s2 AS (SELECT e.user_id, MIN(e.sec) AS step_sec FROM e JOIN s1 USING (user_id) " +

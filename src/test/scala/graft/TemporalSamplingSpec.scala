@@ -22,19 +22,11 @@ class TemporalSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq == Seq(10000L, 5000L, 5000L))
   }
 
-  test("cohort retention: offset 0 is 100% and offsets are relative to first-seen week") {
-    val wk = (w: Long) => w * 7L * 86400L * 1000000000L
-    val events = Seq(
-      (1L, wk(0)), (1L, wk(1)), (1L, wk(2)),
-      (2L, wk(0)), (2L, wk(2)),
-      (3L, wk(1)), (3L, wk(2)) // week-1 cohort: its offset 1 is absolute week 2
-    ).toDF("user_id", "ts")
-    val out = Temporal.cohortRetention(events)
-      .orderBy("cohort_wk", "wk_offset").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(out.toSeq == Seq(
-      (0L, 0L, 2L, 10000L), (0L, 1L, 1L, 5000L), (0L, 2L, 2L, 10000L),
-      (1L, 0L, 1L, 10000L), (1L, 1L, 1L, 10000L)), s"got ${out.mkString(",")}")
+  test("SparkEntry rejects duplicate gate names instead of silently shadowing") {
+    // would have caught the r14 x_events_funnel near-miss at gate time
+    assert(SparkEntry.queries.size == SparkEntry.queries.keys.toSet.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      "every oracle must correspond to a registered query")
   }
 
   test("asOfJoin attaches the greatest left sec <= right sec per key, ties inclusive") {
