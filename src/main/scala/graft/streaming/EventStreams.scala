@@ -233,6 +233,48 @@ object EventStreams {
     * Production note: same GroupStateTimeout caveat as [[sessionize]]
     * — add an event-time timeout to evict idle users; NoTimeout here
     * keeps processAllAvailable deterministic for specs. */
+  final case class FunnelState(stage: Int, lastMs: Long)
+  final case class FunnelUpdate(user_id: Long, stage: Int, stage_ms: Long)
+
+  /** Streaming funnel progression — the continuous twin of
+    * [[graft.operators.Temporal.funnelSteps]]'s strict-ordered chain.
+    * Per-user state is exactly (stage reached, that stage's first
+    * qualifying event time) — O(users) state like [[sessionize]] —
+    * and each micro-batch emits one [[FunnelUpdate]] per stage a user
+    * ADVANCES through (append-mode; consumers count max stage per
+    * user for the live conversion table).
+    *
+    * Ordering contract, same as [[pathTransitions]]: events are
+    * event-time-sorted WITHIN each batch (the iterator is re-sorted),
+    * so prefixes delivered in event-time order reproduce the batch
+    * funnel exactly (QualityMonitorSpec pins this); an event arriving
+    * in a LATER batch with an earlier timestamp cannot retro-advance
+    * a stage — the documented batch-lag semantics every
+    * flatMapGroupsWithState op here shares. */
+  def funnelProgress(events: Dataset[Event],
+      steps: Seq[String]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, evts, state: GroupState[FunnelState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelUpdate]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.stage < steps.size && e.event_type == steps(st.stage) &&
+              (st.stage == 0 || t > st.lastMs)) {
+              st = FunnelState(st.stage + 1, t)
+              out += FunnelUpdate(uid, st.stage, t)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def pathTransitions(events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000): Dataset[Transition] = {
     import events.sparkSession.implicits._

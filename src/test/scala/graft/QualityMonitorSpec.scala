@@ -109,6 +109,51 @@ class QualityMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress: strict chain, cross-batch state, equals the batch funnel on ordered prefixes") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelProgress(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[Event]
+    def feed(evs: Event*): Unit = {
+      input.addData(evs); fed ++= evs; q.processAllAvailable()
+    }
+    try {
+      // u1 advances two stages in batch 1; u2's purchase precedes its
+      // view (no lookback); u3 clicks at the SAME ms as its view
+      // (strict > : does not advance)
+      feed(
+        Event(1, ts(0), 1, "view", 0), Event(2, ts(1), 1, "click", 0),
+        Event(3, ts(0), 2, "purchase", 0), Event(4, ts(1), 2, "view", 0),
+        Event(5, ts(0), 3, "view", 0), Event(6, ts(0), 3, "click", 0))
+      // batch 2: u1 completes; u3's LATER click now advances it —
+      // state carried the stage across the batch boundary
+      feed(
+        Event(7, ts(2), 1, "purchase", 0), Event(8, ts(1), 3, "click", 0))
+      val maxStage = spark.table("funnel")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      assert(maxStage == Map(1L -> 3, 2L -> 1, 3L -> 2), s"got $maxStage")
+
+      // streamed == batch over the event-time-ordered prefix: the
+      // per-step counts must match Temporal.funnelSteps on the same rows
+      val batchIn = fed.toSeq
+        .map(e => (e.user_id, e.event_type, e.ts.getTime * 1000000L))
+        .toDF("user_id", "event_type", "ts")
+      val batchCounts = graft.operators.Temporal.funnelSteps(batchIn, steps)
+        .select("step", "n_users").as[(Int, Long)].collect().toMap
+      val streamCounts = (1 to steps.size).map(s =>
+        s -> maxStage.values.count(_ >= s).toLong).toMap
+      assert(streamCounts == batchCounts,
+        s"stream $streamCounts vs batch $batchCounts")
+    } finally q.stop()
+  }
+
   test("windowedHeavyHitters: MG capture guarantee holds across batch merges") {
     implicit val sqlCtx = spark.sqlContext
     val k = 4
