@@ -144,6 +144,28 @@ object Retrieval {
       .toDF("q_id", "doc_id", "score_bp", "rank")
   }
 
+  /** Weight-aware scoring: like [[bm25Rank]]'s scoring stage but each
+    * (q_id, tok) carries an integer weight multiplying its term bp —
+    * the primitive RM3 feedback needs (original terms at 7, expansion
+    * terms at 3 = the classic 0.7/0.3 interpolation kept integer by
+    * NOT dividing by 10: rank order is scale-invariant). Returns the
+    * pre-top-k (q_id, doc_id, score_w) frame. */
+  def bm25ScoresWeighted(hits: DataFrame, dfT: DataFrame,
+      qtermsW: Seq[(Long, String, Long)], stats: DataFrame): DataFrame = {
+    val spark = hits.sparkSession
+    val qDf = spark.createDataFrame(qtermsW).toDF("q_id", "tok", "wt")
+    hits
+      .join(broadcast(dfT), Seq("tok"))
+      .join(broadcast(qDf), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), col("wt"), dec(col("tf")).as("tf"),
+        dec(col("dl")).as("dl"), dec(col("df")).as("df"),
+        dec(col("n")).as("n"), dec(col("sumdl")).as("sumdl"))
+      .withColumn("term_bp", expr(TermBp))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("wt") * col("term_bp")).as("score_w"))
+  }
+
   /** Inline gate: query construction, pruned postings, df from the
     * pruned hits (= docs containing tok), rank. Pass `qterms` to skip
     * the self-contained query derivation (production searches arrive
@@ -171,6 +193,70 @@ object Retrieval {
     IndexStore.bm25FromIndex(docs, s, path, NQueries, QueryLen, K)
       .orderBy("q_id", "rank")
   }
+
+  // ---- Pseudo-relevance feedback (RM3-lite) ----
+
+  /** RM3 feedback parameters: top `FbDocs` docs from the first pass
+    * contribute their `FbTerms` highest-tf non-query tokens as
+    * expansion terms; original terms weigh [[WOrig]], expansion terms
+    * [[WExp]] — the classic 0.7/0.3 interpolation, integer because
+    * rank order never needed the /10. */
+  val FbDocs = 3
+  val FbTerms = 2
+  val WOrig = 7L
+  val WExp = 3L
+
+  /** Pseudo-relevance feedback: run BM25, mine expansion terms from
+    * each query's top-[[FbDocs]] docs (highest total tf, ties to the
+    * smaller token, original terms excluded), then re-score with the
+    * weighted union vocabulary. One extra driver round-trip collects
+    * the expansion terms (bounded by nQueries * FbTerms — the same
+    * quantizer-sized class as the query terms themselves) because the
+    * SECOND pass's scan pruning needs them as literals; everything
+    * else is the scoring shape already audited for BM25. The final
+    * ranking stays exact-integer end to end. */
+  def bm25Rm3(docs: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen, k: Int = K): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queryTermsLocal(docs, nQueries, qLen)
+    // pass 1: plain BM25 top-FbDocs
+    val topm = bm25TopK(docs, nQueries, qLen, FbDocs, Some(qterms))
+      .select("q_id", "doc_id")
+    // expansion mining: tokens of the feedback docs, total tf per
+    // (q, tok), minus the original terms, top-FbTerms per query.
+    // The feedback-doc set is tiny (q * FbDocs) — broadcast it against
+    // the corpus scan, explode only matching docs.
+    val fbToks = docTokens(docs)
+      .join(broadcast(topm), Seq("doc_id"))
+      .select(col("q_id"), explode(col("ws")).as("tok"))
+      .groupBy("q_id", "tok").agg(count(lit(1)).as("tf"))
+    val origDf = spark.createDataFrame(qterms).toDF("q_id", "tok")
+    val expTerms = fbToks
+      .join(broadcast(origDf), Seq("q_id", "tok"), "left_anti")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("tf").desc, col("tok"))))
+      .filter(col("rk") <= FbTerms)
+      .select("q_id", "tok").as[(Long, String)].collect().toSeq
+    // weighted union vocabulary; pass 2 over its pruned hits
+    val union = qterms.map { case (q, t) => (q, t, WOrig) } ++
+      expTerms.map { case (q, t) => (q, t, WExp) }
+    val hits = bm25Hits(docs, union.map(_._2))
+    val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = bm25ScoresWeighted(hits, dfT, union, corpusStats(docs))
+    scored.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3.toDouble, r._2))
+      .agg(new graft.functions.TopK(k).toColumn.name("top"))
+      .flatMap { case (q, items) =>
+        items.zipWithIndex.map { case ((s, d), i) => (q, d, s.toLong, i + 1) }
+      }
+      .toDF("q_id", "doc_id", "score_w", "rank")
+  }
+
+  val textBm25Rm3: Q = (s, dir) =>
+    bm25Rm3(t(s, dir, "documents")).orderBy("q_id", "rank")
 
   // ---- Hybrid retrieval: reciprocal-rank fusion of lexical + dense ----
 
@@ -239,6 +325,7 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "x_text_bm25" -> textBm25,
     "x_text_bm25_indexed" -> textBm25Indexed,
+    "x_text_bm25_rm3" -> textBm25Rm3,
     "x_text_hybrid_rrf" -> textHybridRrf)
 
   private val bm25Sql =
@@ -293,8 +380,55 @@ object Retrieval {
       "row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rnk FROM f) " +
       s"WHERE rnk <= $K ORDER BY q_id, rank")
 
+  /** The shared CTE prologue every BM25 oracle reuses: tokenized
+    * corpus, doc lengths, corpus stats, query construction, token
+    * stream, and the integer term-bp expression applied to a hits CTE
+    * named by the caller. */
+  private val bm25Prologue =
+    ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+      "d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w), " +
+      "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM d), " +
+      s"q AS (SELECT doc_id AS q_id, list_sort(list_distinct(ws))[1:$QueryLen] AS qs FROM w ORDER BY doc_id LIMIT $NQueries), " +
+      "qt AS (SELECT q_id, unnest(qs) AS tok FROM q), " +
+      "tk AS (SELECT doc_id, unnest(ws) AS tok FROM w), ")
+
+  private def termBpSql(h: String, dfv: String): String =
+    s"(CAST(10000 AS HUGEINT) * (2*st.n - 2*$dfv.df + 1) * 22 * $h.tf * st.sumdl) // " +
+      s"(CAST(2*$dfv.df + 1 AS HUGEINT) * (CAST(10 AS HUGEINT)*$h.tf*st.sumdl + 3*st.sumdl + 9*d.dl*st.n))"
+
+  private val rm3Sql =
+    (bm25Prologue +
+      "hits1 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk " +
+      "WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok), " +
+      "dfv1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits1 GROUP BY tok), " +
+      "sc1 AS (SELECT qt.q_id, h.doc_id, CAST(SUM(" + termBpSql("h", "dfv1") + ") AS BIGINT) AS score_bp " +
+      "FROM hits1 h JOIN dfv1 USING (tok) JOIN qt USING (tok) " +
+      "JOIN d ON h.doc_id = d.doc_id CROSS JOIN st GROUP BY qt.q_id, h.doc_id), " +
+      "r1 AS (SELECT q_id, doc_id FROM (SELECT q_id, doc_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY score_bp DESC, doc_id) AS rk FROM sc1) " +
+      s"WHERE rk <= $FbDocs), " +
+      "fb AS (SELECT r1.q_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf " +
+      "FROM r1 JOIN tk t ON r1.doc_id = t.doc_id GROUP BY r1.q_id, t.tok), " +
+      "fbx AS (SELECT * FROM fb WHERE NOT EXISTS " +
+      "(SELECT 1 FROM qt WHERE qt.q_id = fb.q_id AND qt.tok = fb.tok)), " +
+      "et AS (SELECT q_id, tok FROM (SELECT q_id, tok, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY tf DESC, tok) AS rk FROM fbx) " +
+      s"WHERE rk <= $FbTerms), " +
+      s"qt2 AS (SELECT q_id, tok, CAST($WOrig AS BIGINT) AS wt FROM qt " +
+      s"UNION ALL SELECT q_id, tok, CAST($WExp AS BIGINT) FROM et), " +
+      "hits2 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk " +
+      "WHERE tok IN (SELECT tok FROM qt2) GROUP BY doc_id, tok), " +
+      "dfv2 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits2 GROUP BY tok), " +
+      "sc2 AS (SELECT qt2.q_id, h.doc_id, CAST(SUM(qt2.wt * CAST(" + termBpSql("h", "dfv2") + " AS BIGINT)) AS BIGINT) AS score_w " +
+      "FROM hits2 h JOIN dfv2 USING (tok) JOIN qt2 USING (tok) " +
+      "JOIN d ON h.doc_id = d.doc_id CROSS JOIN st GROUP BY qt2.q_id, h.doc_id) " +
+      "SELECT q_id, doc_id, score_w, CAST(rk AS INT) AS rank FROM (SELECT q_id, doc_id, score_w, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY score_w DESC, doc_id) AS rk FROM sc2) " +
+      s"WHERE rk <= $K ORDER BY q_id, rank")
+
   val oracles: Map[String, String] = Map(
     "x_text_bm25" -> bm25Sql,
     "x_text_bm25_indexed" -> bm25Sql,
+    "x_text_bm25_rm3" -> rm3Sql,
     "x_text_hybrid_rrf" -> hybridSql)
 }

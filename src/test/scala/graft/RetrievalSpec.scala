@@ -93,6 +93,21 @@ class RetrievalSpec extends SparkSpec {
     assert(IndexStore.pbModForPostings(Long.MaxValue / 2) == 4096, "cap holds")
   }
 
+  test("RM3 expansion reaches docs sharing NO original query term") {
+    // doc 0 is the query ("a b"); doc 1 matches and carries the hot
+    // expansion token c; doc 2 has ONLY c — invisible to plain BM25,
+    // reachable through feedback.
+    val corpus = Seq((0L, "a b"), (1L, "a b c c c"), (2L, "c c c"))
+      .toDF("doc_id", "text")
+    val plain = Retrieval.bm25TopK(corpus, nQueries = 1, qLen = 2, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rm3 = Retrieval.bm25Rm3(corpus, nQueries = 1, qLen = 2, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(2L), "plain BM25 cannot see the c-only doc")
+    assert(rm3.contains(2L), "feedback must surface the c-only doc")
+    assert(rm3 == Set(0L, 1L, 2L))
+  }
+
   test("RRF fusion: both-list docs outscore single-list docs at equal ranks") {
     // rank transform only: pts(r) = 10^7 div (60 + r); a doc at rank 3
     // in BOTH lists must beat a doc at rank 1 in one list only
