@@ -153,6 +153,56 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Personalized PageRank — the seeded variant of [[pageRankInt]]:
+    * teleport mass lands ONLY on the seed set (init = scale on seeds,
+    * 0 elsewhere; per-round teleport term conditional on seed
+    * membership), so ranks measure proximity TO THE SEEDS instead of
+    * global centrality — "find more docs like these known-good ones",
+    * the seed-expansion move of curation pipelines (and of
+    * similarity-graph label spreading generally). Same exact-integer
+    * arithmetic and per-round pin discipline as the global form; the
+    * seed set is a literal isin (bounded by |seeds|, caller-provided). */
+  def pprInt(edges0: DataFrame, seeds: Seq[Long], iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    val edges = graft.core.Materialize.pin(edges0)
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val symDeg = graft.core.Materialize.pin(
+      sym.join(sym.groupBy("u").agg(count(lit(1)).as("du")), Seq("u")))
+    def tele(c: org.apache.spark.sql.Column, amount: Long) =
+      when(c.isin(seeds.map(java.lang.Long.valueOf): _*), lit(amount))
+        .otherwise(lit(0L))
+    var rank = symDeg.select("u").distinct()
+      .select(col("u"), tele(col("u"), scale).as("r"))
+    for (_ <- 1 to iters) {
+      rank = graft.core.Materialize.pin(symDeg.join(rank, Seq("u"))
+        .select(col("v"), expr("r div du").as("c"))
+        .groupBy("v").agg(sum("c").as("s"))
+        .select(col("v").as("u"),
+          (tele(col("v"), 15L * scale / 100) +
+            expr("(85 * s) div 100")).as("r")))
+    }
+    rank.select(col("u").as("node"), col("r").as("rank_scaled"))
+      .orderBy("node")
+  }
+
+  /** Gate: PPR seeded at the 5 smallest nodes of the near-dup graph
+    * (deterministic, the known-item convention every retrieval gate
+    * uses). The seed collect is 5 rows. */
+  val graphPpr: Q = (s, dir) => {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(Dedup.GateMaxDf))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val pinned = graft.core.Materialize.pin(pairs)
+    val seeds = pinned.select(col("a").as("u"))
+      .unionByName(pinned.select(col("b").as("u")))
+      .distinct().orderBy("u").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    pprInt(pinned, seeds)
+  }
+
   /** Gate query: 3-round PageRank of the verified 0.5-Jaccard
     * near-dup graph (same edge set as x_graph_triangles, same
     * [[Dedup.GateMaxDf]] cap). */
@@ -371,6 +421,7 @@ object Graph {
     "x_graph_triangles" -> graphTriangles,
     "x_graph_triangles_indexed" -> graphTrianglesIndexed,
     "x_graph_pagerank" -> graphPageRank,
+    "x_graph_ppr" -> graphPpr,
     "x_graph_pagerank_indexed" -> graphPageRankIndexed,
     "x_graph_common_neighbors" -> graphCommonNeighbors,
     "x_graph_common_neighbors_indexed" -> graphCommonNeighborsIndexed,
@@ -460,9 +511,29 @@ object Graph {
         s"r3 AS ${prRoundSql("r2")} " +
         "SELECT u AS node, r AS rank_scaled FROM r3 ORDER BY node")
 
+  /** One unrolled PERSONALIZED round: teleport conditional on seed
+    * membership (`sd` = 5 smallest nodes), everything else identical
+    * to [[prRoundSql]]. */
+  private def pprRoundSql(prev: String): String =
+    s"(SELECT ed.v AS u, CAST(CASE WHEN ed.v IN (SELECT u FROM sd) THEN 150000000 ELSE 0 END " +
+      s"+ (85 * CAST(SUM(p.r // d.du) AS BIGINT)) // 100 AS BIGINT) AS r " +
+      s"FROM ed JOIN $prev p ON ed.u = p.u JOIN deg d ON ed.u = d.u GROUP BY ed.v)"
+
+  private val pprSql =
+    (edgeCte + ", " +
+      "ed AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+      "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM ed GROUP BY u), " +
+      "sd AS (SELECT DISTINCT u FROM ed ORDER BY u LIMIT 5), " +
+      "r0 AS (SELECT DISTINCT u, CAST(CASE WHEN u IN (SELECT u FROM sd) THEN 1000000000 ELSE 0 END AS BIGINT) AS r FROM ed), " +
+      s"r1 AS ${pprRoundSql("r0")}, " +
+      s"r2 AS ${pprRoundSql("r1")}, " +
+      s"r3 AS ${pprRoundSql("r2")} " +
+      "SELECT u AS node, r AS rank_scaled FROM r3 ORDER BY node")
+
   /** Each `*_indexed` gate shares its rebuild twin's oracle: the
     * artifact IS the twin's edge derivation, parquet-round-tripped. */
   val oracles: Map[String, String] = Map(
+    "x_graph_ppr" -> pprSql,
     "x_graph_triangles" -> trianglesSql,
     "x_graph_triangles_indexed" -> trianglesSql,
     "x_graph_common_neighbors" -> commonNeighborsSql,

@@ -364,4 +364,19 @@ class Round14Spec extends SparkSpec {
     assert(codes.length == 1,
       s"expected one constant soundex code over c_name, got ${codes.length}")
   }
+
+  test("personalized PageRank: mass stays near the seeds, other components get zero") {
+    import graft.operators.Graph
+    // component A: 1-2-3 path seeded at 1; component B: 10-11, unseeded
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val r = Graph.pprInt(edges, seeds = Seq(1L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) == 0L && r(11L) == 0L,
+      "no teleport and no inbound mass => exactly zero, not epsilon")
+    // at 3 iters a path graph oscillates by parity (node 2 holds most
+    // mass), so the stable claims are: the seed beats the distance-2
+    // node, and every seed-reachable node carries mass
+    assert(r(1L) > r(3L), s"seed must outrank the distance-2 node, got $r")
+    assert(r(2L) > 0L && r(3L) > 0L)
+  }
 }
