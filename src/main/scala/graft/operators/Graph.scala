@@ -95,6 +95,19 @@ object Graph {
   /** Artifact-flow twin of [[graphPageRank]] (same oracle). */
   val graphPageRankIndexed: Q = (s, dir) => pageRankInt(indexedEdges(s, dir))
 
+  /** Artifact-flow twin of [[graphPpr]] (same oracle): seeds re-derived
+    * from the artifact's edge set — identical by construction since
+    * the artifact IS the same derivation, parquet-round-tripped. */
+  val graphPprIndexed: Q = (s, dir) => {
+    val edges = indexedEdges(s, dir)
+    val pinned = graft.core.Materialize.pin(edges)
+    val seeds = pinned.select(col("a").as("u"))
+      .unionByName(pinned.select(col("b").as("u")))
+      .distinct().orderBy("u").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    pprInt(pinned, seeds)
+  }
+
   /** Artifact-flow twin of [[graphKCore]] (same oracle). */
   val graphKCoreIndexed: Q = (s, dir) => kCorePeel(indexedEdges(s, dir), k = 2)
 
@@ -422,6 +435,7 @@ object Graph {
     "x_graph_triangles_indexed" -> graphTrianglesIndexed,
     "x_graph_pagerank" -> graphPageRank,
     "x_graph_ppr" -> graphPpr,
+    "x_graph_ppr_indexed" -> graphPprIndexed,
     "x_graph_pagerank_indexed" -> graphPageRankIndexed,
     "x_graph_common_neighbors" -> graphCommonNeighbors,
     "x_graph_common_neighbors_indexed" -> graphCommonNeighborsIndexed,
@@ -534,6 +548,7 @@ object Graph {
     * artifact IS the twin's edge derivation, parquet-round-tripped. */
   val oracles: Map[String, String] = Map(
     "x_graph_ppr" -> pprSql,
+    "x_graph_ppr_indexed" -> pprSql,
     "x_graph_triangles" -> trianglesSql,
     "x_graph_triangles_indexed" -> trianglesSql,
     "x_graph_common_neighbors" -> commonNeighborsSql,
