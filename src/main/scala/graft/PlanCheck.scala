@@ -64,7 +64,13 @@ object PlanCheck {
         // r14: footer-answered stats — both legs must show
         // PushedAggregation (V2 default) and empty ReadSchema-ish
         // footer scans, not data-page scans
-        "x_profile_footer_stats")
+        "x_profile_footer_stats",
+        // r14: BM25 family — audit that every probe join broadcasts
+        // (query terms / df / stats are all quantizer-sized) and the
+        // indexed probe's scan carries the static pb PartitionFilters;
+        // RM3's second pass must show the same shape twice
+        "x_text_bm25", "x_text_bm25_indexed", "x_text_bm25_rm3",
+        "x_text_hybrid_rrf", "x_graph_ppr")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -141,9 +141,15 @@ class RetrievalSpec extends SparkSpec {
     IndexStore.buildPostingsIndex(docs, path, pbMod = 8)
     val probe = IndexStore.bm25FromIndex(docs, spark, path,
       Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
-    val scans = probe.queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains(path)).mkString("\n")
+    val plan = probe.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains(path)).mkString("\n")
     assert(scans.contains("PartitionFilters: [pb"),
       s"postings scan must carry a static pb partition filter:\n$scans")
+    // every join in the probe is against a quantizer-sized side
+    // (query terms, df table, one-row stats) — a sort-merge join
+    // anywhere means a broadcast was lost and the posting lists are
+    // being shuffled
+    assert(!plan.contains("SortMergeJoin"),
+      "BM25 probe joins must all broadcast")
   }
 }
