@@ -47,4 +47,18 @@ object Materialize {
     // range (see canonicalClusters — a no-op for bounded estimates)
     org.apache.spark.sql.classic.GraftColumnBridge.capCheckpointStats(pinned)
   }
+
+  /** True when `df` IS a pinned scan — its logical plan is the bare
+    * `LogicalRDD` leaf a checkpoint leaves behind (no operators on
+    * top, so re-pinning it would copy the same blocks verbatim). */
+  def isPinned(df: DataFrame): Boolean =
+    df.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
+  /** [[pin]] unless the frame is already a bare pinned scan — the
+    * guard that lets gate code hand an already-pinned frame to an
+    * operator that pins its own input ([[graft.operators.Graph.pprInt]])
+    * without paying a second, byte-identical localCheckpoint. */
+  def pinIfNeeded(df: DataFrame): DataFrame =
+    if (isPinned(df)) df else pin(df)
 }

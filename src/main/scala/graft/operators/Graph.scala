@@ -178,7 +178,10 @@ object Graph {
   def pprInt(edges0: DataFrame, seeds: Seq[Long], iters: Int = 3,
       scale: Long = 1000000000L): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs a seed set")
-    val edges = graft.core.Materialize.pin(edges0)
+    // pin-if-unpinned: both gate callers already pinned the edge frame
+    // to collect their seed sets from it — re-pinning would copy the
+    // same blocks a second time for nothing
+    val edges = graft.core.Materialize.pinIfNeeded(edges0)
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
     val symDeg = graft.core.Materialize.pin(

@@ -311,10 +311,22 @@ object IndexStore {
         .as("embedding"))
   }
 
-  /** Sampled corpus width for the loud artifact-vs-corpus dim check. */
-  private def w0Dim(emb: DataFrame): Int =
-    emb.select(size(col("embedding"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(Similarity.PlaneDims)
+  /** Corpus width for the loud artifact-vs-corpus dim check: one
+    * min/max aggregate over `size(embedding)` — an empty corpus or a
+    * ragged-width one FAILS here rather than silently defaulting /
+    * letting the fused kernel prefix-project short rows, matching the
+    * loud-failure contract [[whitenFromIndex]] advertises. */
+  private def w0Dim(emb: DataFrame): Int = {
+    val row = emb.agg(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).collect().head
+    require(!row.isNullAt(0),
+      "whitenFromIndex: empty corpus — nothing to check the stored dim against")
+    val (lo, hi) = (row.getInt(0), row.getInt(1))
+    require(lo == hi,
+      s"whitenFromIndex: ragged embedding widths ($lo..$hi) — a stored " +
+        "dxd transform cannot apply uniformly; clean the corpus first")
+    lo
+  }
 
   // ---- BM25 inverted-index artifact (postings + dictionary + stats) ----
 
@@ -391,9 +403,17 @@ object IndexStore {
       Retrieval.queryTermsLocal(docs, nQueries, qLen))
     val toks = qterms.map(_._2).distinct
     val tokDf = toks.toDF("tok")
-    val pbs = tokDf
-      .select(pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int").as("pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // pb set computed DRIVER-side: the tokens are already literals, so
+    // their partition ids are |q| evaluations of the same Catalyst
+    // XxHash64 expression the layout was written with (seed 42) — no
+    // Spark job, bit-identical to the frame formulation it replaces
+    val pbs = toks.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          t, org.apache.spark.sql.types.StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+      (((h % pbMod) + pbMod) % pbMod).toInt
+    }.distinct
     val hits = spark.read.parquet(s"$path/postings")
       .filter(col("pb").isin(pbs: _*))
       .join(broadcast(tokDf), Seq("tok"))

@@ -55,7 +55,7 @@ object Retrieval {
   val QueryLen = 4
   val K = 10
 
-  private def docTokens(docs: DataFrame): DataFrame =
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
 
   /** (q_id, tok) query-term pairs, collected driver-side — bounded by
@@ -64,7 +64,14 @@ object Retrieval {
     * a broadcast, instead of re-running the corpus scan per use. */
   def queryTermsLocal(docs: DataFrame, nQueries: Int = NQueries,
       qLen: Int = QueryLen): Seq[(Long, String)] =
-    docTokens(docs).orderBy("doc_id").limit(nQueries)
+    queryTermsFromTokens(docTokens(docs), nQueries, qLen)
+
+  /** [[queryTermsLocal]] over a pre-tokenized (doc_id, ws) frame —
+    * the variant multi-pass consumers ([[bm25Rm3]]) feed from ONE
+    * pinned tokenization instead of re-tokenizing the corpus. */
+  def queryTermsFromTokens(toks: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen): Seq[(Long, String)] =
+    toks.orderBy("doc_id").limit(nQueries)
       .select(col("doc_id").as("q_id"),
         explode(slice(array_sort(array_distinct(col("ws"))), 1, qLen)).as("tok"))
       .collect()
@@ -72,8 +79,16 @@ object Retrieval {
 
   /** One-row (n, sumdl) corpus statistics — the BM25 normalizer. */
   def corpusStats(docs: DataFrame): DataFrame =
-    docTokens(docs).agg(count(lit(1)).cast("long").as("n"),
-      sum(size(col("ws"))).cast("long").as("sumdl"))
+    corpusStatsFromTokens(docTokens(docs))
+
+  /** [[corpusStats]] over a pre-tokenized (doc_id, ws) frame. */
+  def corpusStatsFromTokens(toks: DataFrame): DataFrame =
+    // coalesce keeps an EMPTY corpus honest: sum over zero rows is
+    // NULL, and the (n=0, sumdl=NULL) row is a landmine for any store
+    // consumer that folds without null-skipping (the PostingsIngest
+    // per-batch stats rows are exactly such a store)
+    toks.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(sum(size(col("ws"))), lit(0L)).cast("long").as("sumdl"))
 
   /** Full-corpus postings (doc_id, tok, tf, dl) — the inverted-index
     * payload [[IndexStore.buildPostingsIndex]] persists. dl rides the
@@ -89,10 +104,14 @@ object Retrieval {
   /** Postings pruned to the query vocabulary BEFORE the tf groupBy:
     * the broadcast semi-prune sits against the exploded scan, so the
     * only rows shuffled are instances of query terms. */
-  def bm25Hits(docs: DataFrame, toks: Seq[String]): DataFrame = {
-    val tokDf = docs.sparkSession.createDataFrame(
+  def bm25Hits(docs: DataFrame, toks: Seq[String]): DataFrame =
+    bm25HitsFromTokens(docTokens(docs), toks)
+
+  /** [[bm25Hits]] over a pre-tokenized (doc_id, ws) frame. */
+  def bm25HitsFromTokens(tokensDf: DataFrame, toks: Seq[String]): DataFrame = {
+    val tokDf = tokensDf.sparkSession.createDataFrame(
       toks.distinct.map(Tuple1(_))).toDF("tok")
-    docTokens(docs)
+    tokensDf
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("tok"))
       .join(broadcast(tokDf), Seq("tok"))
@@ -219,15 +238,25 @@ object Retrieval {
       qLen: Int = QueryLen, k: Int = K): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qterms = queryTermsLocal(docs, nQueries, qLen)
+    // ONE pinned tokenization feeds every corpus consumer — query
+    // derivation, pass-1 hits + stats, feedback mining, pass-2 hits —
+    // instead of re-tokenizing the corpus per pass (the shared-shingle
+    // move from Dedup.minhashLsh; tokenization was the dominant cost
+    // of this row's three corpus scans). The pin stays live for the
+    // returned frame's lineage, reclaimed by the context cleaner.
+    val toks = graft.core.Materialize.pin(docTokens(docs))
+    val qterms = queryTermsFromTokens(toks, nQueries, qLen)
+    val stats = corpusStatsFromTokens(toks)
     // pass 1: plain BM25 top-FbDocs
-    val topm = bm25TopK(docs, nQueries, qLen, FbDocs, Some(qterms))
+    val hits1 = bm25HitsFromTokens(toks, qterms.map(_._2))
+    val dfT1 = hits1.groupBy("tok").agg(count(lit(1)).as("df"))
+    val topm = bm25Rank(hits1, dfT1, qterms, stats, FbDocs)
       .select("q_id", "doc_id")
     // expansion mining: tokens of the feedback docs, total tf per
     // (q, tok), minus the original terms, top-FbTerms per query.
     // The feedback-doc set is tiny (q * FbDocs) — broadcast it against
-    // the corpus scan, explode only matching docs.
-    val fbToks = docTokens(docs)
+    // the pinned tokens, explode only matching docs.
+    val fbToks = toks
       .join(broadcast(topm), Seq("doc_id"))
       .select(col("q_id"), explode(col("ws")).as("tok"))
       .groupBy("q_id", "tok").agg(count(lit(1)).as("tf"))
@@ -242,9 +271,9 @@ object Retrieval {
     // weighted union vocabulary; pass 2 over its pruned hits
     val union = qterms.map { case (q, t) => (q, t, WOrig) } ++
       expTerms.map { case (q, t) => (q, t, WExp) }
-    val hits = bm25Hits(docs, union.map(_._2))
+    val hits = bm25HitsFromTokens(toks, union.map(_._2))
     val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scored = bm25ScoresWeighted(hits, dfT, union, corpusStats(docs))
+    val scored = bm25ScoresWeighted(hits, dfT, union, stats)
     scored.as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._3.toDouble, r._2))
@@ -293,20 +322,13 @@ object Retrieval {
   val RrfC = 60
   val RrfScale = 10000000L
 
-  /** Hybrid retrieval: BM25 top-k and dense top-k are fused by RRF —
-    * a doc absent from one list simply contributes nothing for it
-    * (full outer join + coalesce-to-zero), the standard formulation.
-    * Fusion re-ranks a candidate pool of <= 2k rows per query, so the
-    * final window is bounded by the leg sizes, never the corpus. */
-  def hybridRrf(docs: DataFrame, emb: DataFrame, nQueries: Int = NQueries,
-      qLen: Int = QueryLen, k: Int = K, kOut: Int = K): DataFrame = {
-    val qterms = queryTermsLocal(docs, nQueries, qLen)
-    val hits = bm25Hits(docs, qterms.map(_._2))
-    val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
-    val lex = bm25Rank(hits, dfT, qterms, corpusStats(docs), k)
-      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val dense = denseTopK(emb, qterms.map(_._1).distinct, k)
-      .select(col("q_id"), col("doc_id"), col("rank").as("dense_rank"))
+  /** RRF fusion of two ranked legs — a doc absent from one list
+    * simply contributes nothing for it (full outer join +
+    * coalesce-to-zero), the standard formulation. Fusion re-ranks a
+    * candidate pool of <= 2k rows per query, so the final window is
+    * bounded by the leg sizes, never the corpus. Legs arrive as
+    * (q_id, doc_id, lex_rank) / (q_id, doc_id, dense_rank). */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, kOut: Int): DataFrame =
     lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(expr(s"CAST($RrfScale AS BIGINT) DIV ($RrfC + lex_rank)"), lit(0L)) +
@@ -316,17 +338,132 @@ object Retrieval {
           .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
       .filter(col("rank") <= kOut)
       .select("q_id", "doc_id", "rrf", "rank")
+
+  /** Hybrid retrieval: BM25 top-k and dense top-k fused by
+    * [[rrfFuse]]. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen, k: Int = K, kOut: Int = K): DataFrame = {
+    val qterms = queryTermsLocal(docs, nQueries, qLen)
+    val hits = bm25Hits(docs, qterms.map(_._2))
+    val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lex = bm25Rank(hits, dfT, qterms, corpusStats(docs), k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = denseTopK(emb, qterms.map(_._1).distinct, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("dense_rank"))
+    rrfFuse(lex, dense, kOut)
   }
 
   val textHybridRrf: Q = (s, dir) =>
     hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"))
       .orderBy("q_id", "rank")
 
+  /** Recall bounds for the ANN-leg hybrid gate: the dense leg alone
+    * must clear the IVFADC family's own bar, and the FUSED list must
+    * stay close to the exact-dense fusion — fusion with the exact
+    * lexical leg dampens ANN misses, measured: fused overlap
+    * 0.863/0.888/0.863 against dense-leg recall 0.775/0.800/0.675 at
+    * sf0.001/0.01/0.1. */
+  val AnnFusedMinRecall = 0.7
+  val AnnDenseMinRecall = 0.4
+
+  /** Hybrid retrieval with the ANN dense leg — the production shape:
+    * the brute-force [[denseTopK]] leg is replaced by the IVFADC
+    * artifact search ([[Similarity.ivfPqSearch]] — cell-pruned,
+    * code-compressed, raw embeddings never read at search time),
+    * CHECKED rather than assumed: the gate emits the
+    * [[Similarity.annRecall]] reduction of the ANN-fused list against
+    * the exact-dense-fused list (plus the dense leg's own recall
+    * bound), so an index losing recall fails the hash gate instead of
+    * silently degrading the fusion. Both dense legs exclude self
+    * (the ANN search's contract); the lexical leg is the audited
+    * exact-integer BM25. */
+  def hybridRrfAnn(docs: DataFrame, emb: DataFrame, spark: SparkSession,
+      indexPath: String, nQueries: Int = NQueries, qLen: Int = QueryLen,
+      k: Int = K): DataFrame = {
+    val qterms = queryTermsLocal(docs, nQueries, qLen)
+    // the ANN search selects queries as vec_id < nQueries; the BM25
+    // side takes the nQueries smallest doc_ids — identical sets only
+    // on a dense 0-based id space, so check it rather than assume it
+    val qIds = qterms.map(_._1).distinct.sorted
+    require(qIds == (0L until nQueries.toLong),
+      s"hybridRrfAnn expects query ids 0..${nQueries - 1} (dense 0-based " +
+        s"doc_id space shared with vec_id); got $qIds")
+    val hits = bm25Hits(docs, qterms.map(_._2))
+    val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    IndexStore.ensureIvfPqIndex(emb, indexPath)
+    val (index, centroids, books) = IndexStore.loadIvfPqIndex(spark, indexPath)
+    // each leg feeds TWO consumers (its fusion and the recall
+    // referee); the frames are queries*k-bounded, so pinning them is
+    // three tiny checkpoint jobs that halve the expensive upstreams
+    // (postings scan, cell-pruned ADC scan, brute-force referee scan)
+    val lex = graft.core.Materialize.pin(
+      bm25Rank(hits, dfT, qterms, corpusStats(docs), k)
+        .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank")))
+    val annD = graft.core.Materialize.pin(
+      Similarity.ivfPqSearch(emb, index, centroids, books, nQueries, k))
+    val exactD = graft.core.Materialize.pin(
+      Similarity.cosineTopK(emb, nQueries, k))
+    def asLeg(d: DataFrame) = d.select(col("query_id").as("q_id"),
+      col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    def asAnn(f: DataFrame) = f.select(col("q_id").as("query_id"),
+      col("doc_id").as("neighbor_id"))
+    val fusedAnn = rrfFuse(lex, asLeg(annD), k)
+    val fusedExact = rrfFuse(lex, asLeg(exactD), k)
+    val denseOk = Similarity.annRecall(annD, exactD, AnnDenseMinRecall)
+      .select(col("query_id"), col("recall_ok").as("dense_ok"))
+    Similarity.annRecall(asAnn(fusedAnn), asAnn(fusedExact), AnnFusedMinRecall)
+      .withColumnRenamed("recall_ok", "fused_ok")
+      .join(broadcast(denseOk), Seq("query_id"))
+      .select("query_id", "n_topk", "dense_ok", "fused_ok")
+  }
+
+  val textHybridRrfAnn: Q = (s, dir) =>
+    hybridRrfAnn(t(s, dir, "documents"), t(s, dir, "embeddings"), s,
+      IndexStore.defaultPath("ivfpq", dir))
+      .orderBy("query_id")
+
+  // ---- Retrieval-based decontamination ----
+
+  /** Top-M cut for retrieval decontamination: every training doc
+    * ranking in a benchmark query's top-[[DecontamTopM]] is flagged.
+    * The ranked complement of the n-gram-overlap decon
+    * ([[TextAnalysis.textContamination]]): n-gram overlap catches
+    * verbatim leakage, ranked retrieval catches the reworded/partial
+    * leakage a fixed-gram match misses — production pipelines run
+    * both. */
+  val DecontamTopM = 5
+
+  /** Per-doc contamination flags: which corpus docs a benchmark query
+    * set retrieves, with hit count / best rank / max score — the
+    * audit record a decontamination run keeps. Cost shape is exactly
+    * [[bm25TopK]] (query-term-pruned postings, O(q*m) top-M), and the
+    * flag table is bounded by |benchmark| * m rows. */
+  def decontamFlags(docs: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen, m: Int = DecontamTopM): DataFrame =
+    bm25TopK(docs, nQueries, qLen, m)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_queries_hit"),
+        min("rank").as("best_rank"),
+        max("score_bp").as("max_score_bp"))
+
+  /** The cleaned corpus: drop every flagged doc. The flag side is
+    * benchmark-bounded, so the anti-join broadcasts — one corpus scan,
+    * no shuffle, the only shape that survives a 100 TB training set. */
+  def decontaminate(docs: DataFrame, nQueries: Int = NQueries,
+      qLen: Int = QueryLen, m: Int = DecontamTopM): DataFrame =
+    docs.join(broadcast(decontamFlags(docs, nQueries, qLen, m)
+      .select("doc_id")), Seq("doc_id"), "left_anti")
+
+  val textDecontamRetrieval: Q = (s, dir) =>
+    decontamFlags(t(s, dir, "documents")).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "x_text_bm25" -> textBm25,
     "x_text_bm25_indexed" -> textBm25Indexed,
     "x_text_bm25_rm3" -> textBm25Rm3,
-    "x_text_hybrid_rrf" -> textHybridRrf)
+    "x_text_hybrid_rrf" -> textHybridRrf,
+    "x_text_hybrid_rrf_ann" -> textHybridRrfAnn,
+    "x_text_decontam_retrieval" -> textDecontamRetrieval)
 
   private val bm25Sql =
     ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
@@ -426,9 +563,56 @@ object Retrieval {
       "row_number() OVER (PARTITION BY q_id ORDER BY score_w DESC, doc_id) AS rk FROM sc2) " +
       s"WHERE rk <= $K ORDER BY q_id, rank")
 
+  /** Oracle for the ANN-leg hybrid gate: DuckDB computes the EXACT
+    * fused side (lex + self-excluded exact dense, same RRF integers)
+    * reduced to per-query counts, plus TRUE for both bound checks —
+    * the [[Similarity.annRecall]] oracle convention. */
+  private val hybridAnnSql =
+    (bm25Prologue +
+      "hits AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk " +
+      "WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok), " +
+      "dfv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY tok), " +
+      "sc AS (SELECT qt.q_id, h.doc_id, CAST(SUM(" + termBpSql("h", "dfv") + ") AS BIGINT) AS score_bp " +
+      "FROM hits h JOIN dfv USING (tok) JOIN qt USING (tok) " +
+      "JOIN d ON h.doc_id = d.doc_id CROSS JOIN st GROUP BY qt.q_id, h.doc_id), " +
+      "lex AS (SELECT q_id, doc_id, rnk AS lex_rank FROM (SELECT q_id, doc_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY score_bp DESC, doc_id) AS rnk FROM sc) " +
+      s"WHERE rnk <= $K), " +
+      "sims AS (SELECT qe.vec_id AS q_id, c.vec_id AS doc_id, " +
+      "list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim " +
+      "FROM embeddings qe, embeddings c " +
+      "WHERE qe.vec_id IN (SELECT q_id FROM q) AND c.vec_id <> qe.vec_id), " +
+      "dn AS (SELECT q_id, doc_id, rnk AS dense_rank FROM (SELECT q_id, doc_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rnk FROM sims) " +
+      s"WHERE rnk <= $K), " +
+      "f AS (SELECT COALESCE(lex.q_id, dn.q_id) AS q_id, COALESCE(lex.doc_id, dn.doc_id) AS doc_id, " +
+      s"COALESCE($RrfScale // ($RrfC + lex.lex_rank), 0) + COALESCE($RrfScale // ($RrfC + dn.dense_rank), 0) AS rrf " +
+      "FROM lex FULL OUTER JOIN dn ON lex.q_id = dn.q_id AND lex.doc_id = dn.doc_id), " +
+      "topk AS (SELECT q_id FROM (SELECT q_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rnk FROM f) " +
+      s"WHERE rnk <= $K) " +
+      "SELECT q_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_topk, " +
+      "TRUE AS dense_ok, TRUE AS fused_ok FROM topk GROUP BY q_id ORDER BY query_id")
+
+  private val decontamSql =
+    (bm25Prologue +
+      "hits AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk " +
+      "WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok), " +
+      "dfv AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY tok), " +
+      "sc AS (SELECT qt.q_id, h.doc_id, CAST(SUM(" + termBpSql("h", "dfv") + ") AS BIGINT) AS score_bp " +
+      "FROM hits h JOIN dfv USING (tok) JOIN qt USING (tok) " +
+      "JOIN d ON h.doc_id = d.doc_id CROSS JOIN st GROUP BY qt.q_id, h.doc_id), " +
+      "r AS (SELECT q_id, doc_id, score_bp, CAST(row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY score_bp DESC, doc_id) AS INT) AS rank FROM sc) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_queries_hit, " +
+      "CAST(MIN(rank) AS INT) AS best_rank, MAX(score_bp) AS max_score_bp " +
+      s"FROM r WHERE rank <= $DecontamTopM GROUP BY doc_id ORDER BY doc_id")
+
   val oracles: Map[String, String] = Map(
     "x_text_bm25" -> bm25Sql,
     "x_text_bm25_indexed" -> bm25Sql,
     "x_text_bm25_rm3" -> rm3Sql,
-    "x_text_hybrid_rrf" -> hybridSql)
+    "x_text_hybrid_rrf" -> hybridSql,
+    "x_text_hybrid_rrf_ann" -> hybridAnnSql,
+    "x_text_decontam_retrieval" -> decontamSql)
 }

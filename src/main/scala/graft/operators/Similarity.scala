@@ -228,8 +228,12 @@ object Similarity {
     * DuckDB oracle computing the exact side plus a TRUE literal — an
     * index losing recall fails the hash gate. */
   def annRecall(ann: DataFrame, exact: DataFrame, minRecall: Double): DataFrame = {
+    // both sides are queries*k-bounded, but only the probe side is
+    // hinted: broadcasting the ANN hits keeps the check join off the
+    // shuffle path entirely (it planned as a sort-merge join before)
     val perQ = exact.select("query_id", "neighbor_id")
-      .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+      .join(broadcast(
+        ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_topk"),
@@ -678,12 +682,20 @@ object Similarity {
 
   /** Apply a fitted probe: per-row score wᵀ(x − mean) + wᵀmean + bias
     * = wᵀx + intercept, via one [[graft.functions.MatVecCentered]]
-    * kernel row — predicted class is score > 0.5. */
+    * kernel row — predicted class is score > 0.5. The kernel computes
+    * the CENTERED dot wᵀ(x − mean) (numerically kinder on corpora far
+    * from the origin), so the constant wᵀmean that
+    * [[linearProbeParams]] folded OUT of its intercept
+    * (bias = ȳ − wᵀmean) must be added back here — at x = mean the
+    * score is exactly ȳ, which ProbeCalibrationSpec pins on a
+    * deliberately mean-shifted corpus. */
   def probeScore(emb: DataFrame, w: Seq[Float], mean: Seq[Float],
-      bias: Double): DataFrame =
+      bias: Double): DataFrame = {
+    val wDotMean = w.indices.map(j => w(j).toDouble * mean(j).toDouble).sum
     emb.withColumn("score",
       element_at(graft.functions.MatVecCentered.matVecCentered(
-        col("embedding"), Seq(w), mean), 1) + lit(bias))
+        col("embedding"), Seq(w), mean), 1) + lit(bias + wDotMean))
+  }
 
   /** Self-verifying probe gate: label each vector by a KNOWN
     * hyperplane (the sign of its dot with the lowest-id vector — a
@@ -1153,33 +1165,62 @@ object Similarity {
     val cellType = index.schema("cell").dataType
     val reps = centroids.toDF("cell", "rep_emb")
       .withColumn("cell", col("cell").cast(cellType))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(reps))
-      .select(col("query_id"), col("q_emb"), col("cell"),
-        cosineSim(col("q_emb"), col("rep_emb")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rk") <= nProbe)
-      .select("query_id", "q_emb", "cell")
+    // The coarse probe runs DRIVER-SIDE: queries are driver-sized by
+    // contract (<= nQueries rows) and the centroids are already a
+    // driver-held Seq, so each query's nProbe nearest cells are a few
+    // hundred plain-Scala dot products — replacing the r13/r14
+    // crossJoin + window + collect probe subtree (one full extra Spark
+    // job per search) with one bounded query-vector fetch. The
+    // arithmetic mirrors [[graft.functions.CosineSimilarity]] exactly
+    // (left-to-right double accumulation, null on zero norm ranked
+    // last, ties broken by cell asc) so the probed-cell set is
+    // bit-identical to the frame formulation it replaces.
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      if (a.length != b.length) return Double.NegativeInfinity
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val probesLocal = qRows.toSeq.flatMap { case (qid, qe) =>
+      centroids.map { case (cell, rep) => (cell, cosLocal(qe, rep)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(nProbe)
+        .map { case (cell, _) => (qid, qe, cell) }
+    }
+    val probes = probesLocal.toDF("query_id", "q_emb", "cell")
+      .withColumn("cell", col("cell").cast(cellType))
     // codes encode the RESIDUAL, so scoring re-adds the row's cell
     // centroid inside the fused kernel; the centroid column arrives
     // through the same broadcast cell table the probe used.
-    // Partition pruning is planted STATICALLY: the probed-cell set is
-    // collected (bounded by queries * nProbe — the probe table is
-    // broadcast-sized by contract, and only the bare cell ids come
-    // back) and pushed as an isin on the partition column, so the scan
-    // prunes to the probed directories at PLANNING time. r13 relied on
-    // Catalyst's dynamic partition pruning here, but that was a
-    // V1-reader behavior: the V2 FileScan does not implement
+    // Partition pruning is planted STATICALLY: the probed-cell set
+    // (bounded by queries * nProbe, already driver-held) is pushed as
+    // an isin on the partition column, so the scan prunes to the
+    // probed directories at PLANNING time. r13 relied on Catalyst's
+    // dynamic partition pruning here, but that was a V1-reader
+    // behavior: the V2 FileScan does not implement
     // SupportsRuntimeV2Filtering in Spark 4.1, so under the engine's
     // V2 default (GraftSession) the DPP subquery is never planted and
     // the probe silently degrades to a full-index scan. The static
     // filter is also strictly earlier than DPP (no runtime subquery
     // wait) and works under either reader; Round14Spec asserts the
     // cell filter reaches the scan's PartitionFilters. Same move as
-    // VecIngest's pb-tier probe, for the same reason.
-    val probedCells = probes.select("cell").distinct().collect().map(_.get(0))
+    // VecIngest's pb-tier probe, for the same reason. The literal type
+    // must match the partition column EXACTLY — a bigint literal
+    // against an int partition column wraps the scan key in a cast,
+    // which disqualifies it from PartitionFilters.
+    val probedCells: Seq[Any] = probesLocal.map(_._3).distinct.map {
+      c => cellType match {
+        case IntegerType => c.toInt
+        case _ => c
+      }
+    }
     val sims = index
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
       .filter(col("cell").isin(probedCells: _*))

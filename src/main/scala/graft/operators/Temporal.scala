@@ -381,7 +381,11 @@ object Temporal {
       .select(col("n_users").as("n_top"))
     counts.crossJoin(broadcast(top))
       .select(col("step"), col("step_name"), col("n_users"),
-        expr("n_users * 10000 div n_top").as("conv_bp"))
+        // guard the empty-funnel corpus: with no step-1 users, integer
+        // `div` by zero would yield silent NULL bp rows (and the DuckDB
+        // twin would raise) — define conversion over an empty top as 0
+        when(col("n_top") > 0, expr("n_users * 10000 div n_top"))
+          .otherwise(lit(0L)).as("conv_bp"))
   }
 
   val eventsFunnelSteps: Q = (s, dir) =>
@@ -421,7 +425,8 @@ object Temporal {
         "UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2 " +
         "UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3), " +
         "tp AS (SELECT n_users AS n_top FROM c WHERE step = 1) " +
-        "SELECT step, step_name, n_users, n_users * 10000 // tp.n_top AS conv_bp " +
+        "SELECT step, step_name, n_users, " +
+        "CASE WHEN tp.n_top > 0 THEN n_users * 10000 // tp.n_top ELSE 0 END AS conv_bp " +
         "FROM c, tp ORDER BY step"),
     "x_events_resample" ->
       ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, " +

@@ -23,17 +23,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * containing term), so search cost scales with the query terms'
   * posting lists. The hot store is batch-partitioned, not
   * token-partitioned — directory pruning by term arrives through
-  * offline [[consolidate]], which folds every committed batch into
-  * the pb-partitioned artifact layout; after a consolidation, probes
+  * offline [[consolidate]], which INCREMENTALLY folds batches past
+  * the stamped watermark into one new `gen=` generation of the
+  * pb-partitioned artifact layout (prior generations stay
+  * byte-untouched); after a consolidation, probes
   * switch to [[IndexStore.bm25FromIndex]] (static pb isin). The
   * ingest contract is the docs store's: each doc_id arrives in
   * exactly one batch.
   *
   * At 100 TB: state is parquet only (stateless query), a batch's
   * postings write shuffles nothing (map-combined per-batch tf), the
-  * stats fold reads one tiny row per batch, and consolidation is the
-  * same maintenance window every `batch_id=` forest already needs
-  * ([[Compaction]]).
+  * stats fold reads one tiny row per batch, and consolidation cost is
+  * proportional to the NEW data since the last run (never the index),
+  * the same maintenance discipline as [[Compaction]].
   */
 object PostingsIngest {
 
@@ -76,26 +78,159 @@ object PostingsIngest {
     Retrieval.bm25Rank(hits, dfT, qterms, stats, k, maxDf)
   }
 
-  /** Offline maintenance: fold the whole `batch_id=` forest into the
-    * pb-partitioned artifact triple at `indexPath` — postings laid
-    * out for planning-time term pruning, dictionary derived from the
-    * full postings, stats from the per-batch fold, pb_mod stamped.
-    * The result is bit-compatible with
-    * [[IndexStore.buildPostingsIndex]] over the same corpus, so
-    * [[IndexStore.bm25FromIndex]] serves it unchanged. */
+  private val BatchDir = "batch_id=(\\d+)".r
+  private val GenDir = "gen=(\\d+)".r
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def numberedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      pat: scala.util.matching.Regex): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case pat(id) if s.isDirectory => Some(id.toLong -> s.getPath)
+        case _                        => None
+      }
+    }
+
+  /** The index's stamped consolidation watermark: every store batch
+    * with `batch_id <= through` is already folded in. None = no
+    * consolidation has completed at this path yet. */
+  def consolidatedThrough(spark: SparkSession, indexPath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_through")
+    graft.core.Markers.read(fsOf(spark, p), p).map(_.toLong)
+  }
+
+  /** Offline maintenance, INCREMENTAL: fold only store batches newer
+    * than the stamped watermark into the artifact at `indexPath` —
+    * never rewriting what a previous consolidation already laid out
+    * (the r14 form re-read and re-wrote the whole forest every call).
+    *
+    * Layout: postings live as a forest of consolidation GENERATIONS,
+    * `postings/gen=<through>/pb=<p>/` — each run writes exactly one
+    * new gen covering the batches it folded and touches no prior gen.
+    * Readers ([[IndexStore.bm25FromIndex]]) see one logical table
+    * (gen and pb are both partition columns; pb still prunes at
+    * planning time within every gen). The dictionary carries its own
+    * `_through` stamp and is re-derived as old-dict + new-gen df
+    * sums (each doc_id lives in exactly one batch, so df is additive);
+    * stats re-fold the store's tiny per-batch rows.
+    *
+    * Crash discipline (the [[Compaction]] claim/build/swap shape, with
+    * roll-FORWARD-by-idempotence instead of a redo log): a `_consolidate_commit`
+    * marker is the mutual-exclusion lease; every phase is keyed by its
+    * own durable completion evidence (gen dir exists → skip build;
+    * dict `_through` current → skip dict; watermark written LAST), so
+    * a crashed run is finished by simply calling consolidate again —
+    * and a dict lost between delete and rename self-heals by
+    * rebuilding from the full gen forest (its stamp died with it).
+    * `pb_mod` is stamped once at index birth and must never change
+    * across incremental runs (old gens were hashed with it). */
   def consolidate(spark: SparkSession, path: String, indexPath: String,
       pbMod: Int = IndexStore.PostingsPbMod): Unit = {
-    val p = spark.read.parquet(s"$path/postings").drop("batch_id")
-      .withColumn("pb",
-        pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
-    p.write.mode("overwrite").partitionBy("pb").parquet(s"$indexPath/postings")
-    p.groupBy("tok").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$indexPath/dict")
-    spark.read.parquet(s"$path/stats")
-      .agg(sum("n").cast("long").as("n"),
-        sum("sumdl").cast("long").as("sumdl"))
-      .withColumn("pb_mod", lit(pbMod))
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val batches = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/postings"), BatchDir)
+    if (batches.isEmpty) return
+    val through = batches.map(_._1).max
+    val prev = consolidatedThrough(spark, indexPath).getOrElse(-1L)
+    if (through <= prev) return
+    // build floor: the watermark OR the highest generation already on
+    // disk, whichever is later — a run that crashed after its gen
+    // rename but before the watermark write leaves maxGen > watermark,
+    // and folding from the watermark again would duplicate every batch
+    // that gen already covers. Batches in (floor, through] are exactly
+    // the uncovered ones; the dict phase needs no such guard because
+    // it keys on its own stamp and folds whole gens.
+    val maxGen = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
+      .map(_._1).maxOption.getOrElse(-1L)
+    val floor = math.max(prev, maxGen)
+    val newBatches = batches.filter(_._1 > floor).sortBy(_._1)
+
+    // pb_mod is structural: gens already on disk were hashed with it
+    fs.mkdirs(idx)
+    val modMarker = new org.apache.hadoop.fs.Path(idx, "_pb_mod")
+    if (!graft.core.Markers.tryCreate(fs, modMarker, pbMod.toString)) {
+      val stamped = graft.core.Markers.read(fs, modMarker).get.toInt
+      require(stamped == pbMod,
+        s"index at $indexPath was built with pb_mod=$stamped; an " +
+          s"incremental run cannot switch to $pbMod — rebuild the index")
+    }
+
+    val runId = java.util.UUID.randomUUID().toString
+    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim, s"$runId\n$through"))
+      throw new IllegalStateException(
+        s"index $indexPath already has a consolidation in flight (or a " +
+          "dead one's marker) — if no consolidator is live, delete " +
+          s"$claim and re-run (every phase is idempotent)")
+    try {
+      // BUILD the new gen — reads EXACTLY the new batch dirs (the
+      // explicit path list IS the physical touch set), lands via
+      // scratch + rename so readers never see a half-written gen
+      val genDir = new org.apache.hadoop.fs.Path(idx, s"postings/gen=$through")
+      if (!fs.exists(genDir)) {
+        val scratch = new org.apache.hadoop.fs.Path(idx, ".postings-scratch")
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        spark.read.option("basePath", s"$path/postings")
+          .parquet(newBatches.map(_._2.toString): _*)
+          .drop("batch_id")
+          .withColumn("pb",
+            pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
+          .write.mode("errorifexists").partitionBy("pb")
+          .parquet(scratch.toString)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "postings"))
+        require(fs.rename(scratch, genDir),
+          s"failed to install consolidated generation at $genDir")
+      }
+      // DICT: fold gens newer than the dict's own stamp onto the old
+      // dict (df is additive across gens); a dict that died mid-swap
+      // has no stamp, so the fold degrades to a full-forest rebuild
+      val dictDir = new org.apache.hadoop.fs.Path(idx, "dict")
+      val dictStamp = new org.apache.hadoop.fs.Path(dictDir, "_through")
+      val dictThrough =
+        graft.core.Markers.read(fs, dictStamp).map(_.toLong).getOrElse(-1L)
+      if (dictThrough < through) {
+        val gens = numberedDirs(fs,
+            new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
+          .filter(_._1 > dictThrough).sortBy(_._1)
+        val newDf = spark.read.option("basePath", s"$indexPath/postings")
+          .parquet(gens.map(_._2.toString): _*)
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val merged =
+          if (dictThrough < 0) newDf
+          else spark.read.parquet(dictDir.toString)
+            .unionByName(newDf)
+            .groupBy("tok").agg(sum("df").as("df"))
+        val dscratch = new org.apache.hadoop.fs.Path(idx, ".dict-scratch")
+        if (fs.exists(dscratch)) fs.delete(dscratch, true)
+        merged.write.mode("errorifexists").parquet(dscratch.toString)
+        graft.core.Markers.forceWrite(fs,
+          new org.apache.hadoop.fs.Path(dscratch, "_through"), through.toString)
+        if (fs.exists(dictDir)) fs.delete(dictDir, true)
+        require(fs.rename(dscratch, dictDir),
+          s"failed to install dictionary at $dictDir")
+      }
+      // STATS: re-fold the store's tiny per-batch rows (idempotent
+      // from the store; reads store, writes index — no self-overlap)
+      spark.read.parquet(s"$path/stats")
+        .filter(col("batch_id") <= through)
+        .agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
+          coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"))
+        .withColumn("pb_mod", lit(pbMod))
+        .write.mode("overwrite").parquet(s"$indexPath/stats")
+      // WATERMARK last — the run's single durable commit point
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(idx, "_through"), through.toString)
+    } finally {
+      // phases are individually idempotent, so the lease can always be
+      // released: a failed run is finished by calling consolidate again
+      fs.delete(claim, false)
+    }
   }
 
   // ---- driver gate row ------------------------------------------------

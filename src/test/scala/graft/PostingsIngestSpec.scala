@@ -74,6 +74,106 @@ class PostingsIngestSpec extends SparkSpec {
       "consolidation must produce the token-partitioned layout")
   }
 
+  test("re-consolidation folds ONLY batches past the watermark into a new generation") {
+    val store = tmp("pstore6")
+    val idx = tmp("pidx6")
+    for (b <- 0L until 2L)
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b, store)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    assert(PostingsIngest.consolidatedThrough(spark, idx).contains(1L))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def snap(p: String): Set[(String, Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        b += ((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+      b.result()
+    }
+    val gen1Before = snap(s"$idx/postings/gen=1")
+    // grow the store, consolidate again
+    PostingsIngest.ingestBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, store)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    assert(PostingsIngest.consolidatedThrough(spark, idx).contains(2L))
+    // the prior generation is byte-untouched (paths, sizes, mtimes)
+    assert(snap(s"$idx/postings/gen=1") == gen1Before,
+      "re-consolidation must never rewrite a prior generation")
+    // the new generation holds exactly the new batch's postings
+    val g2 = spark.read.parquet(s"$idx/postings")
+      .filter(col("gen") === 2).count()
+    val batch2 = Retrieval.postings(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2)).count()
+    assert(g2 == batch2, "gen=2 must contain only the newly-folded batch")
+    // and serving through the grown index equals the one-shot answer
+    val served = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    val oneShot = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
+    assert(served.sameElements(oneShot),
+      "incrementally-grown index must serve the one-shot answer")
+    // idempotence: a third call with nothing new is a complete no-op
+    val allBefore = snap(idx)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    assert(snap(idx) == allBefore, "watermark-current consolidate must be a no-op")
+    // and the structural pb_mod guard refuses a mid-life change
+    val e = intercept[IllegalArgumentException] {
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), 3L, store)
+      PostingsIngest.consolidate(spark, store, idx, pbMod = 16)
+    }
+    assert(e.getMessage.contains("pb_mod"))
+  }
+
+  test("a consolidation crash before the watermark write rolls forward without duplicating") {
+    val store = tmp("pstore8")
+    val idx = tmp("pidx8")
+    for (b <- 0L until 2L)
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b, store)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    // simulate the crash window: gen=1 is installed but the watermark
+    // write never happened
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_through"), false)
+    assert(PostingsIngest.consolidatedThrough(spark, idx).isEmpty)
+    // new data arrives before anyone retries
+    PostingsIngest.ingestBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, store)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    assert(PostingsIngest.consolidatedThrough(spark, idx).contains(2L))
+    // the retried run must fold batches 0..1 ZERO more times: the
+    // postings forest holds each (doc, tok) exactly once
+    val dups = spark.read.parquet(s"$idx/postings")
+      .groupBy("doc_id", "tok").count().filter(col("count") > 1).count()
+    assert(dups == 0, "crash retry must not re-fold batches a generation already covers")
+    val served = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    val oneShot = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
+    assert(served.sameElements(oneShot), "recovered index must serve the one-shot answer")
+  }
+
+  test("an empty batch writes clean zero stats, never nulls") {
+    val store = tmp("pstore7")
+    PostingsIngest.ingestBatch(docs.filter(col("doc_id") < 5), 0L, store)
+    PostingsIngest.ingestBatch(docs.filter(lit(false)), 1L, store)
+    val st = spark.read.parquet(s"$store/stats").collect()
+    assert(st.length == 2)
+    assert(st.forall(r => !r.isNullAt(r.fieldIndex("n"))
+        && !r.isNullAt(r.fieldIndex("sumdl"))),
+      "an empty replayed batch must write (0, 0), not (0, NULL) — the " +
+        "store row is consumed by folds that may not null-skip")
+    val empty = spark.read.parquet(s"$store/stats")
+      .filter(col("batch_id") === 1).head()
+    assert(empty.getLong(empty.fieldIndex("n")) == 0L
+      && empty.getLong(empty.fieldIndex("sumdl")) == 0L)
+  }
+
   test("streaming ingest through foreachBatch grows the searchable corpus") {
     implicit val sqlCtx = spark.sqlContext
     val store = tmp("pstream")
