@@ -315,7 +315,12 @@ object IndexStore {
     * min/max aggregate over `size(embedding)` — an empty corpus or a
     * ragged-width one FAILS here rather than silently defaulting /
     * letting the fused kernel prefix-project short rows, matching the
-    * loud-failure contract [[whitenFromIndex]] advertises. */
+    * loud-failure contract [[whitenFromIndex]] advertises. Cost is
+    * one extra length-only pass before the transform pass — the
+    * deliberate trade: a stored dxd transform applied to mismatched
+    * rows is silent corruption, and the check aggregate map-combines
+    * to one row. Callers that serve the same corpus repeatedly should
+    * load once via [[loadWhitenIndex]] and keep the frame. */
   private def w0Dim(emb: DataFrame): Int = {
     val row = emb.agg(min(size(col("embedding"))).as("lo"),
       max(size(col("embedding"))).as("hi")).collect().head

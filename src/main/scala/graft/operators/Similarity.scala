@@ -1148,7 +1148,6 @@ object Similarity {
   def ivfPqSearch(emb: DataFrame, index: DataFrame,
       centroids: Seq[(Long, Seq[Float])], books: Seq[Seq[Seq[Float]]],
       nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
-    import graft.functions.CosineSimilarity.cosineSim
     import emb.sparkSession.implicits._
     requireQueryDim(emb, books)
     // The centroid table's cell id must match the INDEX's cell type

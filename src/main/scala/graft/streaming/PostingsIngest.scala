@@ -145,8 +145,24 @@ object PostingsIngest {
     // that gen already covers. Batches in (floor, through] are exactly
     // the uncovered ones; the dict phase needs no such guard because
     // it keys on its own stamp and folds whole gens.
-    val maxGen = numberedDirs(fs,
-      new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
+    val genRoot = new org.apache.hadoop.fs.Path(idx, "postings")
+    // a flat one-shot layout (IndexStore.buildPostingsIndex writes
+    // pb= dirs at the top level) cannot be grown in place: mixing it
+    // with gen= dirs gives the reader inconsistent partition depths
+    // and this run no way to know what the flat data covers
+    require(numberedDirs(fs, genRoot, "pb=(\\d+)".r).isEmpty,
+      s"index at $indexPath has the flat one-shot postings layout — " +
+        "point incremental consolidation at a fresh indexPath (or " +
+        "rebuild); it cannot be mixed with gen= generations")
+    // a crashed rebase may hold the REAL forest in its recovery dirs;
+    // consolidating on top of the partial view would strand that data
+    // (a fresh gen recreates the root, and the rebase retry would then
+    // skip its recovery branch). Finish the rebase first.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
+        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
+      s"index at $indexPath has rebase recovery state pending — run " +
+        "PostingsIngest.rebase to settle it before consolidating")
+    val maxGen = numberedDirs(fs, genRoot, GenDir)
       .map(_._1).maxOption.getOrElse(-1L)
     val floor = math.max(prev, maxGen)
     val newBatches = batches.filter(_._1 > floor).sortBy(_._1)
@@ -229,6 +245,83 @@ object PostingsIngest {
     } finally {
       // phases are individually idempotent, so the lease can always be
       // released: a failed run is finished by calling consolidate again
+      fs.delete(claim, false)
+    }
+  }
+
+  /** Major compaction for the gen forest: fold EVERY generation into
+    * one base gen (keyed, like a minor run, by the current watermark)
+    * — the counterpart that bounds generation-count growth the same
+    * way [[Compaction.compact]] bounds `batch_id=` growth. Many small
+    * gens cost the reader listing RPCs and per-gen file opens (the
+    * measured pb-mod-64-beats-256 effect, one level up); a rebase
+    * after every N minor runs restores the one-big-generation read
+    * shape without ever touching the hot store. Same claim marker and
+    * scratch+rename discipline; the swap replaces the whole postings
+    * forest in two renames (old → trash, scratch → live), and a crash
+    * anywhere is settled by re-running rebase — the recovery prologue
+    * rolls a stamped scratch FORWARD and an unstamped one BACK before
+    * any new work. Dict and stats hold the same logical content either
+    * side of a rebase, so they are not touched. */
+  def rebase(spark: SparkSession, indexPath: String): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val wm = consolidatedThrough(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexPath has no consolidation watermark — nothing to rebase"))
+    val genRoot = new org.apache.hadoop.fs.Path(idx, "postings")
+    val scratch = new org.apache.hadoop.fs.Path(idx, ".rebase-scratch")
+    val trash = new org.apache.hadoop.fs.Path(idx, ".rebase-old")
+    val done = new org.apache.hadoop.fs.Path(scratch, "_complete")
+    val pbMod = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_pb_mod")).get.toInt
+    val runId = java.util.UUID.randomUUID().toString
+    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim, s"$runId\nrebase $wm"))
+      throw new IllegalStateException(
+        s"index $indexPath already has a consolidation/rebase in flight " +
+          s"(or a dead one's marker at $claim)")
+    try {
+      // RECOVER a crashed swap before anything else: the forest can be
+      // mid-flight between trash and scratch. Forward when the scratch
+      // carries its completeness stamp, back (restore trash) otherwise.
+      if (!fs.exists(genRoot)) {
+        if (fs.exists(scratch) && graft.core.Markers.read(fs, done).nonEmpty)
+          require(fs.rename(scratch, genRoot),
+            s"failed to roll a crashed rebase forward at $genRoot")
+        else if (fs.exists(trash)) {
+          require(fs.rename(trash, genRoot),
+            s"failed to roll a crashed rebase back at $genRoot")
+          if (fs.exists(scratch)) fs.delete(scratch, true)
+        } else throw new IllegalStateException(
+          s"postings forest missing at $genRoot with no rebase recovery " +
+            "state — the index is damaged beyond what rebase can repair")
+      }
+      fs.delete(trash, true) // forest is live; any trash is settled debt
+      fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
+      val gens = numberedDirs(fs, genRoot, GenDir)
+      if (gens.size <= 1) return // already one generation
+      // BUILD: one pb-partitioned copy of the whole forest under
+      // scratch/gen=<wm>, completeness proven by the stamp write
+      if (graft.core.Markers.read(fs, done).isEmpty) {
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        spark.read.parquet(genRoot.toString)
+          .drop("gen") // pb is re-derived: stable under the stamped mod
+          .drop("pb")
+          .withColumn("pb",
+            pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
+          .write.mode("errorifexists").partitionBy("pb")
+          .parquet(new org.apache.hadoop.fs.Path(scratch, s"gen=$wm").toString)
+        graft.core.Markers.forceWrite(fs, done, wm.toString)
+      }
+      // SWAP: forest → trash, scratch → forest, settle. Any crash in
+      // here lands in one of the recovery branches above.
+      require(fs.rename(genRoot, trash), s"failed to retire $genRoot")
+      require(fs.rename(scratch, genRoot),
+        s"failed to install rebased postings at $genRoot")
+      fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
+      fs.delete(trash, true)
+    } finally {
       fs.delete(claim, false)
     }
   }

@@ -158,6 +158,50 @@ class PostingsIngestSpec extends SparkSpec {
     assert(served.sameElements(oneShot), "recovered index must serve the one-shot answer")
   }
 
+  test("rebase folds the gen forest into one generation; crash mid-swap recovers both ways") {
+    val store = tmp("pstore9")
+    val idx = tmp("pidx9")
+    for (b <- 0L until 3L) {
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b, store)
+      PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    }
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def gens() = fs.listStatus(new org.apache.hadoop.fs.Path(idx, "postings"))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens() == Seq("gen=0", "gen=1", "gen=2"),
+      s"three minor runs must leave three generations, got ${gens()}")
+    val before = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    PostingsIngest.rebase(spark, idx)
+    assert(gens() == Seq("gen=2"), s"rebase must leave one generation, got ${gens()}")
+    val after = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    assert(after.sameElements(before), "rebase must not change served results")
+    assert(PostingsIngest.consolidatedThrough(spark, idx).contains(2L))
+    // crash simulation: forest retired to trash, install never happened
+    // (the worst window — genRoot missing). Rebase must roll BACK from
+    // trash (no stamped scratch), and consolidate must refuse until then.
+    val genRoot = new org.apache.hadoop.fs.Path(idx, "postings")
+    val trash = new org.apache.hadoop.fs.Path(idx, ".rebase-old")
+    require(fs.rename(genRoot, trash))
+    val e = intercept[IllegalArgumentException] {
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), 3L, store)
+      PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    }
+    assert(e.getMessage.contains("rebase recovery state"))
+    PostingsIngest.rebase(spark, idx) // recovery prologue restores, then no-op
+    assert(gens() == Seq("gen=2"), "roll-back must restore the live forest")
+    val recovered = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    assert(recovered.sameElements(before), "recovered index must serve identically")
+  }
+
   test("an empty batch writes clean zero stats, never nulls") {
     val store = tmp("pstore7")
     PostingsIngest.ingestBatch(docs.filter(col("doc_id") < 5), 0L, store)
