@@ -244,6 +244,11 @@ object Retrieval {
     // move from Dedup.minhashLsh; tokenization was the dominant cost
     // of this row's three corpus scans). The pin stays live for the
     // returned frame's lineage, reclaimed by the context cleaner.
+    // Scale note: the pin materializes the tokenized corpus (spills to
+    // executor disk past memory) — the right trade for any corpus a
+    // cluster can hold once; a corpus too large to pin should run its
+    // passes against the postings ARTIFACT instead (ensurePostingsIndex
+    // + bm25FromIndex: index once, every pass is a pruned probe).
     val toks = graft.core.Materialize.pin(docTokens(docs))
     val qterms = queryTermsFromTokens(toks, nQueries, qLen)
     val stats = corpusStatsFromTokens(toks)
