@@ -934,6 +934,52 @@ object Soak {
           qtermsIn = Some(qts)) }
     }
 
+    // Incremental consolidation: the claim under measurement is
+    // "maintenance cost proportional to the NEW data, not the index".
+    // Grow one store in 8 batches; compare (a) folding all 8 at once
+    // (the r14 full-rebuild shape) against (b) the LAST incremental
+    // run, which folds exactly one batch into an index that already
+    // holds seven. Then the read-side effect: a probe against the
+    // 8-generation forest vs the same index after rebase (gen-count
+    // is the listing/open fan-in knob, the pb-mod-64-vs-256 effect
+    // one level up), with rebase's own one-time cost printed between.
+    if (want("consolidation")) {
+      import graft.streaming.PostingsIngest
+      import graft.operators.{IndexStore, Retrieval}
+      val base = java.nio.file.Files.createTempDirectory("soak_consol").toString
+      val nB = 8
+      val store = s"$base/store"
+      for (b <- 0 until nB)
+        PostingsIngest.ingestBatch(
+          docs.filter(pmod(col("doc_id"), lit(nB)) === b), b, store)
+      val tF = System.nanoTime()
+      PostingsIngest.consolidate(spark, store, s"$base/idx_full")
+      println(f"SOAK consol_all_8_batches     ${(System.nanoTime() - tF) / 1e9}%8.2f s")
+      // second store grown batch-by-batch, consolidating after each
+      val store2 = s"$base/store2"
+      var lastIncr = 0.0
+      for (b <- 0 until nB) {
+        PostingsIngest.ingestBatch(
+          docs.filter(pmod(col("doc_id"), lit(nB)) === b), b, store2)
+        val t0 = System.nanoTime()
+        PostingsIngest.consolidate(spark, store2, s"$base/idx_incr")
+        lastIncr = (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SOAK consol_incr_last_batch   $lastIncr%8.2f s (1 of $nB batches folded)")
+      val qts = Retrieval.queryTermsLocal(docs)
+      time("consolidation_probe_8_gens") {
+        IndexStore.bm25FromIndex(docs, spark, s"$base/idx_incr",
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+          qtermsIn = Some(qts)) }
+      val tR = System.nanoTime()
+      PostingsIngest.rebase(spark, s"$base/idx_incr")
+      println(f"SOAK consol_rebase            ${(System.nanoTime() - tR) / 1e9}%8.2f s")
+      time("consolidation_probe_rebased") {
+        IndexStore.bm25FromIndex(docs, spark, s"$base/idx_incr",
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+          qtermsIn = Some(qts)) }
+    }
+
     spark.stop()
   }
 }

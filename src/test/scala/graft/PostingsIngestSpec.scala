@@ -109,9 +109,15 @@ class PostingsIngestSpec extends SparkSpec {
       docs.filter(pmod(col("doc_id"), lit(3)) === 2)).count()
     assert(g2 == batch2, "gen=2 must contain only the newly-folded batch")
     // and serving through the grown index equals the one-shot answer
-    val served = IndexStore.bm25FromIndex(docs, spark, idx,
+    val probe = IndexStore.bm25FromIndex(docs, spark, idx,
       Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
-      .orderBy("q_id", "rank").collect()
+    // the static pb prune must survive the two-level gen/pb layout —
+    // partition pruning on pb applies within every generation
+    val scans = probe.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains(idx)).mkString("\n")
+    assert(scans.contains("PartitionFilters: [pb"),
+      s"gen-layout postings scan must keep the pb partition filter:\n$scans")
+    val served = probe.orderBy("q_id", "rank").collect()
     val oneShot = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
     assert(served.sameElements(oneShot),
       "incrementally-grown index must serve the one-shot answer")
