@@ -302,35 +302,32 @@ object IndexStore {
   }
 
   /** Apply a stored whitening transform — the serve-time path: one
-    * fused kernel pass, no refit, no corpus moments. */
+    * fused kernel pass, no refit, no corpus moments. Both halves of
+    * the loud artifact-vs-corpus contract cost ZERO extra corpus
+    * passes: emptiness is a one-row sample (fails eagerly — an empty
+    * corpus is a caller error, not an empty result), and width
+    * mismatches raise PER ROW inside the same projection the kernel
+    * runs in (`raise_error` on `size != stamped dim`), so a ragged or
+    * wrong-width row can never be silently prefix-projected by the
+    * fused kernel. The r15 first cut used a min/max length aggregate
+    * instead — loud but one full extra scan per serve call, the wrong
+    * trade at corpus scale. */
   def whitenFromIndex(emb: DataFrame, spark: SparkSession,
       path: String): DataFrame = {
-    val (w, m) = loadWhitenIndex(spark, path, expectDim = w0Dim(emb))
+    require(emb.select(lit(1)).limit(1).collect().nonEmpty,
+      "whitenFromIndex: empty corpus — nothing to apply the stored transform to")
+    // serve at the STAMPED dim — the corpus is checked against it per
+    // row below, so no caller-supplied expectation is needed here
+    val stamped = spark.read.parquet(s"$path/meta").collect().head.getInt(0)
+    val (w, m) = loadWhitenIndex(spark, path, expectDim = stamped)
     emb.select(col("vec_id"),
-      graft.functions.MatVecCentered.matVecCentered(col("embedding"), w, m)
+      when(size(col("embedding")) === m.size,
+        graft.functions.MatVecCentered.matVecCentered(col("embedding"), w, m))
+        .otherwise(raise_error(concat(
+          lit(s"whitenFromIndex: row width "), size(col("embedding")).cast("string"),
+          lit(s" != stored transform dim ${m.size} — a stored dxd transform " +
+            "cannot apply; clean the corpus or refit"))))
         .as("embedding"))
-  }
-
-  /** Corpus width for the loud artifact-vs-corpus dim check: one
-    * min/max aggregate over `size(embedding)` — an empty corpus or a
-    * ragged-width one FAILS here rather than silently defaulting /
-    * letting the fused kernel prefix-project short rows, matching the
-    * loud-failure contract [[whitenFromIndex]] advertises. Cost is
-    * one extra length-only pass before the transform pass — the
-    * deliberate trade: a stored dxd transform applied to mismatched
-    * rows is silent corruption, and the check aggregate map-combines
-    * to one row. Callers that serve the same corpus repeatedly should
-    * load once via [[loadWhitenIndex]] and keep the frame. */
-  private def w0Dim(emb: DataFrame): Int = {
-    val row = emb.agg(min(size(col("embedding"))).as("lo"),
-      max(size(col("embedding"))).as("hi")).collect().head
-    require(!row.isNullAt(0),
-      "whitenFromIndex: empty corpus — nothing to check the stored dim against")
-    val (lo, hi) = (row.getInt(0), row.getInt(1))
-    require(lo == hi,
-      s"whitenFromIndex: ragged embedding widths ($lo..$hi) — a stored " +
-        "dxd transform cannot apply uniformly; clean the corpus first")
-    lo
   }
 
   // ---- BM25 inverted-index artifact (postings + dictionary + stats) ----

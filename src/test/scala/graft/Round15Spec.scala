@@ -53,20 +53,28 @@ class Round15Spec extends SparkSpec {
 
   // ---- loud corpus checks on the stored-whitening serve path ----
 
-  test("whitenFromIndex fails loudly on empty and ragged corpora") {
+  test("whitenFromIndex fails loudly on empty and wrong-width corpora") {
     val emb = graft.core.Tables.t(spark, dir, "embeddings")
     val path = tmp("r15-whiten")
     IndexStore.ensureWhitenIndex(emb, path)
+    // empty: eager caller error (one-row sample, no corpus pass)
     val e1 = intercept[IllegalArgumentException] {
       IndexStore.whitenFromIndex(emb.filter(lit(false)), spark, path)
     }
     assert(e1.getMessage.contains("empty corpus"))
-    val ragged = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(1.0f, 2.0f, 3.0f)))
+    // wrong/ragged width: raises PER ROW inside the serve projection —
+    // zero extra scans, and no short row can be silently
+    // prefix-projected by the fused kernel
+    val ragged = Seq((0L, (0 until 64).map(_.toFloat)), (1L, Seq(1.0f, 2.0f)))
       .toDF("vec_id", "embedding")
-    val e2 = intercept[IllegalArgumentException] {
-      IndexStore.whitenFromIndex(ragged, spark, path)
+    val e2 = intercept[Exception] {
+      IndexStore.whitenFromIndex(ragged, spark, path).collect()
     }
-    assert(e2.getMessage.contains("ragged"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("stored transform dim")),
+      s"wrong-width row must raise the guard error, got: ${messages(e2)}")
   }
 
   // ---- empty-funnel guard ----
