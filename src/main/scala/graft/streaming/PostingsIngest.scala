@@ -134,8 +134,16 @@ object PostingsIngest {
     val fs = fsOf(spark, idx)
     val batches = numberedDirs(fs,
       new org.apache.hadoop.fs.Path(s"$path/postings"), BatchDir)
-    if (batches.isEmpty) return
-    val through = batches.map(_._1).max
+    // an EMPTY batch writes a stats row but no postings directory
+    // (zero rows under partitionBy leave no dir), so batch visibility
+    // comes from BOTH stores — otherwise the watermark stalls behind
+    // idle micro-batch windows and "is everything consolidated?"
+    // operator checks read spurious lag
+    val statBatches = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/stats"), BatchDir)
+    val allIds = (batches.map(_._1) ++ statBatches.map(_._1)).distinct
+    if (allIds.isEmpty) return
+    val through = allIds.max
     val prev = consolidatedThrough(spark, indexPath).getOrElse(-1L)
     if (through <= prev) return
     // build floor: the watermark OR the highest generation already on
@@ -187,9 +195,12 @@ object PostingsIngest {
     try {
       // BUILD the new gen — reads EXACTLY the new batch dirs (the
       // explicit path list IS the physical touch set), lands via
-      // scratch + rename so readers never see a half-written gen
+      // scratch + rename so readers never see a half-written gen.
+      // newBatches can be empty even with through > floor (trailing
+      // batches were idle windows) — then there is nothing to build,
+      // but the forest root still must exist for serving.
       val genDir = new org.apache.hadoop.fs.Path(idx, s"postings/gen=$through")
-      if (!fs.exists(genDir)) {
+      if (newBatches.nonEmpty && !fs.exists(genDir)) {
         val scratch = new org.apache.hadoop.fs.Path(idx, ".postings-scratch")
         if (fs.exists(scratch)) fs.delete(scratch, true)
         spark.read.option("basePath", s"$path/postings")
@@ -203,20 +214,27 @@ object PostingsIngest {
         require(fs.rename(scratch, genDir),
           s"failed to install consolidated generation at $genDir")
       }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "postings"))
       // DICT: fold gens newer than the dict's own stamp onto the old
       // dict (df is additive across gens); a dict that died mid-swap
-      // has no stamp, so the fold degrades to a full-forest rebuild
+      // has no stamp, so the fold degrades to a full-forest rebuild.
+      // No new gens (all-idle window) leaves the dict CONTENT current;
+      // only a first-ever run must still materialize the (empty) dict
+      // so the index stays serveable as a complete triple.
       val dictDir = new org.apache.hadoop.fs.Path(idx, "dict")
       val dictStamp = new org.apache.hadoop.fs.Path(dictDir, "_through")
       val dictThrough =
         graft.core.Markers.read(fs, dictStamp).map(_.toLong).getOrElse(-1L)
-      if (dictThrough < through) {
-        val gens = numberedDirs(fs,
-            new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
-          .filter(_._1 > dictThrough).sortBy(_._1)
-        val newDf = spark.read.option("basePath", s"$indexPath/postings")
-          .parquet(gens.map(_._2.toString): _*)
-          .groupBy("tok").agg(count(lit(1)).as("df"))
+      val dictGens = numberedDirs(fs,
+          new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
+        .filter(_._1 > dictThrough).sortBy(_._1)
+      if (dictThrough < through && (dictGens.nonEmpty || dictThrough < 0)) {
+        import spark.implicits._
+        val newDf =
+          if (dictGens.isEmpty) Seq.empty[(String, Long)].toDF("tok", "df")
+          else spark.read.option("basePath", s"$indexPath/postings")
+            .parquet(dictGens.map(_._2.toString): _*)
+            .groupBy("tok").agg(count(lit(1)).as("df"))
         val merged =
           if (dictThrough < 0) newDf
           else spark.read.parquet(dictDir.toString)

@@ -224,6 +224,26 @@ class PostingsIngestSpec extends SparkSpec {
       && empty.getLong(empty.fieldIndex("sumdl")) == 0L)
   }
 
+  test("an EMPTY batch consolidates incrementally without breaking the forest") {
+    val store = tmp("pstore10")
+    val idx = tmp("pidx10")
+    PostingsIngest.ingestBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0L, store)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    // an idle micro-batch window: nothing arrived, the batch is empty
+    PostingsIngest.ingestBatch(docs.filter(lit(false)), 1L, store)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    assert(PostingsIngest.consolidatedThrough(spark, idx).contains(1L),
+      "the watermark must advance past an empty batch")
+    PostingsIngest.ingestBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 1), 2L, store)
+    PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+    val served = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    val oneShot = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
+    assert(served.sameElements(oneShot),
+      "an empty generation must be invisible to serving")
+  }
+
   test("streaming ingest through foreachBatch grows the searchable corpus") {
     implicit val sqlCtx = spark.sqlContext
     val store = tmp("pstream")
