@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{IndexStore, Retrieval}
+import graft.streaming.PostingsIngest
+
+/** Property-based invariant for the growing BM25 store: on RANDOM
+  * batch splits of a corpus (any batch count, any doc→batch
+  * assignment including empty batches) under EITHER consolidation
+  * schedule (after every batch = a gen per batch, or once at the end
+  * = one gen), the served index is row-identical to the one-shot
+  * inline query and the watermark lands on the last batch — the
+  * split-shape sweep the example-based PostingsIngestSpec cases
+  * cannot cover. Trials are capped at 10: each one builds a store,
+  * consolidates, and runs two full searches. */
+object PostingsIngestProps extends Properties("graft.postings") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = graft.core.GraftSession.configure(
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  private val NDocs = 60
+
+  /** Deterministic tiny corpus: 12-token docs over a 30-word
+    * vocabulary — enough collisions for real posting lists. */
+  private lazy val docs = spark.range(NDocs).select(
+    col("id").as("doc_id"),
+    expr("concat_ws(' ', transform(sequence(0, 11), " +
+      "i -> concat('w', pmod(id * 7 + i * 5, 30))))").as("text"))
+
+  private val splitGen: Gen[(Int, List[Int], Boolean)] = for {
+    nB <- Gen.chooseNum(1, 5)
+    assign <- Gen.listOfN(NDocs, Gen.chooseNum(0, nB - 1))
+    consolidateEach <- Gen.oneOf(true, false)
+  } yield (nB, assign, consolidateEach)
+
+  property("any split + any consolidation schedule serves the one-shot answer") =
+    forAll(splitGen) { case (nB, assign, consolidateEach) =>
+      val base = Files.createTempDirectory("postings-prop").toString
+      val store = s"$base/store"
+      val idx = s"$base/idx"
+      for (b <- 0 until nB) {
+        val ids = assign.zipWithIndex.collect { case (`b`, d) => d.toLong }
+        val batch =
+          if (ids.isEmpty) docs.filter(lit(false))
+          else docs.filter(col("doc_id").isin(ids.map(Long.box): _*))
+        PostingsIngest.ingestBatch(batch, b.toLong, store)
+        if (consolidateEach)
+          PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+      }
+      if (!consolidateEach)
+        PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+      val served = IndexStore.bm25FromIndex(docs, spark, idx,
+          nQueries = 4, qLen = 3, k = 5)
+        .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
+      val oneShot = Retrieval.bm25TopK(docs, nQueries = 4, qLen = 3, k = 5)
+        .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
+      served == oneShot &&
+        PostingsIngest.consolidatedThrough(spark, idx).contains((nB - 1).toLong)
+    }
+}
