@@ -648,12 +648,17 @@ object Corpus {
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
     val tot = per.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    // an EMPTY snapshot (every doc on one side) would integer-divide
+    // by zero — silent NULLs here, an error in the DuckDB twin; define
+    // a share of an empty snapshot as 0 (the funnelSteps convention)
+    val shareA = when(col("__ta") > 0, expr("n_a * 10000 div __ta"))
+      .otherwise(lit(0L))
+    val shareB = when(col("__tb") > 0, expr("n_b * 10000 div __tb"))
+      .otherwise(lit(0L))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_a"), col("n_b"),
-        expr("n_a * 10000 div __ta").as("share_a_bp"),
-        expr("n_b * 10000 div __tb").as("share_b_bp"),
-        abs(expr("n_a * 10000 div __ta") - expr("n_b * 10000 div __tb"))
-          .as("drift_bp"))
+        shareA.as("share_a_bp"), shareB.as("share_b_bp"),
+        abs(shareA - shareB).as("drift_bp"))
       .orderBy("source")
   }
 
@@ -979,8 +984,11 @@ object Corpus {
         "CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b " +
         "FROM documents GROUP BY source), " +
         "tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM per) " +
-        "SELECT source, n_a, n_b, n_a * 10000 // ta AS share_a_bp, n_b * 10000 // tb AS share_b_bp, " +
-        "ABS(n_a * 10000 // ta - n_b * 10000 // tb) AS drift_bp " +
+        "SELECT source, n_a, n_b, " +
+        "CASE WHEN ta > 0 THEN n_a * 10000 // ta ELSE 0 END AS share_a_bp, " +
+        "CASE WHEN tb > 0 THEN n_b * 10000 // tb ELSE 0 END AS share_b_bp, " +
+        "ABS(CASE WHEN ta > 0 THEN n_a * 10000 // ta ELSE 0 END - " +
+        "CASE WHEN tb > 0 THEN n_b * 10000 // tb ELSE 0 END) AS drift_bp " +
         "FROM per, tot ORDER BY source"),
     "x_corpus_split3" ->
       (s"WITH RECURSIVE w AS (SELECT doc_id, $wsExpr AS ws FROM documents), " +
