@@ -73,7 +73,11 @@ object SnapshotUpsert {
     * streaming writer must be paused (or compaction run from its own
     * foreachBatch slot) so version ids stay monotone. */
   def compact(spark: SparkSession, snapshotDir: String, nFiles: Int): Long = {
-    val tip = versions(spark, snapshotDir).max
+    val vs = versions(spark, snapshotDir)
+    require(vs.nonEmpty,
+      s"no committed versions at $snapshotDir — nothing to compact " +
+        "(an empty store would otherwise die as an opaque empty.max)")
+    val tip = vs.max
     val next = tip + 1
     spark.read.parquet(s"$snapshotDir/version=$tip")
       .repartition(nFiles)
