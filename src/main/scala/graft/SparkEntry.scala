@@ -49,7 +49,8 @@ object SparkEntry {
       Layout.queries, Graph.queries, Linkage.queries,
       Profile.queries, Retrieval.queries,
       graft.streaming.Compaction.queries,
-      graft.streaming.PostingsIngest.queries))
+      graft.streaming.PostingsIngest.queries,
+      graft.streaming.AnnIngest.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -63,5 +64,6 @@ object SparkEntry {
       Layout.oracles, Graph.oracles, Linkage.oracles,
       Profile.oracles, Retrieval.oracles,
       graft.streaming.Compaction.oracles,
-      graft.streaming.PostingsIngest.oracles))
+      graft.streaming.PostingsIngest.oracles,
+      graft.streaming.AnnIngest.oracles))
 }

@@ -278,11 +278,27 @@ object Similarity {
     * coarse quantizer a production IVF ships alongside the cell
     * assignment. */
   def ivfIndexWithCentroids(emb: DataFrame, nCentroids: Int,
-      iters: Int = 2): (DataFrame, Seq[(Long, Seq[Float])]) = {
+      iters: Int = 2, seedByHash: Boolean = false): (DataFrame, Seq[(Long, Seq[Float])]) = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    var centroids: Seq[(Long, Seq[Float])] = e.filter(col("vec_id") < nCentroids)
+    // Default seeding keeps the historical `vec_id < nCentroids` rule
+    // (every persisted one-shot artifact was trained with it). It
+    // silently assumes the corpus CONTAINS those ids — a hash-sampled
+    // or id-offset training set may not, and zero seeds would crash
+    // assignCells with an opaque element_at(0). seedByHash picks the
+    // nCentroids lowest xxhash64(vec_id) rows instead (the pqCodebooks
+    // init rule): id-layout independent, a TakeOrderedAndProject, and
+    // the seed cell ids are still the sampled rows' own vec_ids.
+    var centroids: Seq[(Long, Seq[Float])] = (
+      if (seedByHash)
+        e.withColumn("__h", xxhash64(col("vec_id")))
+          .orderBy("__h").limit(nCentroids).drop("__h")
+      else e.filter(col("vec_id") < nCentroids))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    require(centroids.nonEmpty,
+      s"k-means found no seed vectors (nCentroids=$nCentroids, " +
+        s"seedByHash=$seedByHash) — a training set without vec_ids " +
+        s"below $nCentroids needs seedByHash=true")
     for (_ <- 1 to iters) {
       val assigned = assignCells(e, centroids)
       centroids = assigned
@@ -304,7 +320,7 @@ object Similarity {
     * native cosines — no vector x centroid row blow-up, no window.
     * (The earlier window-rank formulation shuffled |corpus| x |cells|
     * rows; at 100k x 64 that alone cost more than the whole search.) */
-  private def assignCells(e: DataFrame, centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, centroids: Seq[(Long, Seq[Float])]): DataFrame = {
     import graft.functions.ArgMaxCosine.argmaxCosine
     // sort by cell id so the kernel's lowest-index tiebreak == lowest
     // cell id (the contract the window orderBy formulation had)
@@ -1145,11 +1161,61 @@ object Similarity {
           "v -> CAST(v AS FLOAT))").as("embedding"))
   }
 
+  /** The IVF coarse probe, run DRIVER-SIDE: queries are driver-sized
+    * by contract (<= nQueries rows) and the centroids are already a
+    * driver-held Seq, so each query's nProbe nearest cells are a few
+    * hundred plain-Scala dot products — replacing the r13/r14
+    * crossJoin + window + collect probe subtree (one full extra Spark
+    * job per search) with one bounded query-vector fetch. The
+    * arithmetic mirrors [[graft.functions.CosineSimilarity]] exactly
+    * (left-to-right double accumulation, null on zero norm ranked
+    * last, ties broken by cell asc) so the probed-cell set is
+    * bit-identical to the frame formulation it replaces. Shared by
+    * [[ivfPqSearch]] and the grown store's serve path
+    * ([[graft.streaming.AnnIngest.searchGrown]]), whose file-listing
+    * pruning needs the probed cells BEFORE any scan is constructed. */
+  private[graft] def coarseProbeLocal(emb: DataFrame,
+      centroids: Seq[(Long, Seq[Float])], nQueries: Int,
+      nProbe: Int): Seq[(Long, Seq[Float], Long)] = {
+    import emb.sparkSession.implicits._
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      if (a.length != b.length) return Double.NegativeInfinity
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    qRows.toSeq.flatMap { case (qid, qe) =>
+      centroids.map { case (cell, rep) => (cell, cosLocal(qe, rep)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(nProbe)
+        .map { case (cell, _) => (qid, qe, cell) }
+    }
+  }
+
   def ivfPqSearch(emb: DataFrame, index: DataFrame,
       centroids: Seq[(Long, Seq[Float])], books: Seq[Seq[Seq[Float]]],
       nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
-    import emb.sparkSession.implicits._
     requireQueryDim(emb, books)
+    val probesLocal = coarseProbeLocal(emb, centroids, nQueries, nProbe)
+    ivfPqScoreProbed(index, probesLocal, centroids, books, k)
+  }
+
+  /** ADC scoring of an already-derived probe set against a codes
+    * index — the shared back half of [[ivfPqSearch]]. `index` must
+    * carry (vec_id, cell, codes); the probed-cell isin is planted
+    * here so every caller's scan gets the static partition pruning. */
+  private[graft] def ivfPqScoreProbed(index: DataFrame,
+      probesLocal: Seq[(Long, Seq[Float], Long)],
+      centroids: Seq[(Long, Seq[Float])], books: Seq[Seq[Seq[Float]]],
+      k: Int): DataFrame = {
+    import index.sparkSession.implicits._
     // The centroid table's cell id must match the INDEX's cell type
     // exactly: the index's cell is a partition-directory column (int
     // under partition-type inference), and an equi-join between int
@@ -1164,35 +1230,6 @@ object Similarity {
     val cellType = index.schema("cell").dataType
     val reps = centroids.toDF("cell", "rep_emb")
       .withColumn("cell", col("cell").cast(cellType))
-    // The coarse probe runs DRIVER-SIDE: queries are driver-sized by
-    // contract (<= nQueries rows) and the centroids are already a
-    // driver-held Seq, so each query's nProbe nearest cells are a few
-    // hundred plain-Scala dot products — replacing the r13/r14
-    // crossJoin + window + collect probe subtree (one full extra Spark
-    // job per search) with one bounded query-vector fetch. The
-    // arithmetic mirrors [[graft.functions.CosineSimilarity]] exactly
-    // (left-to-right double accumulation, null on zero norm ranked
-    // last, ties broken by cell asc) so the probed-cell set is
-    // bit-identical to the frame formulation it replaces.
-    val qRows = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect()
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      if (a.length != b.length) return Double.NegativeInfinity
-      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; nx += x * x; ny += y * y; i += 1
-      }
-      if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
-      else dot / (math.sqrt(nx) * math.sqrt(ny))
-    }
-    val probesLocal = qRows.toSeq.flatMap { case (qid, qe) =>
-      centroids.map { case (cell, rep) => (cell, cosLocal(qe, rep)) }
-        .sortBy { case (cell, sim) => (-sim, cell) }
-        .take(nProbe)
-        .map { case (cell, _) => (qid, qe, cell) }
-    }
     val probes = probesLocal.toDF("query_id", "q_emb", "cell")
       .withColumn("cell", col("cell").cast(cellType))
     // codes encode the RESIDUAL, so scoring re-adds the row's cell

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared major-compaction skeleton for `gen=` generation forests —
+  * the claim/build/swap/two-way-recovery discipline that
+  * [[PostingsIngest.rebase]] proved out, extracted so the postings
+  * forest (pb-partitioned) and the ANN codes forest (cell-partitioned,
+  * [[AnnIngest.rebase]]) run the SAME hardened path instead of two
+  * hand-copied ones. Only the fold transform and partition layout
+  * differ per store; every crash-window branch is common.
+  *
+  * Contract: fold EVERY generation under `indexPath/forestName` into
+  * one base gen keyed by the caller-supplied watermark. The swap
+  * replaces the whole forest in two renames (old → trash, scratch →
+  * live); a crash anywhere is settled by re-running — the recovery
+  * prologue rolls a stamped scratch FORWARD and an unstamped one BACK
+  * before any new work. Callers must refuse to consolidate while the
+  * recovery dirs exist (both ingest modules do), or a fresh gen could
+  * recreate the root and strand the real forest in the trash dir. */
+object GenForest {
+
+  private val GenDir = "gen=(\\d+)".r
+
+  private[streaming] def numberedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      pat: scala.util.matching.Regex): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case pat(id) if s.isDirectory => Some(id.toLong -> s.getPath)
+        case _                        => None
+      }
+    }
+
+  /** `fold` receives the whole-forest frame (with `gen` and the
+    * layout's partition columns as readback columns) and returns the
+    * frame to lay out as the single base generation; it must drop
+    * `gen` itself (and re-derive any hashed partition key with the
+    * store's stamped parameters). */
+  def rebase(spark: SparkSession, indexPath: String, forestName: String,
+      wm: Long, partitionCols: Seq[String])(
+      fold: DataFrame => DataFrame): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
+    val genRoot = new org.apache.hadoop.fs.Path(idx, forestName)
+    val scratch = new org.apache.hadoop.fs.Path(idx, ".rebase-scratch")
+    val trash = new org.apache.hadoop.fs.Path(idx, ".rebase-old")
+    val done = new org.apache.hadoop.fs.Path(scratch, "_complete")
+    val runId = java.util.UUID.randomUUID().toString
+    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim, s"$runId\nrebase $wm"))
+      throw new IllegalStateException(
+        s"index $indexPath already has a consolidation/rebase in flight " +
+          s"(or a dead one's marker at $claim)")
+    try {
+      // RECOVER a crashed swap before anything else: the forest can be
+      // mid-flight between trash and scratch. Forward when the scratch
+      // carries its completeness stamp, back (restore trash) otherwise.
+      if (!fs.exists(genRoot)) {
+        if (fs.exists(scratch) && graft.core.Markers.read(fs, done).nonEmpty)
+          require(fs.rename(scratch, genRoot),
+            s"failed to roll a crashed rebase forward at $genRoot")
+        else if (fs.exists(trash)) {
+          require(fs.rename(trash, genRoot),
+            s"failed to roll a crashed rebase back at $genRoot")
+          if (fs.exists(scratch)) fs.delete(scratch, true)
+        } else throw new IllegalStateException(
+          s"forest missing at $genRoot with no rebase recovery " +
+            "state — the index is damaged beyond what rebase can repair")
+      }
+      fs.delete(trash, true) // forest is live; any trash is settled debt
+      fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
+      val gens = numberedDirs(fs, genRoot, GenDir)
+      if (gens.size <= 1) return // already one generation
+      // BUILD: one partitioned copy of the whole forest under
+      // scratch/gen=<wm>, completeness proven by the stamp write
+      if (graft.core.Markers.read(fs, done).isEmpty) {
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        fold(spark.read.parquet(genRoot.toString))
+          .write.mode("errorifexists").partitionBy(partitionCols: _*)
+          .parquet(new org.apache.hadoop.fs.Path(scratch, s"gen=$wm").toString)
+        graft.core.Markers.forceWrite(fs, done, wm.toString)
+      }
+      // SWAP: forest → trash, scratch → forest, settle. Any crash in
+      // here lands in one of the recovery branches above.
+      require(fs.rename(genRoot, trash), s"failed to retire $genRoot")
+      require(fs.rename(scratch, genRoot),
+        s"failed to install rebased forest at $genRoot")
+      fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
+      fs.delete(trash, true)
+    } finally {
+      fs.delete(claim, false)
+    }
+  }
+}

@@ -287,60 +287,15 @@ object PostingsIngest {
     val wm = consolidatedThrough(spark, indexPath).getOrElse(
       throw new IllegalStateException(
         s"index at $indexPath has no consolidation watermark — nothing to rebase"))
-    val genRoot = new org.apache.hadoop.fs.Path(idx, "postings")
-    val scratch = new org.apache.hadoop.fs.Path(idx, ".rebase-scratch")
-    val trash = new org.apache.hadoop.fs.Path(idx, ".rebase-old")
-    val done = new org.apache.hadoop.fs.Path(scratch, "_complete")
     val pbMod = graft.core.Markers.read(fs,
       new org.apache.hadoop.fs.Path(idx, "_pb_mod")).get.toInt
-    val runId = java.util.UUID.randomUUID().toString
-    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
-    if (!graft.core.Markers.tryCreate(fs, claim, s"$runId\nrebase $wm"))
-      throw new IllegalStateException(
-        s"index $indexPath already has a consolidation/rebase in flight " +
-          s"(or a dead one's marker at $claim)")
-    try {
-      // RECOVER a crashed swap before anything else: the forest can be
-      // mid-flight between trash and scratch. Forward when the scratch
-      // carries its completeness stamp, back (restore trash) otherwise.
-      if (!fs.exists(genRoot)) {
-        if (fs.exists(scratch) && graft.core.Markers.read(fs, done).nonEmpty)
-          require(fs.rename(scratch, genRoot),
-            s"failed to roll a crashed rebase forward at $genRoot")
-        else if (fs.exists(trash)) {
-          require(fs.rename(trash, genRoot),
-            s"failed to roll a crashed rebase back at $genRoot")
-          if (fs.exists(scratch)) fs.delete(scratch, true)
-        } else throw new IllegalStateException(
-          s"postings forest missing at $genRoot with no rebase recovery " +
-            "state — the index is damaged beyond what rebase can repair")
-      }
-      fs.delete(trash, true) // forest is live; any trash is settled debt
-      fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
-      val gens = numberedDirs(fs, genRoot, GenDir)
-      if (gens.size <= 1) return // already one generation
-      // BUILD: one pb-partitioned copy of the whole forest under
-      // scratch/gen=<wm>, completeness proven by the stamp write
-      if (graft.core.Markers.read(fs, done).isEmpty) {
-        if (fs.exists(scratch)) fs.delete(scratch, true)
-        spark.read.parquet(genRoot.toString)
-          .drop("gen") // pb is re-derived: stable under the stamped mod
-          .drop("pb")
-          .withColumn("pb",
-            pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
-          .write.mode("errorifexists").partitionBy("pb")
-          .parquet(new org.apache.hadoop.fs.Path(scratch, s"gen=$wm").toString)
-        graft.core.Markers.forceWrite(fs, done, wm.toString)
-      }
-      // SWAP: forest → trash, scratch → forest, settle. Any crash in
-      // here lands in one of the recovery branches above.
-      require(fs.rename(genRoot, trash), s"failed to retire $genRoot")
-      require(fs.rename(scratch, genRoot),
-        s"failed to install rebased postings at $genRoot")
-      fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
-      fs.delete(trash, true)
-    } finally {
-      fs.delete(claim, false)
+    GenForest.rebase(spark, indexPath, forestName = "postings", wm = wm,
+      partitionCols = Seq("pb")) { forest =>
+      forest
+        .drop("gen") // pb is re-derived: stable under the stamped mod
+        .drop("pb")
+        .withColumn("pb",
+          pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
     }
   }
 
