@@ -15,7 +15,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Layout:
   *   - hot store `path/vecs/batch_id=<id>/` — raw (vec_id, embedding)
   *     per micro-batch, the [[EventStreams.idempotentParquetSink]]
-  *     exactly-once layout (replays overwrite only themselves);
+  *     exactly-once layout (replays overwrite only themselves).
+  *     [[Compaction.compact]] bounds its dir growth, but ONLY below
+  *     the index watermark (`safeBelow <= consolidatedThrough + 1`):
+  *     compact folds batches into the LOWEST eligible id, so folding
+  *     an unconsolidated batch under the floor would silently drop it
+  *     from every future incremental encode (spec-pinned);
   *   - `indexPath/quantizer/{centroids,codebooks}` — trained ONCE at
   *     the first consolidation on everything ingested so far, then
   *     FROZEN (FAISS discipline: new vectors are encoded against the
@@ -267,9 +272,18 @@ object AnnIngest {
     * explicitly, ADC scoring via the shared fused kernel. Vectors
     * ingested after the last consolidate are NOT visible — the
     * postings store's freshness contract; callers needing read-your-
-    * writes run consolidate first (cost bounded by the new batches). */
+    * writes run consolidate first (cost bounded by the new batches).
+    *
+    * `asOfGen`: pin the read to generations `<= asOfGen` — snapshot
+    * serving while a consolidation lands concurrently (each gen id is
+    * the watermark that produced it, so as-of-watermark IS as-of-gen).
+    * Free here because the codes forest carries no cross-generation
+    * aggregate; the BM25 index's dict/stats are CUMULATIVE through the
+    * latest watermark, so an as-of probe there would also need df/
+    * stats as-of — not offered until something needs it. */
   def searchGrown(emb: DataFrame, spark: SparkSession, indexPath: String,
-      nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+      nQueries: Int, k: Int, nProbe: Int = 2,
+      asOfGen: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val (centroids, books) = loadQuantizer(spark, indexPath)
     val probesLocal = Similarity.coarseProbeLocal(emb, centroids, nQueries, nProbe)
@@ -278,12 +292,12 @@ object AnnIngest {
     val fs = fsOf(spark, rootPath)
     val leafDirs: Seq[String] =
       if (!fs.exists(rootPath)) Seq.empty
-      else fs.listStatus(rootPath).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("gen=")).flatMap { g =>
-          fs.listStatus(new org.apache.hadoop.fs.Path(rootPath, g)).toSeq
+      else numberedDirs(fs, rootPath, GenDir)
+        .filter { case (g, _) => asOfGen.forall(g <= _) }
+        .flatMap { case (_, gp) =>
+          fs.listStatus(gp).toSeq
             .map(_.getPath.getName).filter(cellNames.contains)
-            .map(cell => s"$indexPath/index/$g/$cell")
+            .map(cell => s"$indexPath/index/${gp.getName}/$cell")
         }
     if (leafDirs.isEmpty)
       return Seq.empty[(Long, Long, Int)]

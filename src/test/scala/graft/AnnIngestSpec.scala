@@ -193,6 +193,54 @@ class AnnIngestSpec extends SparkSpec {
     }
   }
 
+  test("as-of-generation serving pins a snapshot while later " +
+      "consolidations land") {
+    val root = tmp("annstore10")
+    AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      0L, s"$root/store")
+    AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      1L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val wm0 = AnnIngest.consolidatedThrough(spark, s"$root/index").get
+    val snap = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).orderBy("query_id", "rank").collect()
+    AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 2),
+      2L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val latest = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).orderBy("query_id", "rank").collect()
+    val asOf = AnnIngest.searchGrown(emb, spark, s"$root/index",
+        nQueries = 10, k = 5, asOfGen = Some(wm0))
+      .orderBy("query_id", "rank").collect()
+    assert(asOf.sameElements(snap),
+      "as-of-watermark serving must see exactly the snapshot's corpus")
+    assert(!latest.sameElements(snap),
+      "soak setup must actually change the result across the watermark")
+  }
+
+  test("hot-store compaction below the watermark is invisible to the " +
+      "index; the floor contract is why safeBelow must not pass it") {
+    val root = tmp("annstore11")
+    for (b <- 0L until 3L)
+      AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === b),
+        b, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val (centroids, books) = AnnIngest.loadQuantizer(spark, s"$root/index")
+    val before = forestContent(s"$root/index")
+    // fold batches 0..1 (both <= watermark 2) into one segment
+    graft.streaming.Compaction.compact(spark, s"$root/store/vecs",
+      safeBelow = 2L)
+    // a later batch still consolidates incrementally on top
+    val extra = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    AnnIngest.ingestBatch(extra, 3L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val content = forestContent(s"$root/index")
+    assert(content.size == before.size + extra.count(),
+      "compaction must neither lose nor duplicate consolidated batches")
+    assert(content === encodeOneShot(emb.unionByName(extra), centroids, books))
+  }
+
   test("a capped training set still encodes the WHOLE corpus") {
     val root = tmp("annstore9")
     for (b <- 0L until 3L)

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexStore, Retrieval, Similarity}
+import graft.streaming.{AnnIngest, PostingsIngest}
+
+/** The full production retrieval shape with BOTH legs grown: a BM25
+  * postings store and an IVFADC vector store, each grown from batch
+  * ingests and consolidated, compose through reciprocal-rank fusion
+  * under the same (q_id, doc_id, rank) contract as the inline legs —
+  * and the growth is INVISIBLE to the fusion (the lexical leg is
+  * bit-equal to one-shot by the postings store's contract, so fusing
+  * it with the grown dense leg equals fusing the one-shot lex with
+  * that same dense leg, row for row). */
+class GrownRetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("hybrid RRF over the two grown stores equals fusion of the " +
+      "one-shot legs; the dense leg holds the family recall bar") {
+    // grow the lexical store
+    val proot = tmp("hyb-postings")
+    for (b <- 0L until 3L)
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b, s"$proot/store")
+    PostingsIngest.consolidate(spark, s"$proot/store", s"$proot/index")
+    // grow the dense store
+    val aroot = tmp("hyb-ann")
+    for (b <- 0L until 3L)
+      AnnIngest.ingestBatch(
+        emb.filter(pmod(col("vec_id"), lit(3)) === b), b, s"$aroot/store")
+    AnnIngest.consolidate(spark, s"$aroot/store", s"$aroot/index",
+      pqIters = 1)
+
+    val k = Retrieval.K
+    val nQ = Retrieval.NQueries
+    val lexGrown = IndexStore.bm25FromIndex(docs, spark, s"$proot/index",
+        nQ, Retrieval.QueryLen, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = AnnIngest.searchGrown(emb, spark, s"$aroot/index",
+        nQueries = nQ, k = k)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    val fusedGrown = Retrieval.rrfFuse(lexGrown, dense, k)
+      .select("q_id", "doc_id", "rank")
+      .orderBy("q_id", "rank").collect()
+
+    // reference: one-shot lexical leg, same dense leg
+    val lexOne = Retrieval.bm25TopK(docs, nQ, Retrieval.QueryLen, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val fusedRef = Retrieval.rrfFuse(lexOne, dense, k)
+      .select("q_id", "doc_id", "rank")
+      .orderBy("q_id", "rank").collect()
+    assert(fusedGrown.sameElements(fusedRef),
+      "growth of the lexical store must be invisible to the fusion")
+
+    // the grown dense leg holds the IVFADC family's recall bar
+    val denseOk = Similarity.annRecall(
+        dense.select(col("q_id").as("query_id"),
+          col("doc_id").as("neighbor_id")),
+        Similarity.cosineTopK(emb, nQueries = nQ, k = k),
+        Retrieval.AnnDenseMinRecall)
+      .select("recall_ok").collect()
+    assert(denseOk.nonEmpty && denseOk.forall(_.getBoolean(0)),
+      "grown dense leg must clear the family recall bound")
+  }
+}
