@@ -439,13 +439,24 @@ object IndexStore {
             .map(pb => s"$path/postings/$g/$pb")
         }
       else top.filter(pbNames.contains).map(pb => s"$path/postings/$pb")
-    val hits = (if (leafDirs.isEmpty)
+    val scanned = (if (leafDirs.isEmpty)
         Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "tok", "tf", "dl")
       else spark.read.option("basePath", s"$path/postings")
         .parquet(leafDirs: _*)
         .filter(col("pb").isin(pbs: _*))
         .join(broadcast(tokDf), Seq("tok"))
         .select("doc_id", "tok", "tf", "dl"))
+    // takedowns ([[graft.streaming.PostingsIngest.tombstoneDocs]])
+    // hide at serve time from the moment they commit; df/stats keep
+    // their pre-delete readings until the purging rebase — the
+    // documented drift (deleted docs can never APPEAR, but idf and
+    // (n, sumdl) count them until maintenance catches up)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val hits =
+      if (!fs.exists(tombPath)) scanned
+      else scanned.join(
+        broadcast(spark.read.parquet(tombPath.toString).select("doc_id")),
+        Seq("doc_id"), "left_anti")
     val dfT = spark.read.parquet(s"$path/dict")
       .join(broadcast(tokDf), Seq("tok"))
     Retrieval.bm25Rank(hits, dfT, qterms, stats.drop("pb_mod"), k, maxDf)

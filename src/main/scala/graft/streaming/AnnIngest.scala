@@ -29,6 +29,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     keeps every raw vector, so `consolidate` into a new indexPath
   *     rebuilds quantizer + codes from scratch and the caller cuts
   *     over — no in-place two-artifact swap window to defend);
+  *   - `indexPath/tombstones/batch_id=<id>/` — permanent takedowns
+  *     ([[tombstone]]): hidden at serve immediately, skipped at
+  *     encode, physically purged at rebase;
   *   - `indexPath/index/gen=<through>/cell=<c>/` — the codes forest:
   *     each consolidation encodes ONLY batches newer than the stamped
   *     watermark and lands exactly one new generation, prior gens stay
@@ -82,6 +85,37 @@ object AnnIngest {
         case _                        => None
       }
     }
+
+  /** Permanent takedown of vec_ids (deletion requests, right-to-be-
+    * forgotten): tombstones land in `indexPath/tombstones/batch_id=`
+    * through the same idempotent sink as every store write. The
+    * contract is three-layered, weakest first:
+    *   1. SERVE-time: [[searchGrown]] anti-joins the tombstone set —
+    *      a deleted vector can never appear in a result from the
+    *      moment the tombstone batch commits, including under
+    *      `asOfGen` time travel (a takedown overrides snapshots —
+    *      that is what takedown means);
+    *   2. ENCODE-time: [[consolidate]] skips tombstoned vectors in
+    *      new batches, so they never enter fresh generations;
+    *   3. REBASE-time: the fold physically purges tombstoned rows
+    *      from the codes forest.
+    * The tombstone store itself is permanent — a re-ingested deleted
+    * id stays dead (takedown is forever, not a soft hide). The set is
+    * an operational takedown list (bounded by requests, not corpus),
+    * so the serve-path anti-join broadcasts. The quantizer is NOT
+    * retrained on delete (FAISS posture: codebooks summarize geometry,
+    * not membership); a compliance regime that requires scrubbing the
+    * quantizer itself retrains into a fresh index from the hot store. */
+  def tombstone(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+    EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
+      ids.select(col("vec_id")), batchId)
+
+  private def tombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    if (!fsOf(spark, p).exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("vec_id"))
+  }
 
   /** The index's stamped consolidation watermark: every store batch
     * with `batch_id <= through` is already encoded into the forest.
@@ -228,7 +262,11 @@ object AnnIngest {
         val vecs = spark.read.option("basePath", s"$path/vecs")
           .parquet(newBatches.map(_._2.toString): _*)
           .select(col("vec_id"), col("embedding"))
-        val pinnedNew = graft.core.Materialize.pin(vecs)
+        val alive = tombstones(spark, indexPath) match {
+          case Some(t) => vecs.join(broadcast(t), Seq("vec_id"), "left_anti")
+          case None    => vecs
+        }
+        val pinnedNew = graft.core.Materialize.pin(alive)
         val assigned = Similarity.assignCells(
           pinnedNew.select(col("vec_id"), col("embedding")), centroids)
         val resid = Similarity.residualFrame(pinnedNew, assigned, centroids)
@@ -238,9 +276,14 @@ object AnnIngest {
           .join(assigned, Seq("vec_id"))
           .write.mode("errorifexists").partitionBy("cell")
           .parquet(scratch.toString)
-        fs.mkdirs(genRoot)
-        require(fs.rename(scratch, genDir),
-          s"failed to install consolidated generation at $genDir")
+        // the tombstone skip can empty a NONEMPTY batch — an
+        // all-marker gen dir must not be installed
+        if (!GenForest.hasDataFiles(fs, scratch)) fs.delete(scratch, true)
+        else {
+          fs.mkdirs(genRoot)
+          require(fs.rename(scratch, genDir),
+            s"failed to install consolidated generation at $genDir")
+        }
       }
       fs.mkdirs(genRoot)
       // WATERMARK last — the run's single durable commit point
@@ -262,8 +305,34 @@ object AnnIngest {
     val wm = consolidatedThrough(spark, indexPath).getOrElse(
       throw new IllegalStateException(
         s"index at $indexPath has no consolidation watermark — nothing to rebase"))
+    // the fold is where tombstoned rows leave the disk: the serve path
+    // already hides them, so the purge is pure space/scan reclamation
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val tombs = tombstones(spark, indexPath)
+    // a purge is a LOSSY fold, so it must run even on a single-gen
+    // forest — but only while tombstone batches newer than the purge
+    // stamp exist, or every later rebase would re-fold the whole
+    // forest forever against a permanent (never-shrinking) set
+    val tombBatches = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
+    val purged = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
+    val unpurged = tombBatches.nonEmpty && tombBatches.max > purged
     GenForest.rebase(spark, indexPath, forestName = "index", wm = wm,
-      partitionCols = Seq("cell"))(forest => forest.drop("gen"))
+      partitionCols = Seq("cell"), forceFold = unpurged) { forest =>
+      val base = forest.drop("gen")
+      tombs match {
+        case Some(t) => base.join(broadcast(t), Seq("vec_id"), "left_anti")
+        case None    => base
+      }
+    }
+    // stamp AFTER the fold lands: a crash in between re-folds on retry
+    // (idempotent), never the reverse
+    if (tombBatches.nonEmpty)
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(idx, "_purged"),
+        tombBatches.max.toString)
   }
 
   /** ANN search against everything consolidated so far: frozen
@@ -302,9 +371,15 @@ object AnnIngest {
     if (leafDirs.isEmpty)
       return Seq.empty[(Long, Long, Int)]
         .toDF("query_id", "neighbor_id", "rank")
-    val index = spark.read.option("basePath", s"$indexPath/index")
+    val scanned = spark.read.option("basePath", s"$indexPath/index")
       .parquet(leafDirs: _*)
       .select(col("vec_id"), col("cell"), col("codes"))
+    // takedowns are hidden at serve time, even under asOfGen — a
+    // snapshot read must not resurrect a deleted vector
+    val index = tombstones(spark, indexPath) match {
+      case Some(t) => scanned.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None    => scanned
+    }
     Similarity.ivfPqScoreProbed(index, probesLocal, centroids, books, k)
   }
 

@@ -33,13 +33,35 @@ object GenForest {
       }
     }
 
+  /** True iff `dir` holds at least one real data file (recursively,
+    * skipping `_`/`.`-prefixed bookkeeping). A consolidation whose
+    * rows were ALL filtered away (e.g. a batch containing only
+    * tombstoned ids) still writes a dir with a `_SUCCESS` marker and
+    * nothing else — installing it as a generation would later blow up
+    * every whole-forest read with UNABLE_TO_INFER_SCHEMA, so builders
+    * check this and skip the install instead. */
+  private[streaming] def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) false
+      else if (s.isDirectory) hasDataFiles(fs, s.getPath)
+      else true
+    }
+
   /** `fold` receives the whole-forest frame (with `gen` and the
     * layout's partition columns as readback columns) and returns the
     * frame to lay out as the single base generation; it must drop
     * `gen` itself (and re-derive any hashed partition key with the
     * store's stamped parameters). */
+  /** `forceFold`: fold even a single-generation forest. The default
+    * skips that case (a pure layout fold of one gen is a no-op), but
+    * a LOSSY fold — one whose `fold` drops rows, e.g. a tombstone
+    * purge — must run regardless of generation count, or a
+    * single-gen index would silently never purge. */
   def rebase(spark: SparkSession, indexPath: String, forestName: String,
-      wm: Long, partitionCols: Seq[String])(
+      wm: Long, partitionCols: Seq[String],
+      forceFold: Boolean = false)(
       fold: DataFrame => DataFrame): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
@@ -72,7 +94,8 @@ object GenForest {
       fs.delete(trash, true) // forest is live; any trash is settled debt
       fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
       val gens = numberedDirs(fs, genRoot, GenDir)
-      if (gens.size <= 1) return // already one generation
+      if (gens.isEmpty) return
+      if (gens.size == 1 && !forceFold) return // already one generation
       // BUILD: one partitioned copy of the whole forest under
       // scratch/gen=<wm>, completeness proven by the stamp write
       if (graft.core.Markers.read(fs, done).isEmpty) {

@@ -95,6 +95,30 @@ object PostingsIngest {
       }
     }
 
+  /** Permanent takedown of doc_ids — the lexical twin of
+    * [[AnnIngest.tombstone]], with the SAME three layers (serve-hide
+    * immediately via [[IndexStore.bm25FromIndex]]'s anti-join;
+    * encode-skip in [[consolidate]]; physical purge in [[rebase]])
+    * plus one drift this store has and the vector store does not:
+    * df/idf and the corpus stats (n, sumdl) keep counting deleted
+    * docs until the purging rebase, because both are CUMULATIVE
+    * aggregates a serve-time anti-join cannot correct. The hard
+    * guarantee (a deleted doc never appears in a result) holds from
+    * the tombstone commit; score convergence — bit-equality with the
+    * one-shot BM25 over the surviving corpus — is restored by
+    * [[rebase]], which rebuilds dict and stats from the purged
+    * forest (PostingsIngestSpec pins the equality). */
+  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+    EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
+      ids.select(col("doc_id")), batchId)
+
+  private def docTombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    if (!fsOf(spark, p).exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("doc_id"))
+  }
+
   /** The index's stamped consolidation watermark: every store batch
     * with `batch_id <= through` is already folded in. None = no
     * consolidation has completed at this path yet. */
@@ -203,16 +227,30 @@ object PostingsIngest {
       if (newBatches.nonEmpty && !fs.exists(genDir)) {
         val scratch = new org.apache.hadoop.fs.Path(idx, ".postings-scratch")
         if (fs.exists(scratch)) fs.delete(scratch, true)
-        spark.read.option("basePath", s"$path/postings")
+        val newPostings = spark.read.option("basePath", s"$path/postings")
           .parquet(newBatches.map(_._2.toString): _*)
           .drop("batch_id")
+        // tombstoned docs never enter a fresh generation (their rows
+        // in PRIOR gens stay until the purging rebase; serve hides
+        // them either way)
+        val alive = docTombstones(spark, indexPath) match {
+          case Some(t) => newPostings
+            .join(broadcast(t), Seq("doc_id"), "left_anti")
+          case None => newPostings
+        }
+        alive
           .withColumn("pb",
             pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
           .write.mode("errorifexists").partitionBy("pb")
           .parquet(scratch.toString)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "postings"))
-        require(fs.rename(scratch, genDir),
-          s"failed to install consolidated generation at $genDir")
+        // the anti-join can empty a NONEMPTY batch (all docs
+        // tombstoned) — an all-marker gen dir must not be installed
+        if (!GenForest.hasDataFiles(fs, scratch)) fs.delete(scratch, true)
+        else {
+          fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "postings"))
+          require(fs.rename(scratch, genDir),
+            s"failed to install consolidated generation at $genDir")
+        }
       }
       fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "postings"))
       // DICT: fold gens newer than the dict's own stamp onto the old
@@ -282,6 +320,7 @@ object PostingsIngest {
     * any new work. Dict and stats hold the same logical content either
     * side of a rebase, so they are not touched. */
   def rebase(spark: SparkSession, indexPath: String): Unit = {
+    import spark.implicits._
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
     val wm = consolidatedThrough(spark, indexPath).getOrElse(
@@ -289,13 +328,61 @@ object PostingsIngest {
         s"index at $indexPath has no consolidation watermark — nothing to rebase"))
     val pbMod = graft.core.Markers.read(fs,
       new org.apache.hadoop.fs.Path(idx, "_pb_mod")).get.toInt
+    val tombs = docTombstones(spark, indexPath)
+    // the purge is a LOSSY fold — it must run even on a single-gen
+    // forest, but only while tombstone batches newer than the purge
+    // stamp exist (the set is permanent; without the stamp every later
+    // rebase would re-fold the whole forest forever)
+    val tombBatches = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
+    val purged = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
+    val unpurged = tombBatches.nonEmpty && tombBatches.max > purged
     GenForest.rebase(spark, indexPath, forestName = "postings", wm = wm,
-      partitionCols = Seq("pb")) { forest =>
-      forest
+      partitionCols = Seq("pb"), forceFold = unpurged) { forest =>
+      val base = forest
         .drop("gen") // pb is re-derived: stable under the stamped mod
         .drop("pb")
-        .withColumn("pb",
-          pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
+      val alive = tombs match {
+        case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None    => base
+      }
+      alive.withColumn("pb",
+        pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
+    }
+    // A purging rebase changed what the forest CONTAINS, so the two
+    // cumulative artifacts must be re-derived from it — this is the
+    // moment the documented df/stats drift closes and the index
+    // becomes bit-equal to a one-shot build over the surviving corpus.
+    // n and sumdl come from the forest's distinct (doc_id, dl) pairs,
+    // which counts only docs with at least one token: a deleted
+    // EMPTY doc cannot be distinguished from a never-ingested id, so
+    // zero-token docs leave n at its pre-delete reading — they score
+    // zero on every query either way, the residual is idf-only.
+    // Crash discipline: the purge stamp is written LAST, so a crash
+    // anywhere in here re-runs the whole purge+rebuild on retry; a
+    // dict lost mid-swap self-heals exactly as in consolidate (no
+    // stamp → full-forest rebuild, and the forest is already purged).
+    if (unpurged) {
+      val forest = spark.read.parquet(s"$indexPath/postings")
+      val dictDir = new org.apache.hadoop.fs.Path(idx, "dict")
+      val dscratch = new org.apache.hadoop.fs.Path(idx, ".dict-scratch")
+      if (fs.exists(dscratch)) fs.delete(dscratch, true)
+      forest.groupBy("tok").agg(count(lit(1)).as("df"))
+        .write.mode("errorifexists").parquet(dscratch.toString)
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(dscratch, "_through"), wm.toString)
+      if (fs.exists(dictDir)) fs.delete(dictDir, true)
+      require(fs.rename(dscratch, dictDir),
+        s"failed to install rebuilt dictionary at $dictDir")
+      forest.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
+        .withColumn("pb_mod", lit(pbMod))
+        .write.mode("overwrite").parquet(s"$indexPath/stats")
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(idx, "_purged"),
+        tombBatches.max.toString)
     }
   }
 

@@ -241,6 +241,89 @@ class AnnIngestSpec extends SparkSpec {
     assert(content === encodeOneShot(emb.unionByName(extra), centroids, books))
   }
 
+  test("tombstones hide immediately (even under as-of), and rebase " +
+      "purges them from disk") {
+    import spark.implicits._
+    val root = tmp("annstore12")
+    AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      0L, s"$root/store")
+    AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      1L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val wm0 = AnnIngest.consolidatedThrough(spark, s"$root/index").get
+    AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 2),
+      2L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val served = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).select("neighbor_id").collect()
+      .map(_.getLong(0)).distinct
+    val dead = served.take(2)
+    assert(dead.length == 2)
+    AnnIngest.tombstone(dead.toSeq.toDF("vec_id"), 0L, s"$root/index")
+    val after = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(dead.forall(!after.contains(_)),
+      "a committed tombstone must hide the vector from every result")
+    val asOf = AnnIngest.searchGrown(emb, spark, s"$root/index",
+        nQueries = 10, k = 5, asOfGen = Some(wm0))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(dead.forall(!asOf.contains(_)),
+      "time travel must not resurrect a takedown")
+    // still on disk (logical delete) until rebase folds them out
+    val idsOnDisk = spark.read.parquet(s"$root/index/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dead.forall(idsOnDisk.contains))
+    val beforeRebase = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).orderBy("query_id", "rank").collect()
+    AnnIngest.rebase(spark, s"$root/index")
+    val idsAfter = spark.read.parquet(s"$root/index/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dead.forall(!idsAfter.contains(_)),
+      "rebase must physically purge tombstoned rows")
+    val afterRebase = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).orderBy("query_id", "rank").collect()
+    assert(afterRebase.sameElements(beforeRebase),
+      "the purge must not change what was already being served")
+  }
+
+  test("a tombstoned id never re-enters through later ingests") {
+    import spark.implicits._
+    val root = tmp("annstore13")
+    for (b <- 0L until 2L)
+      AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === b),
+        b, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val victim = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).select("neighbor_id").head().getLong(0)
+    AnnIngest.tombstone(Seq(victim).toDF("vec_id"), 0L, s"$root/index")
+    // re-add attempt rides in with genuinely new vectors
+    val readd = emb.filter(col("vec_id") === victim)
+    val fresh = emb.filter(pmod(col("vec_id"), lit(3)) === 2)
+      .withColumn("vec_id", col("vec_id") + 200000L)
+    AnnIngest.ingestBatch(readd.unionByName(fresh), 2L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val ids = spark.read.parquet(s"$root/index/index")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids.count(_ == victim) == 1,
+      "encode must skip the re-added tombstoned id (old gen's copy " +
+        "remains until rebase, but no new copy may land)")
+    assert(fresh.collect().map(_.getLong(0)).forall(ids.contains),
+      "the skip must not swallow the batch's live vectors")
+    val after = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!after.contains(victim))
+    // a batch consisting ONLY of tombstoned ids empties at encode —
+    // no broken all-marker generation may land, and the whole-forest
+    // read must stay healthy
+    AnnIngest.ingestBatch(readd, 3L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    assert(!spark.read.parquet(s"$root/index/index").isEmpty)
+    assert(AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).count() > 0)
+  }
+
   test("a capped training set still encodes the WHOLE corpus") {
     val root = tmp("annstore9")
     for (b <- 0L until 3L)

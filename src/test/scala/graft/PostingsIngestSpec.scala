@@ -244,6 +244,47 @@ class PostingsIngestSpec extends SparkSpec {
       "an empty generation must be invisible to serving")
   }
 
+  test("doc tombstones hide immediately; the purging rebase converges " +
+      "the index bit-exactly to the one-shot answer over the survivors") {
+    import spark.implicits._
+    val store = tmp("pstore-del")
+    val idx = tmp("pidx-del")
+    for (b <- 0L until 3L)
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b, store)
+    PostingsIngest.consolidate(spark, store, idx)
+    val before = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+    // victim: a ranked doc that is NOT a query doc, so the query set
+    // is identical before and after the takedown
+    val victim = before.filter(col("doc_id") >= Retrieval.NQueries)
+      .select("doc_id").head().getLong(0)
+    PostingsIngest.tombstoneDocs(Seq(victim).toDF("doc_id"), 0L, idx)
+    val hidden = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+    assert(hidden.filter(col("doc_id") === victim).count() == 0,
+      "a committed tombstone must hide the doc from every result")
+    assert(hidden.count() > 0)
+    // convergence: purge + dict/stats rebuild == one-shot over survivors
+    PostingsIngest.rebase(spark, idx)
+    val alive = docs.filter(col("doc_id") =!= victim)
+    val served = IndexStore.bm25FromIndex(alive, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    val oneShot = Retrieval.bm25TopK(alive).orderBy("q_id", "rank").collect()
+    assert(served.sameElements(oneShot),
+      "after the purging rebase the grown index must be bit-equal to " +
+        "a one-shot build over the surviving corpus (df AND stats)")
+    // physically gone, and a re-ingest cannot resurrect it
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") === victim).count() == 0)
+    PostingsIngest.ingestBatch(docs.filter(col("doc_id") === victim), 3L, store)
+    PostingsIngest.consolidate(spark, store, idx)
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") === victim).count() == 0,
+      "encode must skip a re-added tombstoned doc")
+  }
+
   test("streaming ingest through foreachBatch grows the searchable corpus") {
     implicit val sqlCtx = spark.sqlContext
     val store = tmp("pstream")
