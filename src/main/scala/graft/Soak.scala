@@ -980,6 +980,58 @@ object Soak {
           qtermsIn = Some(qts)) }
     }
 
+    // Growing IVFADC store at corpus scale: the dense twin of the
+    // consolidation leg. Claims measured: (a) incremental encode cost
+    // tracks NEW batch size, not index size; (b) the probe is leaf-
+    // dir bounded (gen count hurts file opens, rebase reclaims);
+    // (c) a tombstone purge is one forced fold, and serving cost is
+    // unchanged after it.
+    if (want("annconsolidation")) {
+      import graft.streaming.AnnIngest
+      val base = java.nio.file.Files.createTempDirectory("soak_annconsol").toString
+      val nB = 8
+      val store = s"$base/store"
+      for (b <- 0 until nB)
+        AnnIngest.ingestBatch(
+          vecs.filter(pmod(col("vec_id"), lit(nB)) === b), b, store)
+      val tF = System.nanoTime()
+      AnnIngest.consolidate(spark, store, s"$base/idx_full", pqIters = 1)
+      println(f"SOAK annconsol_all_8_batches  ${(System.nanoTime() - tF) / 1e9}%8.2f s (train+encode ${nVecs}%,d vecs)")
+      val store2 = s"$base/store2"
+      var lastIncr = 0.0
+      for (b <- 0 until nB) {
+        AnnIngest.ingestBatch(
+          vecs.filter(pmod(col("vec_id"), lit(nB)) === b), b, store2)
+        val t0 = System.nanoTime()
+        AnnIngest.consolidate(spark, store2, s"$base/idx_incr", pqIters = 1)
+        lastIncr = (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SOAK annconsol_incr_last      $lastIncr%8.2f s (1 of $nB batches encoded)")
+      time("annconsol_probe_8_gens") {
+        AnnIngest.searchGrown(vecs, spark, s"$base/idx_incr",
+          nQueries = 10, k = 5) }
+      val tR = System.nanoTime()
+      AnnIngest.rebase(spark, s"$base/idx_incr")
+      println(f"SOAK annconsol_rebase         ${(System.nanoTime() - tR) / 1e9}%8.2f s")
+      time("annconsol_probe_rebased") {
+        AnnIngest.searchGrown(vecs, spark, s"$base/idx_incr",
+          nQueries = 10, k = 5) }
+      // takedown: 1% of the corpus tombstoned, purged, re-probed
+      import spark.implicits._
+      AnnIngest.tombstone(
+        vecs.filter(pmod(col("vec_id"), lit(100)) === 7).select("vec_id"),
+        0L, s"$base/idx_incr")
+      time("annconsol_probe_tombstoned") {
+        AnnIngest.searchGrown(vecs, spark, s"$base/idx_incr",
+          nQueries = 10, k = 5) }
+      val tP = System.nanoTime()
+      AnnIngest.rebase(spark, s"$base/idx_incr")
+      println(f"SOAK annconsol_purge          ${(System.nanoTime() - tP) / 1e9}%8.2f s (1%% of corpus tombstoned)")
+      time("annconsol_probe_purged") {
+        AnnIngest.searchGrown(vecs, spark, s"$base/idx_incr",
+          nQueries = 10, k = 5) }
+    }
+
     spark.stop()
   }
 }

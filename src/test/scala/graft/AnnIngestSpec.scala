@@ -285,6 +285,12 @@ class AnnIngestSpec extends SparkSpec {
       nQueries = 10, k = 5).orderBy("query_id", "rank").collect()
     assert(afterRebase.sameElements(beforeRebase),
       "the purge must not change what was already being served")
+    // the takedown anti-join must ride the broadcast path
+    val plan = AnnIngest.searchGrown(emb, spark, s"$root/index",
+        nQueries = 10, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"tombstone-filtered serve must stay broadcast-only:\n$plan")
   }
 
   test("a tombstoned id never re-enters through later ingests") {

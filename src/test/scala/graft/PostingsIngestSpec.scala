@@ -283,6 +283,14 @@ class PostingsIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/postings")
       .filter(col("doc_id") === victim).count() == 0,
       "encode must skip a re-added tombstoned doc")
+    // the takedown anti-join must ride the broadcast path — a
+    // sort-merge leftanti against the postings scan would put the
+    // whole takedown feature on the shuffle bill
+    val plan = IndexStore.bm25FromIndex(alive, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"tombstone-filtered probe must stay broadcast-only:\n$plan")
   }
 
   test("streaming ingest through foreachBatch grows the searchable corpus") {
