@@ -100,9 +100,18 @@ object GenForest {
       // scratch/gen=<wm>, completeness proven by the stamp write
       if (graft.core.Markers.read(fs, done).isEmpty) {
         if (fs.exists(scratch)) fs.delete(scratch, true)
+        val genOut = new org.apache.hadoop.fs.Path(scratch, s"gen=$wm")
         fold(spark.read.parquet(genRoot.toString))
           .write.mode("errorifexists").partitionBy(partitionCols: _*)
-          .parquet(new org.apache.hadoop.fs.Path(scratch, s"gen=$wm").toString)
+          .parquet(genOut.toString)
+        // a lossy fold can empty the WHOLE forest (total takedown):
+        // swap in an empty root — zero generations, the same state as
+        // a consolidated-but-all-idle index — rather than a gen dir
+        // holding only markers, which breaks every whole-forest read
+        if (!hasDataFiles(fs, genOut)) {
+          fs.delete(genOut, true)
+          fs.mkdirs(scratch)
+        }
         graft.core.Markers.forceWrite(fs, done, wm.toString)
       }
       // SWAP: forest → trash, scratch → forest, settle. Any crash in

@@ -33,9 +33,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * At 100 TB: state is parquet only (stateless query), a batch's
   * postings write shuffles nothing (map-combined per-batch tf), the
-  * stats fold reads one tiny row per batch, and consolidation cost is
-  * proportional to the NEW data since the last run (never the index),
-  * the same maintenance discipline as [[Compaction]].
+  * index stats fold one (n, sumdl) reading per NEW generation onto a
+  * stamped running total, and consolidation cost is proportional to
+  * the NEW data since the last run (never the index), the same
+  * maintenance discipline as [[Compaction]].
   */
 object PostingsIngest {
 
@@ -140,7 +141,9 @@ object PostingsIngest {
     * planning time within every gen). The dictionary carries its own
     * `_through` stamp and is re-derived as old-dict + new-gen df
     * sums (each doc_id lives in exactly one batch, so df is additive);
-    * stats re-fold the store's tiny per-batch rows.
+    * stats ride the same stamp discipline, folded from each new gen's
+    * distinct (doc_id, dl) pairs — FOREST-derived, so tombstone skips
+    * and purges propagate to (n, sumdl) for free.
     *
     * Crash discipline (the [[Compaction]] claim/build/swap shape, with
     * roll-FORWARD-by-idempotence instead of a redo log): a `_consolidate_commit`
@@ -287,14 +290,55 @@ object PostingsIngest {
         require(fs.rename(dscratch, dictDir),
           s"failed to install dictionary at $dictDir")
       }
-      // STATS: re-fold the store's tiny per-batch rows (idempotent
-      // from the store; reads store, writes index — no self-overlap)
-      spark.read.parquet(s"$path/stats")
-        .filter(col("batch_id") <= through)
-        .agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
-          coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"))
-        .withColumn("pb_mod", lit(pbMod))
-        .write.mode("overwrite").parquet(s"$indexPath/stats")
+      // STATS: derived from the FOREST (one (n, sumdl) fold of each
+      // new gen's distinct (doc_id, dl) pairs, added onto the old
+      // reading under the dict's own stamp discipline). The r15 first
+      // cut re-folded the hot store's per-batch rows instead — simpler
+      // and stampless, but the store never learns about tombstones, so
+      // the first consolidation after a purge silently RE-ADDED every
+      // deleted doc to n/sumdl forever (caught by the total-takedown
+      // spec). Forest derivation keeps one source of truth: encode
+      // skips tombstoned docs, the purge rebuild re-derives from the
+      // purged forest, and this fold only ever sees surviving rows.
+      // Residual (shared with the purge rebuild): a zero-token doc has
+      // no posting rows, so it is invisible to n — it scores zero on
+      // every query either way; the drift is idf-only and bounded by
+      // the empty-doc count.
+      val statsDir = new org.apache.hadoop.fs.Path(idx, "stats")
+      val statsStamp = new org.apache.hadoop.fs.Path(statsDir, "_through")
+      val statsThrough =
+        graft.core.Markers.read(fs, statsStamp).map(_.toLong).getOrElse(-1L)
+      val statsGens = numberedDirs(fs,
+          new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
+        .filter(_._1 > statsThrough).sortBy(_._1)
+      if (statsThrough < through && (statsGens.nonEmpty || statsThrough < 0)) {
+        import spark.implicits._
+        val newStats =
+          (if (statsGens.isEmpty)
+            Seq.empty[(Long, Long)].toDF("doc_id", "dl")
+          else spark.read.option("basePath", s"$indexPath/postings")
+            .parquet(statsGens.map(_._2.toString): _*)
+            .select(col("doc_id"), col("dl").cast("long").as("dl")))
+            .distinct()
+            .agg(count(lit(1)).cast("long").as("n"),
+              coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
+        val mergedStats =
+          if (statsThrough < 0) newStats
+          else spark.read.parquet(statsDir.toString)
+            .select("n", "sumdl")
+            .unionByName(newStats)
+            .agg(sum("n").cast("long").as("n"),
+              sum("sumdl").cast("long").as("sumdl"))
+        val sscratch = new org.apache.hadoop.fs.Path(idx, ".stats-scratch")
+        if (fs.exists(sscratch)) fs.delete(sscratch, true)
+        mergedStats.withColumn("pb_mod", lit(pbMod))
+          .write.mode("errorifexists").parquet(sscratch.toString)
+        graft.core.Markers.forceWrite(fs,
+          new org.apache.hadoop.fs.Path(sscratch, "_through"), through.toString)
+        if (fs.exists(statsDir)) fs.delete(statsDir, true)
+        require(fs.rename(sscratch, statsDir),
+          s"failed to install stats at $statsDir")
+      }
       // WATERMARK last — the run's single durable commit point
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_through"), through.toString)
@@ -364,7 +408,15 @@ object PostingsIngest {
     // dict lost mid-swap self-heals exactly as in consolidate (no
     // stamp → full-forest rebuild, and the forest is already purged).
     if (unpurged) {
-      val forest = spark.read.parquet(s"$indexPath/postings")
+      // a TOTAL takedown leaves an empty forest root — zero gens, no
+      // readable schema — so both artifacts rebuild from literals
+      val forestRoot = new org.apache.hadoop.fs.Path(idx, "postings")
+      val emptyForest = !GenForest.hasDataFiles(fs, forestRoot)
+      val forest =
+        if (emptyForest) Seq.empty[(Long, String, Long, Long)]
+          .toDF("doc_id", "tok", "tf", "dl")
+        else spark.read.parquet(forestRoot.toString)
+          .select("doc_id", "tok", "tf", "dl")
       val dictDir = new org.apache.hadoop.fs.Path(idx, "dict")
       val dscratch = new org.apache.hadoop.fs.Path(idx, ".dict-scratch")
       if (fs.exists(dscratch)) fs.delete(dscratch, true)
@@ -375,11 +427,23 @@ object PostingsIngest {
       if (fs.exists(dictDir)) fs.delete(dictDir, true)
       require(fs.rename(dscratch, dictDir),
         s"failed to install rebuilt dictionary at $dictDir")
-      forest.select("doc_id", "dl").distinct()
+      // same scratch + stamp + swap as the consolidate phase: a stats
+      // dir without its _through stamp would re-fold every gen on the
+      // next consolidation (double count), and mode-overwrite would
+      // wipe the stamp
+      val statsDir = new org.apache.hadoop.fs.Path(idx, "stats")
+      val sscratch = new org.apache.hadoop.fs.Path(idx, ".stats-scratch")
+      if (fs.exists(sscratch)) fs.delete(sscratch, true)
+      forest.select(col("doc_id"), col("dl").cast("long").as("dl")).distinct()
         .agg(count(lit(1)).cast("long").as("n"),
           coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
         .withColumn("pb_mod", lit(pbMod))
-        .write.mode("overwrite").parquet(s"$indexPath/stats")
+        .write.mode("errorifexists").parquet(sscratch.toString)
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(sscratch, "_through"), wm.toString)
+      if (fs.exists(statsDir)) fs.delete(statsDir, true)
+      require(fs.rename(sscratch, statsDir),
+        s"failed to install rebuilt stats at $statsDir")
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_purged"),
         tombBatches.max.toString)

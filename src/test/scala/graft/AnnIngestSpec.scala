@@ -330,6 +330,26 @@ class AnnIngestSpec extends SparkSpec {
       nQueries = 10, k = 5).count() > 0)
   }
 
+  test("a TOTAL takedown purges to an empty-but-healthy index that can " +
+      "grow again") {
+    import spark.implicits._
+    val root = tmp("annstore14")
+    AnnIngest.ingestBatch(emb, 0L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    AnnIngest.tombstone(emb.select("vec_id"), 0L, s"$root/index")
+    AnnIngest.rebase(spark, s"$root/index")
+    assert(AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).count() == 0,
+      "everything is deleted — nothing may rank")
+    val fresh = emb.withColumn("vec_id", col("vec_id") + 500000L)
+    AnnIngest.ingestBatch(fresh, 1L, s"$root/store")
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val (centroids, books) = AnnIngest.loadQuantizer(spark, s"$root/index")
+    assert(forestContent(s"$root/index") ===
+      encodeOneShot(fresh, centroids, books),
+      "post-total-takedown regrowth must hold exactly the fresh corpus")
+  }
+
   test("a capped training set still encodes the WHOLE corpus") {
     val root = tmp("annstore9")
     for (b <- 0L until 3L)

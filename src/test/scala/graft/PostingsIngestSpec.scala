@@ -293,6 +293,31 @@ class PostingsIngestSpec extends SparkSpec {
       s"tombstone-filtered probe must stay broadcast-only:\n$plan")
   }
 
+  test("a TOTAL takedown purges to an empty-but-healthy index that can " +
+      "grow again") {
+    import spark.implicits._
+    val store = tmp("pstore-total")
+    val idx = tmp("pidx-total")
+    PostingsIngest.ingestBatch(docs, 0L, store)
+    PostingsIngest.consolidate(spark, store, idx)
+    PostingsIngest.tombstoneDocs(docs.select("doc_id"), 0L, idx)
+    PostingsIngest.rebase(spark, idx)
+    val served = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+    assert(served.count() == 0, "everything is deleted — nothing may rank")
+    // the store grows again with FRESH docs and serving resumes
+    val fresh = docs.withColumn("doc_id", col("doc_id") + 500000L)
+    PostingsIngest.ingestBatch(fresh, 1L, store)
+    PostingsIngest.consolidate(spark, store, idx)
+    val revived = IndexStore.bm25FromIndex(fresh, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    val oneShot = Retrieval.bm25TopK(fresh).orderBy("q_id", "rank").collect()
+    assert(revived.sameElements(oneShot),
+      "post-total-takedown regrowth must serve the one-shot answer " +
+        "over the fresh corpus (dict and stats rebuilt clean)")
+  }
+
   test("streaming ingest through foreachBatch grows the searchable corpus") {
     implicit val sqlCtx = spark.sqlContext
     val store = tmp("pstream")
