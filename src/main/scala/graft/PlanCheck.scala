@@ -70,7 +70,8 @@ object PlanCheck {
         // indexed probe's scan carries the static pb PartitionFilters;
         // RM3's second pass must show the same shape twice
         "x_text_bm25", "x_text_bm25_indexed", "x_text_bm25_rm3",
-        "x_text_hybrid_rrf", "x_graph_ppr")
+        "x_text_hybrid_rrf", "x_graph_ppr",
+        "x_text_bm25_grown", "x_sim_ann_grown")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -338,6 +338,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-source n-gram overlap matrix — the MIX AUDIT a corpus
+    * assembled from many crawls/dumps needs before training: for every
+    * ordered source pair (a, b), how much of a's distinct 4-gram mass
+    * also appears in b (containment, basis points, integer-exact).
+    * High containment_bp flags a source that is largely a re-crawl of
+    * another — the between-source counterpart of the within-corpus
+    * dedup family, and the pairwise generalization of
+    * [[textContamination]]'s one-fixed-side overlap.
+    *
+    * Plan shape at 100 TB: one distinct (source, gram) projection
+    * (map-side partial agg), pinned once for its three consumers; the
+    * pair join shuffles on the GRAM (inverted-index discipline — no
+    * source x source data blow-up, join fan-out per gram is bounded by
+    * its source-df, at most |sources|), and the matrix itself is
+    * |sources|^2 rows. With thousands of sources a hot gram present in
+    * every source costs df^2 rows — cap with a stop-gram df filter
+    * exactly like [[Dedup]]'s maxDf before scaling there. */
+  def crossSourceOverlap(docs: DataFrame, n: Int = 4): DataFrame = {
+    val grams = graft.core.Materialize.pin(
+      docs.select(col("source"), tokens(col("text")).as("ws"))
+        .select(col("source"), explode(wordNgrams(col("ws"), n)).as("g"))
+        .distinct())
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams_a"))
+    val shared = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_grams_a"),
+        expr("CAST(n_shared * 10000 DIV n_grams_a AS BIGINT)")
+          .as("containment_bp"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val textSourceOverlap: Q = (s, dir) =>
+    crossSourceOverlap(t(s, dir, "documents"))
+
   /** Bloom-prefiltered decontamination — output-identical to
     * [[textContamination]] (the exact join removes bloom false
     * positives; identity IS the contract, so both share one oracle).
@@ -501,6 +540,7 @@ object TextAnalysis {
     "x_text_eval_confusion" -> textEvalConfusion,
     "x_text_contamination" -> textContamination,
     "x_text_contamination_bloom" -> textContaminationBloom,
+    "x_text_source_overlap" -> textSourceOverlap,
     "x_text_mix_stats" -> textMixStats,
     "x_text_repetition" -> textRepetition,
     "x_dedup_simhash_portable" -> textSimhashPortable,
@@ -527,7 +567,19 @@ object TextAnalysis {
       "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams FROM g JOIN e USING (g) " +
       "WHERE g.doc_id >= 10 GROUP BY g.doc_id ORDER BY doc_id")
 
+  private val sourceOverlapSql: String =
+    (s"WITH w AS (SELECT source, $wsExpr AS ws FROM documents), " +
+      "g AS (SELECT DISTINCT source, array_to_string(ws[i:i+3], ' ') AS g " +
+      "FROM w, unnest(range(1, len(ws)-2)) AS u(i) WHERE len(ws) >= 4), " +
+      "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams_a FROM g GROUP BY source), " +
+      "p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+      "FROM g a JOIN g b USING (g) WHERE a.source <> b.source GROUP BY 1, 2) " +
+      "SELECT src_a, src_b, n_shared, n_grams_a, " +
+      "CAST(n_shared * 10000 // n_grams_a AS BIGINT) AS containment_bp " +
+      "FROM p JOIN sz ON sz.source = p.src_a ORDER BY src_a, src_b")
+
   val oracles: Map[String, String] = Map(
+    "x_text_source_overlap" -> sourceOverlapSql,
     "x_text_pii_scrub" ->
       (s"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
         s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), " +

@@ -314,11 +314,7 @@ object AnnIngest {
     // forest — but only while tombstone batches newer than the purge
     // stamp exist, or every later rebase would re-fold the whole
     // forest forever against a permanent (never-shrinking) set
-    val tombBatches = numberedDirs(fs,
-      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
-    val purged = graft.core.Markers.read(fs,
-      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
-    val unpurged = tombBatches.nonEmpty && tombBatches.max > purged
+    val (maxTomb, unpurged) = tombstoneState(fs, idx)
     GenForest.rebase(spark, indexPath, forestName = "index", wm = wm,
       partitionCols = Seq("cell"), forceFold = unpurged) { forest =>
       val base = forest.drop("gen")
@@ -327,12 +323,48 @@ object AnnIngest {
         case None    => base
       }
     }
-    // stamp AFTER the fold lands: a crash in between re-folds on retry
-    // (idempotent), never the reverse
-    if (tombBatches.nonEmpty)
-      graft.core.Markers.forceWrite(fs,
-        new org.apache.hadoop.fs.Path(idx, "_purged"),
-        tombBatches.max.toString)
+    // stamp AFTER the fold lands (crash in between re-folds on retry,
+    // never the reverse), with the PRE-fold listing's max — see
+    // tombstoneState on why re-listing here would lose a concurrent
+    // tombstone batch
+    maxTomb.foreach(m => graft.core.Markers.forceWrite(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged"), m.toString))
+  }
+
+  /** (max tombstone batch id on disk, whether any of them postdate
+    * the purge stamp). The max is captured in the SAME listing the
+    * decision uses: a rebase must stamp exactly what it saw before
+    * folding — re-listing after the fold would mark a concurrently
+    * landed tombstone batch purged without it ever being folded. */
+  private def tombstoneState(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path): (Option[Long], Boolean) = {
+    val maxBatch = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir)
+      .map(_._1).maxOption
+    val purged = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
+    (maxBatch, maxBatch.exists(_ > purged))
+  }
+
+  /** One-call maintenance runbook (the [[VecIngest.maintainStores]]
+    * shape for this store): consolidate whatever is new, rebase when
+    * the generation count passes `rebaseAtGens` OR unpurged tombstones
+    * exist, then compact the hot store below the watermark (the only
+    * compaction range the floor contract allows — see the layout doc).
+    * Each step is independently idempotent and crash-safe, so a
+    * scheduler can fire this blindly on a timer. */
+  def maintain(spark: SparkSession, path: String, indexPath: String,
+      rebaseAtGens: Int = 8): Unit = {
+    consolidate(spark, path, indexPath)
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val gens = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "index"), GenDir).size
+    if (gens > rebaseAtGens || tombstoneState(fs, idx)._2)
+      rebase(spark, indexPath)
+    consolidatedThrough(spark, indexPath).foreach { wm =>
+      Compaction.compact(spark, s"$path/vecs", safeBelow = wm + 1)
+    }
   }
 
   /** ANN search against everything consolidated so far: frozen

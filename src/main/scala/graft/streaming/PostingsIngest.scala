@@ -108,7 +108,13 @@ object PostingsIngest {
     * the tombstone commit; score convergence — bit-equality with the
     * one-shot BM25 over the surviving corpus — is restored by
     * [[rebase]], which rebuilds dict and stats from the purged
-    * forest (PostingsIngestSpec pins the equality). */
+    * forest (PostingsIngestSpec pins the equality).
+    *
+    * Scope: the contract covers the INDEX serve path
+    * ([[IndexStore.bm25FromIndex]]). [[bm25FromStore]] probes the raw
+    * hot store before any consolidation exists and takes no index
+    * path, so it cannot see tombstones — it is the replay-window
+    * debug probe, not the serving surface. */
   def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit =
     EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
       ids.select(col("doc_id")), batchId)

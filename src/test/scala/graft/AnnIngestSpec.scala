@@ -363,6 +363,64 @@ class AnnIngestSpec extends SparkSpec {
       encodeOneShot(emb, centroids, books))
   }
 
+  test("maintain runs the whole runbook: consolidate, gen-bounded " +
+      "rebase, tombstone purge, hot-store compaction") {
+    import spark.implicits._
+    val root = tmp("annstore15")
+    // grow with maintenance after every batch, rebase threshold 2
+    for (b <- 0L until 4L) {
+      AnnIngest.ingestBatch(
+        emb.filter(pmod(col("vec_id"), lit(4)) === b), b, s"$root/store")
+      AnnIngest.maintain(spark, s"$root/store", s"$root/index",
+        rebaseAtGens = 2)
+    }
+    val fs0 = fs(hp(root))
+    val gens = fs0.listStatus(hp(s"$root/index/index"))
+      .map(_.getPath.getName).count(_.startsWith("gen="))
+    assert(gens <= 2, s"maintain must bound the gen count, got $gens")
+    val (centroids, books) = AnnIngest.loadQuantizer(spark, s"$root/index")
+    assert(forestContent(s"$root/index") ===
+      encodeOneShot(emb, centroids, books),
+      "maintenance cycles must preserve exactly the corpus encode")
+    // compaction must have folded covered batches (store dirs < batches)
+    val storeDirs = fs0.listStatus(hp(s"$root/store/vecs"))
+      .map(_.getPath.getName).count(_.startsWith("batch_id="))
+    assert(storeDirs < 4,
+      s"maintain must compact the covered hot store, got $storeDirs dirs")
+    // a takedown goes through the same single entry point
+    val victim = AnnIngest.searchGrown(emb, spark, s"$root/index",
+      nQueries = 10, k = 5).select("neighbor_id").head().getLong(0)
+    AnnIngest.tombstone(Seq(victim).toDF("vec_id"), 0L, s"$root/index")
+    AnnIngest.maintain(spark, s"$root/store", s"$root/index",
+      rebaseAtGens = 2)
+    assert(spark.read.parquet(s"$root/index/index")
+      .filter(col("vec_id") === victim).count() == 0,
+      "maintain must purge unpurged tombstones")
+  }
+
+  test("streaming ingest through foreachBatch grows the consolidatable " +
+      "store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("annstream")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = AnnIngest.start(
+      input.toDF().toDF("vec_id", "embedding"), s"$root/store",
+      tmp("annstream-ckpt"))
+    try {
+      val rows = emb.limit(40).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      input.addData(rows.take(20).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.drop(20).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    AnnIngest.consolidate(spark, s"$root/store", s"$root/index")
+    val n = spark.read.parquet(s"$root/index/index").count()
+    assert(n == 40, s"both micro-batches must be encoded, got $n")
+  }
+
   test("a frozen quantizer refuses a mismatched training shape") {
     val root = tmp("annstore8")
     AnnIngest.ingestBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
