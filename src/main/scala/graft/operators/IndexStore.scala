@@ -446,19 +446,51 @@ object IndexStore {
         .filter(col("pb").isin(pbs: _*))
         .join(broadcast(tokDf), Seq("tok"))
         .select("doc_id", "tok", "tf", "dl"))
-    // takedowns ([[graft.streaming.PostingsIngest.tombstoneDocs]])
-    // hide at serve time from the moment they commit; df/stats keep
-    // their pre-delete readings until the purging rebase — the
-    // documented drift (deleted docs can never APPEAR, but idf and
-    // (n, sumdl) count them until maintenance catches up)
+    // Takedowns ([[graft.streaming.PostingsIngest.tombstoneDocs]]) are
+    // ZERO-DRIFT at serve time: deleted docs are (1) hidden from the
+    // hits, (2) subtracted from each query term's df — the dead hits
+    // are already in this probe's own pre-anti-join scan, so the
+    // correction costs no extra read — and (3) subtracted from
+    // (n, sumdl) via the dl each tombstone batch recorded at commit
+    // time. Every serve is bit-equal to a one-shot BM25 over the
+    // surviving corpus (spec-pinned); the purging rebase then merely
+    // reclaims space and retires the corrections: stats corrections
+    // switch off by the `_purged` stamp, df corrections die naturally
+    // because purged docs no longer appear in any scan.
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val hits =
-      if (!fs.exists(tombPath)) scanned
-      else scanned.join(
-        broadcast(spark.read.parquet(tombPath.toString).select("doc_id")),
-        Seq("doc_id"), "left_anti")
-    val dfT = spark.read.parquet(s"$path/dict")
-      .join(broadcast(tokDf), Seq("tok"))
-    Retrieval.bm25Rank(hits, dfT, qterms, stats.drop("pb_mod"), k, maxDf)
+    val (hits, dfT, statsServe) =
+      if (!fs.exists(tombPath))
+        (scanned,
+          spark.read.parquet(s"$path/dict").join(broadcast(tokDf), Seq("tok")),
+          stats.drop("pb_mod"))
+      else {
+        val tombAll = spark.read.parquet(tombPath.toString)
+        val tombIds = tombAll.select("doc_id").distinct()
+        val alive = scanned.join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+        val deadDf = scanned
+          .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
+          .groupBy("tok").agg(count(lit(1)).as("__df_dead"))
+        val dfCorrected = spark.read.parquet(s"$path/dict")
+          .join(broadcast(tokDf), Seq("tok"))
+          .join(broadcast(deadDf), Seq("tok"), "left")
+          .select(col("tok"),
+            (col("df") - coalesce(col("__df_dead"), lit(0L))).as("df"))
+        val purged = graft.core.Markers.read(fs,
+          new org.apache.hadoop.fs.Path(s"$path/_purged")).map(_.toLong)
+          .getOrElse(-1L)
+        // dedupe multi-batch tombstones of one doc by doc_id (dl is a
+        // property of the doc, so max over non-null readings is exact)
+        val corr = tombAll
+          .filter(col("batch_id") > purged && col("dl").isNotNull)
+          .groupBy("doc_id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)).cast("long").as("__n_dead"),
+            coalesce(sum("dl"), lit(0L)).cast("long").as("__dl_dead"))
+        val statsCorrected = stats.drop("pb_mod")
+          .crossJoin(broadcast(corr))
+          .select((col("n") - col("__n_dead")).cast("long").as("n"),
+            (col("sumdl") - col("__dl_dead")).cast("long").as("sumdl"))
+        (alive, dfCorrected, statsCorrected)
+      }
+    Retrieval.bm25Rank(hits, dfT, qterms, statsServe, k, maxDf)
   }
 }

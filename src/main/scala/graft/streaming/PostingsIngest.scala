@@ -105,19 +105,40 @@ object PostingsIngest {
     * docs until the purging rebase, because both are CUMULATIVE
     * aggregates a serve-time anti-join cannot correct. The hard
     * guarantee (a deleted doc never appears in a result) holds from
-    * the tombstone commit; score convergence — bit-equality with the
-    * one-shot BM25 over the surviving corpus — is restored by
-    * [[rebase]], which rebuilds dict and stats from the purged
-    * forest (PostingsIngestSpec pins the equality).
+    * the tombstone commit — and so do the SCORES: the tombstone batch
+    * records each deleted doc's dl (looked up from the forest at
+    * commit time — one bounded semi-join against the index, priced at
+    * a takedown event, not a query), so the serve path can subtract
+    * the deleted docs from df (from its own pre-anti-join hits) and
+    * from (n, sumdl) (from the recorded dl rows), making every result
+    * bit-equal to a one-shot BM25 over the surviving corpus with NO
+    * drift window at all. [[rebase]] then physically purges and
+    * rebuilds dict/stats; corrections for purged batches switch off
+    * via the `_purged` stamp (df corrections die naturally — purged
+    * docs no longer appear in any scan).
     *
     * Scope: the contract covers the INDEX serve path
     * ([[IndexStore.bm25FromIndex]]). [[bm25FromStore]] probes the raw
     * hot store before any consolidation exists and takes no index
     * path, so it cannot see tombstones — it is the replay-window
     * debug probe, not the serving surface. */
-  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
+    val spark = ids.sparkSession
+    val forestRoot = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    // dl lookup: NULL for a doc not (yet) in the forest — those docs
+    // were never counted in the index stats (encode will skip them),
+    // so they must contribute no correction either
+    val withDl =
+      if (!GenForest.hasDataFiles(fsOf(spark, forestRoot), forestRoot))
+        ids.select(col("doc_id")).distinct()
+          .withColumn("dl", lit(null).cast("long"))
+      else ids.select(col("doc_id")).distinct()
+        .join(spark.read.parquet(forestRoot.toString)
+            .select(col("doc_id"), col("dl").cast("long").as("dl")).distinct(),
+          Seq("doc_id"), "left")
     EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
-      ids.select(col("doc_id")), batchId)
+      withDl, batchId)
+  }
 
   private def docTombstones(spark: SparkSession,
       indexPath: String): Option[DataFrame] = {

@@ -259,19 +259,31 @@ class PostingsIngestSpec extends SparkSpec {
     // is identical before and after the takedown
     val victim = before.filter(col("doc_id") >= Retrieval.NQueries)
       .select("doc_id").head().getLong(0)
+    // tombstone in TWO batches (one a duplicate request) plus a
+    // never-ingested id — dl dedupe and the no-op path both exercised
     PostingsIngest.tombstoneDocs(Seq(victim).toDF("doc_id"), 0L, idx)
+    PostingsIngest.tombstoneDocs(Seq(victim, 999999L).toDF("doc_id"), 1L, idx)
     val hidden = IndexStore.bm25FromIndex(docs, spark, idx,
       Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
     assert(hidden.filter(col("doc_id") === victim).count() == 0,
       "a committed tombstone must hide the doc from every result")
     assert(hidden.count() > 0)
-    // convergence: purge + dict/stats rebuild == one-shot over survivors
-    PostingsIngest.rebase(spark, idx)
     val alive = docs.filter(col("doc_id") =!= victim)
+    val oneShot = Retrieval.bm25TopK(alive).orderBy("q_id", "rank").collect()
+    // ZERO DRIFT: bit-equality with the one-shot alive-corpus answer
+    // holds IMMEDIATELY — df corrected from the probe's own dead
+    // hits, (n, sumdl) from the dl the tombstone batch recorded
+    val immediate = IndexStore.bm25FromIndex(alive, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    assert(immediate.sameElements(oneShot),
+      "serve must be bit-equal to the one-shot alive-corpus answer " +
+        "from the tombstone commit, before any rebase")
+    // the purging rebase reclaims space and retires the corrections
+    PostingsIngest.rebase(spark, idx)
     val served = IndexStore.bm25FromIndex(alive, spark, idx,
       Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
       .orderBy("q_id", "rank").collect()
-    val oneShot = Retrieval.bm25TopK(alive).orderBy("q_id", "rank").collect()
     assert(served.sameElements(oneShot),
       "after the purging rebase the grown index must be bit-equal to " +
         "a one-shot build over the surviving corpus (df AND stats)")
