@@ -477,6 +477,32 @@ object PostingsIngest {
     }
   }
 
+  /** One-call maintenance runbook (the [[AnnIngest.maintain]] twin):
+    * consolidate whatever is new, rebase when the generation count
+    * passes `rebaseAtGens` OR unpurged tombstones exist, then compact
+    * the hot store's two batch_id= forests (postings and stats) below
+    * the watermark — the only compaction range the consolidation
+    * floor allows. Every step is independently idempotent and
+    * crash-safe, so a scheduler can fire this blindly on a timer. */
+  def maintain(spark: SparkSession, path: String, indexPath: String,
+      rebaseAtGens: Int = 8): Unit = {
+    consolidate(spark, path, indexPath)
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val gens = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "postings"), GenDir).size
+    val tombBatches = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
+    val purged = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
+    if (gens > rebaseAtGens || tombBatches.maxOption.exists(_ > purged))
+      rebase(spark, indexPath)
+    consolidatedThrough(spark, indexPath).foreach { wm =>
+      Compaction.compact(spark, s"$path/postings", safeBelow = wm + 1)
+      Compaction.compact(spark, s"$path/stats", safeBelow = wm + 1)
+    }
+  }
+
   // ---- driver gate row ------------------------------------------------
 
   /** Gate query (`x_text_bm25_grown`): pump `documents` into a fresh

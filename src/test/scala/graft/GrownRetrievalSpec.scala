@@ -75,5 +75,25 @@ class GrownRetrievalSpec extends SparkSpec {
       .select("recall_ok").collect()
     assert(denseOk.nonEmpty && denseOk.forall(_.getBoolean(0)),
       "grown dense leg must clear the family recall bound")
+
+    // a takedown issued against BOTH stores is consistent through the
+    // fusion: the doc can never reach a fused result from either leg
+    import spark.implicits._
+    val victim = fusedGrown
+      .map(_.getLong(1)).find(_ >= nQ)
+      .getOrElse(fail("fused results must rank a non-query doc"))
+    PostingsIngest.tombstoneDocs(Seq(victim).toDF("doc_id"), 0L, s"$proot/index")
+    AnnIngest.tombstone(Seq(victim).toDF("vec_id"), 0L, s"$aroot/index")
+    val lexAfter = IndexStore.bm25FromIndex(docs, spark, s"$proot/index",
+        nQ, Retrieval.QueryLen, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val denseAfter = AnnIngest.searchGrown(emb, spark, s"$aroot/index",
+        nQueries = nQ, k = k)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    val fusedAfter = Retrieval.rrfFuse(lexAfter, denseAfter, k)
+    assert(fusedAfter.filter(col("doc_id") === victim).count() == 0,
+      "a cross-store takedown must be invisible to the fused ranking")
+    assert(fusedAfter.count() > 0)
   }
 }

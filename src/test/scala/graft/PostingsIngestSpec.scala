@@ -330,6 +330,32 @@ class PostingsIngestSpec extends SparkSpec {
         "over the fresh corpus (dict and stats rebuilt clean)")
   }
 
+  test("maintain runs the whole runbook and keeps serving the one-shot " +
+      "answer") {
+    val store = tmp("pstore-maint")
+    val idx = tmp("pidx-maint")
+    for (b <- 0L until 4L) {
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(4)) === b), b, store)
+      PostingsIngest.maintain(spark, store, idx, rebaseAtGens = 2)
+    }
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/postings"))
+      .map(_.getPath.getName).count(_.startsWith("gen="))
+    assert(gens <= 2, s"maintain must bound the gen count, got $gens")
+    val storeDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/postings"))
+      .map(_.getPath.getName).count(_.startsWith("batch_id="))
+    assert(storeDirs < 4,
+      s"maintain must compact the covered hot store, got $storeDirs dirs")
+    val served = IndexStore.bm25FromIndex(docs, spark, idx,
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    val oneShot = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
+    assert(served.sameElements(oneShot),
+      "maintenance cycles must preserve the one-shot answer bit-exactly")
+  }
+
   test("streaming ingest through foreachBatch grows the searchable corpus") {
     implicit val sqlCtx = spark.sqlContext
     val store = tmp("pstream")
