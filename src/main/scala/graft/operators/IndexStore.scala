@@ -394,13 +394,34 @@ object IndexStore {
     * time under either parquet reader (the IVFADC move; RetrievalSpec
     * asserts the PartitionFilters). The dictionary supplies df, so
     * output is identical to [[Retrieval.bm25TopK]] by construction. */
+  /** `asOfGen`: pin the probe to generations `<= asOfGen` — snapshot
+    * serving on the grown layout (each gen id is the watermark that
+    * produced it). Needs three as-of readings, all cheap under the
+    * per-generation layouts: leaf dirs filter by gen id, (n, sumdl)
+    * sums the stats rows with gen <= asOf, and df is re-derived from
+    * the probe's own gen-pruned alive hits (count of (doc, tok) rows
+    * per tok — exact, because postings hold one row per doc-tok). The
+    * cumulative dict is only used for LATEST serves. Takedowns apply
+    * under as-of too (a snapshot must not resurrect a deleted doc):
+    * the stats correction scopes itself to tombstones whose recorded
+    * gen is inside the snapshot. Flat one-shot layouts reject as-of.
+    * Horizon: rebase COLLAPSES history to the fold point (it is a
+    * compaction, not a version store) — an asOfGen older than the
+    * oldest retained generation sees an empty snapshot. */
   def bm25FromIndex(docs: DataFrame, spark: SparkSession, path: String,
       nQueries: Int, qLen: Int, k: Int,
       maxDf: Option[Long] = None,
-      qtermsIn: Option[Seq[(Long, String)]] = None): DataFrame = {
+      qtermsIn: Option[Seq[(Long, String)]] = None,
+      asOfGen: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val stats = spark.read.parquet(s"$path/stats")
-    val pbMod = stats.select("pb_mod").head().getInt(0)
+    val statsRoot = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fsStats = statsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    // pb_mod: the index-root marker (grown layout) or the flat
+    // one-shot layout's stats column
+    val pbMod = graft.core.Markers.read(fsStats,
+        new org.apache.hadoop.fs.Path(s"$path/_pb_mod")).map(_.toInt)
+      .getOrElse(spark.read.parquet(s"$path/stats")
+        .select("pb_mod").head().getInt(0))
     val qterms = qtermsIn.getOrElse(
       Retrieval.queryTermsLocal(docs, nQueries, qLen))
     val toks = qterms.map(_._2).distinct
@@ -431,13 +452,20 @@ object IndexStore {
     val pbNames = pbs.map(p => s"pb=$p").toSet
     val top = fs.listStatus(rootPath).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
+    val isGenLayout = top.exists(_.startsWith("gen="))
+    require(asOfGen.isEmpty || isGenLayout || top.isEmpty,
+      s"index at $path has the flat one-shot layout — as-of serving " +
+        "needs the generation forest an incremental consolidation lays out")
+    val GenName = "gen=(\\d+)".r
     val leafDirs: Seq[String] =
-      if (top.exists(_.startsWith("gen=")))
-        top.filter(_.startsWith("gen=")).flatMap { g =>
-          fs.listStatus(new org.apache.hadoop.fs.Path(rootPath, g)).toSeq
-            .map(_.getPath.getName).filter(pbNames.contains)
-            .map(pb => s"$path/postings/$g/$pb")
-        }
+      if (isGenLayout)
+        top.collect { case g @ GenName(id)
+            if asOfGen.forall(id.toLong <= _) => g }
+          .flatMap { g =>
+            fs.listStatus(new org.apache.hadoop.fs.Path(rootPath, g)).toSeq
+              .map(_.getPath.getName).filter(pbNames.contains)
+              .map(pb => s"$path/postings/$g/$pb")
+          }
       else top.filter(pbNames.contains).map(pb => s"$path/postings/$pb")
     val scanned = (if (leafDirs.isEmpty)
         Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "tok", "tf", "dl")
@@ -457,35 +485,64 @@ object IndexStore {
     // reclaims space and retires the corrections: stats corrections
     // switch off by the `_purged` stamp, df corrections die naturally
     // because purged docs no longer appear in any scan.
+    // stats base: the grown layout keeps one (n, sumdl) row per
+    // generation (co-keyed with the forest — written by consolidate,
+    // reconciled by rebase), so the serve reading is a sum over a
+    // handful of rows, and the as-of reading the same sum with
+    // gen <= asOf. The flat one-shot layout keeps its single row.
+    val statsBase: DataFrame =
+      if (isGenLayout || top.isEmpty) {
+        if (!graft.streaming.GenForest.hasDataFiles(fsStats, statsRoot))
+          Seq((0L, 0L)).toDF("n", "sumdl")
+        else spark.read.parquet(statsRoot.toString)
+          .filter(asOfGen.map(a => col("gen") <= a).getOrElse(lit(true)))
+          .agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
+            coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"))
+      } else spark.read.parquet(s"$path/stats").drop("pb_mod")
+    // df: the cumulative dict serves LATEST probes; an as-of probe
+    // re-derives df from its own gen-pruned hits (one (doc, tok) row
+    // per posting, so count-per-tok IS df within the snapshot)
+    def dfFromHits(h: DataFrame) =
+      h.groupBy("tok").agg(count(lit(1)).as("df"))
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val (hits, dfT, statsServe) =
-      if (!fs.exists(tombPath))
-        (scanned,
-          spark.read.parquet(s"$path/dict").join(broadcast(tokDf), Seq("tok")),
-          stats.drop("pb_mod"))
-      else {
+      if (!fs.exists(tombPath)) {
+        val df0 =
+          if (asOfGen.isEmpty)
+            spark.read.parquet(s"$path/dict").join(broadcast(tokDf), Seq("tok"))
+          else dfFromHits(scanned)
+        (scanned, df0, statsBase)
+      } else {
         val tombAll = spark.read.parquet(tombPath.toString)
         val tombIds = tombAll.select("doc_id").distinct()
         val alive = scanned.join(broadcast(tombIds), Seq("doc_id"), "left_anti")
-        val deadDf = scanned
-          .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
-          .groupBy("tok").agg(count(lit(1)).as("__df_dead"))
-        val dfCorrected = spark.read.parquet(s"$path/dict")
-          .join(broadcast(tokDf), Seq("tok"))
-          .join(broadcast(deadDf), Seq("tok"), "left")
-          .select(col("tok"),
-            (col("df") - coalesce(col("__df_dead"), lit(0L))).as("df"))
+        val dfCorrected =
+          if (asOfGen.nonEmpty) dfFromHits(alive) // corrections inherent
+          else {
+            val deadDf = scanned
+              .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
+              .groupBy("tok").agg(count(lit(1)).as("__df_dead"))
+            spark.read.parquet(s"$path/dict")
+              .join(broadcast(tokDf), Seq("tok"))
+              .join(broadcast(deadDf), Seq("tok"), "left")
+              .select(col("tok"),
+                (col("df") - coalesce(col("__df_dead"), lit(0L))).as("df"))
+          }
         val purged = graft.core.Markers.read(fs,
           new org.apache.hadoop.fs.Path(s"$path/_purged")).map(_.toLong)
           .getOrElse(-1L)
-        // dedupe multi-batch tombstones of one doc by doc_id (dl is a
-        // property of the doc, so max over non-null readings is exact)
+        // dedupe multi-batch tombstones of one doc by doc_id (dl and
+        // gen are properties of the doc, so max over non-null readings
+        // is exact); an as-of probe scopes the correction to docs its
+        // snapshot actually contains (recorded gen <= asOf)
         val corr = tombAll
           .filter(col("batch_id") > purged && col("dl").isNotNull)
+          .filter(asOfGen.map(a => col("gen").isNotNull && col("gen") <= a)
+            .getOrElse(lit(true)))
           .groupBy("doc_id").agg(max("dl").as("dl"))
           .agg(count(lit(1)).cast("long").as("__n_dead"),
             coalesce(sum("dl"), lit(0L)).cast("long").as("__dl_dead"))
-        val statsCorrected = stats.drop("pb_mod")
+        val statsCorrected = statsBase
           .crossJoin(broadcast(corr))
           .select((col("n") - col("__n_dead")).cast("long").as("n"),
             (col("sumdl") - col("__dl_dead")).cast("long").as("sumdl"))

@@ -40,7 +40,7 @@ object GenForest {
     * nothing else — installing it as a generation would later blow up
     * every whole-forest read with UNABLE_TO_INFER_SCHEMA, so builders
     * check this and skip the install instead. */
-  private[streaming] def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(dir) && fs.listStatus(dir).exists { s =>
       val n = s.getPath.getName
@@ -58,10 +58,22 @@ object GenForest {
     * skips that case (a pure layout fold of one gen is a no-op), but
     * a LOSSY fold — one whose `fold` drops rows, e.g. a tombstone
     * purge — must run regardless of generation count, or a
-    * single-gen index would silently never purge. */
+    * single-gen index would silently never purge.
+    *
+    * `invalidate`: called once a fold is COMMITTED to (after the
+    * early-return checks, before the build), for callers that keep
+    * per-generation sidecar artifacts keyed by gen id. The fold
+    * target reuses `gen=<wm>` — the id of the LAST consolidation's
+    * generation — so a sidecar row under that id would survive the
+    * fold describing the old, smaller content. Deleting sidecars here
+    * (idempotently) is crash-safe on every window: before the `done`
+    * stamp a retry re-invokes it; after the stamp the first attempt
+    * already ran it; and a caller's post-rebase reconcile rebuilds
+    * whatever is missing from the settled forest. */
   def rebase(spark: SparkSession, indexPath: String, forestName: String,
       wm: Long, partitionCols: Seq[String],
-      forceFold: Boolean = false)(
+      forceFold: Boolean = false,
+      invalidate: () => Unit = () => ())(
       fold: DataFrame => DataFrame): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
@@ -96,6 +108,7 @@ object GenForest {
       val gens = numberedDirs(fs, genRoot, GenDir)
       if (gens.isEmpty) return
       if (gens.size == 1 && !forceFold) return // already one generation
+      invalidate()
       // BUILD: one partitioned copy of the whole forest under
       // scratch/gen=<wm>, completeness proven by the stamp write
       if (graft.core.Markers.read(fs, done).isEmpty) {

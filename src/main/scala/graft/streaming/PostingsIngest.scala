@@ -132,10 +132,21 @@ object PostingsIngest {
       if (!GenForest.hasDataFiles(fsOf(spark, forestRoot), forestRoot))
         ids.select(col("doc_id")).distinct()
           .withColumn("dl", lit(null).cast("long"))
-      else ids.select(col("doc_id")).distinct()
-        .join(spark.read.parquet(forestRoot.toString)
-            .select(col("doc_id"), col("dl").cast("long").as("dl")).distinct(),
-          Seq("doc_id"), "left")
+          .withColumn("gen", lit(null).cast("long"))
+      else {
+        val forest = spark.read.parquet(forestRoot.toString)
+        // gen recorded alongside dl so AS-OF serving can scope the
+        // stats correction to docs its snapshot actually contains; a
+        // flat one-shot layout has no gen column (and rejects as-of)
+        val keyed =
+          if (forest.columns.contains("gen"))
+            forest.select(col("doc_id"), col("dl").cast("long").as("dl"),
+              col("gen").cast("long").as("gen"))
+          else forest.select(col("doc_id"), col("dl").cast("long").as("dl"))
+            .withColumn("gen", lit(null).cast("long"))
+        ids.select(col("doc_id")).distinct()
+          .join(keyed.distinct(), Seq("doc_id"), "left")
+      }
     EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
       withDl, batchId)
   }
@@ -145,6 +156,44 @@ object PostingsIngest {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     if (!fsOf(spark, p).exists(p)) None
     else Some(spark.read.parquet(p.toString).select("doc_id"))
+  }
+
+  /** Reconcile the per-generation stats rows with the forest: install
+    * a (n, sumdl) row for every forest gen missing one — derived from
+    * that gen's distinct (doc_id, dl) — then drop rows whose gen no
+    * longer exists (a rebase folded it away). Self-healing over ALL
+    * gens, not just this run's: a crash between a gen install and its
+    * stats row, followed by new batches before the retry, would leave
+    * that gen uncounted forever under a through-keyed form. Install
+    * runs before delete, so a concurrent reader's worst case during a
+    * rebase reconcile is a transient overcount (the old rows' content
+    * equals the new folded row's) — the same read-under-maintenance
+    * window as the dict swap. */
+  private def reconcileStats(spark: SparkSession,
+      idx: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val forestGens = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
+    for ((g, gp) <- forestGens
+        if !fs.exists(new org.apache.hadoop.fs.Path(idx, s"stats/gen=$g"))) {
+      val sscratch = new org.apache.hadoop.fs.Path(idx, ".stats-scratch")
+      if (fs.exists(sscratch)) fs.delete(sscratch, true)
+      spark.read.parquet(gp.toString)
+        .select(col("doc_id"), col("dl").cast("long").as("dl"))
+        .distinct()
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
+        .write.mode("errorifexists").parquet(sscratch.toString)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "stats"))
+      require(fs.rename(sscratch,
+        new org.apache.hadoop.fs.Path(idx, s"stats/gen=$g")),
+        s"failed to install stats generation for gen=$g")
+    }
+    val keep = forestGens.map(_._1).toSet
+    for ((g, p) <- numberedDirs(fs,
+        new org.apache.hadoop.fs.Path(idx, "stats"), GenDir)
+        if !keep.contains(g)) fs.delete(p, true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "stats"))
   }
 
   /** The index's stamped consolidation watermark: every store batch
@@ -317,55 +366,22 @@ object PostingsIngest {
         require(fs.rename(dscratch, dictDir),
           s"failed to install dictionary at $dictDir")
       }
-      // STATS: derived from the FOREST (one (n, sumdl) fold of each
-      // new gen's distinct (doc_id, dl) pairs, added onto the old
-      // reading under the dict's own stamp discipline). The r15 first
-      // cut re-folded the hot store's per-batch rows instead — simpler
-      // and stampless, but the store never learns about tombstones, so
-      // the first consolidation after a purge silently RE-ADDED every
+      // STATS: derived from the FOREST, one (gen, n, sumdl) row per
+      // generation, co-keyed with the forest's gen dirs (a missing
+      // forest gen has no stats row; idempotent retry keys on the
+      // stats gen dir's existence, exactly like the gen build). The
+      // r15 first cut re-folded the hot store's per-batch rows —
+      // simpler, but the store never learns about tombstones, so the
+      // first consolidation after a purge silently RE-ADDED every
       // deleted doc to n/sumdl forever (caught by the total-takedown
-      // spec). Forest derivation keeps one source of truth: encode
-      // skips tombstoned docs, the purge rebuild re-derives from the
-      // purged forest, and this fold only ever sees surviving rows.
+      // spec). Forest derivation keeps one source of truth, and the
+      // per-gen layout is what makes AS-OF serving a sum over rows
+      // with gen <= asOf instead of an unanswerable question.
       // Residual (shared with the purge rebuild): a zero-token doc has
       // no posting rows, so it is invisible to n — it scores zero on
       // every query either way; the drift is idf-only and bounded by
       // the empty-doc count.
-      val statsDir = new org.apache.hadoop.fs.Path(idx, "stats")
-      val statsStamp = new org.apache.hadoop.fs.Path(statsDir, "_through")
-      val statsThrough =
-        graft.core.Markers.read(fs, statsStamp).map(_.toLong).getOrElse(-1L)
-      val statsGens = numberedDirs(fs,
-          new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
-        .filter(_._1 > statsThrough).sortBy(_._1)
-      if (statsThrough < through && (statsGens.nonEmpty || statsThrough < 0)) {
-        import spark.implicits._
-        val newStats =
-          (if (statsGens.isEmpty)
-            Seq.empty[(Long, Long)].toDF("doc_id", "dl")
-          else spark.read.option("basePath", s"$indexPath/postings")
-            .parquet(statsGens.map(_._2.toString): _*)
-            .select(col("doc_id"), col("dl").cast("long").as("dl")))
-            .distinct()
-            .agg(count(lit(1)).cast("long").as("n"),
-              coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
-        val mergedStats =
-          if (statsThrough < 0) newStats
-          else spark.read.parquet(statsDir.toString)
-            .select("n", "sumdl")
-            .unionByName(newStats)
-            .agg(sum("n").cast("long").as("n"),
-              sum("sumdl").cast("long").as("sumdl"))
-        val sscratch = new org.apache.hadoop.fs.Path(idx, ".stats-scratch")
-        if (fs.exists(sscratch)) fs.delete(sscratch, true)
-        mergedStats.withColumn("pb_mod", lit(pbMod))
-          .write.mode("errorifexists").parquet(sscratch.toString)
-        graft.core.Markers.forceWrite(fs,
-          new org.apache.hadoop.fs.Path(sscratch, "_through"), through.toString)
-        if (fs.exists(statsDir)) fs.delete(statsDir, true)
-        require(fs.rename(sscratch, statsDir),
-          s"failed to install stats at $statsDir")
-      }
+      reconcileStats(spark, idx, fs)
       // WATERMARK last — the run's single durable commit point
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_through"), through.toString)
@@ -409,8 +425,18 @@ object PostingsIngest {
     val purged = graft.core.Markers.read(fs,
       new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
     val unpurged = tombBatches.nonEmpty && tombBatches.max > purged
+    // the fold target reuses gen=<wm> — the last consolidation's gen
+    // id — so the per-gen stats rows MUST be invalidated once the fold
+    // commits, or reconcileStats would keep a stale stats/gen=<wm> row
+    // describing only the final consolidation's batches (caught by the
+    // rebase bit-exactness specs). GenForest fires the hook exactly
+    // when a fold will run; reconcileStats below rebuilds from the
+    // settled forest on every path, including crash retries.
     GenForest.rebase(spark, indexPath, forestName = "postings", wm = wm,
-      partitionCols = Seq("pb"), forceFold = unpurged) { forest =>
+      partitionCols = Seq("pb"), forceFold = unpurged,
+      invalidate = () =>
+        fs.delete(new org.apache.hadoop.fs.Path(idx, "stats"), true)
+    ) { forest =>
       val base = forest
         .drop("gen") // pb is re-derived: stable under the stamped mod
         .drop("pb")
@@ -434,14 +460,17 @@ object PostingsIngest {
     // anywhere in here re-runs the whole purge+rebuild on retry; a
     // dict lost mid-swap self-heals exactly as in consolidate (no
     // stamp → full-forest rebuild, and the forest is already purged).
+    // a fold (lossy or not) collapsed generations — the per-gen stats
+    // rows must follow the forest's new shape
+    reconcileStats(spark, idx, fs)
     if (unpurged) {
       // a TOTAL takedown leaves an empty forest root — zero gens, no
-      // readable schema — so both artifacts rebuild from literals
+      // readable schema — so the dict rebuilds from literals
       val forestRoot = new org.apache.hadoop.fs.Path(idx, "postings")
-      val emptyForest = !GenForest.hasDataFiles(fs, forestRoot)
       val forest =
-        if (emptyForest) Seq.empty[(Long, String, Long, Long)]
-          .toDF("doc_id", "tok", "tf", "dl")
+        if (!GenForest.hasDataFiles(fs, forestRoot))
+          Seq.empty[(Long, String, Long, Long)]
+            .toDF("doc_id", "tok", "tf", "dl")
         else spark.read.parquet(forestRoot.toString)
           .select("doc_id", "tok", "tf", "dl")
       val dictDir = new org.apache.hadoop.fs.Path(idx, "dict")
@@ -454,23 +483,6 @@ object PostingsIngest {
       if (fs.exists(dictDir)) fs.delete(dictDir, true)
       require(fs.rename(dscratch, dictDir),
         s"failed to install rebuilt dictionary at $dictDir")
-      // same scratch + stamp + swap as the consolidate phase: a stats
-      // dir without its _through stamp would re-fold every gen on the
-      // next consolidation (double count), and mode-overwrite would
-      // wipe the stamp
-      val statsDir = new org.apache.hadoop.fs.Path(idx, "stats")
-      val sscratch = new org.apache.hadoop.fs.Path(idx, ".stats-scratch")
-      if (fs.exists(sscratch)) fs.delete(sscratch, true)
-      forest.select(col("doc_id"), col("dl").cast("long").as("dl")).distinct()
-        .agg(count(lit(1)).cast("long").as("n"),
-          coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
-        .withColumn("pb_mod", lit(pbMod))
-        .write.mode("errorifexists").parquet(sscratch.toString)
-      graft.core.Markers.forceWrite(fs,
-        new org.apache.hadoop.fs.Path(sscratch, "_through"), wm.toString)
-      if (fs.exists(statsDir)) fs.delete(statsDir, true)
-      require(fs.rename(sscratch, statsDir),
-        s"failed to install rebuilt stats at $statsDir")
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_purged"),
         tombBatches.max.toString)
@@ -525,11 +537,45 @@ object PostingsIngest {
       .orderBy("q_id", "rank")
   }
 
+  /** Gate query (`x_text_bm25_asof`): consolidate one batch covering
+    * doc_id % 3 != 2, record the watermark, grow the index with the
+    * remaining third, then serve a SNAPSHOT pinned to the recorded
+    * watermark. Hash-matching a one-shot oracle over the early corpus
+    * proves the per-generation layout answers as-of questions exactly:
+    * leaf dirs, (n, sumdl) and df are all scoped to gens <= the
+    * snapshot, while the latest read (the grown gate) sees everything. */
+  val asOfGate: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_postings/asof_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    val docs = graft.core.Tables.t(s, dir, "documents")
+    val early = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+    ingestBatch(early, 0L, s"$root/store")
+    consolidate(s, s"$root/store", s"$root/index")
+    val wm0 = consolidatedThrough(s, s"$root/index").get
+    ingestBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 2), 1L,
+      s"$root/store")
+    consolidate(s, s"$root/store", s"$root/index")
+    IndexStore.bm25FromIndex(early, s, s"$root/index",
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+      asOfGen = Some(wm0))
+      .orderBy("q_id", "rank")
+  }
+
+  // NOTE: declared after every gate val it references — a map entry
+  // capturing a val declared below it would capture null (object vals
+  // initialize in declaration order; this bit once).
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("x_text_bm25_grown" -> grownGate)
+    Map("x_text_bm25_grown" -> grownGate,
+      "x_text_bm25_asof" -> asOfGate)
 
   /** Output-identical to the inline gate by construction — shares its
-    * oracle. */
+    * oracle; the as-of row's oracle is the same query over the
+    * snapshot's corpus (queries AND stats both scoped to it). */
   val oracles: Map[String, String] =
-    Map("x_text_bm25_grown" -> Retrieval.oracles("x_text_bm25"))
+    Map("x_text_bm25_grown" -> Retrieval.oracles("x_text_bm25"),
+      "x_text_bm25_asof" -> Retrieval.oracles("x_text_bm25").replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 3 <> 2)"))
 }

@@ -39,14 +39,15 @@ object PostingsIngestProps extends Properties("graft.postings") {
     expr("concat_ws(' ', transform(sequence(0, 11), " +
       "i -> concat('w', pmod(id * 7 + i * 5, 30))))").as("text"))
 
-  private val splitGen: Gen[(Int, List[Int], Boolean)] = for {
+  private val splitGen: Gen[(Int, List[Int], Boolean, Int)] = for {
     nB <- Gen.chooseNum(1, 5)
     assign <- Gen.listOfN(NDocs, Gen.chooseNum(0, nB - 1))
     consolidateEach <- Gen.oneOf(true, false)
-  } yield (nB, assign, consolidateEach)
+    asOfAt <- Gen.chooseNum(0, nB - 1)
+  } yield (nB, assign, consolidateEach, asOfAt)
 
   property("any split + any consolidation schedule serves the one-shot answer") =
-    forAll(splitGen) { case (nB, assign, consolidateEach) =>
+    forAll(splitGen) { case (nB, assign, consolidateEach, asOfAt) =>
       val base = Files.createTempDirectory("postings-prop").toString
       val store = s"$base/store"
       val idx = s"$base/idx"
@@ -66,7 +67,25 @@ object PostingsIngestProps extends Properties("graft.postings") {
         .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
       val oneShot = Retrieval.bm25TopK(docs, nQueries = 4, qLen = 3, k = 5)
         .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
-      served == oneShot &&
+      // per-gen layouts also owe snapshot correctness: an as-of probe
+      // pinned to a RANDOM intermediate watermark must equal a
+      // one-shot over exactly the docs ingested by then — including
+      // empty-prefix (no gens yet) and empty-batch watermarks
+      val asOfOk = !consolidateEach || {
+        val prefixIds = assign.zipWithIndex
+          .collect { case (b, d) if b <= asOfAt => d.toLong }
+        val prefix =
+          if (prefixIds.isEmpty) docs.filter(lit(false))
+          else docs.filter(col("doc_id").isin(prefixIds.map(Long.box): _*))
+        val snap = IndexStore.bm25FromIndex(prefix, spark, idx,
+            nQueries = 4, qLen = 3, k = 5, asOfGen = Some(asOfAt.toLong))
+          .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
+        val snapOneShot = Retrieval.bm25TopK(prefix,
+            nQueries = 4, qLen = 3, k = 5)
+          .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
+        snap == snapOneShot
+      }
+      served == oneShot && asOfOk &&
         PostingsIngest.consolidatedThrough(spark, idx).contains((nB - 1).toLong)
     }
 }

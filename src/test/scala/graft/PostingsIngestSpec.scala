@@ -68,8 +68,14 @@ class PostingsIngestSpec extends SparkSpec {
     val oneShot = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
     assert(served.sameElements(oneShot),
       "consolidated artifact must serve the one-shot answer")
-    // layout: pb directories exist, stamped mod readable
-    assert(spark.read.parquet(s"$idx/stats").select("pb_mod").head().getInt(0) == 8)
+    // layout: pb directories exist, stamped mod readable from the
+    // index-root marker (stats are per-generation rows, no pb_mod col)
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val idxFs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.core.Markers.read(idxFs,
+      new org.apache.hadoop.fs.Path(idxPath, "_pb_mod")).get.toInt == 8)
+    assert(spark.read.parquet(s"$idx/stats").columns.contains("gen"),
+      "grown-layout stats must be keyed by generation for as-of serving")
     assert(spark.read.parquet(s"$idx/postings").select("pb").distinct().count() > 1,
       "consolidation must produce the token-partitioned layout")
   }
@@ -354,6 +360,56 @@ class PostingsIngestSpec extends SparkSpec {
     val oneShot = Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()
     assert(served.sameElements(oneShot),
       "maintenance cycles must preserve the one-shot answer bit-exactly")
+  }
+
+  test("as-of serving answers exactly as the index did at that " +
+      "watermark — stats, df, and takedowns all scoped to the snapshot") {
+    import spark.implicits._
+    val store = tmp("pstore-asof")
+    val idx = tmp("pidx-asof")
+    val early = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+    for (b <- 0L until 2L)
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b, store)
+    PostingsIngest.consolidate(spark, store, idx)
+    val wm0 = PostingsIngest.consolidatedThrough(spark, idx).get
+    PostingsIngest.ingestBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, store)
+    PostingsIngest.consolidate(spark, store, idx)
+    // the snapshot answers bit-exactly as a one-shot over the early
+    // corpus: leaf dirs, df, and (n, sumdl) all scoped by gen
+    val asOf = IndexStore.bm25FromIndex(early, spark, idx,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+        asOfGen = Some(wm0))
+      .orderBy("q_id", "rank").collect()
+    val oneShotEarly = Retrieval.bm25TopK(early)
+      .orderBy("q_id", "rank").collect()
+    assert(asOf.sameElements(oneShotEarly),
+      "as-of must serve the exact one-shot answer over the snapshot corpus")
+    // the latest read is unaffected
+    val latest = IndexStore.bm25FromIndex(docs, spark, idx,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect()
+    assert(latest.sameElements(
+      Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()))
+    // a takedown of an early doc reaches the snapshot too (no
+    // resurrection), and the corrected snapshot stays bit-exact
+    val victim = asOf.map(_.getLong(1)).find(_ >= Retrieval.NQueries).get
+    PostingsIngest.tombstoneDocs(Seq(victim).toDF("doc_id"), 0L, idx)
+    val earlyAlive = early.filter(col("doc_id") =!= victim)
+    val asOfAlive = IndexStore.bm25FromIndex(earlyAlive, spark, idx,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+        asOfGen = Some(wm0))
+      .orderBy("q_id", "rank").collect()
+    assert(asOfAlive.sameElements(
+      Retrieval.bm25TopK(earlyAlive).orderBy("q_id", "rank").collect()),
+      "the snapshot must exclude the takedown and stay bit-exact")
+    // rebase collapses history: the horizon moves to the fold point
+    PostingsIngest.rebase(spark, idx)
+    assert(IndexStore.bm25FromIndex(earlyAlive, spark, idx,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+        asOfGen = Some(wm0)).count() == 0,
+      "an asOf older than the oldest retained gen sees an empty snapshot")
   }
 
   test("streaming ingest through foreachBatch grows the searchable corpus") {
