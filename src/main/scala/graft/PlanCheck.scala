@@ -71,7 +71,11 @@ object PlanCheck {
         // RM3's second pass must show the same shape twice
         "x_text_bm25", "x_text_bm25_indexed", "x_text_bm25_rm3",
         "x_text_hybrid_rrf", "x_graph_ppr",
-        "x_text_bm25_grown", "x_sim_ann_grown")
+        "x_text_bm25_grown", "x_sim_ann_grown",
+        // r15: as-of snapshot probe — same static-pruned shape as the
+        // grown probe, df re-derived from the gen-pruned hits (one
+        // extra partial agg, still broadcast-only joins)
+        "x_text_bm25_asof")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -113,6 +113,10 @@ class Round15Spec extends SparkSpec {
     val store = tmp("r15-pstore")
     val qterms = Retrieval.queryTermsLocal(docs)
     graft.streaming.PostingsIngest.ingestBatch(docs, 0L, store)
+    val idxAsof = tmp("r15-pidx")
+    graft.streaming.PostingsIngest.consolidate(spark, store, idxAsof)
+    val wm = graft.streaming.PostingsIngest
+      .consolidatedThrough(spark, idxAsof)
     val frames = Seq(
       "inline" -> Retrieval.bm25TopK(docs),
       "rm3" -> Retrieval.bm25Rm3(docs),
@@ -120,7 +124,13 @@ class Round15Spec extends SparkSpec {
         .bm25FromStore(spark, store, qterms),
       "hybrid" -> Retrieval.hybridRrf(docs, emb),
       "hybrid_ann" -> Retrieval.hybridRrfAnn(docs, emb, spark,
-        tmp("r15-ivfpq")))
+        tmp("r15-ivfpq")),
+      // the as-of probe re-derives df from its own gen-pruned hits —
+      // that extra partial agg must not cost the probe its
+      // broadcast-only join discipline
+      "asof_index" -> IndexStore.bm25FromIndex(docs, spark, idxAsof,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+        asOfGen = wm))
     for ((name, df) <- frames) {
       val smjs = df.queryExecution.sparkPlan.collect {
         case j: SortMergeJoinExec => j
