@@ -971,6 +971,18 @@ object Soak {
         IndexStore.bm25FromIndex(docs, spark, s"$base/idx_incr",
           Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
           qtermsIn = Some(qts)) }
+      // as-of at HALF the history: a snapshot probe lists only
+      // gen<=3 leaf dirs, so it must cost no more than the latest
+      // probe (same plan over fewer dirs, plus one partial agg to
+      // re-derive snapshot df from the already-pruned hits) — the
+      // "reproduce last week's eval" read is cheap BY construction,
+      // not by a second index copy
+      val earlyDocs = docs.filter(pmod(col("doc_id"), lit(nB)) < 4)
+      val qtsE = Retrieval.queryTermsLocal(earlyDocs)
+      time("consolidation_probe_asof4of8") {
+        IndexStore.bm25FromIndex(earlyDocs, spark, s"$base/idx_incr",
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+          qtermsIn = Some(qtsE), asOfGen = Some(3L)) }
       val tR = System.nanoTime()
       PostingsIngest.rebase(spark, s"$base/idx_incr")
       println(f"SOAK consol_rebase            ${(System.nanoTime() - tR) / 1e9}%8.2f s")
