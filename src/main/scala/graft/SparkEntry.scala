@@ -50,7 +50,8 @@ object SparkEntry {
       Profile.queries, Retrieval.queries,
       graft.streaming.Compaction.queries,
       graft.streaming.PostingsIngest.queries,
-      graft.streaming.AnnIngest.queries))
+      graft.streaming.AnnIngest.queries,
+      graft.streaming.DedupIngest.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashes are not
@@ -65,5 +66,6 @@ object SparkEntry {
       Profile.oracles, Retrieval.oracles,
       graft.streaming.Compaction.oracles,
       graft.streaming.PostingsIngest.oracles,
-      graft.streaming.AnnIngest.oracles))
+      graft.streaming.AnnIngest.oracles,
+      graft.streaming.DedupIngest.oracles))
 }

@@ -410,8 +410,14 @@ object Dedup {
     * archive. Output equals [[minhashLshIncremental]] (same bands,
     * same exact-Jaccard verification); IndexStoreSpec checks it. */
   def minhashLshIncrementalIndexed(newDocs: DataFrame, corpusDocs: DataFrame,
-      corpusBands: DataFrame, minJaccard: Double): DataFrame = {
-    val newBands = minhashBands(newDocs)
+      corpusBands: DataFrame, minJaccard: Double,
+      newBandsIn: Option[DataFrame] = None): DataFrame = {
+    // `newBandsIn`: a pre-computed (doc_id, band, bh) frame for the
+    // new batch — the qtermsIn discipline: a caller that already
+    // banded the batch (e.g. to prune a grown index's partitions,
+    // [[graft.streaming.DedupIngest]]) must not pay the signatures
+    // twice
+    val newBands = newBandsIn.getOrElse(minhashBands(newDocs))
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     // candidate pairs feed the semi-join prune AND the verification
     // join — pin the (tiny) frame rather than probing the index twice

@@ -1,0 +1,353 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Growing MinHash band store — dedup-on-ingest, the third index the
+  * grow/consolidate/serve discipline covers (lexical postings via
+  * [[PostingsIngest]], dense codes via [[AnnIngest]], near-dup bands
+  * here). The daily-crawl shape: each arriving batch is (a) checked
+  * for near-duplicates AGAINST everything ingested before it and
+  * (b) added to the index, without ever re-shingling or re-signing
+  * the corpus — [[graft.operators.Dedup.minhashLshIncrementalIndexed]]
+  * supplied the probe; this module makes its corpus-bands side a
+  * store that grows forever and honors takedowns.
+  *
+  * Relation to [[DocIngest]]: DocIngest is the STREAMING loop (match
+  * each micro-batch, persist pairs/docs/bands, replay-safe
+  * self-exclusion) over a flat `batch_id=` band forest — its own doc
+  * names the scale gap: the probe "partition-prunes nothing today".
+  * This module is that missing index side: consolidation into a
+  * pbh-partitioned generation forest, statically-pruned probes,
+  * tombstones, rebase. A DocIngest-shaped pipeline whose corpus has
+  * outgrown flat scans points its probe here.
+  *
+  * Layout (the [[PostingsIngest]] discipline end to end):
+  *   - hot store `path/bands/batch_id=<id>/` — (doc_id, band, bh)
+  *     minhash band rows per micro-batch through the exactly-once
+  *     [[EventStreams.idempotentParquetSink]] (replays overwrite only
+  *     themselves); [[Compaction.compact]] may fold it below the
+  *     index watermark, never past it;
+  *   - `indexPath/bands/gen=<through>/pbh=<p>/` — the band forest:
+  *     each consolidation folds ONLY store batches newer than the
+  *     stamped watermark into one new generation (floor =
+  *     max(watermark, max gen on disk) closes the crashed-watermark
+  *     window), partitioned by `pbh = xxhash64(band, bh) mod M`
+  *     stamped once at `_pbh_mod`;
+  *   - `indexPath/tombstones/batch_id=<id>/` — permanent takedowns:
+  *     hidden from candidate generation at serve immediately, skipped
+  *     at consolidate, physically purged at rebase (`_purged` stamp
+  *     retires the forced fold, the [[PostingsIngest]] contract).
+  *
+  * Serving prunes STATICALLY like the postings probe, with one
+  * difference forced by the workload: a BM25 query's terms are
+  * quantizer-sized so its pb set is computed driver-side with zero
+  * jobs, but a dedup probe's "query" is the whole new BATCH — its
+  * band hashes are not driver-enumerable. The pruning set is instead
+  * one tiny Spark job whose OUTPUT is bounded by the modulus (a
+  * distinct over pbh values, ≤ M rows regardless of batch size):
+  * small daily batches touch few partitions and skip most of the
+  * index at planning time; a batch so large it covers every pbh is
+  * comparable to the corpus, where a full scan is inherent.
+  *
+  * At 100 TB: the index holds fixed-width band rows (≈ nBands × 16
+  * bytes per doc), not text; candidate generation is an equi-join on
+  * (band, bh) against only the pruned partitions; verification joins
+  * back to corpus TEXT only for the candidate set (semi-join-pruned,
+  * O(candidates) — the incremental-indexed contract). Nothing here
+  * collects anything unbounded: the pruning job's result is ≤ M ints.
+  *
+  * Reference provenance: extends PharmacoDI's drop_duplicates joins
+  * (PharmacoDI/scripts/join_pset_tables.py:31-38) to the continuous-
+  * ingest regime the reference never needed.
+  */
+object DedupIngest {
+
+  /** One micro-batch step: band the batch and land it exactly-once.
+    * Banding is the map-side work (shingle → sign → band per doc);
+    * doing it at ingest means consolidation never touches text. */
+  def ingestBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    EventStreams.idempotentParquetSink(s"$path/bands")(
+      Dedup.minhashBands(batch), batchId)
+
+  def start(docStream: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, path))
+      .start()
+
+  private val BatchDir = "batch_id=(\\d+)".r
+  private val GenDir = "gen=(\\d+)".r
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def numberedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      pat: scala.util.matching.Regex): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case pat(id) if s.isDirectory => Some(id.toLong -> s.getPath)
+        case _                        => None
+      }
+    }
+
+  private def pbhCol(mod: Int) =
+    pmod(xxhash64(col("band"), col("bh")), lit(mod.toLong)).cast("int")
+
+  /** Permanent takedown of doc_ids: a deleted doc must stop MATCHING —
+    * new near-copies of it should be admitted, not suppressed as dups
+    * of content that no longer exists. Three layers, the
+    * [[AnnIngest.tombstone]] contract: hidden from candidate
+    * generation at serve immediately, skipped at consolidate,
+    * physically purged at rebase. The set is an operational takedown
+    * list (bounded by requests), so the serve anti-join broadcasts. */
+  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+    EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
+      ids.select(col("doc_id")), batchId)
+
+  private def tombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    if (!fsOf(spark, p).exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+  }
+
+  private def tombstoneState(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path): (Option[Long], Boolean) = {
+    val maxBatch = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir)
+      .map(_._1).maxOption
+    val purged = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
+    (maxBatch, maxBatch.exists(_ > purged))
+  }
+
+  /** The index's stamped consolidation watermark: every store batch
+    * with `batch_id <= through` is already folded into the forest. */
+  def consolidatedThrough(spark: SparkSession, indexPath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_through")
+    graft.core.Markers.read(fsOf(spark, p), p).map(_.toLong)
+  }
+
+  /** Offline maintenance, INCREMENTAL: fold only store batches newer
+    * than the stamped watermark into one new `gen=` generation of the
+    * pbh-partitioned band forest. Same claim / floor-guard /
+    * scratch+rename / watermark-last discipline as
+    * [[PostingsIngest.consolidate]] — no dictionary and no stats here
+    * (bands carry no corpus-level statistics), so the phase list is
+    * shorter: gen build, watermark. */
+  def consolidate(spark: SparkSession, path: String, indexPath: String,
+      pbhMod: Int = 64): Unit = {
+    import spark.implicits._
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val batches = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/bands"), BatchDir)
+    if (batches.isEmpty) return
+    val through = batches.map(_._1).max
+    val prev = consolidatedThrough(spark, indexPath).getOrElse(-1L)
+    if (through <= prev) return
+    val genRoot = new org.apache.hadoop.fs.Path(idx, "bands")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
+        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
+      s"index at $indexPath has rebase recovery state pending — run " +
+        "DedupIngest.rebase to settle it before consolidating")
+    val maxGen = numberedDirs(fs, genRoot, GenDir)
+      .map(_._1).maxOption.getOrElse(-1L)
+    val floor = math.max(prev, maxGen)
+    val newBatches = batches.filter(_._1 > floor).sortBy(_._1)
+
+    fs.mkdirs(idx)
+    val modMarker = new org.apache.hadoop.fs.Path(idx, "_pbh_mod")
+    if (!graft.core.Markers.tryCreate(fs, modMarker, pbhMod.toString)) {
+      val stamped = graft.core.Markers.read(fs, modMarker).get.toInt
+      require(stamped == pbhMod,
+        s"index at $indexPath was built with pbh_mod=$stamped; an " +
+          s"incremental run cannot switch to $pbhMod — rebuild the index")
+    }
+    val runId = java.util.UUID.randomUUID().toString
+    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim, s"$runId\n$through"))
+      throw new IllegalStateException(
+        s"index $indexPath already has a consolidation in flight (or a " +
+          "dead one's marker) — if no consolidator is live, delete " +
+          s"$claim and re-run (every phase is idempotent)")
+    try {
+      val genDir = new org.apache.hadoop.fs.Path(idx, s"bands/gen=$through")
+      if (newBatches.nonEmpty && !fs.exists(genDir)) {
+        val bands = spark.read.option("basePath", s"$path/bands")
+          .parquet(newBatches.map(_._2.toString): _*)
+          .select("doc_id", "band", "bh")
+        val alive = tombstones(spark, indexPath) match {
+          case Some(t) => bands.join(broadcast(t), Seq("doc_id"), "left_anti")
+          case None    => bands
+        }
+        val scratch = new org.apache.hadoop.fs.Path(idx, ".bands-scratch")
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        alive.withColumn("pbh", pbhCol(pbhMod))
+          .write.mode("errorifexists").partitionBy("pbh")
+          .parquet(scratch.toString)
+        // the tombstone skip can empty a NONEMPTY batch — an
+        // all-marker gen dir must not be installed
+        if (!GenForest.hasDataFiles(fs, scratch)) fs.delete(scratch, true)
+        else {
+          fs.mkdirs(genRoot)
+          require(fs.rename(scratch, genDir),
+            s"failed to install consolidated generation at $genDir")
+        }
+      }
+      fs.mkdirs(genRoot)
+      // WATERMARK last — the run's single durable commit point
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(idx, "_through"), through.toString)
+    } finally {
+      fs.delete(claim, false)
+    }
+  }
+
+  /** Major compaction via the shared [[GenForest]] skeleton: fold the
+    * band forest to one generation; a purge (unpurged tombstones) is
+    * the forced lossy fold, stamped afterward so the permanent set
+    * never re-forces. No per-gen sidecar artifacts exist here, so no
+    * `invalidate` hook is needed. */
+  def rebase(spark: SparkSession, indexPath: String): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val wm = consolidatedThrough(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexPath has no consolidation watermark — nothing to rebase"))
+    val pbhMod = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_pbh_mod")).get.toInt
+    val tombs = tombstones(spark, indexPath)
+    val (maxTomb, unpurged) = tombstoneState(fs, idx)
+    GenForest.rebase(spark, indexPath, forestName = "bands", wm = wm,
+        partitionCols = Seq("pbh"), forceFold = unpurged) { forest =>
+      val base = forest.drop("gen").drop("pbh")
+      val alive = tombs match {
+        case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None    => base
+      }
+      alive.withColumn("pbh", pbhCol(pbhMod))
+    }
+    // stamp AFTER the fold lands — a crash in between re-folds on
+    // retry, never the reverse
+    if (unpurged)
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(idx, "_purged"), maxTomb.get.toString)
+  }
+
+  /** The grown index's corpus-bands side, pruned to the partitions the
+    * NEW batch's bands can possibly match. The pruning set is one tiny
+    * job with modulus-bounded output (≤ pbh_mod ints — see the object
+    * doc); the scan then lists only the pruned `gen=/pbh=` leaf dirs
+    * explicitly and keeps the isin as defense in depth (the
+    * [[graft.operators.IndexStore.bm25FromIndex]] probe shape).
+    * Tombstoned docs are anti-joined out — a deleted doc never
+    * generates a candidate from the commit moment. An unconsolidated
+    * index serves the empty frame with the contract schema. */
+  def corpusBandsFromIndex(spark: SparkSession, indexPath: String,
+      newBands: DataFrame): DataFrame = {
+    import spark.implicits._
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val empty = Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bh")
+    val modMarker = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_pbh_mod"))
+    if (modMarker.isEmpty) return empty
+    val pbhMod = modMarker.get.toInt
+    val pbs = newBands
+      .select(pbhCol(pbhMod).as("pbh")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val rootPath = new org.apache.hadoop.fs.Path(idx, "bands")
+    if (!fs.exists(rootPath)) return empty
+    val pbhNames = pbs.map(p => s"pbh=$p").toSet
+    val leafDirs = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap { g =>
+        fs.listStatus(g.getPath).toSeq
+          .map(_.getPath.getName).filter(pbhNames.contains)
+          .map(pbh => s"$indexPath/bands/${g.getPath.getName}/$pbh")
+      }
+    if (leafDirs.isEmpty) return empty
+    val scanned = spark.read.option("basePath", s"$indexPath/bands")
+      .parquet(leafDirs: _*)
+      .filter(col("pbh").isin(pbs: _*))
+      .select("doc_id", "band", "bh")
+    tombstones(spark, indexPath) match {
+      case Some(t) => scanned.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => scanned
+    }
+  }
+
+  /** Dedup-on-ingest: near-dup pairs between a NEW batch and the grown
+    * corpus index. Bands computed once and pinned — they feed the
+    * pruning job, the candidate join, and nothing else (`newBandsIn`).
+    * `corpusDocs` supplies TEXT for exact-Jaccard verification only,
+    * semi-join-pruned to the candidate set (O(candidates), never
+    * O(corpus)). Output contract = [[Dedup.minhashLshIncremental]]:
+    * (new_id, corpus_id, jaccard). */
+  def dedupAgainstIndex(newDocs: DataFrame, corpusDocs: DataFrame,
+      spark: SparkSession, indexPath: String,
+      minJaccard: Double): DataFrame = {
+    val newBands = graft.core.Materialize.pin(Dedup.minhashBands(newDocs))
+    val corpusBands = corpusBandsFromIndex(spark, indexPath, newBands)
+    Dedup.minhashLshIncrementalIndexed(newDocs, corpusDocs, corpusBands,
+      minJaccard, newBandsIn = Some(newBands))
+  }
+
+  /** One-call maintenance runbook (the [[PostingsIngest.maintain]]
+    * twin): consolidate, rebase on gen-count or unpurged tombstones,
+    * compact the hot store below the watermark. */
+  def maintain(spark: SparkSession, path: String, indexPath: String,
+      rebaseAtGens: Int = 8): Unit = {
+    consolidate(spark, path, indexPath)
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val gens = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "bands"), GenDir).size
+    if (gens > rebaseAtGens || tombstoneState(fs, idx)._2)
+      rebase(spark, indexPath)
+    consolidatedThrough(spark, indexPath).foreach { wm =>
+      Compaction.compact(spark, s"$path/bands", safeBelow = wm + 1)
+    }
+  }
+
+  // ---- driver gate row ------------------------------------------------
+
+  /** Gate query (`x_dedup_incremental_grown`): grow the corpus band
+    * index in two batches, consolidate, and run the new-batch dedup
+    * through the grown index — hash-matching the inline incremental
+    * oracle proves the grow → consolidate → prune → verify cycle lost
+    * and duplicated nothing. Fresh store per call, the
+    * [[PostingsIngest.grownGate]] honesty discipline. */
+  val grownGate: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_dedupstore/gate_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    val docs = graft.core.Tables.t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") >= 10)
+    ingestBatch(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), 0L,
+      s"$root/store")
+    ingestBatch(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), 1L,
+      s"$root/store")
+    consolidate(s, s"$root/store", s"$root/index")
+    dedupAgainstIndex(docs.filter(col("doc_id") < 10), corpus,
+      s, s"$root/index", 0.5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("x_dedup_incremental_grown" -> grownGate)
+
+  /** Output-identical to the inline incremental row by construction —
+    * shares its oracle. */
+  val oracles: Map[String, String] =
+    Map("x_dedup_incremental_grown" -> Dedup.oracles("x_dedup_incremental"))
+}
