@@ -32,12 +32,14 @@ import org.apache.spark.sql.types._
   * At 100 TB: state lives entirely in parquet (no streaming state
   * store — the query is stateless), the per-batch broadcast is
   * batch-sized, and the index probe is an equi-join on (band, bh)
-  * that partition-prunes nothing today but can bucket the index store
-  * by `bh` when the corpus outgrows a shuffle-free scan. Compaction
-  * of the `batch_id=` partition forest (thousands of small files
-  * after months of batches) is an offline concern:
-  * `spark.read.parquet(store).repartition(n).write` on a schedule,
-  * exactly like any streaming-sink table maintenance.
+  * over the flat `batch_id=` band forest — it partition-prunes
+  * nothing, which is fine while the corpus fits a shuffle-free scan.
+  * When it outgrows one, the probe's grown replacement EXISTS:
+  * [[DedupIngest]] consolidates bands into a pbh-partitioned
+  * generation forest with statically-pruned probes, tombstones, and
+  * rebase (DedupIngestSpec pins the streaming dedup-on-ingest loop
+  * end-to-end against it). Compaction of this module's `batch_id=`
+  * forest is the usual offline concern (`Compaction.compact`).
   */
 object DocIngest {
 

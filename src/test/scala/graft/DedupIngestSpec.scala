@@ -143,6 +143,54 @@ class DedupIngestSpec extends SparkSpec {
       "takedown is permanent — a re-ingested dead id must not match")
   }
 
+  test("streaming dedup-on-ingest: each batch matches only what came before") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EventStreams, GenForest}
+    val store = tmp("dstream")
+    val idx = tmp("dstream-idx")
+    val docsDir = tmp("dstream-docs")
+    val pairsDir = tmp("dstream-pairs")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(docsDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val input = MemoryStream[(Long, String)]
+    // the DocIngest loop over the GROWN index: probe against
+    // everything ingested BEFORE this batch, persist the verified
+    // pairs, then join the index — all through idempotent batch sinks
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", tmp("dstream-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val corpusSoFar =
+          if (GenForest.hasDataFiles(fs, new org.apache.hadoop.fs.Path(docsDir)))
+            spark.read.parquet(docsDir).select("doc_id", "text")
+          else emptyDocs
+        val pairs = DedupIngest.dedupAgainstIndex(
+          batch, corpusSoFar, spark, idx, MinJ)
+        EventStreams.idempotentParquetSink(pairsDir)(pairs, batchId)
+        EventStreams.idempotentParquetSink(docsDir)(batch, batchId)
+        DedupIngest.ingestBatch(batch, batchId, store)
+        DedupIngest.consolidate(spark, store, idx)
+      }
+      .start()
+    try {
+      input.addData((1L, "a b c d e f"), (2L, "z y x w v u"))
+      q.processAllAvailable()
+      input.addData((3L, "a b c d e f"))
+      q.processAllAvailable()
+      input.addData((4L, "a b c d e g"), (5L, "m n o p q r"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(pairsDir)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 duplicates doc 1 (j=1.0); doc 4 shares 3 of 5 shingles
+    // with both (j=0.6); docs 2 and 5 match nothing; batch-internal
+    // pairs are not the probe's job (doc 1 vs 2 arrived together)
+    assert(got == Set((3L, 1L), (4L, 1L), (4L, 3L)),
+      s"streamed pair set wrong: $got")
+  }
+
   test("maintain runs the runbook and an unconsolidated index serves empty") {
     val store = tmp("dstore5")
     val idx = tmp("didx5")
