@@ -992,6 +992,42 @@ object Soak {
           qtermsIn = Some(qts)) }
     }
 
+    // Growing MinHash band store: the claim under measurement is the
+    // probe shape — a SMALL daily batch against a LARGE grown index
+    // should scan only its pruned pbh partitions, vs the flat
+    // DocIngest-shape probe that scans every band row ever ingested.
+    // pbhMod here is sized for the pruning demonstration (a 20-doc
+    // batch = 160 band rows over mod 1024 touches ~15% of dirs); a
+    // production sizing balances that against file counts exactly as
+    // pbModForPostings does one store over.
+    if (want("dedupconsolidation")) {
+      import graft.streaming.DedupIngest
+      import graft.operators.Dedup
+      val base = java.nio.file.Files.createTempDirectory("soak_dedupconsol").toString
+      val nB = 8
+      val store = s"$base/store"
+      val tI = System.nanoTime()
+      for (b <- 0 until nB)
+        DedupIngest.ingestBatch(
+          docs.filter(pmod(col("doc_id"), lit(nB)) === b), b, store)
+      println(f"SOAK dedupconsol_ingest_8     ${(System.nanoTime() - tI) / 1e9}%8.2f s (banding $nDocs docs)")
+      val tC = System.nanoTime()
+      DedupIngest.consolidate(spark, store, s"$base/idx", pbhMod = 1024)
+      println(f"SOAK dedupconsol_fold         ${(System.nanoTime() - tC) / 1e9}%8.2f s")
+      // the daily batch: 20 unseen doc ids whose text repeats corpus
+      // docs 0-9, so every probe doc has at least one true near-dup
+      val newDocs = spark.range(20).select(
+        (col("id") + nDocs).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 39), " +
+          "i -> concat('w', pmod((id % 10) * 31 + i * 17, 2000))))").as("text"))
+      time("dedupconsol_probe_pruned") {
+        DedupIngest.dedupAgainstIndex(newDocs, docs, spark, s"$base/idx", 0.5) }
+      time("dedupconsol_probe_flat") {
+        Dedup.minhashLshIncrementalIndexed(newDocs, docs,
+          spark.read.parquet(s"$store/bands").select("doc_id", "band", "bh"),
+          0.5) }
+    }
+
     // Growing IVFADC store at corpus scale: the dense twin of the
     // consolidation leg. Claims measured: (a) incremental encode cost
     // tracks NEW batch size, not index size; (b) the probe is leaf-

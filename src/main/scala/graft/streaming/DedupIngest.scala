@@ -190,7 +190,13 @@ object DedupIngest {
         }
         val scratch = new org.apache.hadoop.fs.Path(idx, ".bands-scratch")
         if (fs.exists(scratch)) fs.delete(scratch, true)
+        // repartition by the partition key first: ONE file per pbh dir
+        // instead of one per (dir x shuffle partition). Band rows are
+        // 20 bytes — without this, mod 1024 writes ~32k near-empty
+        // files per gen (measured: the fold alone cost 56.0 s at 8M
+        // band rows; 4.8 s after — the soak dedupconsol leg)
         alive.withColumn("pbh", pbhCol(pbhMod))
+          .repartition(col("pbh"))
           .write.mode("errorifexists").partitionBy("pbh")
           .parquet(scratch.toString)
         // the tombstone skip can empty a NONEMPTY batch — an
@@ -233,7 +239,8 @@ object DedupIngest {
         case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
         case None    => base
       }
-      alive.withColumn("pbh", pbhCol(pbhMod))
+      // one file per pbh dir — same reasoning as the consolidate write
+      alive.withColumn("pbh", pbhCol(pbhMod)).repartition(col("pbh"))
     }
     // stamp AFTER the fold lands — a crash in between re-folds on
     // retry, never the reverse
