@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.operators.{IndexStore, Retrieval, Similarity}
-import graft.streaming.{AnnIngest, PostingsIngest}
+import graft.streaming.{AnnIngest, DedupIngest, PostingsIngest}
 
 /** The full production retrieval shape with BOTH legs grown: a BM25
   * postings store and an IVFADC vector store, each grown from batch
@@ -95,5 +95,21 @@ class GrownRetrievalSpec extends SparkSpec {
     assert(fusedAfter.filter(col("doc_id") === victim).count() == 0,
       "a cross-store takedown must be invisible to the fused ranking")
     assert(fusedAfter.count() > 0)
+
+    // the SAME takedown reaches the third grown index: the dead doc
+    // stops MATCHING as a near-dup candidate, so a fresh copy of its
+    // content is ADMITTED rather than suppressed as a duplicate of
+    // something that no longer exists — the full deletion path in one
+    // motion (retrieval can't find it, dedup can't cite it)
+    val droot = tmp("hyb-dedup")
+    DedupIngest.ingestBatch(docs, 0L, s"$droot/store")
+    DedupIngest.consolidate(spark, s"$droot/store", s"$droot/index")
+    DedupIngest.tombstoneDocs(Seq(victim).toDF("doc_id"), 0L, s"$droot/index")
+    val freshCopy = docs.filter(col("doc_id") === victim)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val pairs = DedupIngest.dedupAgainstIndex(
+      freshCopy, docs, spark, s"$droot/index", 0.5)
+    assert(pairs.filter(col("corpus_id") === victim).isEmpty,
+      "a taken-down doc must never be cited as the duplicate of new content")
   }
 }
