@@ -112,4 +112,51 @@ class GrownRetrievalSpec extends SparkSpec {
     assert(pairs.filter(col("corpus_id") === victim).isEmpty,
       "a taken-down doc must never be cited as the duplicate of new content")
   }
+
+  test("as-of hybrid: both legs pinned to one watermark reproduce the " +
+      "eval exactly as it ran then, with no future leakage") {
+    val proot = tmp("asof-postings")
+    val aroot = tmp("asof-ann")
+    val earlyDocs = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+    val earlyEmb = emb.filter(pmod(col("vec_id"), lit(3)) =!= 2)
+    val k = Retrieval.K
+    val nQ = Retrieval.NQueries
+    // phase 1: the early corpus lands in both stores
+    PostingsIngest.ingestBatch(earlyDocs, 0L, s"$proot/store")
+    PostingsIngest.consolidate(spark, s"$proot/store", s"$proot/index")
+    val lexWm = PostingsIngest.consolidatedThrough(spark, s"$proot/index").get
+    AnnIngest.ingestBatch(earlyEmb, 0L, s"$aroot/store")
+    AnnIngest.consolidate(spark, s"$aroot/store", s"$aroot/index", pqIters = 1)
+    val denseWm = AnnIngest.consolidatedThrough(spark, s"$aroot/index").get
+    def lex(asOf: Option[Long]) =
+      IndexStore.bm25FromIndex(earlyDocs, spark, s"$proot/index",
+          nQ, Retrieval.QueryLen, k, asOfGen = asOf)
+        .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    def dense(asOf: Option[Long]) =
+      AnnIngest.searchGrown(earlyEmb, spark, s"$aroot/index",
+          nQueries = nQ, k = k, asOfGen = asOf)
+        .select(col("query_id").as("q_id"),
+          col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    // the eval AS IT RAN at the watermark — captured before any growth
+    val atTheTime = Retrieval.rrfFuse(lex(None), dense(None), k)
+      .select("q_id", "doc_id", "rank").orderBy("q_id", "rank").collect()
+    // phase 2: the rest of the corpus arrives in both stores
+    PostingsIngest.ingestBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 1L, s"$proot/store")
+    PostingsIngest.consolidate(spark, s"$proot/store", s"$proot/index")
+    AnnIngest.ingestBatch(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 2), 1L, s"$aroot/store")
+    AnnIngest.consolidate(spark, s"$aroot/store", s"$aroot/index", pqIters = 1)
+    // reproduce last week's eval: both legs pinned to their watermark
+    val reproduced = Retrieval.rrfFuse(lex(Some(lexWm)), dense(Some(denseWm)), k)
+      .select("q_id", "doc_id", "rank").orderBy("q_id", "rank").collect()
+    assert(reproduced.sameElements(atTheTime),
+      "the as-of fusion must be bit-equal to the eval as it ran at the watermark")
+    // no future leakage: every fused doc existed at the snapshot
+    val earlyIds = earlyDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reproduced.forall(r => earlyIds(r.getLong(1))),
+      "a snapshot eval must never surface a doc ingested after the watermark")
+    // the latest read meanwhile serves the grown corpus
+    assert(Retrieval.rrfFuse(lex(None), dense(None), k).count() > 0)
+  }
 }
