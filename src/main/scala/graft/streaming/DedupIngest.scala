@@ -100,6 +100,24 @@ object DedupIngest {
   private def pbhCol(mod: Int) =
     pmod(xxhash64(col("band"), col("bh")), lit(mod.toLong)).cast("int")
 
+  /** Size pbh_mod for an expected index population — the
+    * [[graft.operators.IndexStore.pbModForPostings]] rule applied to
+    * band rows (docs × nBands of them, ~20 bytes each): target ~1M
+    * rows per directory, power-of-two, floor 64 so small-batch probes
+    * prune even on gate-scale corpora, cap 4096 (the object-store
+    * listing bill — probes list leaf dirs explicitly, but a rebase
+    * still rewrites every dir). Pruning wins exactly when a batch's
+    * bands cover a small fraction of the modulus space; the soak leg
+    * records the read-set arithmetic. */
+  def pbhModForBands(expectedBandRows: Long): Int = {
+    require(expectedBandRows > 0,
+      s"expectedBandRows must be positive (got $expectedBandRows)")
+    val RowsPerDir = 1000000L
+    val dirs = (expectedBandRows + RowsPerDir - 1) / RowsPerDir
+    val pow = 64 - java.lang.Long.numberOfLeadingZeros((dirs - 1).max(0))
+    1 << pow.max(6).min(12)
+  }
+
   /** Permanent takedown of doc_ids: a deleted doc must stop MATCHING —
     * new near-copies of it should be admitted, not suppressed as dups
     * of content that no longer exists. Three layers, the

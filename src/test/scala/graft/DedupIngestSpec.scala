@@ -191,6 +191,16 @@ class DedupIngestSpec extends SparkSpec {
       s"streamed pair set wrong: $got")
   }
 
+  test("pbhModForBands scales with the index, not the batch") {
+    assert(DedupIngest.pbhModForBands(1000L) == 64, "gate floor")
+    assert(DedupIngest.pbhModForBands(8L * 1000 * 1000) == 64,
+      "1M docs x 8 bands still sits at the floor (~1M rows/dir)")
+    assert(DedupIngest.pbhModForBands(512L * 1000 * 1000) == 512)
+    assert(DedupIngest.pbhModForBands(Long.MaxValue / 4) == 4096,
+      "listing-bill cap")
+    intercept[IllegalArgumentException](DedupIngest.pbhModForBands(0))
+  }
+
   test("maintain runs the runbook and an unconsolidated index serves empty") {
     val store = tmp("dstore5")
     val idx = tmp("didx5")
