@@ -798,6 +798,62 @@ object Dedup {
     *
     * @param onRoundComplete test/ops hook invoked after round r is
     *   durably committed (failure injection, progress reporting). */
+  /** INCREMENTAL connected components: merge a batch of NEW edges
+    * into an existing (doc_id, label) map without re-clustering the
+    * archive — the maintenance move that keeps continuous dedup
+    * ([[graft.streaming.DedupIngest]]'s verified pairs arriving
+    * forever) from paying a corpus-wide label propagation per batch.
+    *
+    * The algebra that makes it exact: [[canonicalClusters]] labels
+    * are min-node-per-component, and the min of a union is the min
+    * over the parts' minima — so CC over (old ∪ new) edges equals CC
+    * run on the LABEL GRAPH (each new edge projected to its
+    * endpoints' current labels) remapped over the old assignment.
+    * The iterative propagation therefore touches a graph bounded by
+    * |newPairs|, never the corpus; the corpus-sized work is ONE
+    * equi-join to look up endpoint labels and ONE broadcast patch of
+    * the changed labels (both single-pass, no iteration). The
+    * label→newLabel mapping is bounded by 2·|newPairs| rows — the
+    * broadcast is batch-sized by construction, documented here as
+    * the bound's call site.
+    *
+    * Contract: `labels` must be a min-label (doc_id, canonical_id)
+    * assignment (produced by [[canonicalClusters]],
+    * [[canonicalClustersResumable]], or this function); output is the
+    * full updated assignment, identical to
+    * `canonicalClusters(oldPairs ∪ newPairs)` row for row. Nodes
+    * appearing only in `newPairs` enter with themselves as label,
+    * exactly as a fresh CC would seed them. */
+  def clustersIncremental(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val endpoints = newPairs.select(col("doc_a").as("doc_id"))
+      .union(newPairs.select(col("doc_b")))
+      .distinct()
+    // current label per endpoint; unseen nodes label themselves
+    val endpointLabels = endpoints.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    // the label graph: one edge per new pair, projected to labels
+    val labelEdges = newPairs
+      .join(endpointLabels.select(col("doc_id").as("doc_a"),
+        col("canonical_id").as("__la")), Seq("doc_a"))
+      .join(endpointLabels.select(col("doc_id").as("doc_b"),
+        col("canonical_id").as("__lb")), Seq("doc_b"))
+      .select(col("__la").as("doc_a"), col("__lb").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // tiny CC over the label graph → old-label → merged-min mapping
+    val mapping = canonicalClusters(labelEdges)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("canonical_id"),
+        col("canonical_id").as("__new"))
+    def remap(df: DataFrame): DataFrame =
+      df.join(broadcast(mapping), Seq("canonical_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__new"), col("canonical_id")).as("canonical_id"))
+    remap(labels)
+      .unionByName(remap(endpointLabels
+        .join(labels, Seq("doc_id"), "left_anti")))
+  }
+
   def canonicalClustersResumable(pairs: DataFrame, workDir: String,
       onRoundComplete: Int => Unit = _ => (),
       cleanupOnSuccess: Boolean = true,
@@ -902,6 +958,24 @@ object Dedup {
       jaccardPairs(shingles(t(s, dir, "documents")), 0.5,
         maxDf = Some(GateMaxDf)))
       .orderBy("doc_id")
+
+  /** Gate query for the INCREMENTAL flow: cluster 90% of the pair
+    * set (the archive), then merge the remaining 10% (the day's
+    * batch) through [[clustersIncremental]] — the realistic
+    * maintenance ratio, and the min-label algebra makes the result
+    * identical to one-shot CC over all pairs, so this row shares the
+    * recursive-CTE oracle. The pair frame is pinned once (both
+    * slices and nothing else read it). */
+  val dedupClustersIncremental: Q = (s, dir) => {
+    val pairs = graft.core.Materialize.pin(
+      jaccardPairs(shingles(t(s, dir, "documents")), 0.5,
+        maxDf = Some(GateMaxDf)))
+    val slice = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(10))
+    clustersIncremental(
+      canonicalClusters(pairs.filter(slice =!= 9)),
+      pairs.filter(slice === 9))
+      .orderBy("doc_id")
+  }
 
   /** Gate query for the RESUMABLE flow: the same cluster map as
     * [[dedupClusters]] computed through the parquet-per-round workDir
@@ -1147,6 +1221,7 @@ object Dedup {
     "x_dedup_incremental" -> dedupIncremental,
     "x_dedup_incremental_indexed" -> dedupIncrementalIndexed,
     "x_dedup_clusters" -> dedupClusters,
+    "x_dedup_clusters_incremental" -> dedupClustersIncremental,
     "x_dedup_clusters_resumable" -> dedupClustersResumable,
     "x_dedup_keep_best" -> dedupKeepBest,
     "x_dedup_exact" -> dedupExact,
@@ -1240,6 +1315,7 @@ object Dedup {
     "x_dedup_incremental" -> incrementalOracle,
     "x_dedup_incremental_indexed" -> incrementalOracle,
     "x_dedup_clusters" -> clustersOracle,
+    "x_dedup_clusters_incremental" -> clustersOracle,
     // durable-path twin: identical deterministic cluster map
     "x_dedup_clusters_resumable" -> clustersOracle,
     "x_dedup_keep_best" ->

@@ -319,6 +319,52 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(banded == expectedPairs && banded.nonEmpty)
   }
+
+  test("clustersIncremental merges new edges exactly as a full recompute") {
+    import spark.implicits._
+    // a chain 1-2-3, a separate pair 5-6, and a bridge arriving later
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val labels0 = Dedup.canonicalClusters(oldPairs)
+    // the new batch BRIDGES the two components (3-5), extends one
+    // (6-7), and opens a fresh one (10-11)
+    val newPairs = Seq((3L, 5L), (6L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersIncremental(labels0, newPairs)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.canonicalClusters(oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toSet
+    assert(got == full,
+      "incremental merge must equal one-shot CC over all edges")
+    assert(got.contains((7L, 1L)) && got.contains((11L, 10L)),
+      "the bridge must pull both old components to the global min")
+    // merging an empty batch is the identity
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clustersIncremental(labels0, empty)
+      .as[(Long, Long)].collect().toSet ==
+      labels0.as[(Long, Long)].collect().toSet)
+    // merging into an empty map is a fresh CC
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "canonical_id")
+    assert(Dedup.clustersIncremental(emptyLabels, newPairs)
+      .as[(Long, Long)].collect().toSet ==
+      Dedup.canonicalClusters(newPairs).as[(Long, Long)].collect().toSet)
+  }
+
+  test("clustersIncremental equals full CC under random edge splits") {
+    import spark.implicits._
+    // ring + chords topology: merges cascade across many components
+    val edges = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      Seq((0L, 20L), (5L, 35L), (10L, 30L))
+    val full = Dedup.canonicalClusters(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val (first, rest) = edges.partition(_ => rnd.nextBoolean())
+      val labels0 = Dedup.canonicalClusters(first.toDF("doc_a", "doc_b"))
+      val got = Dedup.clustersIncremental(
+        labels0, rest.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == full, s"seed $seed: incremental != full recompute")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -399,4 +445,5 @@ class SimilaritySpec extends SparkSpec {
     val recall = ann.map(r => (r._1, r._2)).toSet.intersect(brute).size / brute.size.toDouble
     assert(recall >= 0.5, s"recall $recall below 0.5")
   }
+
 }
