@@ -992,6 +992,28 @@ object Soak {
           qtermsIn = Some(qts)) }
     }
 
+    // Incremental connected components: the claim under measurement
+    // is "label maintenance is bounded by the batch, not the archive".
+    // Archive = 10-node chain components over the whole corpus; batch
+    // = bridge edges merging component pairs. The archive's labels are
+    // prebuilt OUTSIDE the timed window (in production they exist on
+    // disk); the merge is timed against re-running CC over every edge.
+    if (want("incrcc")) {
+      import graft.operators.Dedup
+      val chain = spark.range(nDocs)
+        .filter(pmod(col("id"), lit(10)) =!= 9)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val bridges = spark.range(nDocs / 100).select(
+        (col("id") * 100).as("doc_a"), (col("id") * 100 + 55).as("doc_b"))
+      time("incrcc_full_recluster") {
+        Dedup.canonicalClusters(chain.unionByName(bridges)) }
+      val labels0 = graft.core.Materialize.pin(
+        Dedup.canonicalClusters(chain))
+      labels0.count() // force — archive labels are the precondition
+      time("incrcc_merge_batch") {
+        Dedup.clustersIncremental(labels0, bridges) }
+    }
+
     // Growing MinHash band store: the claim under measurement is the
     // probe shape — a SMALL daily batch against a LARGE grown index
     // should scan only its pruned pbh partitions, vs the flat
