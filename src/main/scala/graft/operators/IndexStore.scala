@@ -68,6 +68,27 @@ object IndexStore {
     once(s"edge|$path|$minJaccard|$maxDf")(
       buildEdgeIndex(docs, path, minJaccard, maxDf))
 
+  /** Archive cluster labels — the 90% slice of the verified edge list
+    * clustered once and persisted, the production shape incremental
+    * clustering maintains: yesterday's (doc_id, canonical_id)
+    * assignment already exists on disk, and today's work is ONLY the
+    * label-lookup join plus a batch-bounded CC over the new pairs
+    * ([[Dedup.clustersIncremental]]). Built from the shared edge
+    * artifact, so one bench/verify run derives the similarity graph
+    * once for the five graph gates AND this one. */
+  def buildClusterLabels(spark: SparkSession, edgePath: String,
+      path: String): Unit =
+    Dedup.canonicalClusters(
+      loadEdgeIndex(spark, edgePath)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        .filter(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(10)) =!= 9))
+      .write.mode("overwrite").parquet(path)
+
+  def ensureClusterLabels(spark: SparkSession, edgePath: String,
+      path: String): Unit =
+    once(s"cclabels|$edgePath|$path")(
+      buildClusterLabels(spark, edgePath, path))
+
   /** Build-once variants for the ANN artifact gates — the same per-JVM
     * memoization contract as [[ensureEdgeIndex]]: one bench/verify run
     * pays each index build exactly once (production shape: index once,
@@ -394,20 +415,22 @@ object IndexStore {
     * time under either parquet reader (the IVFADC move; RetrievalSpec
     * asserts the PartitionFilters). The dictionary supplies df, so
     * output is identical to [[Retrieval.bm25TopK]] by construction. */
-  /** `asOfGen`: pin the probe to generations `<= asOfGen` — snapshot
-    * serving on the grown layout (each gen id is the watermark that
-    * produced it). Needs three as-of readings, all cheap under the
-    * per-generation layouts: leaf dirs filter by gen id, (n, sumdl)
-    * sums the stats rows with gen <= asOf, and df is re-derived from
-    * the probe's own gen-pruned alive hits (count of (doc, tok) rows
-    * per tok — exact, because postings hold one row per doc-tok). The
-    * cumulative dict is only used for LATEST serves. Takedowns apply
-    * under as-of too (a snapshot must not resurrect a deleted doc):
-    * the stats correction scopes itself to tombstones whose recorded
-    * gen is inside the snapshot. Flat one-shot layouts reject as-of.
-    * Horizon: rebase COLLAPSES history to the fold point (it is a
-    * compaction, not a version store) — an asOfGen older than the
-    * oldest retained generation sees an empty snapshot. */
+  /** `asOfGen`: pin the probe to SOURCE generations `<= asOfGen` —
+    * snapshot serving on the grown layout (each src gen id is the
+    * consolidation watermark that produced it). All three as-of
+    * readings are folds over per-src-gen artifacts: leaf dirs filter
+    * by their `_gens` markers' src sets (plus a row-level `src_gen`
+    * filter inside rebase-folded dirs), (n, sumdl) sums the stats
+    * rows with gen <= asOf, and df sums the dict DELTAS with gen <=
+    * asOf — the same dictionary fold the latest path runs, so an
+    * as-of probe re-derives nothing from postings (the r15 serving
+    * asymmetry, closed). Takedowns apply under as-of too (a snapshot
+    * must not resurrect a deleted doc): corrections scope themselves
+    * to tombstones whose recorded src gen is inside the snapshot AND
+    * whose batch postdates that gen's sidecar cutoff. Flat one-shot
+    * layouts reject as-of. Horizon: NONE — a rebase fold preserves
+    * row-level src gens and the sidecars are keyed by them, so
+    * snapshots older than a fold point still serve exactly. */
   def bm25FromIndex(docs: DataFrame, spark: SparkSession, path: String,
       nQueries: Int, qLen: Int, k: Int,
       maxDf: Option[Long] = None,
@@ -457,23 +480,40 @@ object IndexStore {
       s"index at $path has the flat one-shot layout — as-of serving " +
         "needs the generation forest an incremental consolidation lays out")
     val GenName = "gen=(\\d+)".r
+    // A dir is in-snapshot iff ANY of its SOURCE generations is — its
+    // `_gens` marker survives rebase folds, so a folded base dir still
+    // serves snapshots older than the fold point (rows then filter by
+    // the src_gen data column). Latest probes take every dir.
     val leafDirs: Seq[String] =
       if (isGenLayout)
-        top.collect { case g @ GenName(id)
-            if asOfGen.forall(id.toLong <= _) => g }
-          .flatMap { g =>
+        top.collect { case g @ GenName(id) => (id.toLong, g) }
+          .filter { case (id, g) =>
+            asOfGen.forall(a => graft.streaming.GenForest.readGensMarker(
+              fs, new org.apache.hadoop.fs.Path(rootPath, g), id)
+              .keys.exists(_ <= a))
+          }
+          .flatMap { case (_, g) =>
             fs.listStatus(new org.apache.hadoop.fs.Path(rootPath, g)).toSeq
               .map(_.getPath.getName).filter(pbNames.contains)
               .map(pb => s"$path/postings/$g/$pb")
           }
       else top.filter(pbNames.contains).map(pb => s"$path/postings/$pb")
-    val scanned = (if (leafDirs.isEmpty)
-        Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "tok", "tf", "dl")
-      else spark.read.option("basePath", s"$path/postings")
-        .parquet(leafDirs: _*)
-        .filter(col("pb").isin(pbs: _*))
-        .join(broadcast(tokDf), Seq("tok"))
-        .select("doc_id", "tok", "tf", "dl"))
+    val scanned0 = (if (leafDirs.isEmpty)
+        Seq.empty[(Long, String, Long, Long, Long)]
+          .toDF("doc_id", "tok", "tf", "dl", "src_gen")
+      else {
+        val raw = spark.read.option("basePath", s"$path/postings")
+          .parquet(leafDirs: _*)
+          .filter(col("pb").isin(pbs: _*))
+          .join(broadcast(tokDf), Seq("tok"))
+        // flat one-shot layouts have no src_gen (and reject as-of)
+        if (isGenLayout)
+          raw.select("doc_id", "tok", "tf", "dl", "src_gen")
+        else raw.select(col("doc_id"), col("tok"), col("tf"), col("dl"),
+          lit(null).cast("long").as("src_gen"))
+      })
+    val scanned = asOfGen.map(a => scanned0.filter(col("src_gen") <= a))
+      .getOrElse(scanned0)
     // Takedowns ([[graft.streaming.PostingsIngest.tombstoneDocs]]) are
     // ZERO-DRIFT at serve time: deleted docs are (1) hidden from the
     // hits, (2) subtracted from each query term's df — the dead hits
@@ -481,73 +521,146 @@ object IndexStore {
     // correction costs no extra read — and (3) subtracted from
     // (n, sumdl) via the dl each tombstone batch recorded at commit
     // time. Every serve is bit-equal to a one-shot BM25 over the
-    // surviving corpus (spec-pinned); the purging rebase then merely
-    // reclaims space and retires the corrections: stats corrections
-    // switch off by the `_purged` stamp, df corrections die naturally
-    // because purged docs no longer appear in any scan.
-    // stats base: the grown layout keeps one (n, sumdl) row per
-    // generation (co-keyed with the forest — written by consolidate,
-    // reconciled by rebase), so the serve reading is a sum over a
-    // handful of rows, and the as-of reading the same sum with
-    // gen <= asOf. The flat one-shot layout keeps its single row.
-    val statsBase: DataFrame =
-      if (isGenLayout || top.isEmpty) {
-        if (!graft.streaming.GenForest.hasDataFiles(fsStats, statsRoot))
-          Seq((0L, 0L)).toDF("n", "sumdl")
+    // surviving corpus (spec-pinned). Corrections RETIRE via the
+    // cutoff each sidecar row carries (`purged_through`): a tombstone
+    // corrects a doc iff its batch postdates the cutoff of the doc's
+    // src gen, so whichever sidecar version a reader catches mid-
+    // purge, content + corrections always compose to the purged
+    // answer — the maintenance window cannot serve a mixed state.
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (isGenLayout) {
+      // SIDECARS, per src gen: stats rows (gen, n, sumdl,
+      // purged_through) and dict deltas (gen, tok, df, purged_through)
+      // — both folds scoped by gen <= asOf, so latest and as-of serve
+      // through ONE code path. A data-bearing forest with an empty
+      // sidecar is a crashed purge awaiting its retry: serving would
+      // be silently wrong (zero stats), so refuse loudly instead
+      // (r15 ADVICE).
+      val dictRoot = new org.apache.hadoop.fs.Path(s"$path/dict")
+      val forestHasData =
+        graft.streaming.GenForest.hasDataFiles(fs, rootPath)
+      require(!forestHasData ||
+        (graft.streaming.GenForest.hasDataFiles(fsStats, statsRoot) &&
+          graft.streaming.GenForest.hasDataFiles(fsStats, dictRoot)),
+        s"index at $path has postings data but empty stats/dict " +
+          "sidecars — a purging rebase crashed mid-rebuild; re-run " +
+          "PostingsIngest.rebase to settle it (its reconcile pass " +
+          "rebuilds every missing sidecar generation)")
+      val statsRows =
+        if (!forestHasData) Seq.empty[(Long, Long, Long, Long)]
+          .toDF("gen", "n", "sumdl", "purged_through")
         else spark.read.parquet(statsRoot.toString)
           .filter(asOfGen.map(a => col("gen") <= a).getOrElse(lit(true)))
-          .agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
-            coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"))
-      } else spark.read.parquet(s"$path/stats").drop("pb_mod")
-    // df: the cumulative dict serves LATEST probes; an as-of probe
-    // re-derives df from its own gen-pruned hits (one (doc, tok) row
-    // per posting, so count-per-tok IS df within the snapshot)
-    def dfFromHits(h: DataFrame) =
-      h.groupBy("tok").agg(count(lit(1)).as("df"))
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val (hits, dfT, statsServe) =
-      if (!fs.exists(tombPath)) {
-        val df0 =
-          if (asOfGen.isEmpty)
-            spark.read.parquet(s"$path/dict").join(broadcast(tokDf), Seq("tok"))
-          else dfFromHits(scanned)
-        (scanned, df0, statsBase)
-      } else {
-        val tombAll = spark.read.parquet(tombPath.toString)
-        val tombIds = tombAll.select("doc_id").distinct()
-        val alive = scanned.join(broadcast(tombIds), Seq("doc_id"), "left_anti")
-        val dfCorrected =
-          if (asOfGen.nonEmpty) dfFromHits(alive) // corrections inherent
-          else {
-            val deadDf = scanned
-              .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
-              .groupBy("tok").agg(count(lit(1)).as("__df_dead"))
-            spark.read.parquet(s"$path/dict")
+          .select(col("gen").cast("long").as("gen"), col("n"),
+            col("sumdl"), col("purged_through"))
+      val dictRows =
+        if (!forestHasData) Seq.empty[(Long, String, Long, Long)]
+          .toDF("gen", "tok", "df", "purged_through")
+        else spark.read.parquet(dictRoot.toString)
+          .join(broadcast(tokDf), Seq("tok"))
+          .filter(asOfGen.map(a => col("gen") <= a).getOrElse(lit(true)))
+          .select(col("gen").cast("long").as("gen"), col("tok"),
+            col("df"), col("purged_through"))
+      val statsBase = statsRows
+        .agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
+          coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"))
+      val dfBase = dictRows.groupBy("tok").agg(sum("df").as("df"))
+      val (hits, dfT, statsServe) =
+        if (!fs.exists(tombPath))
+          (scanned.drop("src_gen"), dfBase, statsBase)
+        else {
+          val tombAll = spark.read.parquet(tombPath.toString)
+          val tombIds = tombAll.select("doc_id").distinct()
+          val alive = scanned
+            .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+            .drop("src_gen")
+          // one correction row per dead doc: tb = its FIRST takedown
+          // batch (corrections apply iff tb postdates its gen's
+          // cutoff); dl/gen recorded at commit time, max over
+          // non-null readings is exact (properties of the doc). A
+          // NULL gen means the doc never entered the forest (encode
+          // skipped it) — nothing to correct.
+          val tombMeta = tombAll.filter(col("dl").isNotNull)
+            .groupBy("doc_id")
+            .agg(min("batch_id").as("tb"), max("dl").as("dl"),
+              max("gen").as("tgen"))
+          // df: dead hits still physically present, not yet reflected
+          // in their gen's dict cutoff — the dict row for (gen, tok)
+          // exists whenever a dead hit does (the doc posted the tok)
+          val deadDf = scanned
+            .join(broadcast(tombMeta.select(col("doc_id"), col("tb"))),
+              Seq("doc_id"))
+            .join(broadcast(dictRows.select(col("gen").as("src_gen"),
+              col("tok"), col("purged_through"))), Seq("src_gen", "tok"))
+            .filter(col("tb") > col("purged_through"))
+            .groupBy("tok").agg(count(lit(1)).as("__df_dead"))
+          val dfCorrected = dfBase
+            .join(broadcast(deadDf), Seq("tok"), "left")
+            .select(col("tok"),
+              (col("df") - coalesce(col("__df_dead"), lit(0L))).as("df"))
+          val cutoffs = statsRows
+            .select(col("gen").as("tgen"), col("purged_through"))
+          val corr = tombMeta
+            .filter(col("tgen").isNotNull)
+            .filter(asOfGen.map(a => col("tgen") <= a).getOrElse(lit(true)))
+            .join(broadcast(cutoffs), Seq("tgen"))
+            .filter(col("tb") > col("purged_through"))
+            .agg(count(lit(1)).cast("long").as("__n_dead"),
+              coalesce(sum("dl"), lit(0L)).cast("long").as("__dl_dead"))
+          val statsCorrected = statsBase
+            .crossJoin(broadcast(corr))
+            .select((col("n") - col("__n_dead")).cast("long").as("n"),
+              (col("sumdl") - col("__dl_dead")).cast("long").as("sumdl"))
+          (alive, dfCorrected, statsCorrected)
+        }
+      Retrieval.bm25Rank(hits, dfT, qterms, statsServe, k, maxDf)
+    } else {
+      // FLAT one-shot layout: single cumulative dict + one-row stats;
+      // takedowns correct df from the probe's own dead hits and stats
+      // from the recorded dl rows, cut off by the global `_purged`
+      // stamp (no generations to key a finer cutoff by)
+      val statsBase: DataFrame =
+        if (top.isEmpty) Seq((0L, 0L)).toDF("n", "sumdl")
+        else spark.read.parquet(s"$path/stats").drop("pb_mod")
+      val (hits, dfT, statsServe) =
+        // an EMPTY forest root (total takedown, or consolidated-but-
+        // all-idle) has nothing to hit and possibly no readable dict —
+        // corrections are moot when the hit set is empty by layout
+        if (!fs.exists(tombPath) || top.isEmpty) {
+          val df0 =
+            if (top.isEmpty) Seq.empty[(String, Long)].toDF("tok", "df")
+            else spark.read.parquet(s"$path/dict")
               .join(broadcast(tokDf), Seq("tok"))
-              .join(broadcast(deadDf), Seq("tok"), "left")
-              .select(col("tok"),
-                (col("df") - coalesce(col("__df_dead"), lit(0L))).as("df"))
-          }
-        val purged = graft.core.Markers.read(fs,
-          new org.apache.hadoop.fs.Path(s"$path/_purged")).map(_.toLong)
-          .getOrElse(-1L)
-        // dedupe multi-batch tombstones of one doc by doc_id (dl and
-        // gen are properties of the doc, so max over non-null readings
-        // is exact); an as-of probe scopes the correction to docs its
-        // snapshot actually contains (recorded gen <= asOf)
-        val corr = tombAll
-          .filter(col("batch_id") > purged && col("dl").isNotNull)
-          .filter(asOfGen.map(a => col("gen").isNotNull && col("gen") <= a)
-            .getOrElse(lit(true)))
-          .groupBy("doc_id").agg(max("dl").as("dl"))
-          .agg(count(lit(1)).cast("long").as("__n_dead"),
-            coalesce(sum("dl"), lit(0L)).cast("long").as("__dl_dead"))
-        val statsCorrected = statsBase
-          .crossJoin(broadcast(corr))
-          .select((col("n") - col("__n_dead")).cast("long").as("n"),
-            (col("sumdl") - col("__dl_dead")).cast("long").as("sumdl"))
-        (alive, dfCorrected, statsCorrected)
-      }
-    Retrieval.bm25Rank(hits, dfT, qterms, statsServe, k, maxDf)
+          (scanned.drop("src_gen"), df0, statsBase)
+        } else {
+          val tombAll = spark.read.parquet(tombPath.toString)
+          val tombIds = tombAll.select("doc_id").distinct()
+          val alive = scanned
+            .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+            .drop("src_gen")
+          val deadDf = scanned
+            .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
+            .groupBy("tok").agg(count(lit(1)).as("__df_dead"))
+          val dfCorrected = spark.read.parquet(s"$path/dict")
+            .join(broadcast(tokDf), Seq("tok"))
+            .join(broadcast(deadDf), Seq("tok"), "left")
+            .select(col("tok"),
+              (col("df") - coalesce(col("__df_dead"), lit(0L))).as("df"))
+          val purged = graft.core.Markers.read(fs,
+            new org.apache.hadoop.fs.Path(s"$path/_purged")).map(_.toLong)
+            .getOrElse(-1L)
+          val corr = tombAll
+            .filter(col("batch_id") > purged && col("dl").isNotNull)
+            .groupBy("doc_id").agg(max("dl").as("dl"))
+            .agg(count(lit(1)).cast("long").as("__n_dead"),
+              coalesce(sum("dl"), lit(0L)).cast("long").as("__dl_dead"))
+          val statsCorrected = statsBase
+            .crossJoin(broadcast(corr))
+            .select((col("n") - col("__n_dead")).cast("long").as("n"),
+              (col("sumdl") - col("__dl_dead")).cast("long").as("sumdl"))
+          (alive, dfCorrected, statsCorrected)
+        }
+      Retrieval.bm25Rank(hits, dfT, qterms, statsServe, k, maxDf)
+    }
   }
 }

@@ -94,6 +94,9 @@ object Relational {
     * distributed regexp projection. */
   val s8FileListing: Q = (s, dir) => {
     import s.implicits._
+    // driver-side String sort: determinism of the literal frame only —
+    // row order is settled by the engine-side orderBy below, and the
+    // names are ASCII file names (r16 UTF-16-divergence audit: benign)
     val names = new java.io.File(dir).list().toSeq.filter(_.endsWith(".parquet")).sorted
     names.toDF("file_name")
       .select(regexp_replace(col("file_name"), "\\.parquet$", "").as("table_name"))

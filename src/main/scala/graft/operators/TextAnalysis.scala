@@ -87,6 +87,13 @@ object TextAnalysis {
     }
     // argmax with alphabetical tiebreak: first profile (sorted) that is
     // >= all later ones wins.
+    // DRIVER-SIDE STRING SORT (working rule, r15 canary): Java sorts
+    // compare UTF-16 code units and diverge from the engine's UTF-8
+    // byte order on non-BMP strings. Safe HERE because profile names
+    // are caller-supplied ASCII identifiers and the tiebreak is
+    // self-consistent (the same sorted list defines both sides of any
+    // compare); a profile set with non-ASCII names must sort by UTF-8
+    // BYTES (compare getBytes(UTF_8) lexicographically) instead.
     val sorted = profiles.map(_._1).sorted
     val predicted = sorted.init.zipWithIndex.foldRight(lit(sorted.last)) {
       case ((name, i), elseCol) =>

@@ -274,12 +274,18 @@ object AnnIngest {
         if (fs.exists(scratch)) fs.delete(scratch, true)
         Similarity.pqEncode(resid, books)
           .join(assigned, Seq("vec_id"))
+          // row-level source identity: survives rebase folds so as-of
+          // reads older than a fold point still serve exactly
+          .withColumn("src_gen", lit(through))
           .write.mode("errorifexists").partitionBy("cell")
           .parquet(scratch.toString)
         // the tombstone skip can empty a NONEMPTY batch — an
         // all-marker gen dir must not be installed
         if (!GenForest.hasDataFiles(fs, scratch)) fs.delete(scratch, true)
         else {
+          GenForest.writeGensMarker(fs, scratch, Map(through ->
+            numberedDirs(fs, new org.apache.hadoop.fs.Path(idx, "tombstones"),
+              BatchDir).map(_._1).maxOption.getOrElse(-1L)))
           fs.mkdirs(genRoot)
           require(fs.rename(scratch, genDir),
             s"failed to install consolidated generation at $genDir")
@@ -316,8 +322,9 @@ object AnnIngest {
     // forest forever against a permanent (never-shrinking) set
     val (maxTomb, unpurged) = tombstoneState(fs, idx)
     GenForest.rebase(spark, indexPath, forestName = "index", wm = wm,
-      partitionCols = Seq("cell"), forceFold = unpurged) { forest =>
-      val base = forest.drop("gen")
+      partitionCols = Seq("cell"), forceFold = unpurged,
+      foldCutoff = if (unpurged) maxTomb else None) { forest =>
+      val base = forest.drop("gen") // src_gen (data column) rides through
       tombs match {
         case Some(t) => base.join(broadcast(t), Seq("vec_id"), "left_anti")
         case None    => base
@@ -375,13 +382,14 @@ object AnnIngest {
     * postings store's freshness contract; callers needing read-your-
     * writes run consolidate first (cost bounded by the new batches).
     *
-    * `asOfGen`: pin the read to generations `<= asOfGen` — snapshot
-    * serving while a consolidation lands concurrently (each gen id is
-    * the watermark that produced it, so as-of-watermark IS as-of-gen).
-    * Free here because the codes forest carries no cross-generation
-    * aggregate; the BM25 index's dict/stats are CUMULATIVE through the
-    * latest watermark, so an as-of probe there would also need df/
-    * stats as-of — not offered until something needs it. */
+    * `asOfGen`: pin the read to SOURCE generations `<= asOfGen` —
+    * snapshot serving (each src gen id is the consolidation watermark
+    * that produced it, so as-of-watermark IS as-of-gen). Cheap here
+    * because the codes forest carries no cross-generation aggregate:
+    * leaf dirs filter by their `_gens` markers' src sets, plus a
+    * row-level `src_gen` filter inside rebase-folded dirs — so
+    * snapshots older than a fold point still serve exactly (the same
+    * no-horizon contract as the BM25 twin's per-gen sidecars). */
   def searchGrown(emb: DataFrame, spark: SparkSession, indexPath: String,
       nQueries: Int, k: Int, nProbe: Int = 2,
       asOfGen: Option[Long] = None): DataFrame = {
@@ -394,7 +402,8 @@ object AnnIngest {
     val leafDirs: Seq[String] =
       if (!fs.exists(rootPath)) Seq.empty
       else numberedDirs(fs, rootPath, GenDir)
-        .filter { case (g, _) => asOfGen.forall(g <= _) }
+        .filter { case (g, gp) => asOfGen.forall(a =>
+          GenForest.readGensMarker(fs, gp, g).keys.exists(_ <= a)) }
         .flatMap { case (_, gp) =>
           fs.listStatus(gp).toSeq
             .map(_.getPath.getName).filter(cellNames.contains)
@@ -405,6 +414,7 @@ object AnnIngest {
         .toDF("query_id", "neighbor_id", "rank")
     val scanned = spark.read.option("basePath", s"$indexPath/index")
       .parquet(leafDirs: _*)
+      .filter(asOfGen.map(a => col("src_gen") <= a).getOrElse(lit(true)))
       .select(col("vec_id"), col("cell"), col("codes"))
     // takedowns are hidden at serve time, even under asOfGen — a
     // snapshot read must not resurrect a deleted vector

@@ -227,6 +227,11 @@ object DedupIngest {
         }
       }
       fs.mkdirs(genRoot)
+      // forest size stamp: the probe's flat-vs-pruned decision input
+      // (one recursive listing, priced at maintenance, never at probe)
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(idx, "_bytes"),
+        fs.getContentSummary(genRoot).getLength.toString)
       // WATERMARK last — the run's single durable commit point
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_through"), through.toString)
@@ -265,19 +270,47 @@ object DedupIngest {
     if (unpurged)
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_purged"), maxTomb.get.toString)
+    // refresh the probe's size stamp: the fold changed the forest
+    graft.core.Markers.forceWrite(fs,
+      new org.apache.hadoop.fs.Path(idx, "_bytes"),
+      fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(idx, "bands")).getLength.toString)
   }
 
+  /** Saved-bytes break-even for the probe's explicit leaf-dir
+    * enumeration: below this, the whole-root scan (one recursive
+    * listing, Catalyst partition pruning on the isin) matches or beats
+    * the driver-side per-leaf enumeration — the r15 soak measured the
+    * pruned probe LOSING ~1 s to the flat scan at an 8M-band-row
+    * (~hundred-MB) index even with a 9.6× smaller read set, because
+    * per-leaf listing/opens are a constant the saved bytes must buy
+    * back. 256 MB places the switch just above that measured
+    * break-even; the probe takes the pruned shape only when it
+    * predicts at least this much unread data. */
+  val FlatScanBelowSavedBytes: Long = 256L << 20
+
   /** The grown index's corpus-bands side, pruned to the partitions the
-    * NEW batch's bands can possibly match. The pruning set is one tiny
-    * job with modulus-bounded output (≤ pbh_mod ints — see the object
-    * doc); the scan then lists only the pruned `gen=/pbh=` leaf dirs
-    * explicitly and keeps the isin as defense in depth (the
-    * [[graft.operators.IndexStore.bm25FromIndex]] probe shape).
+    * NEW batch's bands can possibly match — ADAPTIVELY. The pruning
+    * set is one tiny job with modulus-bounded output (≤ pbh_mod ints —
+    * see the object doc); the probe then predicts its read-set saving
+    * as stampedIndexBytes × (1 − coveredDirs/pbh_mod) and picks the
+    * scan shape: explicit `gen=/pbh=` leaf-dir enumeration (file
+    * discovery O(query dirs) — the
+    * [[graft.operators.IndexStore.bm25FromIndex]] probe shape) when
+    * the saving clears [[FlatScanBelowSavedBytes]], otherwise one
+    * whole-root read where Catalyst's partition filter still prunes
+    * the same dirs but the listing is a single recursive pass — the
+    * strictly-better shape for small indexes (r15's honest BENCH_NOTES
+    * adjudication, now decided in code instead of prose). Index bytes
+    * come from the `_bytes` stamp maintenance refreshes (one
+    * getContentSummary priced at consolidate/rebase, with a live
+    * fallback for stores consolidated before the stamp existed).
     * Tombstoned docs are anti-joined out — a deleted doc never
     * generates a candidate from the commit moment. An unconsolidated
     * index serves the empty frame with the contract schema. */
   def corpusBandsFromIndex(spark: SparkSession, indexPath: String,
-      newBands: DataFrame): DataFrame = {
+      newBands: DataFrame,
+      flatBelowSavedBytes: Long = FlatScanBelowSavedBytes): DataFrame = {
     import spark.implicits._
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
@@ -290,20 +323,33 @@ object DedupIngest {
       .select(pbhCol(pbhMod).as("pbh")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val rootPath = new org.apache.hadoop.fs.Path(idx, "bands")
-    if (!fs.exists(rootPath)) return empty
-    val pbhNames = pbs.map(p => s"pbh=$p").toSet
-    val leafDirs = fs.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
-      .flatMap { g =>
-        fs.listStatus(g.getPath).toSeq
-          .map(_.getPath.getName).filter(pbhNames.contains)
-          .map(pbh => s"$indexPath/bands/${g.getPath.getName}/$pbh")
+    if (!fs.exists(rootPath) || pbs.isEmpty) return empty
+    val indexBytes = graft.core.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(idx, "_bytes")).map(_.toLong)
+      .getOrElse(fs.getContentSummary(rootPath).getLength)
+    val predictedSaved =
+      (indexBytes * (1.0 - pbs.size.toDouble / pbhMod)).toLong
+    val scanned =
+      if (predictedSaved < flatBelowSavedBytes) {
+        if (!GenForest.hasDataFiles(fs, rootPath)) return empty
+        spark.read.parquet(rootPath.toString)
+          .filter(col("pbh").isin(pbs: _*))
+          .select("doc_id", "band", "bh")
+      } else {
+        val pbhNames = pbs.map(p => s"pbh=$p").toSet
+        val leafDirs = fs.listStatus(rootPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+          .flatMap { g =>
+            fs.listStatus(g.getPath).toSeq
+              .map(_.getPath.getName).filter(pbhNames.contains)
+              .map(pbh => s"$indexPath/bands/${g.getPath.getName}/$pbh")
+          }
+        if (leafDirs.isEmpty) return empty
+        spark.read.option("basePath", s"$indexPath/bands")
+          .parquet(leafDirs: _*)
+          .filter(col("pbh").isin(pbs: _*))
+          .select("doc_id", "band", "bh")
       }
-    if (leafDirs.isEmpty) return empty
-    val scanned = spark.read.option("basePath", s"$indexPath/bands")
-      .parquet(leafDirs: _*)
-      .filter(col("pbh").isin(pbs: _*))
-      .select("doc_id", "band", "bh")
     tombstones(spark, indexPath) match {
       case Some(t) => scanned.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None    => scanned

@@ -5,19 +5,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Shared major-compaction skeleton for `gen=` generation forests —
   * the claim/build/swap/two-way-recovery discipline that
   * [[PostingsIngest.rebase]] proved out, extracted so the postings
-  * forest (pb-partitioned) and the ANN codes forest (cell-partitioned,
-  * [[AnnIngest.rebase]]) run the SAME hardened path instead of two
-  * hand-copied ones. Only the fold transform and partition layout
-  * differ per store; every crash-window branch is common.
+  * forest (pb-partitioned), the ANN codes forest (cell-partitioned,
+  * [[AnnIngest.rebase]]) and the dedup band forest run the SAME
+  * hardened path instead of hand copies. Only the fold transform and
+  * partition layout differ per store; every crash-window branch is
+  * common.
   *
   * Contract: fold EVERY generation under `indexPath/forestName` into
-  * one base gen keyed by the caller-supplied watermark. The swap
-  * replaces the whole forest in two renames (old → trash, scratch →
-  * live); a crash anywhere is settled by re-running — the recovery
-  * prologue rolls a stamped scratch FORWARD and an unstamped one BACK
-  * before any new work. Callers must refuse to consolidate while the
-  * recovery dirs exist (both ingest modules do), or a fresh gen could
-  * recreate the root and strand the real forest in the trash dir. */
+  * one base gen keyed by `max(wm, max gen id on disk)` — the caller
+  * supplies its stamped consolidation watermark, but a consolidation
+  * that crashed after its gen rename and before its watermark write
+  * legitimately leaves a generation NEWER than the watermark, and
+  * folding that gen under the watermark's id would make the next
+  * consolidate (whose floor is max(watermark, maxGen) = watermark)
+  * re-fold the batches it covers, silently duplicating rows. Keying
+  * the fold at the max closes that window: the next consolidate's
+  * floor lands exactly on the fold id. The swap replaces the whole
+  * forest in two renames (old → trash, scratch → live); a crash
+  * anywhere is settled by re-running — the recovery prologue rolls a
+  * stamped scratch FORWARD and an unstamped one BACK before any new
+  * work. Callers must refuse to consolidate while the recovery dirs
+  * exist (all ingest modules do), or a fresh gen could recreate the
+  * root and strand the real forest in the trash dir. */
 object GenForest {
 
   private val GenDir = "gen=(\\d+)".r
@@ -49,30 +58,72 @@ object GenForest {
       else true
     }
 
+  // ---- per-generation source metadata ---------------------------------
+
+  /** Each forest gen dir may carry a `_gens` marker: one line per
+    * SOURCE generation folded into it — "srcGen cutoff", where cutoff
+    * is the tombstone-batch watermark whose takedowns are REFLECTED
+    * (absent) in that source generation's rows (-1 = none were). A
+    * fresh consolidation writes one line for itself; a rebase fold
+    * writes the union of its inputs' maps, so source-generation
+    * identity (and thus as-of serving and per-src-gen sidecars)
+    * survives physical compaction. Dirs without the marker read as
+    * the singleton {dirGen -> -1}. */
+  private[graft] def readGensMarker(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path, dirGen: Long): Map[Long, Long] =
+    graft.core.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(genDir, "_gens")) match {
+      case None => Map(dirGen -> -1L)
+      case Some(s) => s.linesIterator.map { line =>
+        val parts = line.trim.split("\\s+")
+        parts(0).toLong -> parts(1).toLong
+      }.toMap
+    }
+
+  private[graft] def writeGensMarker(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path, m: Map[Long, Long]): Unit =
+    graft.core.Markers.forceWrite(fs,
+      new org.apache.hadoop.fs.Path(genDir, "_gens"),
+      m.toSeq.sorted.map { case (g, c) => s"$g $c" }.mkString("\n"))
+
+  /** Union of the forest's per-dir source maps: srcGen → cutoff. */
+  private[graft] def srcGens(fs: org.apache.hadoop.fs.FileSystem,
+      genRoot: org.apache.hadoop.fs.Path): Map[Long, Long] =
+    numberedDirs(fs, genRoot, GenDir).flatMap { case (g, p) =>
+      readGensMarker(fs, p, g)
+    }.toMap
+
   /** `fold` receives the whole-forest frame (with `gen` and the
     * layout's partition columns as readback columns) and returns the
     * frame to lay out as the single base generation; it must drop
     * `gen` itself (and re-derive any hashed partition key with the
-    * store's stamped parameters). */
-  /** `forceFold`: fold even a single-generation forest. The default
+    * store's stamped parameters). Row-level source identity is the
+    * STORE's concern: forests that serve as-of reads carry a
+    * `src_gen` data column their fold must preserve.
+    *
+    * `forceFold`: fold even a single-generation forest. The default
     * skips that case (a pure layout fold of one gen is a no-op), but
     * a LOSSY fold — one whose `fold` drops rows, e.g. a tombstone
     * purge — must run regardless of generation count, or a
     * single-gen index would silently never purge.
     *
+    * `foldCutoff`: a purging fold reflects every tombstone batch up
+    * to this watermark in EVERY source generation's surviving rows —
+    * the folded dir's `_gens` marker records it as each src gen's new
+    * cutoff. None (pure layout fold) carries the inputs' cutoffs
+    * through unchanged.
+    *
     * `invalidate`: called once a fold is COMMITTED to (after the
     * early-return checks, before the build), for callers that keep
-    * per-generation sidecar artifacts keyed by gen id. The fold
-    * target reuses `gen=<wm>` — the id of the LAST consolidation's
-    * generation — so a sidecar row under that id would survive the
-    * fold describing the old, smaller content. Deleting sidecars here
-    * (idempotently) is crash-safe on every window: before the `done`
-    * stamp a retry re-invokes it; after the stamp the first attempt
-    * already ran it; and a caller's post-rebase reconcile rebuilds
-    * whatever is missing from the settled forest. */
+    * per-generation sidecar artifacts the fold is about to make stale.
+    * Idempotent on every crash window: before the `done` stamp a retry
+    * re-invokes it; after the stamp the first attempt already ran it;
+    * and a caller's post-rebase reconcile rebuilds whatever is missing
+    * from the settled forest. */
   def rebase(spark: SparkSession, indexPath: String, forestName: String,
       wm: Long, partitionCols: Seq[String],
       forceFold: Boolean = false,
+      foldCutoff: Option[Long] = None,
       invalidate: () => Unit = () => ())(
       fold: DataFrame => DataFrame): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexPath)
@@ -108,12 +159,21 @@ object GenForest {
       val gens = numberedDirs(fs, genRoot, GenDir)
       if (gens.isEmpty) return
       if (gens.size == 1 && !forceFold) return // already one generation
+      // fold key: max(watermark, max gen on disk) — see the object doc
+      val foldId = math.max(wm, gens.map(_._1).max)
+      // source metadata captured from the LIVE dirs before anything
+      // moves; a purging fold advances every src gen's cutoff
+      val srcMap0 = gens.flatMap { case (g, p) => readGensMarker(fs, p, g) }.toMap
+      val srcMap = foldCutoff match {
+        case Some(c) => srcMap0.map { case (g, old) => g -> math.max(old, c) }
+        case None    => srcMap0
+      }
       invalidate()
       // BUILD: one partitioned copy of the whole forest under
-      // scratch/gen=<wm>, completeness proven by the stamp write
+      // scratch/gen=<foldId>, completeness proven by the stamp write
       if (graft.core.Markers.read(fs, done).isEmpty) {
         if (fs.exists(scratch)) fs.delete(scratch, true)
-        val genOut = new org.apache.hadoop.fs.Path(scratch, s"gen=$wm")
+        val genOut = new org.apache.hadoop.fs.Path(scratch, s"gen=$foldId")
         fold(spark.read.parquet(genRoot.toString))
           .write.mode("errorifexists").partitionBy(partitionCols: _*)
           .parquet(genOut.toString)
@@ -124,8 +184,8 @@ object GenForest {
         if (!hasDataFiles(fs, genOut)) {
           fs.delete(genOut, true)
           fs.mkdirs(scratch)
-        }
-        graft.core.Markers.forceWrite(fs, done, wm.toString)
+        } else writeGensMarker(fs, genOut, srcMap)
+        graft.core.Markers.forceWrite(fs, done, foldId.toString)
       }
       // SWAP: forest → trash, scratch → forest, settle. Any crash in
       // here lands in one of the recovery branches above.

@@ -33,10 +33,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * At 100 TB: state is parquet only (stateless query), a batch's
   * postings write shuffles nothing (map-combined per-batch tf), the
-  * index stats fold one (n, sumdl) reading per NEW generation onto a
-  * stamped running total, and consolidation cost is proportional to
-  * the NEW data since the last run (never the index), the same
-  * maintenance discipline as [[Compaction]].
+  * index keeps ONE (n, sumdl) stats row and one (tok, df) dict DELTA
+  * per source generation (sidecar forests reconciled from the
+  * postings forest), and consolidation cost is proportional to the
+  * NEW data since the last run (never the index), the same
+  * maintenance discipline as [[Compaction]]. Source-generation
+  * identity survives major compaction (`src_gen` rows + `_gens` dir
+  * markers), so as-of snapshots have no history horizon, and every
+  * sidecar row carries the tombstone cutoff its content reflects, so
+  * takedown corrections compose consistently with whichever sidecar
+  * version a concurrent reader catches.
   */
 object PostingsIngest {
 
@@ -100,22 +106,31 @@ object PostingsIngest {
     * [[AnnIngest.tombstone]], with the SAME three layers (serve-hide
     * immediately via [[IndexStore.bm25FromIndex]]'s anti-join;
     * encode-skip in [[consolidate]]; physical purge in [[rebase]])
-    * plus one drift this store has and the vector store does not:
-    * df/idf and the corpus stats (n, sumdl) keep counting deleted
-    * docs until the purging rebase, because both are CUMULATIVE
-    * aggregates a serve-time anti-join cannot correct. The hard
-    * guarantee (a deleted doc never appears in a result) holds from
-    * the tombstone commit — and so do the SCORES: the tombstone batch
-    * records each deleted doc's dl (looked up from the forest at
-    * commit time — one bounded semi-join against the index, priced at
-    * a takedown event, not a query), so the serve path can subtract
-    * the deleted docs from df (from its own pre-anti-join hits) and
-    * from (n, sumdl) (from the recorded dl rows), making every result
-    * bit-equal to a one-shot BM25 over the surviving corpus with NO
-    * drift window at all. [[rebase]] then physically purges and
-    * rebuilds dict/stats; corrections for purged batches switch off
-    * via the `_purged` stamp (df corrections die naturally — purged
-    * docs no longer appear in any scan).
+    * plus corrections this store needs and the vector store does not:
+    * df/idf and the corpus stats (n, sumdl) are CUMULATIVE aggregates
+    * a serve-time anti-join cannot fix by itself. The hard guarantee
+    * (a deleted doc never appears in a result) holds from the
+    * tombstone commit — and so do the SCORES: the tombstone batch
+    * records each deleted doc's dl and source generation (looked up
+    * from the forest at commit time — one bounded semi-join against
+    * the index, priced at a takedown event, not a query), so the
+    * serve path can subtract the deleted docs from df (from its own
+    * pre-anti-join hits) and from (n, sumdl) (from the recorded dl
+    * rows), making every result bit-equal to a one-shot BM25 over the
+    * surviving corpus with NO drift window at all. [[rebase]] then
+    * physically purges and rebuilds the per-generation dict/stats
+    * sidecars; corrections retire via the cutoff each sidecar row
+    * CARRIES (`purged_through`), so a reader is consistent against
+    * whichever sidecar version it sees — never mixed.
+    *
+    * Concurrency: the commit takes the index's `_consolidate_commit`
+    * lease. Without it, a tombstone landing while a consolidation is
+    * mid-encode can be missed by the encode's anti-join yet record a
+    * NULL dl (the forest read predates the gen install), leaving the
+    * doc counted in (n, sumdl) with no correction row — a silent
+    * violation of the zero-drift contract (r15 ADVICE). Takedowns are
+    * rare operational events; waiting out a maintenance run is the
+    * honest price of exactness.
     *
     * Scope: the contract covers the INDEX serve path
     * ([[IndexStore.bm25FromIndex]]). [[bm25FromStore]] probes the raw
@@ -124,31 +139,48 @@ object PostingsIngest {
     * debug probe, not the serving surface. */
   def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
     val spark = ids.sparkSession
-    val forestRoot = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
-    // dl lookup: NULL for a doc not (yet) in the forest — those docs
-    // were never counted in the index stats (encode will skip them),
-    // so they must contribute no correction either
-    val withDl =
-      if (!GenForest.hasDataFiles(fsOf(spark, forestRoot), forestRoot))
-        ids.select(col("doc_id")).distinct()
-          .withColumn("dl", lit(null).cast("long"))
-          .withColumn("gen", lit(null).cast("long"))
-      else {
-        val forest = spark.read.parquet(forestRoot.toString)
-        // gen recorded alongside dl so AS-OF serving can scope the
-        // stats correction to docs its snapshot actually contains; a
-        // flat one-shot layout has no gen column (and rejects as-of)
-        val keyed =
-          if (forest.columns.contains("gen"))
-            forest.select(col("doc_id"), col("dl").cast("long").as("dl"),
-              col("gen").cast("long").as("gen"))
-          else forest.select(col("doc_id"), col("dl").cast("long").as("dl"))
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    fs.mkdirs(idx)
+    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim,
+        s"${java.util.UUID.randomUUID()}\ntombstone $batchId"))
+      throw new IllegalStateException(
+        s"index $indexPath has a consolidation/rebase in flight — a " +
+          "tombstone committed mid-maintenance can miss both the encode " +
+          "skip and its stats correction; retry once the lease clears")
+    try {
+      val forestRoot = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+      // dl lookup: NULL for a doc not (yet) in the forest — those docs
+      // were never counted in the index stats (encode will skip them),
+      // so they must contribute no correction either
+      val withDl =
+        if (!GenForest.hasDataFiles(fs, forestRoot))
+          ids.select(col("doc_id")).distinct()
+            .withColumn("dl", lit(null).cast("long"))
             .withColumn("gen", lit(null).cast("long"))
-        ids.select(col("doc_id")).distinct()
-          .join(keyed.distinct(), Seq("doc_id"), "left")
-      }
-    EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
-      withDl, batchId)
+        else {
+          val forest = spark.read.parquet(forestRoot.toString)
+          // the SOURCE generation is recorded alongside dl so AS-OF
+          // serving can scope the stats correction to docs its snapshot
+          // actually contains — src_gen (a data column the rebase fold
+          // preserves) rather than the dir gen, so the recording stays
+          // exact across rebases; a flat one-shot layout has neither
+          // (and rejects as-of)
+          val keyed =
+            if (forest.columns.contains("src_gen"))
+              forest.select(col("doc_id"), col("dl").cast("long").as("dl"),
+                col("src_gen").cast("long").as("gen"))
+            else forest.select(col("doc_id"), col("dl").cast("long").as("dl"))
+              .withColumn("gen", lit(null).cast("long"))
+          ids.select(col("doc_id")).distinct()
+            .join(keyed.distinct(), Seq("doc_id"), "left")
+        }
+      EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
+        withDl, batchId)
+    } finally {
+      fs.delete(claim, false)
+    }
   }
 
   private def docTombstones(spark: SparkSession,
@@ -158,42 +190,77 @@ object PostingsIngest {
     else Some(spark.read.parquet(p.toString).select("doc_id"))
   }
 
-  /** Reconcile the per-generation stats rows with the forest: install
-    * a (n, sumdl) row for every forest gen missing one — derived from
-    * that gen's distinct (doc_id, dl) — then drop rows whose gen no
-    * longer exists (a rebase folded it away). Self-healing over ALL
-    * gens, not just this run's: a crash between a gen install and its
-    * stats row, followed by new batches before the retry, would leave
-    * that gen uncounted forever under a through-keyed form. Install
-    * runs before delete, so a concurrent reader's worst case during a
-    * rebase reconcile is a transient overcount (the old rows' content
-    * equals the new folded row's) — the same read-under-maintenance
-    * window as the dict swap. */
-  private def reconcileStats(spark: SparkSession,
+  /** Reconcile the two per-SOURCE-generation sidecar forests (stats:
+    * one (n, sumdl) row per src gen; dict: (tok, df) deltas per src
+    * gen) with the postings forest. Source generations — the `_gens`
+    * markers' union, i.e. consolidation watermarks, surviving rebase
+    * folds via the `src_gen` data column — are the sidecars' key, so
+    * a PURE LAYOUT fold leaves both sidecars byte-untouched and an
+    * as-of probe older than a fold point still finds its deltas
+    * (r15's "rebase collapses history" horizon is gone).
+    *
+    * Every sidecar row carries `purged_through`: the tombstone-batch
+    * watermark whose takedowns are REFLECTED (absent) in the rows the
+    * sidecar was derived from — read from the forest dir's `_gens`
+    * marker, which the encode stamped with the tombstone set it
+    * anti-joined. Serve-time corrections apply exactly to tombstones
+    * NEWER than the cutoff of the dead doc's generation, so a reader
+    * is consistent against whichever sidecar version it catches: old
+    * content + active corrections ≡ new content + retired corrections
+    * (the r15 purging-rebase read window, closed by construction).
+    *
+    * Self-healing over ALL src gens, not just this run's: a crash
+    * between a gen install and its sidecar rows, followed by new
+    * batches before the retry, would leave that gen uncounted forever
+    * under a through-keyed form. Install runs before delete; each gen
+    * dir lands via scratch + rename. */
+  private def reconcileSidecars(spark: SparkSession,
       idx: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val forestGens = numberedDirs(fs,
-      new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
-    for ((g, gp) <- forestGens
-        if !fs.exists(new org.apache.hadoop.fs.Path(idx, s"stats/gen=$g"))) {
-      val sscratch = new org.apache.hadoop.fs.Path(idx, ".stats-scratch")
-      if (fs.exists(sscratch)) fs.delete(sscratch, true)
-      spark.read.parquet(gp.toString)
-        .select(col("doc_id"), col("dl").cast("long").as("dl"))
-        .distinct()
-        .agg(count(lit(1)).cast("long").as("n"),
-          coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
-        .write.mode("errorifexists").parquet(sscratch.toString)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "stats"))
-      require(fs.rename(sscratch,
-        new org.apache.hadoop.fs.Path(idx, s"stats/gen=$g")),
-        s"failed to install stats generation for gen=$g")
+    val forestRoot = new org.apache.hadoop.fs.Path(idx, "postings")
+    val srcMap = GenForest.srcGens(fs, forestRoot)
+    val dirMaps = GenForest.numberedDirs(fs, forestRoot, GenDir)
+      .map { case (g, p) => p -> GenForest.readGensMarker(fs, p, g) }
+    // the forest dirs holding a given src gen's rows (one, normally;
+    // a fold target holds many) — derivation reads exactly these
+    def dirsFor(g: Long): Seq[String] =
+      dirMaps.collect { case (p, m) if m.contains(g) => p.toString }
+    def genRows(g: Long): DataFrame =
+      spark.read.option("basePath", forestRoot.toString)
+        .parquet(dirsFor(g): _*)
+        .filter(col("src_gen") === g)
+    def install(root: String, g: Long, build: => DataFrame): Unit = {
+      val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
+      if (fs.exists(scratch)) fs.delete(scratch, true)
+      build.write.mode("errorifexists").parquet(scratch.toString)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(idx, root))
+      require(fs.rename(scratch,
+        new org.apache.hadoop.fs.Path(idx, s"$root/gen=$g")),
+        s"failed to install $root generation for gen=$g")
     }
-    val keep = forestGens.map(_._1).toSet
-    for ((g, p) <- numberedDirs(fs,
-        new org.apache.hadoop.fs.Path(idx, "stats"), GenDir)
-        if !keep.contains(g)) fs.delete(p, true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "stats"))
+    for ((g, cutoff) <- srcMap) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"stats/gen=$g")))
+        install("stats", g,
+          genRows(g)
+            .select(col("doc_id"), col("dl").cast("long").as("dl"))
+            .distinct()
+            .agg(count(lit(1)).cast("long").as("n"),
+              coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
+            .withColumn("purged_through", lit(cutoff)))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"dict/gen=$g")))
+        install("dict", g,
+          genRows(g)
+            .groupBy("tok").agg(count(lit(1)).as("df"))
+            .withColumn("purged_through", lit(cutoff)))
+    }
+    // src gens only vanish when a purge empties them out of the forest
+    // entirely (total takedown): retire their sidecar rows with them
+    for (root <- Seq("stats", "dict")) {
+      for ((g, p) <- numberedDirs(fs,
+          new org.apache.hadoop.fs.Path(idx, root), GenDir)
+          if !srcMap.contains(g)) fs.delete(p, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(idx, root))
+    }
   }
 
   /** The index's stamped consolidation watermark: every store batch
@@ -214,21 +281,20 @@ object PostingsIngest {
     * new gen covering the batches it folded and touches no prior gen.
     * Readers ([[IndexStore.bm25FromIndex]]) see one logical table
     * (gen and pb are both partition columns; pb still prunes at
-    * planning time within every gen). The dictionary carries its own
-    * `_through` stamp and is re-derived as old-dict + new-gen df
-    * sums (each doc_id lives in exactly one batch, so df is additive);
-    * stats ride the same stamp discipline, folded from each new gen's
-    * distinct (doc_id, dl) pairs — FOREST-derived, so tombstone skips
-    * and purges propagate to (n, sumdl) for free.
+    * planning time within every gen; rows additionally carry
+    * `src_gen` — the consolidation watermark as DATA, which rebase
+    * folds preserve). Dict and stats live as per-SOURCE-generation
+    * sidecar forests derived from the postings forest
+    * ([[reconcileSidecars]]): df is additive across gens because each
+    * doc_id lives in exactly one batch, and the per-gen layout makes
+    * as-of serving (stats AND df) a fold over rows with gen <= asOf.
     *
     * Crash discipline (the [[Compaction]] claim/build/swap shape, with
     * roll-FORWARD-by-idempotence instead of a redo log): a `_consolidate_commit`
     * marker is the mutual-exclusion lease; every phase is keyed by its
     * own durable completion evidence (gen dir exists → skip build;
-    * dict `_through` current → skip dict; watermark written LAST), so
-    * a crashed run is finished by simply calling consolidate again —
-    * and a dict lost between delete and rename self-heals by
-    * rebuilding from the full gen forest (its stamp died with it).
+    * sidecar gen dirs key the reconcile; watermark written LAST), so
+    * a crashed run is finished by simply calling consolidate again.
     * `pb_mod` is stamped once at index birth and must never change
     * across incremental runs (old gens were hashed with it). */
   def consolidate(spark: SparkSession, path: String, indexPath: String,
@@ -311,13 +377,24 @@ object PostingsIngest {
           .drop("batch_id")
         // tombstoned docs never enter a fresh generation (their rows
         // in PRIOR gens stay until the purging rebase; serve hides
-        // them either way)
+        // them either way). The tombstone-batch watermark this encode
+        // reflects is stamped into the gen's `_gens` marker — the
+        // sidecar rows derived from this gen inherit it as their
+        // correction cutoff. The tombstoneDocs lease guarantees the
+        // listing cannot go stale mid-run.
+        val tombCutoff = numberedDirs(fs,
+          new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir)
+          .map(_._1).maxOption.getOrElse(-1L)
         val alive = docTombstones(spark, indexPath) match {
           case Some(t) => newPostings
             .join(broadcast(t), Seq("doc_id"), "left_anti")
           case None => newPostings
         }
         alive
+          // row-level source identity: survives rebase folds, keys the
+          // sidecars, and scopes as-of row filters — the dir-level gen
+          // partition column alone dies at the first fold
+          .withColumn("src_gen", lit(through))
           .withColumn("pb",
             pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
           .write.mode("errorifexists").partitionBy("pb")
@@ -326,62 +403,27 @@ object PostingsIngest {
         // tombstoned) — an all-marker gen dir must not be installed
         if (!GenForest.hasDataFiles(fs, scratch)) fs.delete(scratch, true)
         else {
+          GenForest.writeGensMarker(fs, scratch, Map(through -> tombCutoff))
           fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "postings"))
           require(fs.rename(scratch, genDir),
             s"failed to install consolidated generation at $genDir")
         }
       }
       fs.mkdirs(new org.apache.hadoop.fs.Path(idx, "postings"))
-      // DICT: fold gens newer than the dict's own stamp onto the old
-      // dict (df is additive across gens); a dict that died mid-swap
-      // has no stamp, so the fold degrades to a full-forest rebuild.
-      // No new gens (all-idle window) leaves the dict CONTENT current;
-      // only a first-ever run must still materialize the (empty) dict
-      // so the index stays serveable as a complete triple.
-      val dictDir = new org.apache.hadoop.fs.Path(idx, "dict")
-      val dictStamp = new org.apache.hadoop.fs.Path(dictDir, "_through")
-      val dictThrough =
-        graft.core.Markers.read(fs, dictStamp).map(_.toLong).getOrElse(-1L)
-      val dictGens = numberedDirs(fs,
-          new org.apache.hadoop.fs.Path(idx, "postings"), GenDir)
-        .filter(_._1 > dictThrough).sortBy(_._1)
-      if (dictThrough < through && (dictGens.nonEmpty || dictThrough < 0)) {
-        import spark.implicits._
-        val newDf =
-          if (dictGens.isEmpty) Seq.empty[(String, Long)].toDF("tok", "df")
-          else spark.read.option("basePath", s"$indexPath/postings")
-            .parquet(dictGens.map(_._2.toString): _*)
-            .groupBy("tok").agg(count(lit(1)).as("df"))
-        val merged =
-          if (dictThrough < 0) newDf
-          else spark.read.parquet(dictDir.toString)
-            .unionByName(newDf)
-            .groupBy("tok").agg(sum("df").as("df"))
-        val dscratch = new org.apache.hadoop.fs.Path(idx, ".dict-scratch")
-        if (fs.exists(dscratch)) fs.delete(dscratch, true)
-        merged.write.mode("errorifexists").parquet(dscratch.toString)
-        graft.core.Markers.forceWrite(fs,
-          new org.apache.hadoop.fs.Path(dscratch, "_through"), through.toString)
-        if (fs.exists(dictDir)) fs.delete(dictDir, true)
-        require(fs.rename(dscratch, dictDir),
-          s"failed to install dictionary at $dictDir")
-      }
-      // STATS: derived from the FOREST, one (gen, n, sumdl) row per
-      // generation, co-keyed with the forest's gen dirs (a missing
-      // forest gen has no stats row; idempotent retry keys on the
-      // stats gen dir's existence, exactly like the gen build). The
-      // r15 first cut re-folded the hot store's per-batch rows —
-      // simpler, but the store never learns about tombstones, so the
-      // first consolidation after a purge silently RE-ADDED every
-      // deleted doc to n/sumdl forever (caught by the total-takedown
-      // spec). Forest derivation keeps one source of truth, and the
-      // per-gen layout is what makes AS-OF serving a sum over rows
-      // with gen <= asOf instead of an unanswerable question.
+      // SIDECARS: per-SOURCE-generation dict deltas and stats rows,
+      // derived from the FOREST (one source of truth — the r15 first
+      // cut folded the hot store's per-batch rows and silently
+      // RE-ADDED purged docs; caught by the total-takedown spec) and
+      // co-keyed with the `_gens` markers' src set. The per-gen
+      // layout is what makes AS-OF serving a fold over rows with
+      // gen <= asOf instead of an unanswerable question — for df too,
+      // so an as-of probe reads deltas instead of re-deriving df from
+      // its own hits (the r15 serving asymmetry, closed).
       // Residual (shared with the purge rebuild): a zero-token doc has
       // no posting rows, so it is invisible to n — it scores zero on
       // every query either way; the drift is idf-only and bounded by
       // the empty-doc count.
-      reconcileStats(spark, idx, fs)
+      reconcileSidecars(spark, idx, fs)
       // WATERMARK last — the run's single durable commit point
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_through"), through.toString)
@@ -407,7 +449,6 @@ object PostingsIngest {
     * any new work. Dict and stats hold the same logical content either
     * side of a rebase, so they are not touched. */
   def rebase(spark: SparkSession, indexPath: String): Unit = {
-    import spark.implicits._
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
     val wm = consolidatedThrough(spark, indexPath).getOrElse(
@@ -419,27 +460,34 @@ object PostingsIngest {
     // the purge is a LOSSY fold — it must run even on a single-gen
     // forest, but only while tombstone batches newer than the purge
     // stamp exist (the set is permanent; without the stamp every later
-    // rebase would re-fold the whole forest forever)
+    // rebase would re-fold the whole forest forever). The max is
+    // captured in the SAME listing the decision uses: the stamp must
+    // record exactly what the fold saw.
     val tombBatches = numberedDirs(fs,
       new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
     val purged = graft.core.Markers.read(fs,
       new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
     val unpurged = tombBatches.nonEmpty && tombBatches.max > purged
-    // the fold target reuses gen=<wm> — the last consolidation's gen
-    // id — so the per-gen stats rows MUST be invalidated once the fold
-    // commits, or reconcileStats would keep a stale stats/gen=<wm> row
-    // describing only the final consolidation's batches (caught by the
-    // rebase bit-exactness specs). GenForest fires the hook exactly
-    // when a fold will run; reconcileStats below rebuilds from the
-    // settled forest on every path, including crash retries.
+    // A PURGING rebase changes what the forest contains, so the two
+    // per-gen sidecar forests are rebuilt FIRST, from (live forest ⊖
+    // tombstones) — the same content the fold is about to lay out —
+    // with every row's cutoff advanced to the purge watermark. Order
+    // matters: a reader at ANY point between the phases is consistent,
+    // because each sidecar version is self-describing (old content +
+    // active corrections ≡ new content + retired corrections), while
+    // the old ordering (fold, then rebuild, then stamp) had a window
+    // where rebuilt stats met still-active corrections and double-
+    // subtracted (r15 documented residual, now closed). A crash
+    // anywhere re-runs the whole purge on retry — the stamp is LAST.
+    // A PURE LAYOUT fold touches neither sidecar: they are keyed by
+    // src gen, which the fold preserves.
+    if (unpurged) rebuildPurgedSidecars(spark, idx, fs, tombBatches.max)
     GenForest.rebase(spark, indexPath, forestName = "postings", wm = wm,
       partitionCols = Seq("pb"), forceFold = unpurged,
-      invalidate = () =>
-        fs.delete(new org.apache.hadoop.fs.Path(idx, "stats"), true)
-    ) { forest =>
+      foldCutoff = if (unpurged) Some(tombBatches.max) else None) { forest =>
       val base = forest
         .drop("gen") // pb is re-derived: stable under the stamped mod
-        .drop("pb")
+        .drop("pb")  // src_gen (a data column) rides through untouched
       val alive = tombs match {
         case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
         case None    => base
@@ -447,46 +495,68 @@ object PostingsIngest {
       alive.withColumn("pb",
         pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
     }
-    // A purging rebase changed what the forest CONTAINS, so the two
-    // cumulative artifacts must be re-derived from it — this is the
-    // moment the documented df/stats drift closes and the index
-    // becomes bit-equal to a one-shot build over the surviving corpus.
-    // n and sumdl come from the forest's distinct (doc_id, dl) pairs,
-    // which counts only docs with at least one token: a deleted
-    // EMPTY doc cannot be distinguished from a never-ingested id, so
-    // zero-token docs leave n at its pre-delete reading — they score
-    // zero on every query either way, the residual is idf-only.
-    // Crash discipline: the purge stamp is written LAST, so a crash
-    // anywhere in here re-runs the whole purge+rebuild on retry; a
-    // dict lost mid-swap self-heals exactly as in consolidate (no
-    // stamp → full-forest rebuild, and the forest is already purged).
-    // a fold (lossy or not) collapsed generations — the per-gen stats
-    // rows must follow the forest's new shape
-    reconcileStats(spark, idx, fs)
-    if (unpurged) {
-      // a TOTAL takedown leaves an empty forest root — zero gens, no
-      // readable schema — so the dict rebuilds from literals
-      val forestRoot = new org.apache.hadoop.fs.Path(idx, "postings")
-      val forest =
-        if (!GenForest.hasDataFiles(fs, forestRoot))
-          Seq.empty[(Long, String, Long, Long)]
-            .toDF("doc_id", "tok", "tf", "dl")
-        else spark.read.parquet(forestRoot.toString)
-          .select("doc_id", "tok", "tf", "dl")
-      val dictDir = new org.apache.hadoop.fs.Path(idx, "dict")
-      val dscratch = new org.apache.hadoop.fs.Path(idx, ".dict-scratch")
-      if (fs.exists(dscratch)) fs.delete(dscratch, true)
-      forest.groupBy("tok").agg(count(lit(1)).as("df"))
-        .write.mode("errorifexists").parquet(dscratch.toString)
-      graft.core.Markers.forceWrite(fs,
-        new org.apache.hadoop.fs.Path(dscratch, "_through"), wm.toString)
-      if (fs.exists(dictDir)) fs.delete(dictDir, true)
-      require(fs.rename(dscratch, dictDir),
-        s"failed to install rebuilt dictionary at $dictDir")
+    // heal any src gen whose sidecars are missing (crashed earlier
+    // consolidate) and retire sidecars for src gens a total purge
+    // emptied out of the forest
+    reconcileSidecars(spark, idx, fs)
+    if (unpurged)
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_purged"),
         tombBatches.max.toString)
+  }
+
+  /** Rebuild BOTH sidecar forests from (live forest ⊖ tombstones),
+    * per src gen, every row stamped `purged_through = tombMax` — the
+    * purge's first phase (see [[rebase]] on why it precedes the fold).
+    * Each sidecar swaps in as ONE whole-root rename, so a reader sees
+    * the old version or the new, never a mix of gens; the delete →
+    * rename gap is a loud-failure window ([[IndexStore.bm25FromIndex]]
+    * refuses to serve a data-bearing forest with no sidecars), not a
+    * wrong-answer one.
+    *
+    * n and sumdl come from the forest's distinct (doc_id, dl) pairs,
+    * which counts only docs with at least one token: a deleted EMPTY
+    * doc cannot be distinguished from a never-ingested id, so
+    * zero-token docs leave n at its pre-delete reading — they score
+    * zero on every query either way, the residual is idf-only. */
+  private[graft] def rebuildPurgedSidecars(spark: SparkSession,
+      idx: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, tombMax: Long): Unit = {
+    import spark.implicits._
+    val forestRoot = new org.apache.hadoop.fs.Path(idx, "postings")
+    val alive =
+      if (!GenForest.hasDataFiles(fs, forestRoot))
+        Seq.empty[(Long, String, Long, Long, Long)]
+          .toDF("doc_id", "tok", "tf", "dl", "src_gen")
+      else {
+        val base = spark.read.parquet(forestRoot.toString)
+          .select(col("doc_id"), col("tok"), col("dl").cast("long").as("dl"),
+            col("src_gen").cast("long").as("src_gen"))
+        docTombstones(spark, idx.toString) match {
+          case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
+          case None    => base
+        }
+      }
+    val pinned = graft.core.Materialize.pin(alive)
+    def swapIn(root: String, df: DataFrame): Unit = {
+      val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
+      if (fs.exists(scratch)) fs.delete(scratch, true)
+      df.withColumn("purged_through", lit(tombMax))
+        .withColumn("gen", col("src_gen")).drop("src_gen")
+        .write.mode("errorifexists").partitionBy("gen")
+        .parquet(scratch.toString)
+      val dir = new org.apache.hadoop.fs.Path(idx, root)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      require(fs.rename(scratch, dir),
+        s"failed to install rebuilt $root at $dir")
     }
+    swapIn("stats", pinned
+      .select("src_gen", "doc_id", "dl").distinct()
+      .groupBy("src_gen")
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl")))
+    swapIn("dict", pinned
+      .groupBy("src_gen", "tok").agg(count(lit(1)).as("df")))
   }
 
   /** One-call maintenance runbook (the [[AnnIngest.maintain]] twin):
@@ -518,19 +588,23 @@ object PostingsIngest {
   // ---- driver gate row ------------------------------------------------
 
   /** Gate query (`x_text_bm25_grown`): pump `documents` into a fresh
-    * store in three deterministic batches, consolidate into the
+    * store in two deterministic batches, consolidate into the
     * artifact layout, and search through [[IndexStore.bm25FromIndex]]
     * — hash-matching the one-shot BM25 oracle proves the whole grow →
     * consolidate → serve cycle lost and duplicated nothing. Fresh
-    * store per call, the [[Compaction.compactionGate]] discipline. */
+    * store per call, the [[Compaction.compactionGate]] discipline.
+    * Two batches is the MINIMUM shape that still exercises the
+    * batch-split + consolidate + serve cycle (the as-of row's r15
+    * trim, applied here in r16 per the verdict) — specs cover 3+
+    * batch splits, multi-consolidation forests, and crash windows. */
   val grownGate: (SparkSession, String) => DataFrame = (s, dir) => {
     val root = s"${sys.props("java.io.tmpdir")}/graft_postings/gate_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(rp)) fs.delete(rp, true)
     val docs = graft.core.Tables.t(s, dir, "documents")
-    for (b <- 0L until 3L)
-      ingestBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b), b, s"$root/store")
+    for (b <- 0L until 2L)
+      ingestBatch(docs.filter(pmod(col("doc_id"), lit(2)) === b), b, s"$root/store")
     consolidate(s, s"$root/store", s"$root/index")
     IndexStore.bm25FromIndex(docs, s, s"$root/index",
       Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)

@@ -39,15 +39,16 @@ object PostingsIngestProps extends Properties("graft.postings") {
     expr("concat_ws(' ', transform(sequence(0, 11), " +
       "i -> concat('w', pmod(id * 7 + i * 5, 30))))").as("text"))
 
-  private val splitGen: Gen[(Int, List[Int], Boolean, Int)] = for {
+  private val splitGen: Gen[(Int, List[Int], Boolean, Int, Boolean)] = for {
     nB <- Gen.chooseNum(1, 5)
     assign <- Gen.listOfN(NDocs, Gen.chooseNum(0, nB - 1))
     consolidateEach <- Gen.oneOf(true, false)
     asOfAt <- Gen.chooseNum(0, nB - 1)
-  } yield (nB, assign, consolidateEach, asOfAt)
+    doRebase <- Gen.oneOf(true, false)
+  } yield (nB, assign, consolidateEach, asOfAt, doRebase)
 
   property("any split + any consolidation schedule serves the one-shot answer") =
-    forAll(splitGen) { case (nB, assign, consolidateEach, asOfAt) =>
+    forAll(splitGen) { case (nB, assign, consolidateEach, asOfAt, doRebase) =>
       val base = Files.createTempDirectory("postings-prop").toString
       val store = s"$base/store"
       val idx = s"$base/idx"
@@ -62,6 +63,10 @@ object PostingsIngestProps extends Properties("graft.postings") {
       }
       if (!consolidateEach)
         PostingsIngest.consolidate(spark, store, idx, pbMod = 8)
+      // a random major compaction anywhere in the life of the index
+      // must be invisible to BOTH the latest read and every snapshot
+      // (r16: src_gen rows + per-src-gen sidecars survive the fold)
+      if (doRebase) PostingsIngest.rebase(spark, idx)
       val served = IndexStore.bm25FromIndex(docs, spark, idx,
           nQueries = 4, qLen = 3, k = 5)
         .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
@@ -70,7 +75,8 @@ object PostingsIngestProps extends Properties("graft.postings") {
       // per-gen layouts also owe snapshot correctness: an as-of probe
       // pinned to a RANDOM intermediate watermark must equal a
       // one-shot over exactly the docs ingested by then — including
-      // empty-prefix (no gens yet) and empty-batch watermarks
+      // empty-prefix (no gens yet) and empty-batch watermarks, and
+      // including AFTER a rebase folded the probed gens away
       val asOfOk = !consolidateEach || {
         val prefixIds = assign.zipWithIndex
           .collect { case (b, d) if b <= asOfAt => d.toLong }

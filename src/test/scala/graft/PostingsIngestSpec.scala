@@ -404,12 +404,25 @@ class PostingsIngestSpec extends SparkSpec {
     assert(asOfAlive.sameElements(
       Retrieval.bm25TopK(earlyAlive).orderBy("q_id", "rank").collect()),
       "the snapshot must exclude the takedown and stay bit-exact")
-    // rebase collapses history: the horizon moves to the fold point
+    // rebase does NOT collapse history: row-level src gens and the
+    // per-src-gen sidecars survive the fold, so a snapshot older than
+    // the fold point still serves bit-exactly (takedown included)
     PostingsIngest.rebase(spark, idx)
-    assert(IndexStore.bm25FromIndex(earlyAlive, spark, idx,
+    val asOfAfterFold = IndexStore.bm25FromIndex(earlyAlive, spark, idx,
         Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
-        asOfGen = Some(wm0)).count() == 0,
-      "an asOf older than the oldest retained gen sees an empty snapshot")
+        asOfGen = Some(wm0))
+      .orderBy("q_id", "rank").collect()
+    assert(asOfAfterFold.sameElements(asOfAlive),
+      "an asOf older than the fold point must keep serving its snapshot " +
+        "bit-exactly after a rebase")
+    // and the latest read is still the full (alive) corpus
+    val allAlive = docs.filter(col("doc_id") =!= victim)
+    assert(IndexStore.bm25FromIndex(allAlive, spark, idx,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect().sameElements(
+        Retrieval.bm25TopK(allAlive).orderBy("q_id", "rank").collect()),
+      "the latest read after a purging rebase must serve the one-shot " +
+        "answer over the surviving corpus")
   }
 
   test("streaming ingest through foreachBatch grows the searchable corpus") {
