@@ -232,7 +232,11 @@ object PostingsIngest {
     def install(root: String, g: Long, build: => DataFrame): Unit = {
       val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
       if (fs.exists(scratch)) fs.delete(scratch, true)
-      build.write.mode("errorifexists").parquet(scratch.toString)
+      // one file per sidecar gen dir: the delta is vocabulary-sized
+      // (≪ the batch that produced it), and serve-side file opens
+      // scale with gen count × files-per-dir — the same small-file
+      // reasoning as the band store's repartition-before-partitionBy
+      build.coalesce(1).write.mode("errorifexists").parquet(scratch.toString)
       fs.mkdirs(new org.apache.hadoop.fs.Path(idx, root))
       require(fs.rename(scratch,
         new org.apache.hadoop.fs.Path(idx, s"$root/gen=$g")),
@@ -543,6 +547,9 @@ object PostingsIngest {
       if (fs.exists(scratch)) fs.delete(scratch, true)
       df.withColumn("purged_through", lit(tombMax))
         .withColumn("gen", col("src_gen")).drop("src_gen")
+        // one file per gen dir (the repartition-before-partitionBy
+        // move): sidecar rows are vocabulary-sized per gen
+        .repartition(col("gen"))
         .write.mode("errorifexists").partitionBy("gen")
         .parquet(scratch.toString)
       val dir = new org.apache.hadoop.fs.Path(idx, root)
