@@ -1059,6 +1059,21 @@ object Soak {
         Dedup.minhashLshIncrementalIndexed(newDocs, docs,
           spark.read.parquet(s"$store/bands").select("doc_id", "band", "bh"),
           0.5) }
+      // second (warm) round — the first probe also pays warming the
+      // corpus-text verification scan all three shapes share, so the
+      // adaptive decision is judged on the warm readings
+      time("dedupconsol_probe_adaptive_w") {
+        DedupIngest.dedupAgainstIndex(newDocs, docs, spark, s"$base/idx", 0.5) }
+      time("dedupconsol_probe_forcedpr_w") {
+        val nb = graft.core.Materialize.pin(Dedup.minhashBands(newDocs))
+        Dedup.minhashLshIncrementalIndexed(newDocs, docs,
+          DedupIngest.corpusBandsFromIndex(spark, s"$base/idx", nb,
+            flatBelowSavedBytes = 0L),
+          0.5, newBandsIn = Some(nb)) }
+      time("dedupconsol_probe_flat_w") {
+        Dedup.minhashLshIncrementalIndexed(newDocs, docs,
+          spark.read.parquet(s"$store/bands").select("doc_id", "band", "bh"),
+          0.5) }
     }
 
     // Growing IVFADC store at corpus scale: the dense twin of the

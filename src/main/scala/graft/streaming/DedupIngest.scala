@@ -280,14 +280,17 @@ object DedupIngest {
   /** Saved-bytes break-even for the probe's explicit leaf-dir
     * enumeration: below this, the whole-root scan (one recursive
     * listing, Catalyst partition pruning on the isin) matches or beats
-    * the driver-side per-leaf enumeration — the r15 soak measured the
-    * pruned probe LOSING ~1 s to the flat scan at an 8M-band-row
-    * (~hundred-MB) index even with a 9.6× smaller read set, because
-    * per-leaf listing/opens are a constant the saved bytes must buy
-    * back. 256 MB places the switch just above that measured
-    * break-even; the probe takes the pruned shape only when it
-    * predicts at least this much unread data. */
-  val FlatScanBelowSavedBytes: Long = 256L << 20
+    * the driver-side per-leaf enumeration. Measured r16 (after the
+    * one-file-per-pbh-dir fold fix, which obsoleted r15's ~1 s
+    * pruning-overhead reading): at a 9 MB / 1.6M-band index the
+    * whole-root scan ties or wins (4.6 vs 4.8 s warm, and the sf0.1
+    * gate row dropped 3.70→3.41 s on the flat shape); at a 41 MB /
+    * 8M-band index the enumerated probe wins by ~1.7 s (5.1 vs 6.8 s
+    * warm) and the gap widens with index size. 16 MB sits between
+    * those readings with margin on both sides: the probe takes the
+    * pruned shape exactly when it predicts at least this much unread
+    * data. */
+  val FlatScanBelowSavedBytes: Long = 16L << 20
 
   /** The grown index's corpus-bands side, pruned to the partitions the
     * NEW batch's bands can possibly match — ADAPTIVELY. The pruning
