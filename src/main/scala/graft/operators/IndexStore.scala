@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed index artifacts for the dedup/ANN operators.
@@ -546,6 +546,20 @@ object IndexStore {
           "sidecars — a purging rebase crashed mid-rebuild; re-run " +
           "PostingsIngest.rebase to settle it (its reconcile pass " +
           "rebuilds every missing sidecar generation)")
+      // sidecar-compaction horizon: src gens <= horizon live in ONE
+      // base sidecar bucket keyed at the horizon (-1 = identity).
+      // History below it was summed away, so snapshots there are
+      // REFUSED rather than served wrong.
+      val horizon = graft.core.Markers.read(fs,
+          new org.apache.hadoop.fs.Path(s"$path/_sidecar_horizon"))
+        .map(_.toLong).getOrElse(-1L)
+      require(asOfGen.forall(_ >= horizon),
+        s"index at $path compacted its sidecar history up to " +
+          s"gen=$horizon (PostingsIngest.compactSidecars) — an asOf " +
+          s"older than that (${asOfGen.get}) has no per-generation " +
+          "deltas left to serve from")
+      def toBucket(c: Column): Column =
+        when(c <= horizon, lit(horizon)).otherwise(c)
       val statsRows =
         if (!forestHasData) Seq.empty[(Long, Long, Long, Long)]
           .toDF("gen", "n", "sumdl", "purged_through")
@@ -585,9 +599,11 @@ object IndexStore {
             .agg(min("batch_id").as("tb"), max("dl").as("dl"),
               max("gen").as("tgen"))
           // df: dead hits still physically present, not yet reflected
-          // in their gen's dict cutoff — the dict row for (gen, tok)
-          // exists whenever a dead hit does (the doc posted the tok)
+          // in their gen's dict cutoff — the dict row for (bucket,
+          // tok) exists whenever a dead hit does (the doc posted the
+          // tok, and its gen's delta lives in that bucket)
           val deadDf = scanned
+            .withColumn("src_gen", toBucket(col("src_gen")))
             .join(broadcast(tombMeta.select(col("doc_id"), col("tb"))),
               Seq("doc_id"))
             .join(broadcast(dictRows.select(col("gen").as("src_gen"),
@@ -603,6 +619,7 @@ object IndexStore {
           val corr = tombMeta
             .filter(col("tgen").isNotNull)
             .filter(asOfGen.map(a => col("tgen") <= a).getOrElse(lit(true)))
+            .withColumn("tgen", toBucket(col("tgen")))
             .join(broadcast(cutoffs), Seq("tgen"))
             .filter(col("tb") > col("purged_through"))
             .agg(count(lit(1)).cast("long").as("__n_dead"),

@@ -181,8 +181,8 @@ object AnnIngest {
     val genRoot = new org.apache.hadoop.fs.Path(idx, "index")
     // a crashed rebase may hold the REAL forest in its recovery dirs;
     // consolidating on top of the partial view would strand that data
-    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
-        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
+    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch-index"))
+        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old-index")),
       s"index at $indexPath has rebase recovery state pending — run " +
         "AnnIngest.rebase to settle it before consolidating")
     // floor guard: a run that crashed after its gen rename but before

@@ -172,8 +172,8 @@ object DedupIngest {
     val prev = consolidatedThrough(spark, indexPath).getOrElse(-1L)
     if (through <= prev) return
     val genRoot = new org.apache.hadoop.fs.Path(idx, "bands")
-    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
-        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
+    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch-bands"))
+        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old-bands")),
       s"index at $indexPath has rebase recovery state pending — run " +
         "DedupIngest.rebase to settle it before consolidating")
     val maxGen = numberedDirs(fs, genRoot, GenDir)

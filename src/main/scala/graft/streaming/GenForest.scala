@@ -120,21 +120,27 @@ object GenForest {
     * re-invokes it; after the stamp the first attempt already ran it;
     * and a caller's post-rebase reconcile rebuilds whatever is missing
     * from the settled forest. */
+  /** `claimHeld`: the caller already owns the index's
+    * `_consolidate_commit` lease (e.g. it is folding several forests
+    * under one mutual-exclusion window) — skip acquiring/releasing it
+    * here. The recovery prologue and every crash branch still run. */
   def rebase(spark: SparkSession, indexPath: String, forestName: String,
       wm: Long, partitionCols: Seq[String],
       forceFold: Boolean = false,
       foldCutoff: Option[Long] = None,
-      invalidate: () => Unit = () => ())(
+      invalidate: () => Unit = () => (),
+      claimHeld: Boolean = false)(
       fold: DataFrame => DataFrame): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
     val genRoot = new org.apache.hadoop.fs.Path(idx, forestName)
-    val scratch = new org.apache.hadoop.fs.Path(idx, ".rebase-scratch")
-    val trash = new org.apache.hadoop.fs.Path(idx, ".rebase-old")
+    val scratch = new org.apache.hadoop.fs.Path(idx, s".rebase-scratch-$forestName")
+    val trash = new org.apache.hadoop.fs.Path(idx, s".rebase-old-$forestName")
     val done = new org.apache.hadoop.fs.Path(scratch, "_complete")
     val runId = java.util.UUID.randomUUID().toString
     val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
-    if (!graft.core.Markers.tryCreate(fs, claim, s"$runId\nrebase $wm"))
+    if (!claimHeld &&
+        !graft.core.Markers.tryCreate(fs, claim, s"$runId\nrebase $wm"))
       throw new IllegalStateException(
         s"index $indexPath already has a consolidation/rebase in flight " +
           s"(or a dead one's marker at $claim)")
@@ -195,7 +201,10 @@ object GenForest {
       fs.delete(new org.apache.hadoop.fs.Path(genRoot, "_complete"), false)
       fs.delete(trash, true)
     } finally {
-      fs.delete(claim, false)
+      // a caller-held lease is the CALLER's to release — deleting it
+      // here would strip the caller's remaining phases of their
+      // mutual exclusion mid-operation
+      if (!claimHeld) fs.delete(claim, false)
     }
   }
 }

@@ -219,17 +219,39 @@ object PostingsIngest {
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val forestRoot = new org.apache.hadoop.fs.Path(idx, "postings")
     val srcMap = GenForest.srcGens(fs, forestRoot)
+    // SIDECAR keying is bucketed by the compaction horizon: src gens
+    // <= horizon live in ONE base sidecar gen keyed AT the horizon
+    // ([[compactSidecars]]); later gens keep per-gen deltas. -1 (never
+    // compacted) makes the bucket the identity.
+    val horizon = sidecarHorizon(spark, idx.toString)
+    def bucket(g: Long): Long = if (g <= horizon) horizon else g
     val dirMaps = GenForest.numberedDirs(fs, forestRoot, GenDir)
       .map { case (g, p) => p -> GenForest.readGensMarker(fs, p, g) }
-    // the forest dirs holding a given src gen's rows (one, normally;
-    // a fold target holds many) — derivation reads exactly these
-    def dirsFor(g: Long): Seq[String] =
-      dirMaps.collect { case (p, m) if m.contains(g) => p.toString }
-    def genRows(g: Long): DataFrame =
-      spark.read.option("basePath", forestRoot.toString)
-        .parquet(dirsFor(g): _*)
-        .filter(col("src_gen") === g)
-    def install(root: String, g: Long, build: => DataFrame): Unit = {
+    // the forest dirs holding a given BUCKET's rows — derivation
+    // reads exactly these (one dir normally; a fold target holds many)
+    def dirsFor(b: Long): Seq[String] =
+      dirMaps.collect { case (p, m)
+        if m.keys.exists(g => bucket(g) == b) => p.toString }
+    def bucketRows(b: Long): DataFrame = {
+      val rows = spark.read.option("basePath", forestRoot.toString)
+        .parquet(dirsFor(b): _*)
+        .filter(if (b == horizon) col("src_gen") <= horizon
+          else col("src_gen") === b)
+      // the BASE bucket reflects every tombstone visible now (its
+      // member gens were encoded at different tombstone states, so no
+      // single inherited cutoff is exact — anti-joining the full set
+      // and stamping the current max makes the rebuild exact)
+      if (b == horizon) docTombstones(spark, idx.toString) match {
+        case Some(t) => rows.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None    => rows
+      } else rows
+    }
+    def cutoffFor(b: Long): Long =
+      if (b == horizon)
+        numberedDirs(fs, new org.apache.hadoop.fs.Path(idx, "tombstones"),
+          BatchDir).map(_._1).maxOption.getOrElse(-1L)
+      else srcMap(b)
+    def install(root: String, b: Long, build: => DataFrame): Unit = {
       val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
       if (fs.exists(scratch)) fs.delete(scratch, true)
       // one file per sidecar gen dir: the delta is vocabulary-sized
@@ -239,31 +261,110 @@ object PostingsIngest {
       build.coalesce(1).write.mode("errorifexists").parquet(scratch.toString)
       fs.mkdirs(new org.apache.hadoop.fs.Path(idx, root))
       require(fs.rename(scratch,
-        new org.apache.hadoop.fs.Path(idx, s"$root/gen=$g")),
-        s"failed to install $root generation for gen=$g")
+        new org.apache.hadoop.fs.Path(idx, s"$root/gen=$b")),
+        s"failed to install $root generation for gen=$b")
     }
-    for ((g, cutoff) <- srcMap) {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"stats/gen=$g")))
-        install("stats", g,
-          genRows(g)
+    val buckets = srcMap.keys.map(bucket).toSeq.distinct
+    for (b <- buckets) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"stats/gen=$b")))
+        install("stats", b,
+          bucketRows(b)
             .select(col("doc_id"), col("dl").cast("long").as("dl"))
             .distinct()
             .agg(count(lit(1)).cast("long").as("n"),
               coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
-            .withColumn("purged_through", lit(cutoff)))
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"dict/gen=$g")))
-        install("dict", g,
-          genRows(g)
+            .withColumn("purged_through", lit(cutoffFor(b))))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"dict/gen=$b")))
+        install("dict", b,
+          bucketRows(b)
             .groupBy("tok").agg(count(lit(1)).as("df"))
-            .withColumn("purged_through", lit(cutoff)))
+            .withColumn("purged_through", lit(cutoffFor(b))))
     }
-    // src gens only vanish when a purge empties them out of the forest
+    // buckets only vanish when a purge empties them out of the forest
     // entirely (total takedown): retire their sidecar rows with them
     for (root <- Seq("stats", "dict")) {
       for ((g, p) <- numberedDirs(fs,
           new org.apache.hadoop.fs.Path(idx, root), GenDir)
-          if !srcMap.contains(g)) fs.delete(p, true)
+          if !buckets.contains(g)) fs.delete(p, true)
       fs.mkdirs(new org.apache.hadoop.fs.Path(idx, root))
+    }
+  }
+
+  /** The sidecar-compaction horizon: src gens `<= horizon` are folded
+    * into one base sidecar generation keyed AT the horizon; as-of
+    * serving below it is refused (the history was summed away). -1 =
+    * never compacted (every src gen keeps its own delta). */
+  def sidecarHorizon(spark: SparkSession, indexPath: String): Long =
+    graft.core.Markers.read(fsOf(spark,
+        new org.apache.hadoop.fs.Path(indexPath)),
+      new org.apache.hadoop.fs.Path(indexPath, "_sidecar_horizon"))
+      .map(_.toLong).getOrElse(-1L)
+
+  /** Bound sidecar growth: fold every dict delta and stats row into
+    * ONE base generation keyed at the current max sidecar gen, and
+    * stamp that id as the horizon. The per-src-gen deltas are what
+    * POWER as-of serving, so this is an explicit product trade — the
+    * operator gives up snapshots older than the horizon (serves below
+    * it refuse loudly) in exchange for a sidecar listing bill that
+    * stops growing with consolidation count. Latest serves and as-of
+    * at-or-after the horizon are bit-identical either side of the
+    * fold (sums are preserved).
+    *
+    * Preconditions, enforced: no unpurged tombstones (a purge settles
+    * every cutoff to one value — folding rows with DIFFERENT cutoffs
+    * has no single exact cutoff, in either direction). The whole
+    * operation runs under the index lease, so no tombstone can land
+    * between the folds and the horizon stamp (the one window where a
+    * correction could miss its bucket); the folds themselves are
+    * [[GenForest]] rebases with full crash recovery, and the stamp is
+    * LAST — a crash re-runs idempotently. */
+  def compactSidecars(spark: SparkSession, indexPath: String): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = fsOf(spark, idx)
+    consolidatedThrough(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexPath has no consolidation watermark — nothing to compact"))
+    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim,
+        s"${java.util.UUID.randomUUID()}\ncompact-sidecars"))
+      throw new IllegalStateException(
+        s"index $indexPath already has a consolidation/rebase in flight (or a " +
+          "dead one's marker) — if no maintainer is live, delete " +
+          s"$claim and re-run (every phase is idempotent)")
+    try {
+      // co-key both sidecar forests with the forest first (heals any
+      // crashed install, so both roots list the same gens)
+      reconcileSidecars(spark, idx, fs)
+      val tombBatches = numberedDirs(fs,
+        new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
+      val purged = graft.core.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong)
+        .getOrElse(-1L)
+      require(tombBatches.isEmpty || tombBatches.max <= purged,
+        s"index at $indexPath has unpurged tombstones — run " +
+          "PostingsIngest.rebase (the purge settles every sidecar " +
+          "cutoff to one value) before compacting sidecars")
+      val gens = numberedDirs(fs,
+        new org.apache.hadoop.fs.Path(idx, "dict"), GenDir).map(_._1)
+      if (gens.size <= 1) return // already one bucket — nothing to fold
+      val horizon = gens.max
+      for (root <- Seq("stats", "dict"))
+        GenForest.rebase(spark, indexPath, forestName = root,
+            wm = 0L, partitionCols = Seq.empty, claimHeld = true) { rows =>
+          val base = rows.drop("gen")
+          if (root == "stats")
+            base.agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
+              coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"),
+              max("purged_through").as("purged_through"))
+          else
+            base.groupBy("tok").agg(sum("df").as("df"),
+              max("purged_through").as("purged_through"))
+        }
+      graft.core.Markers.forceWrite(fs,
+        new org.apache.hadoop.fs.Path(idx, "_sidecar_horizon"),
+        horizon.toString)
+    } finally {
+      fs.delete(claim, false)
     }
   }
 
@@ -339,8 +440,8 @@ object PostingsIngest {
     // consolidating on top of the partial view would strand that data
     // (a fresh gen recreates the root, and the rebase retry would then
     // skip its recovery branch). Finish the rebase first.
-    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
-        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
+    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch-postings"))
+        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old-postings")),
       s"index at $indexPath has rebase recovery state pending — run " +
         "PostingsIngest.rebase to settle it before consolidating")
     val maxGen = numberedDirs(fs, genRoot, GenDir)
@@ -541,12 +642,19 @@ object PostingsIngest {
           case None    => base
         }
       }
-    val pinned = graft.core.Materialize.pin(alive)
+    // keying respects the compaction horizon: src gens <= horizon stay
+    // folded in the base bucket through a purge rebuild (identity when
+    // never compacted, horizon = -1)
+    val horizon = sidecarHorizon(spark, idx.toString)
+    val pinned = graft.core.Materialize.pin(alive
+      .withColumn("bucket",
+        when(col("src_gen") <= horizon, lit(horizon))
+          .otherwise(col("src_gen"))))
     def swapIn(root: String, df: DataFrame): Unit = {
       val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
       if (fs.exists(scratch)) fs.delete(scratch, true)
       df.withColumn("purged_through", lit(tombMax))
-        .withColumn("gen", col("src_gen")).drop("src_gen")
+        .withColumn("gen", col("bucket")).drop("bucket")
         // one file per gen dir (the repartition-before-partitionBy
         // move): sidecar rows are vocabulary-sized per gen
         .repartition(col("gen"))
@@ -558,12 +666,12 @@ object PostingsIngest {
         s"failed to install rebuilt $root at $dir")
     }
     swapIn("stats", pinned
-      .select("src_gen", "doc_id", "dl").distinct()
-      .groupBy("src_gen")
+      .select("bucket", "doc_id", "dl").distinct()
+      .groupBy("bucket")
       .agg(count(lit(1)).cast("long").as("n"),
         coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl")))
     swapIn("dict", pinned
-      .groupBy("src_gen", "tok").agg(count(lit(1)).as("df")))
+      .groupBy("bucket", "tok").agg(count(lit(1)).as("df")))
   }
 
   /** One-call maintenance runbook (the [[AnnIngest.maintain]] twin):

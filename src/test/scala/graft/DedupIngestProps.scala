@@ -76,6 +76,14 @@ object DedupIngestProps extends Properties("graft.dedupstore") {
       val got = DedupIngest.dedupAgainstIndex(newDocs, corpus, spark, idx, 0.5)
         .select("new_id", "corpus_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      got == fullPairs.filterNot(_._2 == victim.toLong)
+      // the adaptive probe's two scan shapes (whole-root vs enumerated
+      // leaf dirs) must agree band-for-band on every random store shape
+      val bands = graft.core.Materialize.pin(Dedup.minhashBands(newDocs))
+      def bandSet(threshold: Long) =
+        DedupIngest.corpusBandsFromIndex(spark, idx, bands,
+            flatBelowSavedBytes = threshold)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val shapesAgree = bandSet(0L) == bandSet(Long.MaxValue)
+      shapesAgree && got == fullPairs.filterNot(_._2 == victim.toLong)
     }
 }

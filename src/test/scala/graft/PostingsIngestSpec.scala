@@ -198,7 +198,7 @@ class PostingsIngestSpec extends SparkSpec {
     // (the worst window — genRoot missing). Rebase must roll BACK from
     // trash (no stamped scratch), and consolidate must refuse until then.
     val genRoot = new org.apache.hadoop.fs.Path(idx, "postings")
-    val trash = new org.apache.hadoop.fs.Path(idx, ".rebase-old")
+    val trash = new org.apache.hadoop.fs.Path(idx, ".rebase-old-postings")
     require(fs.rename(genRoot, trash))
     val e = intercept[IllegalArgumentException] {
       PostingsIngest.ingestBatch(

@@ -178,6 +178,84 @@ class Round16Spec extends SparkSpec {
       Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()))
   }
 
+  test("compactSidecars bounds sidecar growth behind an explicit " +
+      "horizon: latest and at-horizon as-of unchanged, pre-horizon " +
+      "as-of refused, later takedowns stay zero-drift through the " +
+      "bucketed corrections") {
+    val store = tmp("r16-compact")
+    val idx = tmp("r16-compact-idx")
+    // three consolidations → three sidecar gens
+    for (b <- 0L until 3L) {
+      PostingsIngest.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b, store)
+      PostingsIngest.consolidate(spark, store, idx)
+    }
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def sidecarGens(root: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(idxPath, root))
+        .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(sidecarGens("dict").size == 3 && sidecarGens("stats").size == 3)
+    def serve(corpus: org.apache.spark.sql.DataFrame,
+        asOf: Option[Long] = None) =
+      IndexStore.bm25FromIndex(corpus, spark, idx,
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K, asOfGen = asOf)
+        .orderBy("q_id", "rank").collect()
+    val latestBefore = serve(docs)
+    PostingsIngest.compactSidecars(spark, idx)
+    assert(PostingsIngest.sidecarHorizon(spark, idx) == 2L)
+    assert(sidecarGens("dict") == Seq("gen=2") &&
+      sidecarGens("stats") == Seq("gen=2"),
+      "both sidecar forests must fold to one base generation")
+    // latest and at-horizon snapshots are bit-identical across the fold
+    assert(serve(docs).sameElements(latestBefore))
+    assert(serve(docs, asOf = Some(2L)).sameElements(latestBefore))
+    // a snapshot below the horizon refuses loudly — its deltas are gone
+    val e = intercept[IllegalArgumentException] {
+      serve(docs.filter(pmod(col("doc_id"), lit(3)) === 0), asOf = Some(0L))
+    }
+    assert(e.getMessage.contains("compacted"), s"got: $e")
+    // the forest itself is untouched (sidecar compaction != rebase)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(idxPath, "postings"))
+      .map(_.getPath.getName).count(_.startsWith("gen=")) == 3)
+    // the critical new math: a takedown AFTER compaction corrects a
+    // doc whose src gen (0) was folded away — the bucketed joins must
+    // land its df/stats corrections on the base bucket, keeping the
+    // zero-drift contract
+    val victim = latestBefore
+      .map(_.getLong(1)).find(_ >= Retrieval.NQueries).get
+    PostingsIngest.tombstoneDocs(Seq(victim).toDF("doc_id"), 0L, idx)
+    val alive = docs.filter(col("doc_id") =!= victim)
+    val aliveOneShot = Retrieval.bm25TopK(alive)
+      .orderBy("q_id", "rank").collect()
+    assert(serve(alive).sameElements(aliveOneShot),
+      "post-compaction takedown must stay bit-equal to the one-shot " +
+        "alive answer (corrections land on the folded base bucket)")
+    // the purging rebase preserves the bucketing and the answer
+    PostingsIngest.rebase(spark, idx)
+    assert(sidecarGens("dict") == Seq("gen=2"),
+      "a purge rebuild must keep folded history in its base bucket")
+    assert(serve(alive).sameElements(aliveOneShot))
+    // growth resumes per-gen ABOVE the horizon, and compacting again
+    // folds the new history in
+    PostingsIngest.ingestBatch(
+      docs.filter(col("doc_id") === victim)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")),
+      3L, store)
+    PostingsIngest.consolidate(spark, store, idx)
+    assert(sidecarGens("dict") == Seq("gen=2", "gen=3"))
+    PostingsIngest.compactSidecars(spark, idx)
+    assert(PostingsIngest.sidecarHorizon(spark, idx) == 3L)
+    assert(sidecarGens("dict") == Seq("gen=3"))
+    val grown = docs.select("doc_id", "text")
+      .filter(col("doc_id") =!= victim)
+      .unionByName(docs.filter(col("doc_id") === victim)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    assert(serve(grown).sameElements(
+      Retrieval.bm25TopK(grown).orderBy("q_id", "rank").collect()),
+      "re-compaction over regrown history must keep the latest serve exact")
+  }
+
   test("the dedup probe picks its scan shape by predicted saved bytes — " +
       "flat below the break-even, explicit leaf dirs above — with " +
       "identical rows either way") {
