@@ -573,41 +573,59 @@ object PostingsIngest {
     val purged = graft.core.Markers.read(fs,
       new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
     val unpurged = tombBatches.nonEmpty && tombBatches.max > purged
-    // A PURGING rebase changes what the forest contains, so the two
-    // per-gen sidecar forests are rebuilt FIRST, from (live forest ⊖
-    // tombstones) — the same content the fold is about to lay out —
-    // with every row's cutoff advanced to the purge watermark. Order
-    // matters: a reader at ANY point between the phases is consistent,
-    // because each sidecar version is self-describing (old content +
-    // active corrections ≡ new content + retired corrections), while
-    // the old ordering (fold, then rebuild, then stamp) had a window
-    // where rebuilt stats met still-active corrections and double-
-    // subtracted (r15 documented residual, now closed). A crash
-    // anywhere re-runs the whole purge on retry — the stamp is LAST.
-    // A PURE LAYOUT fold touches neither sidecar: they are keyed by
-    // src gen, which the fold preserves.
-    if (unpurged) rebuildPurgedSidecars(spark, idx, fs, tombBatches.max)
-    GenForest.rebase(spark, indexPath, forestName = "postings", wm = wm,
-      partitionCols = Seq("pb"), forceFold = unpurged,
-      foldCutoff = if (unpurged) Some(tombBatches.max) else None) { forest =>
-      val base = forest
-        .drop("gen") // pb is re-derived: stable under the stamped mod
-        .drop("pb")  // src_gen (a data column) rides through untouched
-      val alive = tombs match {
-        case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
-        case None    => base
+    // The WHOLE rebase runs under the index lease: tombstone commits
+    // are serialized out of every phase window, so the fold, the
+    // sidecar states, and the purge stamp can never disagree about
+    // which takedowns they reflect (before the claimHeld plumbing the
+    // gap between phases admitted a benign-but-subtle interleave that
+    // took a paragraph to prove safe; now it is impossible).
+    val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim,
+        s"${java.util.UUID.randomUUID()}\nrebase $wm"))
+      throw new IllegalStateException(
+        s"index $indexPath already has a consolidation/rebase in flight (or a " +
+          "dead one's marker) — if no maintainer is live, delete " +
+          s"$claim and re-run (every phase is idempotent)")
+    try {
+      // A PURGING rebase changes what the forest contains, so the two
+      // per-gen sidecar forests are rebuilt FIRST, from (live forest ⊖
+      // tombstones) — the same content the fold is about to lay out —
+      // with every row's cutoff advanced to the purge watermark. Order
+      // matters: a reader at ANY point between the phases is consistent,
+      // because each sidecar version is self-describing (old content +
+      // active corrections ≡ new content + retired corrections), while
+      // the old ordering (fold, then rebuild, then stamp) had a window
+      // where rebuilt stats met still-active corrections and double-
+      // subtracted (r15 documented residual, now closed). A crash
+      // anywhere re-runs the whole purge on retry — the stamp is LAST.
+      // A PURE LAYOUT fold touches neither sidecar: they are keyed by
+      // src gen, which the fold preserves.
+      if (unpurged) rebuildPurgedSidecars(spark, idx, fs, tombBatches.max)
+      GenForest.rebase(spark, indexPath, forestName = "postings", wm = wm,
+        partitionCols = Seq("pb"), forceFold = unpurged,
+        foldCutoff = if (unpurged) Some(tombBatches.max) else None,
+        claimHeld = true) { forest =>
+        val base = forest
+          .drop("gen") // pb is re-derived: stable under the stamped mod
+          .drop("pb")  // src_gen (a data column) rides through untouched
+        val alive = tombs match {
+          case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
+          case None    => base
+        }
+        alive.withColumn("pb",
+          pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
       }
-      alive.withColumn("pb",
-        pmod(xxhash64(col("tok")), lit(pbMod.toLong)).cast("int"))
+      // heal any src gen whose sidecars are missing (crashed earlier
+      // consolidate) and retire sidecars for src gens a total purge
+      // emptied out of the forest
+      reconcileSidecars(spark, idx, fs)
+      if (unpurged)
+        graft.core.Markers.forceWrite(fs,
+          new org.apache.hadoop.fs.Path(idx, "_purged"),
+          tombBatches.max.toString)
+    } finally {
+      fs.delete(claim, false)
     }
-    // heal any src gen whose sidecars are missing (crashed earlier
-    // consolidate) and retire sidecars for src gens a total purge
-    // emptied out of the forest
-    reconcileSidecars(spark, idx, fs)
-    if (unpurged)
-      graft.core.Markers.forceWrite(fs,
-        new org.apache.hadoop.fs.Path(idx, "_purged"),
-        tombBatches.max.toString)
   }
 
   /** Rebuild BOTH sidecar forests from (live forest ⊖ tombstones),
@@ -680,7 +698,10 @@ object PostingsIngest {
     * the hot store's two batch_id= forests (postings and stats) below
     * the watermark — the only compaction range the consolidation
     * floor allows. Every step is independently idempotent and
-    * crash-safe, so a scheduler can fire this blindly on a timer. */
+    * crash-safe, so a scheduler can fire this blindly on a timer.
+    * [[compactSidecars]] is deliberately NOT part of the runbook: it
+    * trades away as-of history below its horizon, a product decision
+    * an operator makes explicitly, never a timer. */
   def maintain(spark: SparkSession, path: String, indexPath: String,
       rebaseAtGens: Int = 8): Unit = {
     consolidate(spark, path, indexPath)
