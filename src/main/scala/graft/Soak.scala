@@ -992,6 +992,40 @@ object Soak {
           qtermsIn = Some(qts)) }
     }
 
+    // Sidecar compaction: the claim under measurement is "the serve
+    // bill of as-of history is the sidecar DIR COUNT, and
+    // compactSidecars retires it without touching the answer". A
+    // 48-consolidation store leaves 48 dict + 48 stats gens; the
+    // postings forest is rebased FIRST so the probe delta isolates
+    // the sidecars, then compaction folds them to one base each.
+    if (want("sidecarcompact")) {
+      import graft.streaming.PostingsIngest
+      import graft.operators.{IndexStore, Retrieval}
+      val base = java.nio.file.Files.createTempDirectory("soak_sidecar").toString
+      val nB = 48
+      val store = s"$base/store"
+      val idx = s"$base/idx"
+      val tI = System.nanoTime()
+      for (b <- 0 until nB) {
+        PostingsIngest.ingestBatch(
+          docs.filter(pmod(col("doc_id"), lit(nB)) === b), b, store)
+        PostingsIngest.consolidate(spark, store, idx)
+      }
+      println(f"SOAK sidecar_grow_48          ${(System.nanoTime() - tI) / 1e9}%8.2f s ($nB ingest+consolidate cycles)")
+      PostingsIngest.rebase(spark, idx) // forest → 1 gen; sidecars stay 48
+      val qts = Retrieval.queryTermsLocal(docs)
+      def probe() = IndexStore.bm25FromIndex(docs, spark, idx,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K,
+        qtermsIn = Some(qts))
+      time("sidecar_probe_48_gens")(probe())
+      time("sidecar_probe_48_gens_w")(probe())
+      val tC = System.nanoTime()
+      PostingsIngest.compactSidecars(spark, idx)
+      println(f"SOAK sidecar_compact          ${(System.nanoTime() - tC) / 1e9}%8.2f s (96 sidecar dirs -> 2)")
+      time("sidecar_probe_1_gen")(probe())
+      time("sidecar_probe_1_gen_w")(probe())
+    }
+
     // Incremental connected components: the claim under measurement
     // is "label maintenance is bounded by the batch, not the archive".
     // Archive = 10-node chain components over the whole corpus; batch

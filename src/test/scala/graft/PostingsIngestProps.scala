@@ -39,16 +39,19 @@ object PostingsIngestProps extends Properties("graft.postings") {
     expr("concat_ws(' ', transform(sequence(0, 11), " +
       "i -> concat('w', pmod(id * 7 + i * 5, 30))))").as("text"))
 
-  private val splitGen: Gen[(Int, List[Int], Boolean, Int, Boolean)] = for {
-    nB <- Gen.chooseNum(1, 5)
-    assign <- Gen.listOfN(NDocs, Gen.chooseNum(0, nB - 1))
-    consolidateEach <- Gen.oneOf(true, false)
-    asOfAt <- Gen.chooseNum(0, nB - 1)
-    doRebase <- Gen.oneOf(true, false)
-  } yield (nB, assign, consolidateEach, asOfAt, doRebase)
+  private val splitGen: Gen[(Int, List[Int], Boolean, Int, Boolean, Boolean)] =
+    for {
+      nB <- Gen.chooseNum(1, 5)
+      assign <- Gen.listOfN(NDocs, Gen.chooseNum(0, nB - 1))
+      consolidateEach <- Gen.oneOf(true, false)
+      asOfAt <- Gen.chooseNum(0, nB - 1)
+      doRebase <- Gen.oneOf(true, false)
+      doCompact <- Gen.oneOf(true, false)
+    } yield (nB, assign, consolidateEach, asOfAt, doRebase, doCompact)
 
   property("any split + any consolidation schedule serves the one-shot answer") =
-    forAll(splitGen) { case (nB, assign, consolidateEach, asOfAt, doRebase) =>
+    forAll(splitGen) {
+      case (nB, assign, consolidateEach, asOfAt, doRebase, doCompact) =>
       val base = Files.createTempDirectory("postings-prop").toString
       val store = s"$base/store"
       val idx = s"$base/idx"
@@ -67,6 +70,11 @@ object PostingsIngestProps extends Properties("graft.postings") {
       // must be invisible to BOTH the latest read and every snapshot
       // (r16: src_gen rows + per-src-gen sidecars survive the fold)
       if (doRebase) PostingsIngest.rebase(spark, idx)
+      // sidecar compaction must be invisible to the latest read, and
+      // snapshots split cleanly at its stamped horizon: at-or-after
+      // serve exactly, before REFUSE loudly (never a wrong answer)
+      if (doCompact) PostingsIngest.compactSidecars(spark, idx)
+      val horizon = PostingsIngest.sidecarHorizon(spark, idx)
       val served = IndexStore.bm25FromIndex(docs, spark, idx,
           nQueries = 4, qLen = 3, k = 5)
         .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
@@ -83,13 +91,19 @@ object PostingsIngestProps extends Properties("graft.postings") {
         val prefix =
           if (prefixIds.isEmpty) docs.filter(lit(false))
           else docs.filter(col("doc_id").isin(prefixIds.map(Long.box): _*))
-        val snap = IndexStore.bm25FromIndex(prefix, spark, idx,
+        def snap() = IndexStore.bm25FromIndex(prefix, spark, idx,
             nQueries = 4, qLen = 3, k = 5, asOfGen = Some(asOfAt.toLong))
           .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
-        val snapOneShot = Retrieval.bm25TopK(prefix,
-            nQueries = 4, qLen = 3, k = 5)
-          .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
-        snap == snapOneShot
+        if (asOfAt < horizon)
+          try { snap(); false } // must refuse, not serve
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("compacted") }
+        else {
+          val snapOneShot = Retrieval.bm25TopK(prefix,
+              nQueries = 4, qLen = 3, k = 5)
+            .orderBy("q_id", "rank").collect().toSeq.map(_.toString)
+          snap() == snapOneShot
+        }
       }
       served == oneShot && asOfOk &&
         PostingsIngest.consolidatedThrough(spark, idx).contains((nB - 1).toLong)
