@@ -330,7 +330,11 @@ object PostingsIngest {
       throw new IllegalStateException(
         s"index $indexPath already has a consolidation/rebase in flight (or a " +
           "dead one's marker) — if no maintainer is live, delete " +
-          s"$claim and re-run (every phase is idempotent)")
+          s"$claim and re-run compactSidecars FIRST, before any " +
+          "takedown or other maintenance: a crashed compaction may " +
+          "have folded one sidecar without stamping the horizon, and " +
+          "only the idempotent retry restores the keying a new " +
+          "tombstone's corrections would join against")
     try {
       // co-key both sidecar forests with the forest first (heals any
       // crashed install, so both roots list the same gens)
