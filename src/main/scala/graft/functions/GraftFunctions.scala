@@ -74,6 +74,14 @@ object GraftFunctions {
         require(args.length == 3,
           "pq_cosine(codes, query, codebooks) takes three arguments")
         PqCosine(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(serialized_filter, key) takes two arguments")
+        BloomMightContain(args.head, args(1))
       }))
 
   /** Register into a live session (uses the classic session's registry

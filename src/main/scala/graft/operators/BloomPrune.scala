@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   * the exact semi-join's hash table probe are true matches plus the fpp
   * tail. At 100 TB the win is shuffle volume: a 0.1%-selective dim
   * predicate means ~99.9% of the fact never leaves the scan stage.
-  * The closure over the filter is a plain scala UDF (not codegen'd) by
-  * necessity — the sketch lives in JVM objects — but it sits behind the
-  * pushed-down column scan and before everything else, the position
-  * where a non-codegen row filter costs least.
+  * The probe itself is [[graft.functions.BloomMightContain]] — a
+  * codegen'd expression over the serialized sketch (decoded once per
+  * task), so the per-row membership test stays inside whole-stage
+  * codegen instead of fencing it behind a scala UDF boundary.
   */
 object BloomPrune {
 
@@ -37,8 +37,8 @@ object BloomPrune {
   def bloomSemiJoin(fact: DataFrame, factKey: String, dimKeys: DataFrame,
       dimKey: String, expectedKeys: Long, fpp: Double): DataFrame = {
     val bf = dimKeys.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val might = udf((k: Long) => bf.mightContainLong(k))
-    fact.filter(might(col(factKey)))
+    fact.filter(graft.functions.BloomMightContain
+        .bloomMightContain(bf, col(factKey)))
       .join(broadcast(dimKeys.select(col(dimKey).as(factKey))), Seq(factKey), "left_semi")
   }
 
@@ -46,8 +46,8 @@ object BloomPrune {
   def bloomPrefilter(fact: DataFrame, factKey: String, dimKeys: DataFrame,
       dimKey: String, expectedKeys: Long, fpp: Double): DataFrame = {
     val bf = dimKeys.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val might = udf((k: Long) => bf.mightContainLong(k))
-    fact.filter(might(col(factKey)))
+    fact.filter(graft.functions.BloomMightContain
+      .bloomMightContain(bf, col(factKey)))
   }
 
   /** Gate query: orders placed by BUILDING-segment customers, routed

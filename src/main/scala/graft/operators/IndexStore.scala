@@ -437,8 +437,14 @@ object IndexStore {
       qtermsIn: Option[Seq[(Long, String)]] = None,
       asOfGen: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val statsRoot = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fsStats = statsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val idxRoot = new org.apache.hadoop.fs.Path(path)
+    val fsStats = idxRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    // sidecar roots resolve through the version pointer (grown layout;
+    // a flat one-shot index has no pointer and resolves to $path/stats)
+    // so a probe overlapping a purge/compaction swap always scans one
+    // complete sidecar version
+    val statsRoot =
+      graft.streaming.PostingsIngest.sidecarRoot(fsStats, idxRoot, "stats")
     // pb_mod: the index-root marker (grown layout) or the flat
     // one-shot layout's stats column
     val pbMod = graft.core.Markers.read(fsStats,
@@ -507,8 +513,14 @@ object IndexStore {
           .filter(col("pb").isin(pbs: _*))
           .join(broadcast(tokDf), Seq("tok"))
         // flat one-shot layouts have no src_gen (and reject as-of)
-        if (isGenLayout)
+        if (isGenLayout) {
+          require(raw.columns.contains("src_gen"),
+            s"index at $path has a gen= forest without the src_gen row " +
+              "column — it was consolidated by a pre-r16 graft revision " +
+              "whose rebase folds lose source-generation identity; " +
+              "rebuild the index (re-consolidate from the hot store)")
           raw.select("doc_id", "tok", "tf", "dl", "src_gen")
+        }
         else raw.select(col("doc_id"), col("tok"), col("tf"), col("dl"),
           lit(null).cast("long").as("src_gen"))
       })
@@ -536,7 +548,8 @@ object IndexStore {
       // sidecar is a crashed purge awaiting its retry: serving would
       // be silently wrong (zero stats), so refuse loudly instead
       // (r15 ADVICE).
-      val dictRoot = new org.apache.hadoop.fs.Path(s"$path/dict")
+      val dictRoot =
+        graft.streaming.PostingsIngest.sidecarRoot(fsStats, idxRoot, "dict")
       val forestHasData =
         graft.streaming.GenForest.hasDataFiles(fs, rootPath)
       require(!forestHasData ||

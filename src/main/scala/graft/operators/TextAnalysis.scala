@@ -393,8 +393,9 @@ object TextAnalysis {
     * tail — at 100 TB, where the eval gram set is too large to
     * broadcast raw and the verify must shuffle, the bloom removes
     * ~all of the shuffle volume first (the [[BloomPrune]] pattern
-    * applied to n-gram decontamination; same deliberate scala-UDF
-    * position — behind the pushed-down scan, before every exchange). */
+    * applied to n-gram decontamination; the probe is the codegen'd
+    * [[graft.functions.BloomMightContain]] — behind the pushed-down
+    * scan, before every exchange, inside whole-stage codegen). */
   val textContaminationBloom: Q = (s, dir) => {
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("ws"))
@@ -402,9 +403,9 @@ object TextAnalysis {
     val evalGrams = graft.core.Materialize.pin(
       grams.filter(col("doc_id") < 10).select("g").distinct())
     val bf = evalGrams.stat.bloomFilter("g", 100000L, 0.01)
-    val might = udf((g: String) => g != null && bf.mightContainString(g))
     grams.filter(col("doc_id") >= 10)
-      .filter(might(col("g")))
+      .filter(graft.functions.BloomMightContain
+        .bloomMightContain(bf, col("g")))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_grams"))

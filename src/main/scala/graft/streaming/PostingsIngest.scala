@@ -190,6 +190,68 @@ object PostingsIngest {
     else Some(spark.read.parquet(p.toString).select("doc_id"))
   }
 
+  // ---- sidecar root versioning ----------------------------------------
+
+  /** Sidecar forests swap in WHOLE-ROOT versions behind a pointer
+    * marker (`_stats_v` / `_dict_v` → `stats-v<N>` / `dict-v<N>`;
+    * no marker = the unversioned legacy root, "v0"). A swap writes
+    * the new version fully, then flips the pointer — one atomic
+    * marker rename — so a concurrent reader always resolves ONE
+    * complete, self-consistent version; the r16 layout's delete →
+    * rename gap (a loud-failure window readers could land in mid-
+    * purge) is gone. Retention is keep-one-back: the version a
+    * reader may have resolved just before the flip survives until
+    * the NEXT swap (sidecars are vocabulary-sized, so the extra copy
+    * is noise) — the snapshot-retention contract every pointer-swap
+    * store has: a read must finish within one maintenance interval. */
+  private def sidecarVersion(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path, root: String): Long =
+    graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, s"_${root}_v")).map(_.toLong)
+      .getOrElse(0L)
+
+  /** The LIVE root of sidecar forest `root` (pointer-resolved; the
+    * path is returned whether or not it exists yet). */
+  private[graft] def sidecarRoot(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path, root: String): org.apache.hadoop.fs.Path = {
+    val v = sidecarVersion(fs, idx, root)
+    if (v == 0L) new org.apache.hadoop.fs.Path(idx, root)
+    else new org.apache.hadoop.fs.Path(idx, s"$root-v$v")
+  }
+
+  /** Spec/ops convenience: the live sidecar root as a string path. */
+  def sidecarRootPath(spark: SparkSession, indexPath: String,
+      root: String): String = {
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    sidecarRoot(fsOf(spark, idx), idx, root).toString
+  }
+
+  /** Install `df` (carrying a `gen` column) as a NEW whole-root
+    * version of sidecar `root`: write fully (one file per gen dir),
+    * stamp each gen dir's `_gens` coverage marker, flip the pointer
+    * (the single commit step), then retire versions two behind. A
+    * crash before the flip leaves a dead half-written dir the next
+    * swap deletes; a crash after it is complete. */
+  private def installSidecarVersion(idx: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, root: String, df: DataFrame,
+      markers: Map[Long, Map[Long, Long]]): Unit = {
+    val newV = sidecarVersion(fs, idx, root) + 1
+    val newRoot = new org.apache.hadoop.fs.Path(idx, s"$root-v$newV")
+    if (fs.exists(newRoot)) fs.delete(newRoot, true) // crashed prior write
+    df.repartition(col("gen"))
+      .write.mode("errorifexists").partitionBy("gen").parquet(newRoot.toString)
+    for ((g, m) <- markers) {
+      val d = new org.apache.hadoop.fs.Path(newRoot, s"gen=$g")
+      if (fs.exists(d)) GenForest.writeGensMarker(fs, d, m)
+    }
+    graft.core.Markers.forceWrite(fs,
+      new org.apache.hadoop.fs.Path(idx, s"_${root}_v"), newV.toString)
+    // keep-one-back retirement: v(N-1) stays for in-flight readers
+    for (v <- 1L to newV - 2)
+      fs.delete(new org.apache.hadoop.fs.Path(idx, s"$root-v$v"), true)
+    if (newV >= 2) fs.delete(new org.apache.hadoop.fs.Path(idx, root), true)
+  }
+
   /** Reconcile the two per-SOURCE-generation sidecar forests (stats:
     * one (n, sumdl) row per src gen; dict: (tok, df) deltas per src
     * gen) with the postings forest. Source generations — the `_gens`
@@ -218,6 +280,16 @@ object PostingsIngest {
       idx: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val forestRoot = new org.apache.hadoop.fs.Path(idx, "postings")
+    // settle any sidecar-forest rebase recovery state a crashed r16-
+    // era compaction left behind (sidecar folds no longer run through
+    // GenForest.rebase): sidecars are DERIVED data — this pass rebuilds
+    // whatever the live root is missing from the postings forest, so
+    // the recovery dirs are never the only copy, and a stale stamped
+    // scratch must never win a later fold's recovery branch (it would
+    // swap pre-crash content over gens folded since)
+    for (root <- Seq("stats", "dict");
+        d <- Seq(s".rebase-scratch-$root", s".rebase-old-$root"))
+      fs.delete(new org.apache.hadoop.fs.Path(idx, d), true)
     val srcMap = GenForest.srcGens(fs, forestRoot)
     // SIDECAR keying is bucketed by the compaction horizon: src gens
     // <= horizon live in ONE base sidecar gen keyed AT the horizon
@@ -232,61 +304,121 @@ object PostingsIngest {
     def dirsFor(b: Long): Seq[String] =
       dirMaps.collect { case (p, m)
         if m.keys.exists(g => bucket(g) == b) => p.toString }
-    def bucketRows(b: Long): DataFrame = {
-      val rows = spark.read.option("basePath", forestRoot.toString)
-        .parquet(dirsFor(b): _*)
-        .filter(if (b == horizon) col("src_gen") <= horizon
-          else col("src_gen") === b)
-      // the BASE bucket reflects every tombstone visible now (its
-      // member gens were encoded at different tombstone states, so no
-      // single inherited cutoff is exact — anti-joining the full set
-      // and stamping the current max makes the rebuild exact)
-      if (b == horizon) docTombstones(spark, idx.toString) match {
-        case Some(t) => rows.join(broadcast(t), Seq("doc_id"), "left_anti")
-        case None    => rows
-      } else rows
-    }
     def cutoffFor(b: Long): Long =
       if (b == horizon)
         numberedDirs(fs, new org.apache.hadoop.fs.Path(idx, "tombstones"),
           BatchDir).map(_._1).maxOption.getOrElse(-1L)
       else srcMap(b)
-    def install(root: String, b: Long, build: => DataFrame): Unit = {
-      val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
-      if (fs.exists(scratch)) fs.delete(scratch, true)
-      // one file per sidecar gen dir: the delta is vocabulary-sized
-      // (≪ the batch that produced it), and serve-side file opens
-      // scale with gen count × files-per-dir — the same small-file
-      // reasoning as the band store's repartition-before-partitionBy
-      build.coalesce(1).write.mode("errorifexists").parquet(scratch.toString)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(idx, root))
-      require(fs.rename(scratch,
-        new org.apache.hadoop.fs.Path(idx, s"$root/gen=$b")),
-        s"failed to install $root generation for gen=$b")
-    }
     val buckets = srcMap.keys.map(bucket).toSeq.distinct
-    for (b <- buckets) {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"stats/gen=$b")))
-        install("stats", b,
-          bucketRows(b)
-            .select(col("doc_id"), col("dl").cast("long").as("dl"))
-            .distinct()
-            .agg(count(lit(1)).cast("long").as("n"),
-              coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))
-            .withColumn("purged_through", lit(cutoffFor(b))))
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idx, s"dict/gen=$b")))
-        install("dict", b,
-          bucketRows(b)
-            .groupBy("tok").agg(count(lit(1)).as("df"))
-            .withColumn("purged_through", lit(cutoffFor(b))))
+    def coveredBy(b: Long): Map[Long, Long] =
+      if (b == horizon) srcMap.filter { case (g, _) => g <= horizon }
+      else Map(b -> srcMap(b))
+    for (b <- buckets; root <- Seq("stats", "dict")) {
+      // crash heal (horizon stamped, folds incomplete — the r16
+      // ADVICE window, now closed structurally): a base-bucket dir
+      // whose marker does NOT span every src gen <= horizon is a
+      // pre-compaction per-gen delta wearing the base key — serving
+      // or folding it as the base would count only its own gen's
+      // rows. Rebuild the bucket from the postings forest instead.
+      val dir = new org.apache.hadoop.fs.Path(
+        sidecarRoot(fs, idx, root), s"gen=$b")
+      if (b == horizon && horizon >= 0L && fs.exists(dir) &&
+          !coveredBy(b).keySet.subsetOf(
+            GenForest.readGensMarker(fs, dir, b).keySet))
+        fs.delete(dir, true)
+    }
+    // derivation of every missing bucket runs as ONE job per sidecar
+    // (not one per gen): the union of the needed dirs is read once,
+    // grouped by bucket, laid out by partitionBy, and the gen dirs
+    // move into the live root as fs renames — so post-crash healing
+    // of a many-gen forest costs 2 jobs + O(gens) renames, the
+    // rebuildPurgedSidecars shape lifted to the reconcile (r16
+    // verdict task)
+    val missing: Map[String, Seq[Long]] =
+      Seq("stats", "dict").map(root => root -> buckets.filter(b =>
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          sidecarRoot(fs, idx, root), s"gen=$b")))).toMap
+    if (missing.values.exists(_.nonEmpty)) {
+      val needed = missing.values.flatten.toSeq.distinct
+      val dirs = needed.flatMap(dirsFor).distinct
+      val raw = spark.read.option("basePath", forestRoot.toString)
+        .parquet(dirs: _*)
+        .withColumn("bucket",
+          when(col("src_gen") <= horizon, lit(horizon))
+            .otherwise(col("src_gen").cast("long")))
+        .filter(col("bucket").isin(needed: _*))
+      // the BASE bucket reflects every tombstone visible now (its
+      // member gens were encoded at different tombstone states, so no
+      // single inherited cutoff is exact — anti-joining the full set
+      // and stamping the current max makes the rebuild exact); other
+      // buckets keep their rows as encoded, consistent with their
+      // inherited cutoffs
+      val rows = docTombstones(spark, idx.toString) match {
+        case Some(t) if needed.contains(horizon) =>
+          raw.filter(col("bucket") =!= horizon).unionByName(
+            raw.filter(col("bucket") === horizon)
+              .join(broadcast(t), Seq("doc_id"), "left_anti"))
+        case _ => raw
+      }
+      // both sidecar aggs read the (possibly multiply-scanned) forest
+      // dirs — pin so the explode/scan work is paid once
+      val pinned = graft.core.Materialize.pin(
+        rows.select("bucket", "doc_id", "tok", "dl"))
+      // per-bucket cutoff stamped via a literal map lookup — stays
+      // inside codegen, no per-bucket job
+      val cutoffCol = element_at(
+        typedlit(needed.map(b => b -> cutoffFor(b)).toMap), col("gen"))
+      def installAll(root: String, build: DataFrame): Unit = {
+        if (missing(root).isEmpty) return
+        val liveRoot = sidecarRoot(fs, idx, root)
+        val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        // one file per sidecar gen dir: each delta is vocabulary-sized
+        // (≪ the batch that produced it), and serve-side file opens
+        // scale with gen count × files-per-dir — the same small-file
+        // reasoning as the band store's repartition-before-partitionBy
+        build.filter(col("gen").isin(missing(root): _*))
+          .withColumn("purged_through", cutoffCol)
+          .repartition(col("gen"))
+          .write.mode("errorifexists").partitionBy("gen")
+          .parquet(scratch.toString)
+        fs.mkdirs(liveRoot)
+        for (b <- missing(root)) {
+          val src = new org.apache.hadoop.fs.Path(scratch, s"gen=$b")
+          val dst = new org.apache.hadoop.fs.Path(liveRoot, s"gen=$b")
+          // a bucket whose rows were all purged aggregates to nothing:
+          // install an empty dir so the exists-keying settles (readers
+          // sum an absent row as zero either way)
+          if (!fs.exists(src)) fs.mkdirs(dst)
+          else require(fs.rename(src, dst),
+            s"failed to install $root generation for gen=$b")
+          // the dir's `_gens` marker records which SOURCE gens its
+          // rows cover — the coverage contract the crash heal checks
+          GenForest.writeGensMarker(fs, dst, coveredBy(b))
+        }
+        fs.delete(scratch, true)
+      }
+      installAll("stats", pinned
+        .select(col("bucket").as("gen"), col("doc_id"),
+          col("dl").cast("long").as("dl"))
+        .distinct()
+        .groupBy("gen")
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl")))
+      installAll("dict", pinned
+        .select(col("bucket").as("gen"), col("tok"))
+        .groupBy("gen", "tok").agg(count(lit(1)).as("df")))
     }
     // buckets only vanish when a purge empties them out of the forest
-    // entirely (total takedown): retire their sidecar rows with them
+    // entirely (total takedown): retire their sidecar rows with them.
+    // A dir covering ONLY retired buckets (e.g. a per-gen delta below
+    // a freshly stamped horizon whose base bucket was just rebuilt) is
+    // equally dead — its content now lives in the base.
     for (root <- Seq("stats", "dict")) {
-      for ((g, p) <- numberedDirs(fs,
-          new org.apache.hadoop.fs.Path(idx, root), GenDir)
+      val liveRoot = sidecarRoot(fs, idx, root)
+      for ((g, p) <- numberedDirs(fs, liveRoot, GenDir)
           if !buckets.contains(g)) fs.delete(p, true)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(idx, root))
+      fs.mkdirs(liveRoot)
     }
   }
 
@@ -300,25 +432,37 @@ object PostingsIngest {
       new org.apache.hadoop.fs.Path(indexPath, "_sidecar_horizon"))
       .map(_.toLong).getOrElse(-1L)
 
-  /** Bound sidecar growth: fold every dict delta and stats row into
-    * ONE base generation keyed at the current max sidecar gen, and
-    * stamp that id as the horizon. The per-src-gen deltas are what
-    * POWER as-of serving, so this is an explicit product trade — the
-    * operator gives up snapshots older than the horizon (serves below
-    * it refuse loudly) in exchange for a sidecar listing bill that
-    * stops growing with consolidation count. Latest serves and as-of
-    * at-or-after the horizon are bit-identical either side of the
-    * fold (sums are preserved).
+  /** Bound sidecar growth: fold the dict deltas and stats rows of
+    * every src gen except the newest `keepLast` into ONE base
+    * generation keyed at the fold point, stamped as the horizon. The
+    * per-src-gen deltas are what POWER as-of serving, so this is an
+    * explicit product trade — the operator gives up snapshots older
+    * than the horizon (serves below it refuse loudly) in exchange for
+    * a sidecar listing bill that stops growing with consolidation
+    * count; `keepLast > 0` keeps a tail of recent history serveable,
+    * so a scheduler can bound growth while honoring a configured
+    * snapshot lag. Latest serves and as-of at-or-after the horizon
+    * are bit-identical either side of the fold (sums are preserved).
     *
     * Preconditions, enforced: no unpurged tombstones (a purge settles
     * every cutoff to one value — folding rows with DIFFERENT cutoffs
     * has no single exact cutoff, in either direction). The whole
     * operation runs under the index lease, so no tombstone can land
-    * between the folds and the horizon stamp (the one window where a
-    * correction could miss its bucket); the folds themselves are
-    * [[GenForest]] rebases with full crash recovery, and the stamp is
-    * LAST — a crash re-runs idempotently. */
-  def compactSidecars(spark: SparkSession, indexPath: String): Unit = {
+    * mid-run.
+    *
+    * Crash/read discipline (r16 ADVICE, both findings): the horizon
+    * stamp is the COMMIT POINT and it lands BEFORE the folds — a
+    * reader overlapping the fold window refuses as-of below the
+    * horizon instead of silently missing folded rows (the per-gen
+    * rows it still resolves sum to the identical latest/at-horizon
+    * answer), and a crash anywhere after the stamp is healed by ANY
+    * maintenance entry point: [[reconcileSidecars]] rebuilds a base
+    * bucket whose dir does not span its gens (the `_gens` coverage
+    * markers) from the postings forest. The folds themselves land as
+    * whole-root pointer swaps ([[installSidecarVersion]]), so a
+    * concurrent reader always scans one complete sidecar version. */
+  def compactSidecars(spark: SparkSession, indexPath: String,
+      keepLast: Int = 0): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
     consolidatedThrough(spark, indexPath).getOrElse(
@@ -330,14 +474,13 @@ object PostingsIngest {
       throw new IllegalStateException(
         s"index $indexPath already has a consolidation/rebase in flight (or a " +
           "dead one's marker) — if no maintainer is live, delete " +
-          s"$claim and re-run compactSidecars FIRST, before any " +
-          "takedown or other maintenance: a crashed compaction may " +
-          "have folded one sidecar without stamping the horizon, and " +
-          "only the idempotent retry restores the keying a new " +
-          "tombstone's corrections would join against")
+          s"$claim and re-run any maintenance entry point: every phase " +
+          "is idempotent, and a crashed compaction is healed by the " +
+          "reconcile pass each of them runs")
     try {
       // co-key both sidecar forests with the forest first (heals any
-      // crashed install, so both roots list the same gens)
+      // crashed install or a crashed prior compaction, so both roots
+      // list the same buckets)
       reconcileSidecars(spark, idx, fs)
       val tombBatches = numberedDirs(fs,
         new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
@@ -348,28 +491,52 @@ object PostingsIngest {
         s"index at $indexPath has unpurged tombstones — run " +
           "PostingsIngest.rebase (the purge settles every sidecar " +
           "cutoff to one value) before compacting sidecars")
-      val gens = numberedDirs(fs,
-        new org.apache.hadoop.fs.Path(idx, "dict"), GenDir).map(_._1)
-      if (gens.size <= 1) return // already one bucket — nothing to fold
-      val horizon = gens.max
-      for (root <- Seq("stats", "dict"))
-        GenForest.rebase(spark, indexPath, forestName = root,
-            wm = 0L, partitionCols = Seq.empty, claimHeld = true) { rows =>
-          val base = rows.drop("gen")
-          if (root == "stats")
-            base.agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
-              coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"),
-              max("purged_through").as("purged_through"))
-          else
-            base.groupBy("tok").agg(sum("df").as("df"),
-              max("purged_through").as("purged_through"))
-        }
+      val gens = numberedDirs(fs, sidecarRoot(fs, idx, "dict"), GenDir)
+        .map(_._1).sorted
+      val foldable = gens.dropRight(keepLast.max(0))
+      if (foldable.size <= 1) return // nothing (new) to fold
+      val horizon = foldable.max
       graft.core.Markers.forceWrite(fs,
         new org.apache.hadoop.fs.Path(idx, "_sidecar_horizon"),
         horizon.toString)
+      for (root <- Seq("stats", "dict"))
+        foldSidecarTo(spark, idx, fs, root, horizon)
     } finally {
       fs.delete(claim, false)
     }
+  }
+
+  /** One sidecar forest's compaction fold: sum every row with gen at
+    * or below `horizon` into one base generation, pass later gens
+    * through per-gen, and swap the result in as a new whole-root
+    * version. Exposed package-private so crash specs can construct
+    * the exact "one sidecar folded, the other not" window. */
+  private[graft] def foldSidecarTo(spark: SparkSession,
+      idx: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      root: String, horizon: Long): Unit = {
+    val srcMap = GenForest.srcGens(fs,
+      new org.apache.hadoop.fs.Path(idx, "postings"))
+    val cur = sidecarRoot(fs, idx, root)
+    val gens = numberedDirs(fs, cur, GenDir).map(_._1)
+    // coverage markers for the new version's dirs: the base spans
+    // every src gen at or below the horizon, later dirs themselves
+    val markers: Map[Long, Map[Long, Long]] =
+      Map(horizon -> srcMap.filter { case (g, _) => g <= horizon }) ++
+        gens.filter(_ > horizon).map(g => g -> Map(g -> srcMap(g)))
+    val all = spark.read.parquet(cur.toString)
+      .withColumn("gen",
+        when(col("gen") <= horizon, lit(horizon))
+          .otherwise(col("gen").cast("long")))
+    val folded =
+      if (root == "stats")
+        all.groupBy("gen")
+          .agg(coalesce(sum("n"), lit(0L)).cast("long").as("n"),
+            coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"),
+            max("purged_through").as("purged_through"))
+      else
+        all.groupBy("gen", "tok").agg(sum("df").as("df"),
+          max("purged_through").as("purged_through"))
+    installSidecarVersion(idx, fs, root, folded, markers)
   }
 
   /** The index's stamped consolidation watermark: every store batch
@@ -635,11 +802,12 @@ object PostingsIngest {
   /** Rebuild BOTH sidecar forests from (live forest ⊖ tombstones),
     * per src gen, every row stamped `purged_through = tombMax` — the
     * purge's first phase (see [[rebase]] on why it precedes the fold).
-    * Each sidecar swaps in as ONE whole-root rename, so a reader sees
-    * the old version or the new, never a mix of gens; the delete →
-    * rename gap is a loud-failure window ([[IndexStore.bm25FromIndex]]
-    * refuses to serve a data-bearing forest with no sidecars), not a
-    * wrong-answer one.
+    * Each sidecar swaps in as ONE whole-root pointer flip
+    * ([[installSidecarVersion]]), so a reader always scans one
+    * complete, self-consistent version — the r16 delete → rename gap
+    * (a loud-failure window readers could land in) is gone; the
+    * missing-sidecar refusal in [[IndexStore.bm25FromIndex]] stays as
+    * a backstop for externally damaged indexes.
     *
     * n and sumdl come from the forest's distinct (doc_id, dl) pairs,
     * which counts only docs with at least one token: a deleted EMPTY
@@ -672,21 +840,18 @@ object PostingsIngest {
       .withColumn("bucket",
         when(col("src_gen") <= horizon, lit(horizon))
           .otherwise(col("src_gen"))))
-    def swapIn(root: String, df: DataFrame): Unit = {
-      val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
-      if (fs.exists(scratch)) fs.delete(scratch, true)
-      df.withColumn("purged_through", lit(tombMax))
-        .withColumn("gen", col("bucket")).drop("bucket")
-        // one file per gen dir (the repartition-before-partitionBy
-        // move): sidecar rows are vocabulary-sized per gen
-        .repartition(col("gen"))
-        .write.mode("errorifexists").partitionBy("gen")
-        .parquet(scratch.toString)
-      val dir = new org.apache.hadoop.fs.Path(idx, root)
-      if (fs.exists(dir)) fs.delete(dir, true)
-      require(fs.rename(scratch, dir),
-        s"failed to install rebuilt $root at $dir")
-    }
+    // coverage markers for the rebuilt dirs (all cutoffs advance to
+    // the purge watermark): the base bucket spans every src gen at or
+    // below the horizon, per-gen dirs themselves
+    val srcMap = GenForest.srcGens(fs, forestRoot)
+    val markers: Map[Long, Map[Long, Long]] =
+      srcMap.keys.groupBy(g => if (g <= horizon) horizon else g)
+        .map { case (b, gs) => b -> gs.map(_ -> tombMax).toMap }
+    def swapIn(root: String, df: DataFrame): Unit =
+      installSidecarVersion(idx, fs, root,
+        df.withColumn("purged_through", lit(tombMax))
+          .withColumn("gen", col("bucket")).drop("bucket"),
+        markers)
     swapIn("stats", pinned
       .select("bucket", "doc_id", "dl").distinct()
       .groupBy("bucket")
@@ -703,11 +868,18 @@ object PostingsIngest {
     * the watermark — the only compaction range the consolidation
     * floor allows. Every step is independently idempotent and
     * crash-safe, so a scheduler can fire this blindly on a timer.
-    * [[compactSidecars]] is deliberately NOT part of the runbook: it
-    * trades away as-of history below its horizon, a product decision
-    * an operator makes explicitly, never a timer. */
+    * [[compactSidecars]] joins the runbook ONLY behind the explicit
+    * `sidecarKeepLast` opt-in (default off): it trades away as-of
+    * history below its horizon, a product decision an operator makes
+    * by setting the knob — `Some(k)` bounds sidecar dir growth while
+    * keeping the newest k source generations individually serveable
+    * (as-of refuses only below that configured lag). The compaction
+    * leg is SKIPPED (never failed) while tombstones are unpurged —
+    * a takedown landing between this cycle's rebase and its
+    * compaction leg just waits for the next cycle. */
   def maintain(spark: SparkSession, path: String, indexPath: String,
-      rebaseAtGens: Int = 8): Unit = {
+      rebaseAtGens: Int = 8,
+      sidecarKeepLast: Option[Int] = None): Unit = {
     consolidate(spark, path, indexPath)
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
@@ -722,6 +894,17 @@ object PostingsIngest {
     consolidatedThrough(spark, indexPath).foreach { wm =>
       Compaction.compact(spark, s"$path/postings", safeBelow = wm + 1)
       Compaction.compact(spark, s"$path/stats", safeBelow = wm + 1)
+    }
+    sidecarKeepLast.foreach { keep =>
+      // re-read the tombstone state: the rebase above may have purged
+      val tb = numberedDirs(fs,
+        new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
+      val p2 = graft.core.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong)
+        .getOrElse(-1L)
+      if (consolidatedThrough(spark, indexPath).nonEmpty &&
+          tb.forall(_ <= p2))
+        compactSidecars(spark, indexPath, keepLast = keep)
     }
   }
 

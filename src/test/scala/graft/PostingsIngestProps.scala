@@ -39,7 +39,7 @@ object PostingsIngestProps extends Properties("graft.postings") {
     expr("concat_ws(' ', transform(sequence(0, 11), " +
       "i -> concat('w', pmod(id * 7 + i * 5, 30))))").as("text"))
 
-  private val splitGen: Gen[(Int, List[Int], Boolean, Int, Boolean, Boolean)] =
+  private val splitGen: Gen[(Int, List[Int], Boolean, Int, Boolean, Boolean, Int, Int)] =
     for {
       nB <- Gen.chooseNum(1, 5)
       assign <- Gen.listOfN(NDocs, Gen.chooseNum(0, nB - 1))
@@ -47,11 +47,17 @@ object PostingsIngestProps extends Properties("graft.postings") {
       asOfAt <- Gen.chooseNum(0, nB - 1)
       doRebase <- Gen.oneOf(true, false)
       doCompact <- Gen.oneOf(true, false)
-    } yield (nB, assign, consolidateEach, asOfAt, doRebase, doCompact)
+      keepLast <- Gen.chooseNum(0, 2)
+      // 0 = clean run; 1 = die after the horizon stamp; 2 = die after
+      // the stamp AND the stats fold (the r16 ADVICE corruption window)
+      crashAt <- Gen.chooseNum(0, 2)
+    } yield (nB, assign, consolidateEach, asOfAt, doRebase, doCompact,
+      keepLast, crashAt)
 
   property("any split + any consolidation schedule serves the one-shot answer") =
     forAll(splitGen) {
-      case (nB, assign, consolidateEach, asOfAt, doRebase, doCompact) =>
+      case (nB, assign, consolidateEach, asOfAt, doRebase, doCompact,
+          keepLast, crashAt) =>
       val base = Files.createTempDirectory("postings-prop").toString
       val store = s"$base/store"
       val idx = s"$base/idx"
@@ -72,8 +78,30 @@ object PostingsIngestProps extends Properties("graft.postings") {
       if (doRebase) PostingsIngest.rebase(spark, idx)
       // sidecar compaction must be invisible to the latest read, and
       // snapshots split cleanly at its stamped horizon: at-or-after
-      // serve exactly, before REFUSE loudly (never a wrong answer)
-      if (doCompact) PostingsIngest.compactSidecars(spark, idx)
+      // serve exactly, before REFUSE loudly (never a wrong answer).
+      // With crashAt != 0 the run first DIES at a random phase of a
+      // keepLast=0 compaction (the stamp is the commit point, so the
+      // stamped horizon governs from that moment) and the retry —
+      // possibly under a DIFFERENT keepLast — must heal to the exact
+      // same invariants: no double count, no lost gen, refusal only
+      // below the stamped horizon.
+      if (doCompact) {
+        if (crashAt > 0) {
+          val idxPath = new org.apache.hadoop.fs.Path(idx)
+          val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+          val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+              PostingsIngest.sidecarRootPath(spark, idx, "dict")))
+            .map(_.getPath.getName).collect { case s if s.startsWith("gen=") =>
+              s.stripPrefix("gen=").toLong }
+          if (gens.length > 1) {
+            graft.core.Markers.forceWrite(fs, new org.apache.hadoop.fs.Path(
+              idxPath, "_sidecar_horizon"), gens.max.toString)
+            if (crashAt == 2)
+              PostingsIngest.foldSidecarTo(spark, idxPath, fs, "stats", gens.max)
+          }
+        }
+        PostingsIngest.compactSidecars(spark, idx, keepLast = keepLast)
+      }
       val horizon = PostingsIngest.sidecarHorizon(spark, idx)
       val served = IndexStore.bm25FromIndex(docs, spark, idx,
           nQueries = 4, qLen = 3, k = 5)

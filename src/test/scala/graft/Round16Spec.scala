@@ -192,8 +192,10 @@ class Round16Spec extends SparkSpec {
     }
     val idxPath = new org.apache.hadoop.fs.Path(idx)
     val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // sidecar roots are pointer-versioned since r17 — resolve the live one
     def sidecarGens(root: String) =
-      fs.listStatus(new org.apache.hadoop.fs.Path(idxPath, root))
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+          PostingsIngest.sidecarRootPath(spark, idx, root)))
         .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted.toSeq
     assert(sidecarGens("dict").size == 3 && sidecarGens("stats").size == 3)
     def serve(corpus: org.apache.spark.sql.DataFrame,
