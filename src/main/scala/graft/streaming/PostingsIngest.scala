@@ -360,10 +360,14 @@ object PostingsIngest {
               .join(broadcast(t), Seq("doc_id"), "left_anti"))
         case _ => raw
       }
-      // both sidecar aggs read the (possibly multiply-scanned) forest
-      // dirs — pin so the explode/scan work is paid once
-      val pinned = graft.core.Materialize.pin(
-        rows.select("bucket", "doc_id", "tok", "dl"))
+      // both sidecar aggs scan the needed forest dirs; pin ONLY on the
+      // multi-bucket heal path, where one materialization beats many
+      // re-scans — the hot path (exactly one fresh delta per
+      // consolidate) reads a single small gen dir twice, cheaper than
+      // an eager checkpoint job (measured on the grown gate rows)
+      val sel = rows.select("bucket", "doc_id", "tok", "dl")
+      val pinned =
+        if (needed.size > 1) graft.core.Materialize.pin(sel) else sel
       // per-bucket cutoff stamped via a literal map lookup — stays
       // inside codegen, no per-bucket job
       val cutoffCol = element_at(
@@ -377,9 +381,13 @@ object PostingsIngest {
         // (≪ the batch that produced it), and serve-side file opens
         // scale with gen count × files-per-dir — the same small-file
         // reasoning as the band store's repartition-before-partitionBy
-        build.filter(col("gen").isin(missing(root): _*))
+        val shaped = build.filter(col("gen").isin(missing(root): _*))
           .withColumn("purged_through", cutoffCol)
-          .repartition(col("gen"))
+        // single fresh delta (the per-consolidate hot path): merge the
+        // agg's partitions without another exchange; multi-bucket heal:
+        // one exchange keyed by gen → one file per gen dir
+        (if (missing(root).size == 1) shaped.coalesce(1)
+         else shaped.repartition(col("gen")))
           .write.mode("errorifexists").partitionBy("gen")
           .parquet(scratch.toString)
         fs.mkdirs(liveRoot)
@@ -615,6 +623,16 @@ object PostingsIngest {
         && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old-postings")),
       s"index at $indexPath has rebase recovery state pending — run " +
         "PostingsIngest.rebase to settle it before consolidating")
+    // same refusal for the PRE-suffix recovery layout (an older
+    // revision's crashed rebase): this revision cannot tell which
+    // forest the dirs belong to, and consolidating on top could
+    // recreate the root and strand the real forest in the old trash
+    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
+        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
+      s"index at $indexPath carries rebase recovery state from an " +
+        "older revision (unsuffixed .rebase-scratch/.rebase-old) — " +
+        "finish that rebase with the revision that started it, or if " +
+        "the live forest is intact, delete the legacy dirs first")
     val maxGen = numberedDirs(fs, genRoot, GenDir)
       .map(_._1).maxOption.getOrElse(-1L)
     val floor = math.max(prev, maxGen)
