@@ -563,9 +563,7 @@ object IndexStore {
       // base sidecar bucket keyed at the horizon (-1 = identity).
       // History below it was summed away, so snapshots there are
       // REFUSED rather than served wrong.
-      val horizon = graft.core.Markers.read(fs,
-          new org.apache.hadoop.fs.Path(s"$path/_sidecar_horizon"))
-        .map(_.toLong).getOrElse(-1L)
+      val horizon = graft.streaming.PostingsIngest.sidecarHorizon(fs, idxRoot)
       require(asOfGen.forall(_ >= horizon),
         s"index at $path compacted its sidecar history up to " +
           s"gen=$horizon (PostingsIngest.compactSidecars) — an asOf " +

@@ -31,6 +31,22 @@ object GenForest {
 
   private val GenDir = "gen=(\\d+)".r
 
+  /** On-disk format guard, shared by every rebase/consolidate entry:
+    * recovery dirs gained a -<forest> suffix in r16 — unsuffixed dirs
+    * mean a rebase from a PRE-suffix revision crashed mid-swap here,
+    * and this revision cannot tell which forest the recovery state
+    * belongs to; proceeding could recreate the root and silently
+    * strand the real forest in the old trash. */
+  private[graft] def requireNoLegacyRecoveryDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
+      s"index at $idx carries rebase recovery state from an " +
+        "older revision (unsuffixed .rebase-scratch/.rebase-old) — " +
+        "finish that rebase with the revision that started it, or if " +
+        "the live forest is intact, delete the legacy dirs first")
+
   private[streaming] def numberedDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       pat: scala.util.matching.Regex): Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -133,17 +149,7 @@ object GenForest {
       fold: DataFrame => DataFrame): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
-    // on-disk format guard: recovery dirs gained a -<forest> suffix in
-    // r16 — unsuffixed dirs mean a rebase from a PRE-suffix revision
-    // crashed mid-swap here, and this revision cannot tell which
-    // forest the recovery state belongs to; proceeding could recreate
-    // the root and silently strand the real forest in the old trash
-    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch")) &&
-        !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
-      s"index at $indexPath carries rebase recovery state from an " +
-        "older revision (unsuffixed .rebase-scratch/.rebase-old) — " +
-        "finish that rebase with the revision that started it, or if " +
-        "the live forest is intact, delete the legacy dirs first")
+    requireNoLegacyRecoveryDirs(fs, idx)
     val genRoot = new org.apache.hadoop.fs.Path(idx, forestName)
     val scratch = new org.apache.hadoop.fs.Path(idx, s".rebase-scratch-$forestName")
     val trash = new org.apache.hadoop.fs.Path(idx, s".rebase-old-$forestName")

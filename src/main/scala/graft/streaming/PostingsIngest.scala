@@ -150,6 +150,15 @@ object PostingsIngest {
           "tombstone committed mid-maintenance can miss both the encode " +
           "skip and its stats correction; retry once the lease clears")
     try {
+      // heal FIRST, under this lease (r17 review): a compaction that
+      // stamped its horizon and failed before folding leaves the
+      // sidecars per-gen while serve-time correction joins key by
+      // BUCKET — a takedown committed into that window would lose its
+      // df correction (the dict row at the bucket key may not exist
+      // yet) until the next maintenance run. Healing here closes the
+      // window; the reconcile is metadata-only when sidecars are
+      // healthy, and a no-op on flat one-shot layouts.
+      reconcileSidecars(spark, idx, fs)
       val forestRoot = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
       // dl lookup: NULL for a doc not (yet) in the forest — those docs
       // were never counted in the index stats (encode will skip them),
@@ -192,32 +201,39 @@ object PostingsIngest {
 
   // ---- sidecar root versioning ----------------------------------------
 
-  /** Sidecar forests swap in WHOLE-ROOT versions behind a pointer
-    * marker (`_stats_v` / `_dict_v` → `stats-v<N>` / `dict-v<N>`;
-    * no marker = the unversioned legacy root, "v0"). A swap writes
-    * the new version fully, then flips the pointer — one atomic
-    * marker rename — so a concurrent reader always resolves ONE
-    * complete, self-consistent version; the r16 layout's delete →
-    * rename gap (a loud-failure window readers could land in mid-
-    * purge) is gone. Retention is keep-one-back: the version a
-    * reader may have resolved just before the flip survives until
-    * the NEXT swap (sidecars are vocabulary-sized, so the extra copy
-    * is noise) — the snapshot-retention contract every pointer-swap
-    * store has: a read must finish within one maintenance interval. */
-  private def sidecarVersion(fs: org.apache.hadoop.fs.FileSystem,
-      idx: org.apache.hadoop.fs.Path, root: String): Long =
-    graft.core.Markers.read(fs,
-      new org.apache.hadoop.fs.Path(idx, s"_${root}_v")).map(_.toLong)
-      .getOrElse(0L)
-
-  /** The LIVE root of sidecar forest `root` (pointer-resolved; the
-    * path is returned whether or not it exists yet). */
-  private[graft] def sidecarRoot(fs: org.apache.hadoop.fs.FileSystem,
-      idx: org.apache.hadoop.fs.Path, root: String): org.apache.hadoop.fs.Path = {
-    val v = sidecarVersion(fs, idx, root)
-    if (v == 0L) new org.apache.hadoop.fs.Path(idx, root)
-    else new org.apache.hadoop.fs.Path(idx, s"$root-v$v")
+  /** Sidecar forests swap in WHOLE-ROOT versions as numbered dirs
+    * (`stats-v<N>` / `dict-v<N>`; no version dir = the unversioned
+    * initial root, "v0"). A swap builds the new version under a
+    * hidden scratch and PUBLISHES it with one atomic dir rename;
+    * readers resolve the highest version dir present, so a version
+    * is invisible until complete and there is no pointer file whose
+    * rewrite could expose a read to an absent/stale value (a
+    * delete+rename marker flip has a gap; a dir listing does not).
+    * Retention is keep-one-back: the version a reader may have
+    * resolved just before the publish survives until the NEXT swap
+    * (sidecars are vocabulary-sized, so the extra copy is noise) —
+    * the snapshot-retention contract every version-swap store has:
+    * a read must finish within one maintenance interval. */
+  private def sidecarVersions(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path,
+      root: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val pat = (java.util.regex.Pattern.quote(root) + "-v(\\d+)").r
+    if (!fs.exists(idx)) Seq.empty
+    else fs.listStatus(idx).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case pat(v) if s.isDirectory => Some(v.toLong -> s.getPath)
+        case _                       => None
+      }
+    }
   }
+
+  /** The LIVE root of sidecar forest `root` (highest published
+    * version; the path is returned whether or not it exists yet). */
+  private[graft] def sidecarRoot(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path, root: String): org.apache.hadoop.fs.Path =
+    sidecarVersions(fs, idx, root)
+      .maxByOption(_._1).map(_._2)
+      .getOrElse(new org.apache.hadoop.fs.Path(idx, root))
 
   /** Spec/ops convenience: the live sidecar root as a string path. */
   def sidecarRootPath(spark: SparkSession, indexPath: String,
@@ -227,28 +243,35 @@ object PostingsIngest {
   }
 
   /** Install `df` (carrying a `gen` column) as a NEW whole-root
-    * version of sidecar `root`: write fully (one file per gen dir),
-    * stamp each gen dir's `_gens` coverage marker, flip the pointer
-    * (the single commit step), then retire versions two behind. A
-    * crash before the flip leaves a dead half-written dir the next
-    * swap deletes; a crash after it is complete. */
+    * version of sidecar `root`: build fully under scratch (one file
+    * per gen dir, each with its `_gens` coverage marker), publish
+    * with one atomic dir rename, then retire every version two or
+    * more behind plus the v0 root — deletes proportional to dirs
+    * actually present, not lifetime swap count. A crash before the
+    * publish leaves an invisible scratch the next swap deletes; a
+    * crash after it is complete. */
   private def installSidecarVersion(idx: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem, root: String, df: DataFrame,
       markers: Map[Long, Map[Long, Long]]): Unit = {
-    val newV = sidecarVersion(fs, idx, root) + 1
-    val newRoot = new org.apache.hadoop.fs.Path(idx, s"$root-v$newV")
-    if (fs.exists(newRoot)) fs.delete(newRoot, true) // crashed prior write
+    val versions = sidecarVersions(fs, idx, root)
+    val newV = versions.map(_._1).maxOption.getOrElse(0L) + 1
+    val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-swap-scratch")
+    if (fs.exists(scratch)) fs.delete(scratch, true) // crashed prior build
     df.repartition(col("gen"))
-      .write.mode("errorifexists").partitionBy("gen").parquet(newRoot.toString)
+      .write.mode("errorifexists").partitionBy("gen").parquet(scratch.toString)
     for ((g, m) <- markers) {
-      val d = new org.apache.hadoop.fs.Path(newRoot, s"gen=$g")
-      if (fs.exists(d)) GenForest.writeGensMarker(fs, d, m)
+      val d = new org.apache.hadoop.fs.Path(scratch, s"gen=$g")
+      // a bucket whose rows all aggregated away still gets its (empty)
+      // dir and coverage marker, so the reconcile's exists-keying
+      // settles instead of re-deriving it forever
+      if (!fs.exists(d)) fs.mkdirs(d)
+      GenForest.writeGensMarker(fs, d, m)
     }
-    graft.core.Markers.forceWrite(fs,
-      new org.apache.hadoop.fs.Path(idx, s"_${root}_v"), newV.toString)
+    require(fs.rename(scratch,
+      new org.apache.hadoop.fs.Path(idx, s"$root-v$newV")),
+      s"failed to publish $root version v$newV")
     // keep-one-back retirement: v(N-1) stays for in-flight readers
-    for (v <- 1L to newV - 2)
-      fs.delete(new org.apache.hadoop.fs.Path(idx, s"$root-v$v"), true)
+    for ((v, p) <- versions if v <= newV - 2) fs.delete(p, true)
     if (newV >= 2) fs.delete(new org.apache.hadoop.fs.Path(idx, root), true)
   }
 
@@ -313,31 +336,47 @@ object PostingsIngest {
     def coveredBy(b: Long): Map[Long, Long] =
       if (b == horizon) srcMap.filter { case (g, _) => g <= horizon }
       else Map(b -> srcMap(b))
-    for (b <- buckets; root <- Seq("stats", "dict")) {
-      // crash heal (horizon stamped, folds incomplete — the r16
-      // ADVICE window, now closed structurally): a base-bucket dir
-      // whose marker does NOT span every src gen <= horizon is a
-      // pre-compaction per-gen delta wearing the base key — serving
-      // or folding it as the base would count only its own gen's
-      // rows. Rebuild the bucket from the postings forest instead.
-      val dir = new org.apache.hadoop.fs.Path(
-        sidecarRoot(fs, idx, root), s"gen=$b")
-      if (b == horizon && horizon >= 0L && fs.exists(dir) &&
-          !coveredBy(b).keySet.subsetOf(
-            GenForest.readGensMarker(fs, dir, b).keySet))
-        fs.delete(dir, true)
-    }
-    // derivation of every missing bucket runs as ONE job per sidecar
-    // (not one per gen): the union of the needed dirs is read once,
-    // grouped by bucket, laid out by partitionBy, and the gen dirs
-    // move into the live root as fs renames — so post-crash healing
-    // of a many-gen forest costs 2 jobs + O(gens) renames, the
-    // rebuildPurgedSidecars shape lifted to the reconcile (r16
-    // verdict task)
+    // each live root resolved ONCE — the lease serializes swaps, so
+    // re-resolving inside loops would only repeat listing RPCs
+    val roots = Seq("stats", "dict")
+    val liveRoots: Map[String, org.apache.hadoop.fs.Path] =
+      roots.map(r => r -> sidecarRoot(fs, idx, r)).toMap
+    val liveGens: Map[String, Map[Long, org.apache.hadoop.fs.Path]] =
+      roots.map(r =>
+        r -> numberedDirs(fs, liveRoots(r), GenDir).toMap).toMap
+    // crash heal (horizon stamped, folds incomplete — the r16 ADVICE
+    // window, now closed structurally): a base-bucket dir whose
+    // `_gens` marker does NOT span every src gen <= horizon is a
+    // pre-compaction per-gen delta wearing the base key — serving or
+    // folding it as the base would count only its own gen's rows.
+    // Such a root — and one carrying dirs for RETIRED buckets (per-gen
+    // deltas below a freshly stamped horizon, or buckets a total purge
+    // emptied out of the forest) — cannot be fixed by mutating the
+    // live root in place: a reader between the in-place delete and the
+    // reinstall would sum a hole, and one between the base install and
+    // the per-gen retirement would double-count. Rebuild the WHOLE
+    // root from the postings forest and publish it as a version swap
+    // instead — the reader sees the old complete layout or the new,
+    // never a mix.
+    def underCoveredBase(r: String): Boolean =
+      horizon >= 0L && liveGens(r).get(horizon).exists(p =>
+        !coveredBy(horizon).keySet.subsetOf(
+          GenForest.readGensMarker(fs, p, horizon).keySet))
+    def staleDirs(r: String): Boolean =
+      liveGens(r).keys.exists(g => !buckets.contains(g))
+    val rebuildRoots = roots.filter(r => underCoveredBase(r) || staleDirs(r))
+    // derivation of every needed bucket runs as ONE job per sidecar
+    // (not one per gen): the union of the needed dirs is read once
+    // and grouped by bucket — so post-crash healing of a many-gen
+    // forest costs 2 jobs, the rebuildPurgedSidecars shape lifted to
+    // the reconcile (r16 verdict task). Additive installs (the
+    // per-consolidate hot path: brand-new delta dirs) keep the cheap
+    // in-place rename — adding a dir never changes what existing rows
+    // a reader sums.
     val missing: Map[String, Seq[Long]] =
-      Seq("stats", "dict").map(root => root -> buckets.filter(b =>
-        !fs.exists(new org.apache.hadoop.fs.Path(
-          sidecarRoot(fs, idx, root), s"gen=$b")))).toMap
+      roots.map(root => root ->
+        (if (rebuildRoots.contains(root)) buckets
+         else buckets.filter(b => !liveGens(root).contains(b)))).toMap
     if (missing.values.exists(_.nonEmpty)) {
       val needed = missing.values.flatten.toSeq.distinct
       val dirs = needed.flatMap(dirsFor).distinct
@@ -374,18 +413,26 @@ object PostingsIngest {
         typedlit(needed.map(b => b -> cutoffFor(b)).toMap), col("gen"))
       def installAll(root: String, build: DataFrame): Unit = {
         if (missing(root).isEmpty) return
-        val liveRoot = sidecarRoot(fs, idx, root)
-        val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
-        if (fs.exists(scratch)) fs.delete(scratch, true)
-        // one file per sidecar gen dir: each delta is vocabulary-sized
-        // (≪ the batch that produced it), and serve-side file opens
-        // scale with gen count × files-per-dir — the same small-file
-        // reasoning as the band store's repartition-before-partitionBy
         val shaped = build.filter(col("gen").isin(missing(root): _*))
           .withColumn("purged_through", cutoffCol)
-        // single fresh delta (the per-consolidate hot path): merge the
-        // agg's partitions without another exchange; multi-bucket heal:
-        // one exchange keyed by gen → one file per gen dir
+        val markers = missing(root).map(b => b -> coveredBy(b)).toMap
+        if (rebuildRoots.contains(root)) {
+          // whole-root heal: publish as an atomic version swap
+          installSidecarVersion(idx, fs, root,
+            shaped.repartition(col("gen")), markers)
+          return
+        }
+        // ADDITIVE install (hot path): brand-new delta dirs rename
+        // into the live root one by one. One file per sidecar gen dir:
+        // each delta is vocabulary-sized (≪ the batch that produced
+        // it), and serve-side file opens scale with gen count ×
+        // files-per-dir — the same small-file reasoning as the band
+        // store's repartition-before-partitionBy. A single fresh
+        // delta (the per-consolidate case) merges the agg's partitions
+        // without another exchange.
+        val liveRoot = liveRoots(root)
+        val scratch = new org.apache.hadoop.fs.Path(idx, s".$root-scratch")
+        if (fs.exists(scratch)) fs.delete(scratch, true)
         (if (missing(root).size == 1) shaped.coalesce(1)
          else shaped.repartition(col("gen")))
           .write.mode("errorifexists").partitionBy("gen")
@@ -417,28 +464,73 @@ object PostingsIngest {
         .select(col("bucket").as("gen"), col("tok"))
         .groupBy("gen", "tok").agg(count(lit(1)).as("df")))
     }
-    // buckets only vanish when a purge empties them out of the forest
-    // entirely (total takedown): retire their sidecar rows with them.
-    // A dir covering ONLY retired buckets (e.g. a per-gen delta below
-    // a freshly stamped horizon whose base bucket was just rebuilt) is
-    // equally dead — its content now lives in the base.
-    for (root <- Seq("stats", "dict")) {
-      val liveRoot = sidecarRoot(fs, idx, root)
-      for ((g, p) <- numberedDirs(fs, liveRoot, GenDir)
-          if !buckets.contains(g)) fs.delete(p, true)
-      fs.mkdirs(liveRoot)
-    }
+    // a total purge can empty the forest while stale sidecar dirs
+    // remain: publish an EMPTY version so the layout retires with the
+    // content (the in-between reads were already correct — an empty
+    // forest serves empty before sidecars are consulted)
+    if (buckets.isEmpty)
+      for (root <- rebuildRoots) {
+        val empty = spark.range(0).select(
+          col("id").as("gen"), col("id").as("n"), col("id").as("sumdl"),
+          col("id").cast("string").as("tok"), col("id").as("df"),
+          col("id").as("purged_through"))
+        val shaped =
+          if (root == "stats") empty.select("gen", "n", "sumdl", "purged_through")
+          else empty.select("gen", "tok", "df", "purged_through")
+        installSidecarVersion(idx, fs, root, shaped, Map.empty)
+      }
+    // roots must exist even when the forest has no buckets yet (and
+    // untouched roots keep their layout); rebuilt roots were replaced
+    // by the version swap above, so only ensure the others
+    for (root <- roots if !rebuildRoots.contains(root))
+      fs.mkdirs(liveRoots(root))
   }
 
   /** The sidecar-compaction horizon: src gens `<= horizon` are folded
     * into one base sidecar generation keyed AT the horizon; as-of
     * serving below it is refused (the history was summed away). -1 =
-    * never compacted (every src gen keeps its own delta). */
-  def sidecarHorizon(spark: SparkSession, indexPath: String): Long =
-    graft.core.Markers.read(fsOf(spark,
-        new org.apache.hadoop.fs.Path(indexPath)),
-      new org.apache.hadoop.fs.Path(indexPath, "_sidecar_horizon"))
-      .map(_.toLong).getOrElse(-1L)
+    * never compacted (every src gen keeps its own delta).
+    *
+    * Stamps are MONOTONIC suffix files (`_sidecar_horizon.<H>`, read
+    * = max present): publishing a new horizon is an atomic create, so
+    * a concurrent reader can never observe the horizon DIP mid-
+    * re-stamp — a single rewritten marker file has a delete→rename
+    * gap in which a reader would see -1, pass the as-of refusal, and
+    * serve a below-horizon snapshot from nothing. */
+  private val HorizonStamp = "_sidecar_horizon\\.(-?\\d+)".r
+
+  private[graft] def sidecarHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path): Long = {
+    val stamps =
+      if (!fs.exists(idx)) Seq.empty
+      else fs.listStatus(idx).toSeq.flatMap(_.getPath.getName match {
+        case HorizonStamp(h) => Some(h.toLong)
+        case _               => None
+      })
+    // a pre-suffix-scheme index may carry the single-file stamp
+    val legacy = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_sidecar_horizon")).map(_.toLong)
+    (stamps ++ legacy).maxOption.getOrElse(-1L)
+  }
+
+  def sidecarHorizon(spark: SparkSession, indexPath: String): Long = {
+    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    sidecarHorizon(fsOf(spark, idx), idx)
+  }
+
+  /** Publish `h` as the new horizon (atomic create; callers hold the
+    * index lease) and retire lower stamps afterwards — a concurrent
+    * reader's max never goes down. */
+  private[graft] def stampSidecarHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path, h: Long): Unit = {
+    graft.core.Markers.tryCreate(fs,
+      new org.apache.hadoop.fs.Path(idx, s"_sidecar_horizon.$h"), h.toString)
+    for (s <- fs.listStatus(idx).toSeq) s.getPath.getName match {
+      case HorizonStamp(o) if o.toLong < h => fs.delete(s.getPath, false)
+      case "_sidecar_horizon"              => fs.delete(s.getPath, false)
+      case _                               => ()
+    }
+  }
 
   /** Bound sidecar growth: fold the dict deltas and stats rows of
     * every src gen except the newest `keepLast` into ONE base
@@ -504,9 +596,7 @@ object PostingsIngest {
       val foldable = gens.dropRight(keepLast.max(0))
       if (foldable.size <= 1) return // nothing (new) to fold
       val horizon = foldable.max
-      graft.core.Markers.forceWrite(fs,
-        new org.apache.hadoop.fs.Path(idx, "_sidecar_horizon"),
-        horizon.toString)
+      stampSidecarHorizon(fs, idx, horizon)
       for (root <- Seq("stats", "dict"))
         foldSidecarTo(spark, idx, fs, root, horizon)
     } finally {

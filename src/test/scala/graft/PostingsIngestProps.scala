@@ -94,8 +94,7 @@ object PostingsIngestProps extends Properties("graft.postings") {
             .map(_.getPath.getName).collect { case s if s.startsWith("gen=") =>
               s.stripPrefix("gen=").toLong }
           if (gens.length > 1) {
-            graft.core.Markers.forceWrite(fs, new org.apache.hadoop.fs.Path(
-              idxPath, "_sidecar_horizon"), gens.max.toString)
+            PostingsIngest.stampSidecarHorizon(fs, idxPath, gens.max)
             if (crashAt == 2)
               PostingsIngest.foldSidecarTo(spark, idxPath, fs, "stats", gens.max)
           }

@@ -83,8 +83,7 @@ class Round17Spec extends SparkSpec {
     val (idxPath, fs) = fsOf(idx)
     // crash simulation: compactSidecars stamped its commit point and
     // died before folding anything — sidecars still per-gen
-    graft.core.Markers.forceWrite(fs,
-      new org.apache.hadoop.fs.Path(idxPath, "_sidecar_horizon"), "2")
+    PostingsIngest.stampSidecarHorizon(fs, idxPath, 2L)
     assert(sidecarGens(idx, "dict").size == 3, "precondition: no fold ran")
     // INSIDE the window: latest and at-horizon snapshots sum the
     // per-gen rows to the identical answer; below-horizon REFUSES —
@@ -115,8 +114,7 @@ class Round17Spec extends SparkSpec {
     val latestBefore = serve(idx, docs)
     val (idxPath, fs) = fsOf(idx)
     // crash simulation: the exact production fold for stats only
-    graft.core.Markers.forceWrite(fs,
-      new org.apache.hadoop.fs.Path(idxPath, "_sidecar_horizon"), "2")
+    PostingsIngest.stampSidecarHorizon(fs, idxPath, 2L)
     PostingsIngest.foldSidecarTo(spark, idxPath, fs, "stats", 2L)
     assert(sidecarGens(idx, "stats") == Seq("gen=2") &&
       sidecarGens(idx, "dict").size == 3,
@@ -137,6 +135,30 @@ class Round17Spec extends SparkSpec {
     // and the whole store still round-trips against the one-shot oracle
     assert(latestBefore.sameElements(
       Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()))
+  }
+
+  test("a takedown committed INTO the stamped-unfolded window keeps " +
+      "zero-drift: tombstoneDocs heals the sidecars under its own lease " +
+      "before committing") {
+    val store = tmp("r17-tomb")
+    val idx = tmp("r17-tomb-idx")
+    grow(store, idx, splits = 3)
+    val (idxPath, fs) = fsOf(idx)
+    // crash simulation: horizon stamped, no fold ran, lease released
+    PostingsIngest.stampSidecarHorizon(fs, idxPath, 2L)
+    // a doc from src gen 0 (< horizon): its serve-time df correction
+    // joins dict rows AT THE BUCKET key (gen=2), which exists only
+    // after the fold — without the heal, the correction would be
+    // silently dropped and idf would drift until the next maintenance
+    val victim = serve(idx, docs)
+      .map(_.getLong(1)).find(id => id >= Retrieval.NQueries && id % 3 == 0).get
+    PostingsIngest.tombstoneDocs(Seq(victim).toDF("doc_id"), 0L, idx)
+    assert(sidecarGens(idx, "dict") == Seq("gen=2"),
+      "tombstoneDocs must finish the stamped compaction before committing")
+    val alive = docs.filter(col("doc_id") =!= victim)
+    assert(serve(idx, alive).sameElements(
+      Retrieval.bm25TopK(alive).orderBy("q_id", "rank").collect()),
+      "the takedown's df/stats corrections must land on the folded base")
   }
 
   test("stale fold recovery state from the r16-era sidecar rebase path " +
