@@ -439,10 +439,10 @@ object IndexStore {
     import spark.implicits._
     val idxRoot = new org.apache.hadoop.fs.Path(path)
     val fsStats = idxRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    // sidecar roots resolve through the version pointer (grown layout;
-    // a flat one-shot index has no pointer and resolves to $path/stats)
-    // so a probe overlapping a purge/compaction swap always scans one
-    // complete sidecar version
+    // sidecar roots resolve to the highest published version dir
+    // (grown layout; a flat one-shot index has none and resolves to
+    // $path/stats), so a probe overlapping a purge/compaction swap
+    // always scans one complete sidecar version
     val statsRoot =
       graft.streaming.PostingsIngest.sidecarRoot(fsStats, idxRoot, "stats")
     // pb_mod: the index-root marker (grown layout) or the flat

@@ -185,14 +185,7 @@ object AnnIngest {
         && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old-index")),
       s"index at $indexPath has rebase recovery state pending — run " +
         "AnnIngest.rebase to settle it before consolidating")
-    // and the PRE-suffix recovery layout (an older revision's crashed
-    // rebase): this revision cannot tell which forest the dirs belong to
-    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
-        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
-      s"index at $indexPath carries rebase recovery state from an " +
-        "older revision (unsuffixed .rebase-scratch/.rebase-old) — " +
-        "finish that rebase with the revision that started it, or if " +
-        "the live forest is intact, delete the legacy dirs first")
+    GenForest.requireNoLegacyRecoveryDirs(fs, idx)
     // floor guard: a run that crashed after its gen rename but before
     // the watermark write leaves maxGen > watermark; folding from the
     // watermark again would duplicate every vector that gen covers

@@ -176,14 +176,7 @@ object DedupIngest {
         && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old-bands")),
       s"index at $indexPath has rebase recovery state pending — run " +
         "DedupIngest.rebase to settle it before consolidating")
-    // and the PRE-suffix recovery layout (an older revision's crashed
-    // rebase): this revision cannot tell which forest the dirs belong to
-    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
-        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
-      s"index at $indexPath carries rebase recovery state from an " +
-        "older revision (unsuffixed .rebase-scratch/.rebase-old) — " +
-        "finish that rebase with the revision that started it, or if " +
-        "the live forest is intact, delete the legacy dirs first")
+    GenForest.requireNoLegacyRecoveryDirs(fs, idx)
     val maxGen = numberedDirs(fs, genRoot, GenDir)
       .map(_._1).maxOption.getOrElse(-1L)
     val floor = math.max(prev, maxGen)

@@ -270,9 +270,13 @@ object PostingsIngest {
     require(fs.rename(scratch,
       new org.apache.hadoop.fs.Path(idx, s"$root-v$newV")),
       s"failed to publish $root version v$newV")
-    // keep-one-back retirement: v(N-1) stays for in-flight readers
-    for ((v, p) <- versions if v <= newV - 2) fs.delete(p, true)
-    if (newV >= 2) fs.delete(new org.apache.hadoop.fs.Path(idx, root), true)
+    // keep-TWO-back retirement: one maintenance run can swap a root
+    // at most twice (a reconcile rebuild followed by a compaction
+    // fold), so a reader that resolved its root just before the run
+    // must survive two publishes — keep-one-back would delete the
+    // version it is mid-scan on (r17 review)
+    for ((v, p) <- versions if v <= newV - 3) fs.delete(p, true)
+    if (newV >= 3) fs.delete(new org.apache.hadoop.fs.Path(idx, root), true)
   }
 
   /** Reconcile the two per-SOURCE-generation sidecar forests (stats:
@@ -311,14 +315,15 @@ object PostingsIngest {
     // scratch must never win a later fold's recovery branch (it would
     // swap pre-crash content over gens folded since)
     for (root <- Seq("stats", "dict");
-        d <- Seq(s".rebase-scratch-$root", s".rebase-old-$root"))
+        d <- Seq(s".rebase-scratch-$root", s".rebase-old-$root",
+          s"_${root}_v")) // _v: short-lived pointer-marker scheme, retired
       fs.delete(new org.apache.hadoop.fs.Path(idx, d), true)
     val srcMap = GenForest.srcGens(fs, forestRoot)
     // SIDECAR keying is bucketed by the compaction horizon: src gens
     // <= horizon live in ONE base sidecar gen keyed AT the horizon
     // ([[compactSidecars]]); later gens keep per-gen deltas. -1 (never
     // compacted) makes the bucket the identity.
-    val horizon = sidecarHorizon(spark, idx.toString)
+    val horizon = sidecarHorizon(fs, idx)
     def bucket(g: Long): Long = if (g <= horizon) horizon else g
     val dirMaps = GenForest.numberedDirs(fs, forestRoot, GenDir)
       .map { case (g, p) => p -> GenForest.readGensMarker(fs, p, g) }
@@ -418,8 +423,7 @@ object PostingsIngest {
         val markers = missing(root).map(b => b -> coveredBy(b)).toMap
         if (rebuildRoots.contains(root)) {
           // whole-root heal: publish as an atomic version swap
-          installSidecarVersion(idx, fs, root,
-            shaped.repartition(col("gen")), markers)
+          installSidecarVersion(idx, fs, root, shaped, markers)
           return
         }
         // ADDITIVE install (hot path): brand-new delta dirs rename
@@ -501,16 +505,20 @@ object PostingsIngest {
 
   private[graft] def sidecarHorizon(fs: org.apache.hadoop.fs.FileSystem,
       idx: org.apache.hadoop.fs.Path): Long = {
+    // a pre-suffix-scheme index may carry the single-file stamp; read
+    // it BEFORE listing the suffix stamps — the migration writes the
+    // suffix stamp first and deletes the legacy file after, so this
+    // order can never observe neither (the reverse order could read
+    // an empty listing, then a just-deleted legacy file → a -1 dip)
+    val legacy = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_sidecar_horizon")).map(_.toLong)
     val stamps =
       if (!fs.exists(idx)) Seq.empty
       else fs.listStatus(idx).toSeq.flatMap(_.getPath.getName match {
         case HorizonStamp(h) => Some(h.toLong)
         case _               => None
       })
-    // a pre-suffix-scheme index may carry the single-file stamp
-    val legacy = graft.core.Markers.read(fs,
-      new org.apache.hadoop.fs.Path(idx, "_sidecar_horizon")).map(_.toLong)
-    (stamps ++ legacy).maxOption.getOrElse(-1L)
+    (legacy ++ stamps).maxOption.getOrElse(-1L)
   }
 
   def sidecarHorizon(spark: SparkSession, indexPath: String): Long = {
@@ -559,7 +567,7 @@ object PostingsIngest {
     * maintenance entry point: [[reconcileSidecars]] rebuilds a base
     * bucket whose dir does not span its gens (the `_gens` coverage
     * markers) from the postings forest. The folds themselves land as
-    * whole-root pointer swaps ([[installSidecarVersion]]), so a
+    * whole-root version publishes ([[installSidecarVersion]]), so a
     * concurrent reader always scans one complete sidecar version. */
   def compactSidecars(spark: SparkSession, indexPath: String,
       keepLast: Int = 0): Unit = {
@@ -713,16 +721,7 @@ object PostingsIngest {
         && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old-postings")),
       s"index at $indexPath has rebase recovery state pending — run " +
         "PostingsIngest.rebase to settle it before consolidating")
-    // same refusal for the PRE-suffix recovery layout (an older
-    // revision's crashed rebase): this revision cannot tell which
-    // forest the dirs belong to, and consolidating on top could
-    // recreate the root and strand the real forest in the old trash
-    require(!fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-scratch"))
-        && !fs.exists(new org.apache.hadoop.fs.Path(idx, ".rebase-old")),
-      s"index at $indexPath carries rebase recovery state from an " +
-        "older revision (unsuffixed .rebase-scratch/.rebase-old) — " +
-        "finish that rebase with the revision that started it, or if " +
-        "the live forest is intact, delete the legacy dirs first")
+    GenForest.requireNoLegacyRecoveryDirs(fs, idx)
     val maxGen = numberedDirs(fs, genRoot, GenDir)
       .map(_._1).maxOption.getOrElse(-1L)
     val floor = math.max(prev, maxGen)
@@ -910,7 +909,7 @@ object PostingsIngest {
   /** Rebuild BOTH sidecar forests from (live forest ⊖ tombstones),
     * per src gen, every row stamped `purged_through = tombMax` — the
     * purge's first phase (see [[rebase]] on why it precedes the fold).
-    * Each sidecar swaps in as ONE whole-root pointer flip
+    * Each sidecar swaps in as ONE whole-root version publish
     * ([[installSidecarVersion]]), so a reader always scans one
     * complete, self-consistent version — the r16 delete → rename gap
     * (a loud-failure window readers could land in) is gone; the
@@ -943,7 +942,7 @@ object PostingsIngest {
     // keying respects the compaction horizon: src gens <= horizon stay
     // folded in the base bucket through a purge rebuild (identity when
     // never compacted, horizon = -1)
-    val horizon = sidecarHorizon(spark, idx.toString)
+    val horizon = sidecarHorizon(fs, idx)
     val pinned = graft.core.Materialize.pin(alive
       .withColumn("bucket",
         when(col("src_gen") <= horizon, lit(horizon))

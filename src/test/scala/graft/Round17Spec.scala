@@ -23,10 +23,11 @@ import graft.streaming.PostingsIngest
   *   3. Stale fold recovery state from the r16-era GenForest-rebase
   *      sidecar path can never win a later swap (sidecars are derived
   *      data: reconcile settles the recovery dirs by deletion).
-  *   4. Sidecar roots are pointer-versioned with keep-one-back
-  *      retention: a reader that resolved a version just before a
-  *      swap still scans one complete version (the r16 delete→rename
-  *      loud-failure window is gone).
+  *   4. Sidecar roots are dir-versioned (atomic publish, resolve =
+  *      max version) with keep-two-back retention: a reader that
+  *      resolved its root just before a maintenance run scans one
+  *      complete version through BOTH swaps the run can perform (the
+  *      r16 delete→rename loud-failure window is gone).
   *   5. maintain(sidecarKeepLast = Some(k)) bounds sidecar dir growth
   *      across blind timer cycles while keeping the newest k source
   *      generations individually serveable — as-of refuses only below
@@ -183,9 +184,9 @@ class Round17Spec extends SparkSpec {
       Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()))
   }
 
-  test("sidecar swaps are pointer flips with keep-one-back retention: " +
-      "a reader that resolved the pre-swap version still scans one " +
-      "complete version") {
+  test("sidecar swaps publish whole-root versions with keep-two-back " +
+      "retention: a reader that resolved its root before a maintenance " +
+      "run survives BOTH swaps the run can perform") {
     val store = tmp("r17-ptr")
     val idx = tmp("r17-ptr-idx")
     // two thirds of the corpus in two batches; the last third and a
@@ -201,8 +202,8 @@ class Round17Spec extends SparkSpec {
     assert(PostingsIngest.sidecarRootPath(spark, idx, "stats")
       .endsWith("stats-v1"))
     assert(fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats")),
-      "keep-one-back: the pre-swap (legacy) root must survive one swap " +
-        "for readers that resolved it just before the flip")
+      "the pre-swap (legacy) root must survive for readers that " +
+        "resolved it just before the publish")
     // grow one more gen, then build a probe plan that RESOLVES v1...
     PostingsIngest.ingestBatch(
       docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, store)
@@ -215,22 +216,25 @@ class Round17Spec extends SparkSpec {
     PostingsIngest.compactSidecars(spark, idx)
     assert(PostingsIngest.sidecarRootPath(spark, idx, "stats")
       .endsWith("stats-v2"))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats-v1")),
-      "keep-one-back must retain exactly the previous version")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats")),
-      "versions two behind are dead")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats-v1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats")),
+      "two versions back must survive: one maintenance run can swap a " +
+        "root twice (reconcile rebuild + fold), and a reader that " +
+        "resolved before the run must outlive both")
     val inFlight = probe.orderBy("q_id", "rank").collect()
     assert(inFlight.sameElements(
       Retrieval.bm25TopK(docs).orderBy("q_id", "rank").collect()),
       "the pre-swap version must serve the exact (identical) answer")
-    // a third swap retires v1 (shifted ids: disjoint from the corpus)
+    // a third swap retires the legacy root — three behind (shifted
+    // ids: disjoint from the corpus)
     PostingsIngest.ingestBatch(
       docs.filter(pmod(col("doc_id"), lit(3)) === 1)
         .select((col("doc_id") + 900000L).as("doc_id"), col("text")),
       3L, store)
     PostingsIngest.consolidate(spark, store, idx)
     PostingsIngest.compactSidecars(spark, idx)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats-v1")) &&
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats-v1")) &&
       fs.exists(new org.apache.hadoop.fs.Path(idxPath, "stats-v2")))
   }
 
