@@ -1026,6 +1026,54 @@ object Soak {
       time("sidecar_probe_1_gen_w")(probe())
     }
 
+    // Bulk sidecar heal (r17): the reconcile derives EVERY missing
+    // bucket in one job per sidecar — not one per gen — so healing a
+    // many-gen forest whose sidecar roots were lost costs a constant
+    // job count plus O(gens) renames. Grow a 16-gen store, delete both
+    // sidecar roots (the loud-fail damage state), and heal through one
+    // consolidate, counting the Spark jobs the heal submits.
+    if (want("sidecarheal")) {
+      import graft.streaming.PostingsIngest
+      // two sizes: the claim is job count FLAT in bucket count (the
+      // one-pass derivation is 2 forest scans + a fixed handful of
+      // AQE stage materializations), vs the per-bucket shape's
+      // 2 jobs x gens
+      for (nB <- Seq(4, 16)) {
+        val base = java.nio.file.Files.createTempDirectory("soak_sheal").toString
+        val store = s"$base/store"
+        val idx = s"$base/idx"
+        for (b <- 0 until nB) {
+          PostingsIngest.ingestBatch(
+            docs.filter(pmod(col("doc_id"), lit(nB)) === b), b, store)
+          PostingsIngest.consolidate(spark, store, idx)
+        }
+        val idxPath = new org.apache.hadoop.fs.Path(idx)
+        val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+        for (root <- Seq("stats", "dict"))
+          fs.delete(new org.apache.hadoop.fs.Path(
+            PostingsIngest.sidecarRootPath(spark, idx, root)), true)
+        // an idle window bumps the watermark so the consolidate runs
+        // its reconcile; the heal rebuilds every bucket per sidecar
+        PostingsIngest.ingestBatch(docs.filter(lit(false)), nB.toLong, store)
+        spark.sparkContext.setJobGroup(s"sheal$nB", "bulk sidecar heal")
+        val tH = System.nanoTime()
+        PostingsIngest.consolidate(spark, store, idx)
+        val healSecs = (System.nanoTime() - tH) / 1e9
+        spark.sparkContext.clearJobGroup()
+        val jobs = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(s"sheal$nB").length
+        println(f"SOAK sidecar_heal_${nB}%02d_buckets  $healSecs%8.2f s ($jobs jobs to rebuild $nB buckets x 2 sidecars)")
+        // the healed store serves the exact one-shot answer
+        val served = graft.operators.IndexStore.bm25FromIndex(docs, spark, idx,
+            graft.operators.Retrieval.NQueries, graft.operators.Retrieval.QueryLen,
+            graft.operators.Retrieval.K)
+          .orderBy("q_id", "rank").collect()
+        val oneShot = graft.operators.Retrieval.bm25TopK(docs)
+          .orderBy("q_id", "rank").collect()
+        require(served.sameElements(oneShot), "healed store must serve exactly")
+      }
+    }
+
     // Incremental connected components: the claim under measurement
     // is "label maintenance is bounded by the batch, not the archive".
     // Archive = 10-node chain components over the whole corpus; batch

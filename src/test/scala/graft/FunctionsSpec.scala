@@ -222,4 +222,41 @@ class FunctionsSpec extends SparkSpec {
     // healthy path still works after the gate clears
     GraftColumnBridge.unpersistCheckpoint(df)
   }
+
+  test("BloomMightContain: codegen and interpreted agree, null keys stay " +
+      "null, both key types probe the same sketch the UDF form did") {
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bf = BloomFilter.create(1000, 0.01)
+    Seq(1L, 42L, 77L).foreach(bf.putLong)
+    val df = Seq(Some(1L), Some(2L), Some(42L), None).toDF("k")
+    val probed = df.select(col("k"),
+        graft.functions.BloomMightContain.bloomMightContain(bf, col("k")).as("hit"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(probed(Some(1L)).contains(true) && probed(Some(42L)).contains(true))
+    assert(probed(None).isEmpty,
+      "a null key must yield null (a Filter then drops it — the UDF forms' behavior)")
+    // interpreted eval (no codegen) returns the same answers
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytesLit = Literal.create(bos.toByteArray,
+      org.apache.spark.sql.types.BinaryType)
+    assert(graft.functions.BloomMightContain(bytesLit, Literal(42L))
+      .eval(null) == true)
+    // string keys probe via mightContainString — the decontamination form
+    val bfs = BloomFilter.create(100, 0.01)
+    bfs.putString("the quick brown")
+    val dfs = Seq("the quick brown", "never inserted").toDF("g")
+    val hits = dfs.filter(graft.functions.BloomMightContain
+        .bloomMightContain(bfs, col("g"))).collect().map(_.getString(0))
+    assert(hits.sameElements(Array("the quick brown")))
+    // wrong key type refuses at analysis with the function's name
+    val err = intercept[Exception] {
+      Seq(1).toDF("i").select(graft.functions.BloomMightContain
+        .bloomMightContain(bf, col("i"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bloom_might_contain"))
+  }
 }
