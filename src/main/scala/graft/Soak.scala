@@ -1027,11 +1027,15 @@ object Soak {
     }
 
     // Bulk sidecar heal (r17): the reconcile derives EVERY missing
-    // bucket in one job per sidecar — not one per gen — so healing a
-    // many-gen forest whose sidecar roots were lost costs a constant
-    // job count plus O(gens) renames. Grow a 16-gen store, delete both
-    // sidecar roots (the loud-fail damage state), and heal through one
-    // consolidate, counting the Spark jobs the heal submits.
+    // bucket in ONE pass per sidecar — not one derivation per gen —
+    // so healing a many-gen forest whose sidecar roots were lost costs
+    // a flat derivation bill (one pinned forest scan + a fixed handful
+    // of AQE stage materializations) plus O(gens) PARALLEL partition-
+    // discovery listing jobs (tiny metadata jobs — the dir-listing
+    // class compaction itself exists to bound) and O(gens) renames.
+    // Grow a store, delete both sidecar roots (the loud-fail damage
+    // state), and heal through one consolidate, counting submitted
+    // jobs at two sizes: the non-listing job count must not move.
     if (want("sidecarheal")) {
       import graft.streaming.PostingsIngest
       // two sizes: the claim is job count FLAT in bucket count (the
@@ -1062,7 +1066,7 @@ object Soak {
         spark.sparkContext.clearJobGroup()
         val jobs = spark.sparkContext.statusTracker
           .getJobIdsForGroup(s"sheal$nB").length
-        println(f"SOAK sidecar_heal_${nB}%02d_buckets  $healSecs%8.2f s ($jobs jobs to rebuild $nB buckets x 2 sidecars)")
+        println(f"SOAK sidecar_heal_${nB}%02d_buckets  $healSecs%8.2f s ($jobs jobs = fixed derivation + ~$nB listing jobs, for $nB buckets x 2 sidecars)")
         // the healed store serves the exact one-shot answer
         val served = graft.operators.IndexStore.bm25FromIndex(docs, spark, idx,
             graft.operators.Retrieval.NQueries, graft.operators.Retrieval.QueryLen,
