@@ -28,11 +28,16 @@ import graft.streaming.PostingsIngest
   *      resolved its root just before a maintenance run scans one
   *      complete version through BOTH swaps the run can perform (the
   *      r16 delete→rename loud-failure window is gone).
-  *   5. maintain(sidecarKeepLast = Some(k)) bounds sidecar dir growth
+  *   5. A takedown committed INTO a stamped-unfolded window keeps
+  *      zero-drift: tombstoneDocs heals the sidecars under its own
+  *      lease before committing (r17 review wave).
+  *   6. maintain(sidecarKeepLast = Some(k)) bounds sidecar dir growth
   *      across blind timer cycles while keeping the newest k source
   *      generations individually serveable — as-of refuses only below
   *      the configured lag.
-  *   6. On-disk format guards: legacy unsuffixed rebase recovery dirs
+  *   7. The bloom prefilter probes through a codegen'd expression on
+  *      both gate paths — no per-row scala-UDF boundary left.
+  *   8. On-disk format guards: legacy unsuffixed rebase recovery dirs
   *      refuse loudly, and a gen forest without the src_gen row
   *      column refuses with a rebuild-your-index message instead of
   *      an opaque AnalysisException (r16 ADVICE, low).
