@@ -209,11 +209,13 @@ object PostingsIngest {
     * is invisible until complete and there is no pointer file whose
     * rewrite could expose a read to an absent/stale value (a
     * delete+rename marker flip has a gap; a dir listing does not).
-    * Retention is keep-one-back: the version a reader may have
-    * resolved just before the publish survives until the NEXT swap
-    * (sidecars are vocabulary-sized, so the extra copy is noise) —
-    * the snapshot-retention contract every version-swap store has:
-    * a read must finish within one maintenance interval. */
+    * Retention is keep-two-back ([[installSidecarVersion]]): one
+    * maintenance run can publish twice (reconcile rebuild, then a
+    * compaction fold), and a reader that resolved its root just
+    * before the run must survive both (sidecars are vocabulary-sized,
+    * so the extra copies are noise) — the snapshot-retention contract
+    * every version-swap store has: a read must finish within one
+    * maintenance interval. */
   private def sidecarVersions(fs: org.apache.hadoop.fs.FileSystem,
       idx: org.apache.hadoop.fs.Path,
       root: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
