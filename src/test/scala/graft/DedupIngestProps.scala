@@ -49,16 +49,19 @@ object DedupIngestProps extends Properties("graft.dedupstore") {
       .select("new_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  private val caseGen: Gen[(Int, List[Int], Boolean, Int)] = for {
+  private val caseGen: Gen[(Int, List[Int], Boolean, Int, Boolean, Boolean)] = for {
     nB <- Gen.chooseNum(1, 4)
     assign <- Gen.listOfN(NCorpus, Gen.chooseNum(0, nB - 1))
     consolidateEach <- Gen.oneOf(true, false)
     victim <- Gen.chooseNum(0, NCorpus - 1)
-  } yield (nB, assign, consolidateEach, victim)
+    doRebase <- Gen.oneOf(true, false)
+    dropWm <- Gen.oneOf(true, false)
+  } yield (nB, assign, consolidateEach, victim, doRebase, dropWm)
 
   property("any split + schedule + takedown serves the inline answer " +
       "over survivors") =
-    forAll(caseGen) { case (nB, assign, consolidateEach, victim) =>
+    forAll(caseGen) { case (nB, assign, consolidateEach, victim,
+        doRebase, dropWm) =>
       val base = Files.createTempDirectory("dedup-prop").toString
       val store = s"$base/store"
       val idx = s"$base/idx"
@@ -72,7 +75,19 @@ object DedupIngestProps extends Properties("graft.dedupstore") {
       }
       if (!consolidateEach) DedupIngest.consolidate(spark, store, idx)
       import spark.implicits._
+      if (dropWm) {
+        // crash window: watermark lost after the last gen install —
+        // the floor guard must re-derive it from the installed gens
+        // and re-index nothing on the retry
+        val idxPath = new org.apache.hadoop.fs.Path(idx)
+        idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(new org.apache.hadoop.fs.Path(idxPath, "_through"), false)
+        DedupIngest.consolidate(spark, store, idx)
+      }
       DedupIngest.tombstoneDocs(Seq(victim.toLong).toDF("doc_id"), 0L, idx)
+      // a purging rebase (the takedown makes it lossy) folded anywhere
+      // after the tombstone must be invisible to the probe
+      if (doRebase) DedupIngest.rebase(spark, idx)
       val got = DedupIngest.dedupAgainstIndex(newDocs, corpus, spark, idx, 0.5)
         .select("new_id", "corpus_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
