@@ -75,7 +75,13 @@ object PlanCheck {
         // r15: as-of snapshot probe — same static-pruned shape as the
         // grown probe, df re-derived from the gen-pruned hits (one
         // extra partial agg, still broadcast-only joins)
-        "x_text_bm25_asof")
+        "x_text_bm25_asof",
+        // r17: the bloom prefilter must probe through the codegen'd
+        // bloom_might_contain expression (no scala-UDF boundary), and
+        // the grown dedup rows must keep their static-pruned
+        // broadcast-probe shape through the sidecar/store reworks
+        "x_text_contamination_bloom", "x_dedup_incremental_grown",
+        "x_dedup_clusters_incremental")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
