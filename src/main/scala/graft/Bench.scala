@@ -191,6 +191,16 @@ object Bench {
       .filter(_.nonEmpty)
 
   def main(args: Array[String]): Unit = {
+    // Run-provenance stamp (r18): the official r16 and r17 records both
+    // show x_text_bm25_asof = 4.955 s — identical to the millisecond
+    // across two runs whose 54 shared rows otherwise all differ. One
+    // exact 1-ms collision among 54 ~10%-drifting rows is ~5% likely
+    // (plausible coincidence), but it left the row's provenance
+    // unverifiable. Stamping wall-clock start + a per-run nonce into
+    // BOTH output lines makes any future carryover mechanically
+    // visible: two rounds showing the same `run` value would prove a
+    // stale capture; different `run` values prove fresh timings.
+    val runStamp = f"${System.currentTimeMillis() / 1000}%d-${scala.util.Random.nextInt(0xFFFF)}%04x"
     val forks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "4").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val groups = makeGroups(names, forks)
@@ -209,13 +219,13 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""BENCH-DETAIL {"reps":$reps,"forks":${groups.size},"queries":${fmt(results, 6)}}""")
+    println(s"""BENCH-DETAIL {"run":"$runStamp","reps":$reps,"forks":${groups.size},"queries":${fmt(results, 6)}}""")
     // Final line must fit the driver's 2000-char stdout-tail window:
     // include per-query timings slowest-first until a 1700-char budget
     // is reached (failed queries first, then the expensive ones — the
     // entries that matter for grading; the full map is on the line
     // above).
-    val prefix = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"reps_thresh":$repsThresh,"forks":${groups.size},"errors":$errJson,"sf":"$sfDir","queries":"""
+    val prefix = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","run":"$runStamp","n_queries":${results.size},"reps":$reps,"reps_thresh":$repsThresh,"forks":${groups.size},"errors":$errJson,"sf":"$sfDir","queries":"""
     val bySlowest = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }.reverse
     var kept = List.empty[(String, Double)]
     var len = prefix.length + 2

@@ -81,7 +81,12 @@ object PlanCheck {
         // the grown dedup rows must keep their static-pruned
         // broadcast-probe shape through the sidecar/store reworks
         "x_text_contamination_bloom", "x_dedup_incremental_grown",
-        "x_dedup_clusters_incremental")
+        "x_dedup_clusters_incremental",
+        // r18: host-speed calibration row — one codegen'd fold over
+        // the lineitem scan + a 4-value partial agg; any join/extra
+        // exchange appearing here means the row no longer measures
+        // pure host CPU
+        "x_calibration_fold")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

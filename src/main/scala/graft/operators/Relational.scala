@@ -668,6 +668,60 @@ object Relational {
       col("l_quantity").cast(IntegerType).as("qty_i"),
       col("l_orderkey").cast(StringType).as("okey_s"))
 
+  // ----------------------------------------------------- calibration
+
+  /** Steps in the per-row integer fold chain and replicas per lineitem
+    * row. Sized so the row reads ~2-3 s warm on local[32] at sf0.1 —
+    * above the bench rerun threshold (min-of-k stabilizes it) and
+    * inside the final compact line's slowest-first window. */
+  private val calibFoldSteps = 32
+  private val calibFoldReps = 32
+
+  /** LCG-style mixing step, bounded so ANSI-mode 64-bit arithmetic can
+    * never overflow: x < 1e9+7 keeps x*1103515245 < 2^60. Identical
+    * semantics in Spark and DuckDB (all operands non-negative, so `%`
+    * agrees between engines). */
+  private def calibChain(seed: Column): Column =
+    (1 to calibFoldSteps).foldLeft(seed)((x, _) =>
+      (x * lit(1103515245L) + lit(12345L)) % lit(1000000007L))
+  private def calibChainSql(seed: String): String =
+    (1 to calibFoldSteps).foldLeft(seed)((x, _) =>
+      s"(($x * 1103515245 + 12345) % 1000000007)")
+
+  /** Host-speed calibration row (VERDICT r17 #2): a fixed CPU-bound
+    * deterministic integer fold — lineitem × 32 replicas, each row
+    * pushed through a 48-step LCG chain, folded to one output row.
+    * Pure whole-stage-codegen arithmetic, no joins, no shuffled data
+    * beyond the final 4-value partial-agg merge, no store builds, no
+    * temp I/O — so round-over-round its official reading moves with
+    * HOST SPEED and (almost) nothing else. Round-over-round bench
+    * adjudication divides other rows' drift by this row's ratio
+    * instead of hand-reconstructing a shared-row median each round. */
+  val xCalibrationFold: Q = (s, dir) => {
+    val seed = ((col("l_orderkey").cast(LongType) * 1664525L
+      + col("l_partkey").cast(LongType) * 22695477L
+      + col("l_suppkey").cast(LongType) * 69069L
+      + col("l_linenumber").cast(LongType) * 101L
+      + col("rep")) % 1000000007L).as("x0")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        explode(sequence(lit(1L), lit(calibFoldReps.toLong))).as("rep"))
+      .select(seed)
+      .select(calibChain(col("x0")).as("xf"))
+      .agg(count(lit(1)).as("n"), sum(col("xf")).as("fold_sum"),
+        min(col("xf")).as("fold_min"), max(col("xf")).as("fold_max"))
+  }
+
+  private val xCalibrationFoldSql: String = {
+    val seed = "(CAST(l_orderkey AS BIGINT)*1664525 + CAST(l_partkey AS BIGINT)*22695477 " +
+      "+ CAST(l_suppkey AS BIGINT)*69069 + CAST(l_linenumber AS BIGINT)*101 + rep) % 1000000007"
+    s"WITH seeded AS (SELECT ($seed) AS x0 FROM lineitem CROSS JOIN " +
+      s"(SELECT CAST(generate_series AS BIGINT) AS rep FROM generate_series(1, $calibFoldReps)) g), " +
+      s"folded AS (SELECT ${calibChainSql("x0")} AS xf FROM seeded) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xf) AS BIGINT) AS fold_sum, " +
+      "MIN(xf) AS fold_min, MAX(xf) AS fold_max FROM folded"
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, Q] = Map(
@@ -735,7 +789,8 @@ object Relational {
     "f7_round" -> f7Round,
     "f8_clamp" -> f8Clamp,
     "f11_date_parts" -> f11DateParts,
-    "f9_cast" -> f9Cast)
+    "f9_cast" -> f9Cast,
+    "x_calibration_fold" -> xCalibrationFold)
 
   val oracles: Map[String, String] = Map(
     // (l_orderkey, l_linenumber) is non-unique in the testdata, so the
@@ -897,5 +952,6 @@ object Relational {
     "f11_date_parts" ->
       ("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo, " +
         "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c " +
-        "FROM orders GROUP BY yr, mo ORDER BY yr, mo"))
+        "FROM orders GROUP BY yr, mo ORDER BY yr, mo"),
+    "x_calibration_fold" -> xCalibrationFoldSql)
 }
