@@ -81,7 +81,7 @@ object AnnIngestProps extends Properties("graft.annstore") {
         r.getLong(3)))
       .toSeq
 
-  private val schedGen: Gen[(Int, List[Int], Boolean, Int, Boolean, Seq[Int], Int, Boolean)] =
+  private val schedGen: Gen[(Int, List[Int], Boolean, Int, Boolean, Seq[Int], Int, Boolean, Int)] =
     for {
       nB <- Gen.chooseNum(1, 4)
       assign0 <- Gen.listOfN(NVecs, Gen.chooseNum(0, nB - 1))
@@ -94,14 +94,19 @@ object AnnIngestProps extends Properties("graft.annstore") {
       // (0 = before anything, nB = after everything)
       tombAt <- Gen.chooseNum(0, nB)
       dropWm <- Gen.oneOf(true, false)
+      // the watermark is lost after the dropWmAt-th batch's gen is
+      // installed, while LATER batches are still pending — the real
+      // crash state (r17 ADVICE: the old shape dropped it after the
+      // final consolidate, when the floor guard's skip was vacuous)
+      dropWmAt <- Gen.chooseNum(0, nB - 1)
     } yield (nB, assign0, consolidateEach, asOfAt, doRebase,
-      dead.toSeq.sorted, tombAt, dropWm)
+      dead.toSeq.sorted, tombAt, dropWm, dropWmAt)
 
   property("any split + schedule + takedown + crash retry serves the " +
       "one-shot encode, snapshots scope by src_gen but never resurrect") =
     forAll(schedGen) {
       case (nB, assign0, consolidateEach, asOfAt, doRebase, dead,
-          tombAt, dropWm) =>
+          tombAt, dropWm, dropWmAt) =>
       // the default (uncapped) training seed rule needs vec_ids below
       // nCentroids in the training set; vec 0 is pinned to batch 0 so
       // a consolidate-each schedule (which trains on batch 0 alone)
@@ -120,6 +125,13 @@ object AnnIngestProps extends Properties("graft.annstore") {
           AnnIngest.tombstone(
             vecs.filter(col("vec_id").isin(dead.map(i => Long.box(i.toLong)): _*))
               .select("vec_id"), 0L, idx)
+      // the crash this sweeps: a consolidation that installed its gen
+      // and then died before (or just after) the watermark write, with
+      // LATER batches still arriving — the retry's floor guard must
+      // re-derive the floor from the installed gens (skip them) while
+      // genuinely encoding the pending batches. Only meaningful with a
+      // batch pending after the drop point.
+      val dropAt = if (dropWm && nB >= 2) Some(math.min(dropWmAt, nB - 2)) else None
       maybeTomb(0)
       for (b <- 0 until nB) {
         val ids = assign.zipWithIndex.collect { case (`b`, v) => v.toLong }
@@ -129,15 +141,12 @@ object AnnIngestProps extends Properties("graft.annstore") {
         AnnIngest.ingestBatch(batch, b.toLong, store)
         if (consolidateEach) consolidate()
         maybeTomb(b + 1)
+        if (dropAt.contains(b)) {
+          if (!consolidateEach) consolidate() // install a gen covering <= b
+          fs.delete(new org.apache.hadoop.fs.Path(idxPath, "_through"), false)
+        }
       }
       if (!consolidateEach) consolidate()
-      if (dropWm) {
-        // crash window: watermark lost after the last gen install —
-        // the floor guard must re-derive it from the installed gens
-        // and duplicate nothing on the retry
-        fs.delete(new org.apache.hadoop.fs.Path(idxPath, "_through"), false)
-        consolidate()
-      }
       if (doRebase) AnnIngest.rebase(spark, idx)
 
       val (centroids, books) = AnnIngest.loadQuantizer(spark, idx)
@@ -152,6 +161,14 @@ object AnnIngestProps extends Properties("graft.annstore") {
       val contentOk = rows.collect {
         case (v, c, k, _) if !deadSet.contains(v) => (v, c, k)
       }.toSet == encodeOneShot(alive, centroids, books)
+      // ... and as a MULTISET: every vec_id appears in exactly one
+      // forest row, so a row duplicated across two generations
+      // (identical vec/cell/codes under the frozen quantizer,
+      // differing only in src_gen) cannot hide in the Set compare —
+      // the blindness the r17 ADVICE called out. Checked over ALL
+      // rows: a crash-retried consolidate or a rebase fold must not
+      // duplicate dead rows either.
+      val noDupOk = rows.map(_._1).distinct.size == rows.size
       // ... and a purging rebase leaves NO dead row on disk
       val purgedOk = !doRebase || dead.isEmpty ||
         !rows.exists { case (v, _, _, _) => deadSet.contains(v) }
@@ -186,7 +203,7 @@ object AnnIngestProps extends Properties("graft.annstore") {
           nQueries = 3, k = 4)
         .orderBy("query_id", "rank").collect().toSeq.map(_.toString)
 
-      contentOk && purgedOk && asOfOk && grown == generic &&
+      contentOk && noDupOk && purgedOk && asOfOk && grown == generic &&
         AnnIngest.consolidatedThrough(spark, idx).contains((nB - 1).toLong)
     }
 }
