@@ -25,6 +25,40 @@ object GraftColumnBridge {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** The Spark versions this bridge's `private[sql]` reach-through
+    * (ExpressionUtils.column/expression, the LogicalRDD constructor
+    * shape, functionRegistry.registerFunction) has been verified
+    * against. A Spark minor bump can MOVE these internals without a
+    * LinkageError — a silent behavior change the catch-based guards
+    * below cannot see — so the required paths refuse unverified
+    * versions loudly instead. After verifying on a new Spark, add it
+    * here; to run unverified anyway (at your own risk), set
+    * `-Dgraft.bridge.allowUnverifiedSpark=true`, which downgrades the
+    * refusal to a once-per-JVM warning. */
+  val VerifiedSparkVersions: Set[String] = Set("4.1.2")
+
+  /** Test hook: pretend the runtime Spark is this version. */
+  @volatile var versionOverrideForTest: Option[String] = None
+
+  @volatile private var versionWarned: Boolean = false
+
+  private def requireVerifiedSpark(): Unit = {
+    val v = versionOverrideForTest.getOrElse(org.apache.spark.SPARK_VERSION)
+    if (!VerifiedSparkVersions.contains(v)) {
+      val msg = s"GraftColumnBridge: Spark $v has not been verified " +
+        s"against this bridge (verified: ${VerifiedSparkVersions.toSeq.sorted.mkString(", ")}). " +
+        "The bridge reaches through private[sql] internals that a Spark " +
+        "minor can move without a LinkageError — re-verify " +
+        "ExpressionUtils.column/expression, the LogicalRDD constructor, " +
+        "and functionRegistry.registerFunction on this version, then add " +
+        "it to VerifiedSparkVersions; or set " +
+        "-Dgraft.bridge.allowUnverifiedSpark=true to proceed unverified"
+      if (sys.props.get("graft.bridge.allowUnverifiedSpark").contains("true")) {
+        if (!versionWarned) { versionWarned = true; log.warn(msg) }
+      } else throw new IllegalStateException(msg)
+    }
+  }
+
   /** Test hook: simulates the internal surface having moved.
     *
     * The hooks below are GLOBAL mutable state on a shared object and
@@ -52,20 +86,24 @@ object GraftColumnBridge {
     }
   }
 
-  def column(e: Expression): Column =
+  def column(e: Expression): Column = {
+    requireVerifiedSpark()
     try ExpressionUtils.column(e)
     catch { case le: LinkageError =>
       throw new IllegalStateException(
         "GraftColumnBridge: ExpressionUtils.column moved in this Spark build; " +
           "custom graft expressions cannot be exposed as Columns", le)
     }
+  }
 
-  def expression(c: Column): Expression =
+  def expression(c: Column): Expression = {
+    requireVerifiedSpark()
     try ExpressionUtils.expression(c)
     catch { case le: LinkageError =>
       throw new IllegalStateException(
         "GraftColumnBridge: ExpressionUtils.expression moved in this Spark build", le)
     }
+  }
 
   /** Release the cached blocks behind a `localCheckpoint()`ed Dataset.
     * Spark exposes no public API to free a local checkpoint (blocks
@@ -132,7 +170,8 @@ object GraftColumnBridge {
       spark: org.apache.spark.sql.SparkSession,
       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
-      builder: Seq[Expression] => Expression): Unit =
+      builder: Seq[Expression] => Expression): Unit = {
+    requireVerifiedSpark()
     try
       spark.asInstanceOf[SparkSession].sessionState.functionRegistry
         .registerFunction(ident, info, builder)
@@ -140,4 +179,5 @@ object GraftColumnBridge {
       throw new IllegalStateException(
         "GraftColumnBridge: functionRegistry surface moved in this Spark build", le)
     }
+  }
 }

@@ -284,9 +284,18 @@ object AnnIngest {
         // all-marker gen dir must not be installed
         if (!GenForest.hasDataFiles(fs, scratch)) fs.delete(scratch, true)
         else {
-          GenForest.writeGensMarker(fs, scratch, Map(through ->
+          // cutoff = the tombstone watermark this gen's rows REFLECT.
+          // The dir-listing max alone understates it once maintain has
+          // folded purged batches into one low-id segment — the purge
+          // stamp restores the true floor (everything at or below it
+          // was certainly anti-joined here, its rows are already gone
+          // from the corpus this encode reads)
+          GenForest.writeGensMarker(fs, scratch, Map(through -> math.max(
             numberedDirs(fs, new org.apache.hadoop.fs.Path(idx, "tombstones"),
-              BatchDir).map(_._1).maxOption.getOrElse(-1L)))
+              BatchDir).map(_._1).maxOption.getOrElse(-1L),
+            graft.core.Markers.read(fs,
+              new org.apache.hadoop.fs.Path(idx, "_purged"))
+              .map(_.toLong).getOrElse(-1L))))
           fs.mkdirs(genRoot)
           require(fs.rename(scratch, genDir),
             s"failed to install consolidated generation at $genDir")
@@ -373,6 +382,23 @@ object AnnIngest {
     consolidatedThrough(spark, indexPath).foreach { wm =>
       Compaction.compact(spark, s"$path/vecs", safeBelow = wm + 1)
     }
+    // TOMBSTONE-DIR bound (r18): the takedown forest grows one
+    // `batch_id=` dir per request batch FOREVER — after the
+    // rebaseAtGens fold and the hot-store compact above, the only
+    // unbounded listing bill left in this layout (the quantizer is one
+    // frozen artifact and there are no per-gen sidecars to bound; the
+    // serve/encode/purge paths all read tombstones as a SET). Batches
+    // at or below the purge stamp are fully reflected in the forest —
+    // the purge physically removed their rows — so their only
+    // remaining role is the permanent takedown id-set, which the fold
+    // preserves row-for-row. The postings store must NOT copy this:
+    // its serve-time score corrections compare per-row tombstone
+    // batch ids against sidecar cutoffs (IndexStore.bm25FromIndex),
+    // and a fold rewrites those ids.
+    graft.core.Markers.read(fs, new org.apache.hadoop.fs.Path(idx, "_purged"))
+      .map(_.toLong).foreach { purged =>
+        Compaction.compact(spark, s"$indexPath/tombstones", safeBelow = purged + 1)
+      }
   }
 
   /** ANN search against everything consolidated so far: frozen

@@ -391,6 +391,16 @@ object DedupIngest {
     consolidatedThrough(spark, indexPath).foreach { wm =>
       Compaction.compact(spark, s"$path/bands", safeBelow = wm + 1)
     }
+    // tombstone-dir bound — the [[AnnIngest.maintain]] rationale: this
+    // store reads tombstones purely as a SET (serve anti-join, encode
+    // skip, rebase purge), so takedown batches at or below the purge
+    // stamp fold into one segment with no semantic change, and the
+    // takedown forest's dir count stays bounded by the requests landed
+    // since the last purge
+    graft.core.Markers.read(fs, new org.apache.hadoop.fs.Path(idx, "_purged"))
+      .map(_.toLong).foreach { purged =>
+        Compaction.compact(spark, s"$indexPath/tombstones", safeBelow = purged + 1)
+      }
   }
 
   // ---- driver gate row ------------------------------------------------

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.{AnnIngest, DedupIngest}
+import org.apache.spark.sql.classic.GraftColumnBridge
+
+/** Round-18 invariants: evidence infrastructure and the remaining
+  * hardening residuals from the r17 verdict.
+  *
+  *   1. The Spark-internal bridge is VERSION-PINNED: the required
+  *      paths (column/expression/registerFunction) refuse an
+  *      unverified Spark loudly, naming both the running and the
+  *      verified versions and the re-verification steps — a Spark
+  *      minor can move `private[sql]` internals without a
+  *      LinkageError, which the catch-based guards cannot see. An
+  *      explicit opt-out property downgrades the refusal to a
+  *      once-per-JVM warning.
+  *   2. Long-horizon blind-timer maintenance on the ANN store keeps
+  *      EVERY dir population bounded: gens by rebaseAtGens, the hot
+  *      store by watermark compaction, and (new this round) the
+  *      tombstone forest by folding takedown batches at or below the
+  *      purge stamp — the last unbounded listing bill in that layout.
+  *      The fold is invisible to serving: takedowns stay permanent,
+  *      and the gens-marker cutoff stays the TRUE reflected watermark
+  *      (the purge stamp restores what the folded dir ids understate).
+  *   3. The same tombstone-dir bound holds on the band store through
+  *      its own blind-timer loop.
+  */
+class Round18Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def dirCount(path: String, prefix: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith(prefix))
+  }
+
+  // ---- 1. bridge version pin -------------------------------------------
+
+  test("bridge refuses an unverified Spark loudly, naming versions and remedy") {
+    assert(GraftColumnBridge.VerifiedSparkVersions.contains(
+      org.apache.spark.SPARK_VERSION),
+      "the running Spark must itself be on the verified list — " +
+        "re-verify the bridge and update VerifiedSparkVersions")
+    try {
+      GraftColumnBridge.versionOverrideForTest = Some("9.9.9-unverified")
+      val e = intercept[IllegalStateException] {
+        GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal(1))
+      }
+      assert(e.getMessage.contains("9.9.9-unverified"))
+      assert(e.getMessage.contains("4.1.2"))
+      assert(e.getMessage.contains("VerifiedSparkVersions"))
+      assert(e.getMessage.contains("allowUnverifiedSpark"))
+      // the documented opt-out downgrades the refusal to a warning
+      sys.props("graft.bridge.allowUnverifiedSpark") = "true"
+      try {
+        val c = GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal(1))
+        assert(spark.range(1).select(c.as("one")).collect().head.getInt(0) == 1)
+      } finally sys.props.remove("graft.bridge.allowUnverifiedSpark")
+    } finally GraftColumnBridge.versionOverrideForTest = None
+    // pin restored: the verified path works again with no opt-out set
+    val c = GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(2))
+    assert(spark.range(1).select(c.as("two")).collect().head.getInt(0) == 2)
+  }
+
+  // ---- 2. ANN blind-timer loop: every dir population bounded ------------
+
+  test("ANN maintain bounds gens, hot store, AND tombstone dirs across " +
+      "a long blind-timer loop; takedowns stay permanent; serve exact") {
+    val base = tmp("r18-ann")
+    val store = s"$base/store"
+    val idx = s"$base/idx"
+    val nVecs = 60
+    val dim = 8
+    def vec(id: Long) = spark.range(id, id + 1).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "i -> cast(sin(id * 13 + i * 7) as float))").as("embedding"))
+    val all = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "i -> cast(sin(id * 13 + i * 7) as float))").as("embedding"))
+
+    val rebaseAtGens = 3
+    val cycles = 12
+    val dead = scala.collection.mutable.Set.empty[Long]
+    for (c <- 0 until cycles) {
+      // 5 vectors per cycle, a takedown of an already-served vector
+      // every third cycle — the blind scheduler's steady state
+      val ids = (c * 5 until (c + 1) * 5).map(_.toLong)
+      AnnIngest.ingestBatch(
+        all.filter(col("vec_id").isin(ids.map(Long.box): _*)), c.toLong, store)
+      if (c % 3 == 2) {
+        val victim = (c * 5 - 3).toLong
+        AnnIngest.tombstone(Seq(victim).toDF("vec_id"), c.toLong, idx)
+        dead += victim
+      }
+      AnnIngest.maintain(spark, store, idx, rebaseAtGens = rebaseAtGens)
+      // bounded-dirs is the CONTRACT, not an end-state accident:
+      // assert it every cycle
+      assert(dirCount(s"$idx/index", "gen=") <= rebaseAtGens + 1,
+        s"cycle $c: gen dirs exceed rebaseAtGens+1")
+      assert(dirCount(s"$store/vecs", "batch_id=") <= 2,
+        s"cycle $c: hot store dirs not compacted below the watermark")
+      // tombstone dirs: at most the takedowns since the last purge
+      // plus the one folded segment (purge fires on the maintain
+      // AFTER the takedown commits, so the window is one cycle wide)
+      assert(dirCount(s"$idx/tombstones", "batch_id=") <= 3,
+        s"cycle $c: tombstone dirs unbounded")
+    }
+    assert(AnnIngest.consolidatedThrough(spark, idx).contains((cycles - 1).toLong))
+    // takedowns stayed permanent through every fold: no dead vector
+    // serves, and the grown path equals the generic search over the
+    // survivors (the AnnIngestProps equivalence, at loop horizon)
+    val (centroids, books) = AnnIngest.loadQuantizer(spark, idx)
+    val grown = AnnIngest.searchGrown(all, spark, idx, nQueries = 3, k = 4)
+    assert(grown.filter(col("neighbor_id").isin(dead.toSeq.map(Long.box): _*))
+      .isEmpty, "a tombstoned vector resurfaced after tombstone-dir folding")
+    val idxDf = spark.read.parquet(s"$idx/index")
+      .select("vec_id", "cell", "codes")
+      .filter(!col("vec_id").isin(dead.toSeq.map(Long.box): _*))
+    val generic = Similarity.ivfPqSearch(all, idxDf, centroids, books,
+      nQueries = 3, k = 4)
+    assert(grown.orderBy("query_id", "rank").collect().toSeq.map(_.toString) ==
+      generic.orderBy("query_id", "rank").collect().toSeq.map(_.toString))
+    // a re-ingest of a dead id stays dead (takedown is forever) even
+    // though its tombstone batch dir was folded away
+    val victim = dead.head
+    AnnIngest.ingestBatch(vec(victim), cycles.toLong, store)
+    AnnIngest.maintain(spark, store, idx, rebaseAtGens = rebaseAtGens)
+    assert(spark.read.parquet(s"$idx/index")
+      .filter(col("vec_id") === victim).isEmpty,
+      "a folded tombstone lost its encode-skip force")
+  }
+
+  // ---- 3. band store: same tombstone-dir bound ---------------------------
+
+  test("Dedup maintain bounds tombstone dirs across the blind-timer loop") {
+    val base = tmp("r18-dedup")
+    val store = s"$base/store"
+    val idx = s"$base/idx"
+    val docs = spark.range(40).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 11), " +
+        "i -> concat('w', pmod(id * 7 + i * 5, 40))))").as("text"))
+    for (c <- 0 until 8) {
+      val ids = (c * 5 until (c + 1) * 5).map(_.toLong)
+      DedupIngest.ingestBatch(
+        docs.filter(col("doc_id").isin(ids.map(Long.box): _*)), c.toLong, store)
+      if (c % 2 == 1)
+        DedupIngest.tombstoneDocs(Seq((c * 5 - 2).toLong).toDF("doc_id"),
+          c.toLong, idx)
+      DedupIngest.maintain(spark, store, idx, rebaseAtGens = 3)
+      assert(dirCount(s"$idx/tombstones", "batch_id=") <= 3,
+        s"cycle $c: tombstone dirs unbounded")
+      assert(dirCount(s"$idx/bands", "gen=") <= 4,
+        s"cycle $c: gen dirs exceed rebaseAtGens+1")
+    }
+    assert(DedupIngest.consolidatedThrough(spark, idx).contains(7L))
+  }
+}
