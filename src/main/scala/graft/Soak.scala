@@ -1078,6 +1078,142 @@ object Soak {
       }
     }
 
+    // Blind-timer maintenance loop at 10x (r17 verdict #6): the
+    // scheduler-facing contract Round17Spec proves at small scale,
+    // soaked — maintain(rebaseAtGens=8, sidecarKeepLast=Some(2)) fired
+    // blindly across 100+ ingest cycles with interleaved takedowns and
+    // as-of probes. Claims under measurement: per-cycle cost is FLAT
+    // (the store never accumulates state a later cycle pays for) and
+    // every dir population stays bounded (postings gens by
+    // rebaseAtGens, sidecar gens by keepLast within a keep-two-back
+    // versioned root, hot store by watermark compaction). Tombstone
+    // batch dirs are REPORTED but unbounded by design here: postings
+    // serve-time corrections compare per-row tombstone batch ids
+    // against sidecar cutoffs, so folding them would rewrite ids the
+    // correction algebra depends on (the ANN/band stores, which read
+    // tombstones purely as sets, do fold theirs — Round18Spec).
+    if (want("blindtimer")) {
+      import graft.streaming.PostingsIngest
+      import graft.operators.{IndexStore, Retrieval}
+      val base = java.nio.file.Files.createTempDirectory("soak_btimer").toString
+      val store = s"$base/store"
+      val idx = s"$base/idx"
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val cycles = 104
+      val perB = (nDocs / cycles).max(1L)
+      def dirs(p: org.apache.hadoop.fs.Path, prefix: String): Int =
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith(prefix))
+      val cycleSecs = new Array[Double](cycles)
+      var maxGens, maxDict, maxStats, maxHot, maxTomb = 0
+      for (c <- 0 until cycles) {
+        val t0 = System.nanoTime()
+        PostingsIngest.ingestBatch(
+          docs.filter(col("doc_id") >= c * perB && col("doc_id") < (c + 1) * perB),
+          c.toLong, store)
+        if (c % 7 == 6) // takedown of an already-served doc
+          PostingsIngest.tombstoneDocs(
+            spark.range(c * perB - 3, c * perB - 1).select(col("id").as("doc_id")),
+            c.toLong, idx)
+        PostingsIngest.maintain(spark, store, idx,
+          rebaseAtGens = 8, sidecarKeepLast = Some(2))
+        if (c % 10 == 9) { // as-of probe within the configured lag
+          val wm = PostingsIngest.consolidatedThrough(spark, idx).get
+          IndexStore.bm25FromIndex(docs.filter(col("doc_id") < (c + 1) * perB),
+              spark, idx, 4, 3, 5, asOfGen = Some(wm))
+            .write.format("noop").mode("overwrite").save()
+        }
+        cycleSecs(c) = (System.nanoTime() - t0) / 1e9
+        maxGens = maxGens.max(dirs(new org.apache.hadoop.fs.Path(idx, "postings"), "gen="))
+        maxDict = maxDict.max(dirs(new org.apache.hadoop.fs.Path(
+          PostingsIngest.sidecarRootPath(spark, idx, "dict")), "gen="))
+        maxStats = maxStats.max(dirs(new org.apache.hadoop.fs.Path(
+          PostingsIngest.sidecarRootPath(spark, idx, "stats")), "gen="))
+        maxHot = maxHot.max(dirs(new org.apache.hadoop.fs.Path(s"$store/postings"), "batch_id="))
+        maxTomb = maxTomb.max(dirs(new org.apache.hadoop.fs.Path(idx, "tombstones"), "batch_id="))
+      }
+      def avg(s: Seq[Double]) = s.sum / s.size
+      val firstQ = avg(cycleSecs.slice(4, 24).toSeq) // skip warm-up cycles
+      val lastQ = avg(cycleSecs.takeRight(20).toSeq)
+      println(f"SOAK blindtimer_${cycles}_cycles   ${cycleSecs.sum}%8.2f s total; " +
+        f"per-cycle first20(warm) $firstQ%.2f s vs last20 $lastQ%.2f s (flat = no state debt); " +
+        f"max dirs: postings-gens $maxGens, dict $maxDict, stats $maxStats, " +
+        f"hot $maxHot, tombstones $maxTomb (tombstones unbounded by design here)")
+      // loop horizon serves the exact one-shot answer over survivors
+      val tombs = spark.read.parquet(s"$idx/tombstones").select("doc_id").distinct()
+      val alive = docs.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      val served = IndexStore.bm25FromIndex(alive, spark, idx,
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+        .orderBy("q_id", "rank").collect()
+      val oneShot = Retrieval.bm25TopK(alive)
+        .orderBy("q_id", "rank").collect()
+      require(served.sameElements(oneShot),
+        "blind-timer loop horizon must serve the one-shot answer")
+    }
+
+    // ANN blind-timer twin (r17 verdict #4): 48+ maintenance cycles on
+    // the IVFADC store. The adjudication this leg records: the ANN
+    // layout has NO per-gen sidecar growth to bound — as-of serving
+    // rides the `_gens` markers plus the src_gen data column (no
+    // per-gen dict/stats the postings store needs), and the quantizer
+    // is one frozen artifact — so the dir populations are exactly
+    // gens (bounded by rebaseAtGens), the hot store (watermark
+    // compaction), and tombstones (folded at/below the purge stamp
+    // since r18). Flat per-cycle cost + bounded dirs is the whole
+    // contract.
+    if (want("annblind")) {
+      import graft.streaming.AnnIngest
+      val base = java.nio.file.Files.createTempDirectory("soak_annbt").toString
+      val store = s"$base/store"
+      val idx = s"$base/idx"
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val cycles = 52
+      val perB = (nVecs / cycles).max(1L)
+      def dirs(p: org.apache.hadoop.fs.Path, prefix: String): Int =
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith(prefix))
+      val cycleSecs = new Array[Double](cycles)
+      var maxGens, maxHot, maxTomb = 0
+      for (c <- 0 until cycles) {
+        val t0 = System.nanoTime()
+        AnnIngest.ingestBatch(
+          vecs.filter(col("vec_id") >= c * perB && col("vec_id") < (c + 1) * perB),
+          c.toLong, store)
+        if (c % 7 == 6)
+          AnnIngest.tombstone(
+            spark.range(c * perB - 3, c * perB - 1).select(col("id").as("vec_id")),
+            c.toLong, idx)
+        AnnIngest.maintain(spark, store, idx, rebaseAtGens = 8)
+        cycleSecs(c) = (System.nanoTime() - t0) / 1e9
+        maxGens = maxGens.max(dirs(new org.apache.hadoop.fs.Path(idx, "index"), "gen="))
+        maxHot = maxHot.max(dirs(new org.apache.hadoop.fs.Path(s"$store/vecs"), "batch_id="))
+        maxTomb = maxTomb.max(dirs(new org.apache.hadoop.fs.Path(idx, "tombstones"), "batch_id="))
+      }
+      def avg(s: Seq[Double]) = s.sum / s.size
+      println(f"SOAK annblind_${cycles}_cycles    ${cycleSecs.sum}%8.2f s total; " +
+        f"per-cycle first20(warm) ${avg(cycleSecs.slice(4, 24).toSeq)}%.2f s vs " +
+        f"last20 ${avg(cycleSecs.takeRight(20).toSeq)}%.2f s; " +
+        f"max dirs: gens $maxGens, hot $maxHot, tombstones $maxTomb")
+      // loop horizon: the grown serve equals the generic search over
+      // the surviving corpus
+      val (centroids, books) = AnnIngest.loadQuantizer(spark, idx)
+      val tombs = spark.read.parquet(s"$idx/tombstones").select("vec_id").distinct()
+      val grown = AnnIngest.searchGrown(vecs, spark, idx, nQueries = 3, k = 4)
+        .orderBy("query_id", "rank").collect()
+      val idxDf = spark.read.parquet(s"$idx/index")
+        .select("vec_id", "cell", "codes")
+        .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      val generic = Similarity.ivfPqSearch(vecs, idxDf, centroids, books,
+          nQueries = 3, k = 4)
+        .orderBy("query_id", "rank").collect()
+      require(grown.sameElements(generic),
+        "ANN blind-timer loop horizon must serve the generic answer")
+    }
+
     // Incremental connected components: the claim under measurement
     // is "label maintenance is bounded by the batch, not the archive".
     // Archive = 10-node chain components over the whole corpus; batch
