@@ -1201,7 +1201,9 @@ object Soak {
       // loop horizon: the grown serve equals the generic search over
       // the surviving corpus
       val (centroids, books) = AnnIngest.loadQuantizer(spark, idx)
-      val tombs = spark.read.parquet(s"$idx/tombstones").select("vec_id").distinct()
+      // the takedown set reads through the snapshot+tail store — the
+      // raw tombstones dir is empty after the folds
+      val tombs = graft.streaming.TombstoneStore.read(spark, idx, "vec_id").get
       val grown = AnnIngest.searchGrown(vecs, spark, idx, nQueries = 3, k = 4)
         .orderBy("query_id", "rank").collect()
       val idxDf = spark.read.parquet(s"$idx/index")

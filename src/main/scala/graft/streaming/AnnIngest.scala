@@ -106,16 +106,17 @@ object AnnIngest {
     * retrained on delete (FAISS posture: codebooks summarize geometry,
     * not membership); a compliance regime that requires scrubbing the
     * quantizer itself retrains into a fresh index from the hot store. */
-  def tombstone(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+  def tombstone(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
+    // ids at or below the snapshot's covered stamp are invisible to
+    // every reader — refuse loudly instead of dropping a takedown
+    TombstoneStore.requireFreshBatchId(ids.sparkSession, indexPath, batchId)
     EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
       ids.select(col("vec_id")), batchId)
+  }
 
   private def tombstones(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-    if (!fsOf(spark, p).exists(p)) None
-    else Some(spark.read.parquet(p.toString).select("vec_id"))
-  }
+      indexPath: String): Option[DataFrame] =
+    TombstoneStore.read(spark, indexPath, "vec_id")
 
   /** The index's stamped consolidation watermark: every store batch
     * with `batch_id <= through` is already encoded into the forest.
@@ -388,16 +389,17 @@ object AnnIngest {
     // unbounded listing bill left in this layout (the quantizer is one
     // frozen artifact and there are no per-gen sidecars to bound; the
     // serve/encode/purge paths all read tombstones as a SET). Batches
-    // at or below the purge stamp are fully reflected in the forest —
-    // the purge physically removed their rows — so their only
-    // remaining role is the permanent takedown id-set, which the fold
-    // preserves row-for-row. The postings store must NOT copy this:
-    // its serve-time score corrections compare per-row tombstone
-    // batch ids against sidecar cutoffs (IndexStore.bm25FromIndex),
-    // and a fold rewrites those ids.
+    // at or below the purge stamp fold into the out-of-namespace
+    // [[TombstoneStore]] snapshot — NOT via Compaction.compact, whose
+    // collapsed segment a replayed tombstone write could dynamic-
+    // overwrite, silently shrinking the permanent set. The postings
+    // store must not bound its tombstones either way: its serve-time
+    // score corrections compare per-row tombstone batch ids against
+    // sidecar cutoffs (IndexStore.bm25FromIndex), and any fold
+    // rewrites or hides those ids.
     graft.core.Markers.read(fs, new org.apache.hadoop.fs.Path(idx, "_purged"))
       .map(_.toLong).foreach { purged =>
-        Compaction.compact(spark, s"$indexPath/tombstones", safeBelow = purged + 1)
+        TombstoneStore.fold(spark, indexPath, purged, "vec_id")
       }
   }
 

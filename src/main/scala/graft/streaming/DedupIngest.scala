@@ -125,16 +125,17 @@ object DedupIngest {
     * generation at serve immediately, skipped at consolidate,
     * physically purged at rebase. The set is an operational takedown
     * list (bounded by requests), so the serve anti-join broadcasts. */
-  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
+    // ids at or below the snapshot's covered stamp are invisible to
+    // every reader — refuse loudly instead of dropping a takedown
+    TombstoneStore.requireFreshBatchId(ids.sparkSession, indexPath, batchId)
     EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
       ids.select(col("doc_id")), batchId)
+  }
 
   private def tombstones(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-    if (!fsOf(spark, p).exists(p)) None
-    else Some(spark.read.parquet(p.toString).select("doc_id").distinct())
-  }
+      indexPath: String): Option[DataFrame] =
+    TombstoneStore.read(spark, indexPath, "doc_id")
 
   private def tombstoneState(fs: org.apache.hadoop.fs.FileSystem,
       idx: org.apache.hadoop.fs.Path): (Option[Long], Boolean) = {
@@ -394,12 +395,13 @@ object DedupIngest {
     // tombstone-dir bound — the [[AnnIngest.maintain]] rationale: this
     // store reads tombstones purely as a SET (serve anti-join, encode
     // skip, rebase purge), so takedown batches at or below the purge
-    // stamp fold into one segment with no semantic change, and the
-    // takedown forest's dir count stays bounded by the requests landed
-    // since the last purge
+    // stamp fold into the out-of-namespace [[TombstoneStore]] snapshot
+    // (replay-safe, unlike a Compaction segment a retried tombstone
+    // write could overwrite) and the takedown forest's dir count stays
+    // bounded by the requests landed since the last purge
     graft.core.Markers.read(fs, new org.apache.hadoop.fs.Path(idx, "_purged"))
       .map(_.toLong).foreach { purged =>
-        Compaction.compact(spark, s"$indexPath/tombstones", safeBelow = purged + 1)
+        TombstoneStore.fold(spark, indexPath, purged, "doc_id")
       }
   }
 

@@ -148,11 +148,13 @@ class Round18Spec extends SparkSpec {
         s"cycle $c: gen dirs exceed rebaseAtGens+1")
       assert(dirCount(s"$store/vecs", "batch_id=") <= 2,
         s"cycle $c: hot store dirs not compacted below the watermark")
-      // tombstone dirs: at most the takedowns since the last purge
-      // plus the one folded segment (purge fires on the maintain
-      // AFTER the takedown commits, so the window is one cycle wide)
+      // tombstone batch dirs: folded into the snapshot at or below the
+      // purge stamp, so at most the takedowns since the last purge
       assert(dirCount(s"$idx/tombstones", "batch_id=") <= 3,
         s"cycle $c: tombstone dirs unbounded")
+      // snapshot versions: keep-two-back retention
+      assert(dirCount(s"$idx/tombstones_snapshot", "v=") <= 2,
+        s"cycle $c: snapshot versions unbounded")
     }
     assert(AnnIngest.consolidatedThrough(spark, idx).contains((cycles - 1).toLong))
     // takedowns stayed permanent through every fold: no dead vector
@@ -177,6 +179,14 @@ class Round18Spec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/index")
       .filter(col("vec_id") === victim).isEmpty,
       "a folded tombstone lost its encode-skip force")
+    // a takedown aimed at a covered (folded) batch id would be
+    // invisible to every reader — the write refuses loudly instead
+    val covers = graft.streaming.TombstoneStore.coveredThrough(spark, idx)
+    assert(covers >= 0, "the loop must have folded at least one takedown")
+    val e = intercept[IllegalArgumentException] {
+      AnnIngest.tombstone(Seq(1L).toDF("vec_id"), covers, idx)
+    }
+    assert(e.getMessage.contains("fresh"))
   }
 
   // ---- 3. band store: same tombstone-dir bound ---------------------------
