@@ -1141,9 +1141,15 @@ object Soak {
         f"per-cycle first20(warm) $firstQ%.2f s vs last20 $lastQ%.2f s (flat = no state debt); " +
         f"max dirs: postings-gens $maxGens, dict $maxDict, stats $maxStats, " +
         f"hot $maxHot, tombstones $maxTomb (tombstones unbounded by design here)")
-      // loop horizon serves the exact one-shot answer over survivors
+      // loop horizon serves the exact one-shot answer over survivors.
+      // Only doc_id < cycles*perB were ever ingested — integer division
+      // leaves stragglers when nDocs % cycles != 0, and comparing
+      // against the full frame shifts every score through n/sumdl/df
+      // (the r18 soak's first run failed exactly here: same docs, same
+      // ranks, scores off by the 8 uningested docs' statistics)
       val tombs = spark.read.parquet(s"$idx/tombstones").select("doc_id").distinct()
-      val alive = docs.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      val ingested = docs.filter(col("doc_id") < cycles * perB)
+      val alive = ingested.join(broadcast(tombs), Seq("doc_id"), "left_anti")
       val served = IndexStore.bm25FromIndex(alive, spark, idx,
           Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
         .orderBy("q_id", "rank").collect()

@@ -381,7 +381,9 @@ object AnnIngest {
     if (gens > rebaseAtGens || tombstoneState(fs, idx)._2)
       rebase(spark, indexPath)
     consolidatedThrough(spark, indexPath).foreach { wm =>
-      Compaction.compact(spark, s"$path/vecs", safeBelow = wm + 1)
+      // tiered: the blind-timer amortization rationale at
+      // [[PostingsIngest.maintain]]
+      Compaction.compactTiered(spark, s"$path/vecs", safeBelow = wm + 1)
     }
     // TOMBSTONE-DIR bound (r18): the takedown forest grows one
     // `batch_id=` dir per request batch FOREVER — after the

@@ -128,8 +128,70 @@ object Compaction {
       onPhase: String => Unit = _ => ()): Option[CompactionStats] = {
     val store = new Path(storePath)
     val fs = fsOf(spark, store)
-
     val eligible = partitionDirs(fs, store).filter(_._1 < safeBelow).sortBy(_._1)
+    compactDirs(spark, store, fs, eligible, targetFileBytes, onPhase)
+  }
+
+  /** Size-tiered compaction — the variant a PERIODIC maintenance
+    * runbook should call. [[compact]] always merges EVERYTHING
+    * eligible into one segment, so a blind timer that compacts each
+    * cycle rewrites the whole committed store every cycle: O(corpus)
+    * per cycle, O(corpus²/batch) lifetime write amplification (the
+    * r18 blindtimer soak measured exactly this as a linear per-cycle
+    * cost slope). This variant instead merges one SIZE CLASS at a
+    * time (classes are geometric in `fanout`, LSM-style), and only a
+    * class holding at least `fanout` dirs: each row is rewritten at
+    * most once per class it promotes through — O(log corpus) lifetime
+    * rewrites — and the dir count stays bounded by fanout × the class
+    * count (= O(fanout · log(corpus/256KiB)/log(fanout))). Loops until
+    * no class is mergeable; each pass reuses [[compact]]'s
+    * claim/build/swap machinery on its subset, so crash recovery and
+    * mutual exclusion are identical. Merging a non-contiguous id
+    * subset is sound for the same reason compact's collapse is: below
+    * the watermark `batch_id` is inert physical provenance. */
+  def compactTiered(spark: SparkSession, storePath: String, safeBelow: Long,
+      fanout: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      onPhase: String => Unit = _ => ()): Seq[CompactionStats] = {
+    require(fanout >= 2, s"fanout must be >= 2 (got $fanout)")
+    val store = new Path(storePath)
+    val fs = fsOf(spark, store)
+    val out = scala.collection.mutable.ListBuffer.empty[CompactionStats]
+    var merged = true
+    // terminates: every pass merges >= fanout >= 2 dirs into one, so
+    // the eligible dir count strictly decreases
+    while (merged) {
+      merged = false
+      val sized = partitionDirs(fs, store).filter(_._1 < safeBelow)
+        .map { case (id, p) =>
+          (id, p, dataFiles(fs, p).map(_._2).sum) }
+      sized.groupBy { case (_, _, b) => sizeClass(b, fanout) }
+        .filter(_._2.size >= fanout)
+        .toSeq.sortBy(_._1).headOption
+        .foreach { case (_, dirs) =>
+          compactDirs(spark, store, fs,
+            dirs.map(d => (d._1, d._2)).sortBy(_._1), targetFileBytes, onPhase)
+            .foreach { s => out += s; merged = true }
+        }
+    }
+    out.toList
+  }
+
+  /** Geometric size class: k such that bytes lands in
+    * (256KiB·fanout^(k-1), 256KiB·fanout^k]; merging `fanout` dirs of
+    * class k always promotes past class k's cap, so a merge output
+    * can never feed an endless re-merge of its own class. */
+  private def sizeClass(bytes: Long, fanout: Int): Int = {
+    var c = 0
+    var cap = 256L * 1024
+    while (bytes > cap && c < 62) { c += 1; cap = cap * fanout }
+    c
+  }
+
+  private def compactDirs(spark: SparkSession, store: Path, fs: FileSystem,
+      eligible: Seq[(Long, Path)], targetFileBytes: Long,
+      onPhase: String => Unit): Option[CompactionStats] = {
+    val storePath = store.toString
     if (eligible.isEmpty) return None
     val files = eligible.flatMap { case (_, d) => dataFiles(fs, d) }
     val totalBytes = files.map(_._2).sum

@@ -390,7 +390,9 @@ object DedupIngest {
     if (gens > rebaseAtGens || tombstoneState(fs, idx)._2)
       rebase(spark, indexPath)
     consolidatedThrough(spark, indexPath).foreach { wm =>
-      Compaction.compact(spark, s"$path/bands", safeBelow = wm + 1)
+      // tiered: the blind-timer amortization rationale at
+      // [[PostingsIngest.maintain]]
+      Compaction.compactTiered(spark, s"$path/bands", safeBelow = wm + 1)
     }
     // tombstone-dir bound — the [[AnnIngest.maintain]] rationale: this
     // store reads tombstones purely as a SET (serve anti-join, encode

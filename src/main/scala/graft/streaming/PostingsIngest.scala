@@ -1001,8 +1001,12 @@ object PostingsIngest {
     if (gens > rebaseAtGens || tombBatches.maxOption.exists(_ > purged))
       rebase(spark, indexPath)
     consolidatedThrough(spark, indexPath).foreach { wm =>
-      Compaction.compact(spark, s"$path/postings", safeBelow = wm + 1)
-      Compaction.compact(spark, s"$path/stats", safeBelow = wm + 1)
+      // tiered, not full: a blind timer calling full compact rewrites
+      // the whole committed hot store EVERY cycle (the r18 soak's
+      // linear per-cycle slope); the size-tiered fold is amortized
+      // O(log corpus) rewrites per row with O(log) dirs
+      Compaction.compactTiered(spark, s"$path/postings", safeBelow = wm + 1)
+      Compaction.compactTiered(spark, s"$path/stats", safeBelow = wm + 1)
     }
     sidecarKeepLast.foreach { keep =>
       // re-read the tombstone state: the rebase above may have purged

@@ -480,6 +480,42 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("compactTiered merges only full size classes, preserves content, " +
+      "and never rewrites a settled segment for one new batch") {
+    val store = tmp("compact-tiered")
+    mkStore(store, 4)
+    val before = contents(store)
+    // 4 equal tiny batches share size class 0 -> one merge into id 0
+    val first = Compaction.compactTiered(spark, store, safeBelow = 99)
+    assert(first.map(s => (s.segmentId, s.batchesMerged)) == Seq((0L, 4)))
+    assert(partDirs(store) == Set("batch_id=0"))
+    assert(contents(store) == before, "tiered merge must be content-neutral")
+    val segStamp = fs.getFileStatus(new Path(store, "batch_id=0"))
+      .getModificationTime
+    // AMORTIZATION, the reason this variant exists: one new batch must
+    // NOT trigger a rewrite of the settled segment (full compact would
+    // rewrite everything every cycle - the r18 soak's linear slope)
+    EventStreams.idempotentParquetSink(store)(
+      spark.range(160, 200).select(col("id"), (col("id") * 7 % 13).as("v")), 4L)
+    assert(Compaction.compactTiered(spark, store, safeBelow = 99).isEmpty,
+      "a lone new batch must wait for its class to fill")
+    assert(fs.getFileStatus(new Path(store, "batch_id=0"))
+      .getModificationTime == segStamp, "the settled segment was rewritten")
+    // fill class 0 back to fanout: 3 more batches make the class
+    // mergeable again (at toy sizes the settled segment shares class 0
+    // and may re-merge with them; at real sizes it has promoted out)
+    for (b <- 5 until 8)
+      EventStreams.idempotentParquetSink(store)(
+        spark.range(b * 40, (b + 1) * 40)
+          .select(col("id"), (col("id") * 7 % 13).as("v")), b.toLong)
+    val second = Compaction.compactTiered(spark, store, safeBelow = 99)
+    assert(second.map(_.batchesMerged).sum >= 4)
+    assert(contents(store) ==
+      spark.range(0, 320).select(col("id"), (col("id") * 7 % 13).as("v"))
+        .as[(Long, Long)].collect().sorted.toSeq,
+      "tiered cycles must preserve all content")
+  }
+
   test("gate row equals the direct aggregate over events") {
     val dir = "/root/testdata/sf0.001"
     val got = Compaction.compactionGate(spark, dir)

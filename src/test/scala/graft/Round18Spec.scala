@@ -146,8 +146,11 @@ class Round18Spec extends SparkSpec {
       // assert it every cycle
       assert(dirCount(s"$idx/index", "gen=") <= rebaseAtGens + 1,
         s"cycle $c: gen dirs exceed rebaseAtGens+1")
-      assert(dirCount(s"$store/vecs", "batch_id=") <= 2,
-        s"cycle $c: hot store dirs not compacted below the watermark")
+      // tiered compaction: a class merges only at `fanout` (4) dirs,
+      // so the post-maintain count stays below fanout per size class
+      // (these toy batches all share class 0)
+      assert(dirCount(s"$store/vecs", "batch_id=") <= 4,
+        s"cycle $c: hot store dirs not tier-compacted below the watermark")
       // tombstone batch dirs: folded into the snapshot at or below the
       // purge stamp, so at most the takedowns since the last purge
       assert(dirCount(s"$idx/tombstones", "batch_id=") <= 3,
@@ -187,6 +190,56 @@ class Round18Spec extends SparkSpec {
       AnnIngest.tombstone(Seq(1L).toDF("vec_id"), covers, idx)
     }
     assert(e.getMessage.contains("fresh"))
+  }
+
+  // ---- postings blind-timer loop: takedown/purge/fold cycles ------------
+
+  test("repeated takedown + purge + sidecarKeepLast folds serve the " +
+      "one-shot answer over the ingested survivors") {
+    import graft.operators.{IndexStore, Retrieval}
+    import graft.streaming.PostingsIngest
+    val base = tmp("r18-btimer")
+    val store = s"$base/store"
+    val idx = s"$base/idx"
+    // nDocs NOT divisible by cycles on purpose: integer division
+    // leaves straggler docs the loop never ingests, and the one-shot
+    // side must be scoped to the INGESTED corpus (the r18 soak's first
+    // run compared against the full frame — same docs, same ranks,
+    // every score shifted by the stragglers' n/sumdl/df)
+    val nDocs = 2500L
+    val cycles = 24
+    val perB = nDocs / cycles
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 39), " +
+        "i -> concat('w', pmod(id * 31 + i * 17, 2000))))").as("text"))
+    for (c <- 0 until cycles) {
+      PostingsIngest.ingestBatch(
+        docs.filter(col("doc_id") >= c * perB && col("doc_id") < (c + 1) * perB),
+        c.toLong, store)
+      if (c % 7 == 6)
+        PostingsIngest.tombstoneDocs(
+          spark.range(c * perB - 3, c * perB - 1).select(col("id").as("doc_id")),
+          c.toLong, idx)
+      PostingsIngest.maintain(spark, store, idx,
+        rebaseAtGens = 8, sidecarKeepLast = Some(2))
+      if (c % 10 == 9) { // as-of probe within the configured lag
+        val wm = PostingsIngest.consolidatedThrough(spark, idx).get
+        IndexStore.bm25FromIndex(docs.filter(col("doc_id") < (c + 1) * perB),
+            spark, idx, 4, 3, 5, asOfGen = Some(wm))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    val tombs = spark.read.parquet(s"$idx/tombstones").select("doc_id").distinct()
+    val ingested = docs.filter(col("doc_id") < cycles * perB)
+    val alive = ingested.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+    val served = IndexStore.bm25FromIndex(alive, spark, idx,
+        Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank").collect().toSeq
+    val oneShot = Retrieval.bm25TopK(alive)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(served == oneShot,
+      "the blind-timer loop horizon must serve the one-shot answer")
   }
 
   // ---- 3. band store: same tombstone-dir bound ---------------------------
