@@ -120,11 +120,27 @@ object TombstoneStore {
   /** Fold every tombstone batch dir with id <= `purged` into the
     * versioned snapshot and delete the folded dirs. No-op when nothing
     * at or below `purged` remains unfolded. Idempotent at every crash
-    * point; run it from the store's maintenance window. */
+    * point. Runs under the index's `_consolidate_commit` lease — the
+    * scratch dir is shared, and two concurrent folds could otherwise
+    * interleave on it (one stamping and installing the other's
+    * half-written build). */
   def fold(spark: SparkSession, indexPath: String, purged: Long,
       idCol: String): Unit = {
     val idx = new Path(indexPath)
     val fs = fsOf(spark, idx)
+    val claim = new Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim,
+        s"${java.util.UUID.randomUUID()}\ntombstone-fold $purged"))
+      throw new IllegalStateException(
+        s"index $indexPath already has a maintenance op in flight (or a " +
+          s"dead one's marker) — if no maintainer is live, delete $claim " +
+          "and re-run (every phase is idempotent)")
+    try foldUnderLease(spark, idx, fs, purged, idCol)
+    finally fs.delete(claim, false)
+  }
+
+  private def foldUnderLease(spark: SparkSession, idx: Path,
+      fs: FileSystem, purged: Long, idCol: String): Unit = {
     val snap = resolveSnapshot(fs, idx)
     val covers = snap.map(_._3).getOrElse(-1L)
     val foldable = numbered(fs, new Path(idx, "tombstones"), BatchDir)
@@ -151,7 +167,7 @@ object TombstoneStore {
     val nextV = snap.map(_._1 + 1).getOrElse(0L)
     fs.mkdirs(snapRoot(idx))
     require(fs.rename(scratch, new Path(snapRoot(idx), s"v=$nextV")),
-      s"failed to install tombstone snapshot v=$nextV at $indexPath")
+      s"failed to install tombstone snapshot v=$nextV at $idx")
     // keep-two-back: a reader that resolved the previous version just
     // before this install scans a complete snapshot; versions older
     // than that are settled debt
