@@ -255,13 +255,18 @@ object VecIngest {
     val tiered = tierIndexStore(spark, indexPath, checkpointDir, pbMod)
     val folded = Compaction.consolidateTier(spark, s"${indexPath}_tier")
     val safe = Compaction.safeBelowFromCheckpoint(spark, checkpointDir)
-    val vecs = Compaction.compact(spark, vecsPath, safe)
-    val pairs = Compaction.compact(spark, pairsPath, safe)
+    // tiered, not full: this is the PERIODIC runbook — see
+    // [[Compaction.compactTiered]]'s amortization rationale
+    val vecs = Compaction.compactTiered(spark, vecsPath, safe)
+    val pairs = Compaction.compactTiered(spark, pairsPath, safe)
+    def tieredReport(s: Seq[Compaction.CompactionStats]): String =
+      if (s.isEmpty) "no-op"
+      else s"${s.map(_.batchesMerged).sum} batches in ${s.size} class merges"
     Map(
       "index_tiered" -> tiered.map(t => s"${t.batchesMoved} batches").getOrElse("no-op"),
       "tier_folded" -> folded.map(t => s"${t.batchesMoved} generations").getOrElse("no-op"),
-      "vecs_compacted" -> vecs.map(c => s"${c.filesBefore}->${c.filesAfter} files").getOrElse("no-op"),
-      "pairs_compacted" -> pairs.map(c => s"${c.filesBefore}->${c.filesAfter} files").getOrElse("no-op"))
+      "vecs_compacted" -> tieredReport(vecs),
+      "pairs_compacted" -> tieredReport(pairs))
   }
 
   /** Start the ingest stream. `vecStream` must carry at least
