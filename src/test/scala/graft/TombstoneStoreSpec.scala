@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.streaming.TombstoneStore
+
+/** Direct crash-window coverage for the takedown snapshot store —
+  * the windows the Round18Spec maintenance loops drive only
+  * implicitly:
+  *
+  *   1. a crashed INSTALL (version dir present, `_covers` stamp
+  *      missing) never resolves — readers keep serving the previous
+  *      version, and the next fold supersedes the orphan;
+  *   2. a crash BETWEEN install and source-deletion leaves covered
+  *      batch dirs that every read already excludes, and the next
+  *      fold settles them by deletion without re-publishing;
+  *   3. a replay-recreated covered dir (the exact overwrite shape
+  *      that killed the Compaction-based first cut) is invisible to
+  *      reads and re-deleted;
+  *   4. folds run under the index lease and refuse a dead run's
+  *      marker loudly.
+  */
+class TombstoneStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fs = new Path("/tmp").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(tag: String): String = {
+    val d = Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def sink(idx: String, ids: Seq[Long], batchId: Long): Unit =
+    graft.streaming.EventStreams.idempotentParquetSink(s"$idx/tombstones")(
+      ids.toDF("doc_id"), batchId)
+
+  private def readIds(idx: String): Set[Long] =
+    TombstoneStore.read(spark, idx, "doc_id")
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+
+  private def batchDirs(idx: String): Set[String] = {
+    val p = new Path(s"$idx/tombstones")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+  }
+
+  test("fold folds at-or-below purged, reads union snapshot + tail, " +
+      "and the set never shrinks across repeated folds") {
+    val idx = tmp("tsnap1")
+    sink(idx, Seq(1L, 2L), 0L)
+    sink(idx, Seq(3L), 1L)
+    sink(idx, Seq(4L), 5L) // above the purge stamp: must stay a dir
+    TombstoneStore.fold(spark, idx, purged = 1L, "doc_id")
+    assert(TombstoneStore.coveredThrough(spark, idx) == 1L)
+    assert(batchDirs(idx) == Set("batch_id=5"), "only covered dirs fold")
+    assert(readIds(idx) == Set(1L, 2L, 3L, 4L))
+    // second fold covers the tail; the union is cumulative
+    TombstoneStore.fold(spark, idx, purged = 5L, "doc_id")
+    assert(TombstoneStore.coveredThrough(spark, idx) == 5L)
+    assert(batchDirs(idx).isEmpty)
+    assert(readIds(idx) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("a crashed install (unstamped version dir) never resolves; the " +
+      "next fold supersedes it") {
+    val idx = tmp("tsnap2")
+    sink(idx, Seq(1L), 0L)
+    TombstoneStore.fold(spark, idx, purged = 0L, "doc_id")
+    // fabricate a crashed install: a half-written higher version with
+    // no _covers stamp (the stamp is written INSIDE the scratch before
+    // the rename, so a real crash can only leave this shape if the
+    // rename itself was interrupted — model the worst case anyway)
+    fs.mkdirs(new Path(s"$idx/tombstones_snapshot/v=7"))
+    assert(TombstoneStore.coveredThrough(spark, idx) == 0L,
+      "an unstamped version must not resolve")
+    assert(readIds(idx) == Set(1L))
+    // a later fold publishes v=8 past the orphan and stays correct
+    sink(idx, Seq(2L), 3L)
+    TombstoneStore.fold(spark, idx, purged = 3L, "doc_id")
+    assert(TombstoneStore.coveredThrough(spark, idx) == 3L)
+    assert(readIds(idx) == Set(1L, 2L))
+  }
+
+  test("covered leftover dirs (crash before source-deletion, or a " +
+      "replay-recreated dir) are invisible to reads and settled by the " +
+      "next fold without re-publishing") {
+    val idx = tmp("tsnap3")
+    sink(idx, Seq(1L, 2L), 0L)
+    sink(idx, Seq(3L), 2L)
+    TombstoneStore.fold(spark, idx, purged = 2L, "doc_id")
+    val v0 = TombstoneStore.coveredThrough(spark, idx)
+    // the replay shape: the sink recreates a folded dir with its
+    // original content (same id => same rows, the sink contract)
+    sink(idx, Seq(3L), 2L)
+    assert(batchDirs(idx) == Set("batch_id=2"))
+    assert(readIds(idx) == Set(1L, 2L, 3L),
+      "a recreated covered dir must not change the served set")
+    // the next fold settles it by deletion, publishing nothing new
+    val versionsBefore = fs.listStatus(new Path(s"$idx/tombstones_snapshot"))
+      .count(_.getPath.getName.startsWith("v="))
+    TombstoneStore.fold(spark, idx, purged = 2L, "doc_id")
+    assert(batchDirs(idx).isEmpty)
+    assert(TombstoneStore.coveredThrough(spark, idx) == v0)
+    assert(fs.listStatus(new Path(s"$idx/tombstones_snapshot"))
+      .count(_.getPath.getName.startsWith("v=")) == versionsBefore,
+      "settling leftovers must not publish a new version")
+    assert(readIds(idx) == Set(1L, 2L, 3L))
+  }
+
+  test("fold refuses a dead run's lease marker loudly") {
+    val idx = tmp("tsnap4")
+    sink(idx, Seq(1L), 0L)
+    val claim = new Path(idx, "_consolidate_commit")
+    graft.core.Markers.forceWrite(fs, claim, "dead-run\nconsolidate 9")
+    val e = intercept[IllegalStateException] {
+      TombstoneStore.fold(spark, idx, purged = 0L, "doc_id")
+    }
+    assert(e.getMessage.contains("in flight"))
+    fs.delete(claim, false)
+    TombstoneStore.fold(spark, idx, purged = 0L, "doc_id")
+    assert(readIds(idx) == Set(1L))
+  }
+
+  test("requireFreshBatchId refuses covered ids and admits fresh ones") {
+    val idx = tmp("tsnap5")
+    // no snapshot yet: everything is fresh
+    TombstoneStore.requireFreshBatchId(spark, idx, 0L)
+    sink(idx, Seq(1L), 0L)
+    TombstoneStore.fold(spark, idx, purged = 0L, "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      TombstoneStore.requireFreshBatchId(spark, idx, 0L)
+    }
+    assert(e.getMessage.contains("fresh"))
+    TombstoneStore.requireFreshBatchId(spark, idx, 1L)
+  }
+}
