@@ -165,7 +165,15 @@ object Compaction {
       val sized = partitionDirs(fs, store).filter(_._1 < safeBelow)
         .map { case (id, p) =>
           (id, p, dataFiles(fs, p).map(_._2).sum) }
-      sized.groupBy { case (_, _, b) => sizeClass(b, fanout) }
+      // a committed batch dir holding no data files (an all-filtered
+      // or idle batch: `_SUCCESS` only) is pure listing debt — settle
+      // it by deletion; merging it would feed schema-less dirs into
+      // the parquet read. Below the replay watermark the write is
+      // final, so nothing can still land there.
+      sized.filter { case (_, p, b) => b == 0 && dataFiles(fs, p).isEmpty }
+        .foreach { case (_, p, _) => fs.delete(p, true) }
+      sized.filter(_._3 > 0)
+        .groupBy { case (_, _, b) => sizeClass(b, fanout) }
         .filter(_._2.size >= fanout)
         .toSeq.sortBy(_._1).headOption
         .foreach { case (_, dirs) =>
@@ -194,6 +202,9 @@ object Compaction {
     val storePath = store.toString
     if (eligible.isEmpty) return None
     val files = eligible.flatMap { case (_, d) => dataFiles(fs, d) }
+    // nothing but bookkeeping markers in every eligible dir: a merge
+    // would feed schema-less dirs into the parquet read and crash
+    if (files.isEmpty) return None
     val totalBytes = files.map(_._2).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (eligible.size == 1 && files.size <= nOut) return None // already compact

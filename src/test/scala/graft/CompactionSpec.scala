@@ -516,6 +516,25 @@ class CompactionSpec extends SparkSpec {
       "tiered cycles must preserve all content")
   }
 
+  test("compactTiered settles empty committed dirs by deletion instead " +
+      "of feeding them into a schema-less merge") {
+    val store = tmp("compact-empty")
+    mkStore(store, 4)
+    // the sink writes NO dir for an empty batch (dynamic partition
+    // overwrite of zero rows), so marker-only dirs arise only from
+    // external damage — fabricate four of them
+    for (b <- 4 until 8) {
+      val d = new Path(store, s"batch_id=$b")
+      fs.mkdirs(d)
+      Markers.forceWrite(fs, new Path(d, "_SUCCESS"), "")
+    }
+    val before = contents(store)
+    Compaction.compactTiered(spark, store, safeBelow = 99)
+    assert(partDirs(store) == Set("batch_id=0"),
+      "empty dirs settled by deletion, data dirs merged into one segment")
+    assert(contents(store) == before, "content-neutral")
+  }
+
   test("gate row equals the direct aggregate over events") {
     val dir = "/root/testdata/sf0.001"
     val got = Compaction.compactionGate(spark, dir)
