@@ -164,15 +164,26 @@ object TombstoneStore {
     // recognizable as a crashed install and never resolves
     graft.core.Markers.forceWrite(fs, new Path(scratch, "_covers"),
       newCovers.toString)
-    val nextV = snap.map(_._1 + 1).getOrElse(0L)
+    // next version = past EVERY existing v dir, stamped or not: Hadoop
+    // rename into an existing dir moves the source INSIDE it, so
+    // renaming onto an unstamped orphan (external damage) would
+    // install an unresolvable snapshot and the source deletion below
+    // would then lose the folded ids from every read
+    val nextV = (numbered(fs, snapRoot(idx), VerDir).map(_._1) :+ -1L).max + 1
     fs.mkdirs(snapRoot(idx))
     require(fs.rename(scratch, new Path(snapRoot(idx), s"v=$nextV")),
       s"failed to install tombstone snapshot v=$nextV at $idx")
-    // keep-two-back: a reader that resolved the previous version just
-    // before this install scans a complete snapshot; versions older
-    // than that are settled debt
+    // retention: keep the two highest STAMPED versions (a reader that
+    // resolved the previous one just before this install scans a
+    // complete snapshot); everything else — older stamped versions and
+    // unstamped orphans alike — is settled debt, safe to delete under
+    // the lease
+    val keep = numbered(fs, snapRoot(idx), VerDir)
+      .filter { case (_, p) =>
+        graft.core.Markers.read(fs, new Path(p, "_covers")).nonEmpty }
+      .map(_._1).sorted.takeRight(2).toSet
     numbered(fs, snapRoot(idx), VerDir)
-      .filter(_._1 < nextV - 1).foreach(d => fs.delete(d._2, true))
+      .filterNot(d => keep.contains(d._1)).foreach(d => fs.delete(d._2, true))
     // sources last — a crash before this point leaves dirs readers
     // already exclude
     foldable.foreach(d => fs.delete(d._2, true))

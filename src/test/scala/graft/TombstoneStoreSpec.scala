@@ -80,11 +80,19 @@ class TombstoneStoreSpec extends SparkSpec {
     assert(TombstoneStore.coveredThrough(spark, idx) == 0L,
       "an unstamped version must not resolve")
     assert(readIds(idx) == Set(1L))
-    // a later fold publishes v=8 past the orphan and stays correct
+    // a later fold publishes PAST the orphan (renaming onto it would
+    // nest the new snapshot inside, unresolvable) and deletes it as
+    // settled debt; reads stay correct throughout
     sink(idx, Seq(2L), 3L)
     TombstoneStore.fold(spark, idx, purged = 3L, "doc_id")
     assert(TombstoneStore.coveredThrough(spark, idx) == 3L)
     assert(readIds(idx) == Set(1L, 2L))
+    assert(!fs.exists(new Path(s"$idx/tombstones_snapshot/v=7")),
+      "the unstamped orphan must be settled by deletion")
+    val stamped = fs.listStatus(new Path(s"$idx/tombstones_snapshot"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(stamped == Seq("v=0", "v=8"),
+      s"install must land past every existing v dir, got $stamped")
   }
 
   test("covered leftover dirs (crash before source-deletion, or a " +
