@@ -1222,6 +1222,66 @@ object Soak {
         "ANN blind-timer loop horizon must serve the generic answer")
     }
 
+    // Band-store blind-timer twin — completes the triad (postings =
+    // blindtimer, ANN = annblind): 52 maintenance cycles on the
+    // MinHash band forest with takedowns every 7th cycle, then a
+    // grown-index dedup probe against the inline incremental answer
+    // over survivors. Dir populations: gens (rebaseAtGens), hot store
+    // (tiered), tombstones (snapshot fold).
+    if (want("dedupblind")) {
+      import graft.streaming.DedupIngest
+      val base = java.nio.file.Files.createTempDirectory("soak_dedupbt").toString
+      val store = s"$base/store"
+      val idx = s"$base/idx"
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val cycles = 52
+      val perB = (nDocs / cycles).max(1L)
+      def dirs(p: org.apache.hadoop.fs.Path, prefix: String): Int =
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith(prefix))
+      val cycleSecs = new Array[Double](cycles)
+      var maxGens, maxHot, maxTomb = 0
+      for (c <- 0 until cycles) {
+        val t0 = System.nanoTime()
+        DedupIngest.ingestBatch(
+          docs.filter(col("doc_id") >= c * perB && col("doc_id") < (c + 1) * perB),
+          c.toLong, store)
+        if (c % 7 == 6)
+          DedupIngest.tombstoneDocs(
+            spark.range(c * perB - 3, c * perB - 1).select(col("id").as("doc_id")),
+            c.toLong, idx)
+        DedupIngest.maintain(spark, store, idx, rebaseAtGens = 8)
+        cycleSecs(c) = (System.nanoTime() - t0) / 1e9
+        maxGens = maxGens.max(dirs(new org.apache.hadoop.fs.Path(idx, "bands"), "gen="))
+        maxHot = maxHot.max(dirs(new org.apache.hadoop.fs.Path(s"$store/bands"), "batch_id="))
+        maxTomb = maxTomb.max(dirs(new org.apache.hadoop.fs.Path(idx, "tombstones"), "batch_id="))
+      }
+      def avg(s: Seq[Double]) = s.sum / s.size
+      println(f"SOAK dedupblind_${cycles}_cycles  ${cycleSecs.sum}%8.2f s total; " +
+        f"per-cycle first20(warm) ${avg(cycleSecs.slice(4, 24).toSeq)}%.2f s vs " +
+        f"last20 ${avg(cycleSecs.takeRight(20).toSeq)}%.2f s; " +
+        f"max dirs: gens $maxGens, hot $maxHot, tombstones $maxTomb")
+      // loop horizon: the grown-index probe equals the inline
+      // incremental flow over the ingested survivors
+      val probeDocs = spark.range(5).select(
+        (col("id") + 10000000L).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 39), " +
+          "i -> concat('w', pmod(id * 31 + i * 17, 2000))))").as("text"))
+      val tombs = graft.streaming.TombstoneStore.read(spark, idx, "doc_id").get
+      val ingested = docs.filter(col("doc_id") < cycles * perB)
+      val alive = ingested.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      val got = DedupIngest.dedupAgainstIndex(probeDocs, ingested, spark, idx, 0.5)
+        .select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want0 = graft.operators.Dedup.minhashLshIncremental(probeDocs, alive, 0.5)
+        .select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(got == want0,
+        "dedup blind-timer loop horizon must serve the inline answer")
+    }
+
     // Incremental connected components: the claim under measurement
     // is "label maintenance is bounded by the batch, not the archive".
     // Archive = 10-node chain components over the whole corpus; batch
