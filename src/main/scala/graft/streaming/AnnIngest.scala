@@ -31,7 +31,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     over — no in-place two-artifact swap window to defend);
   *   - `indexPath/tombstones/batch_id=<id>/` — permanent takedowns
   *     ([[tombstone]]): hidden at serve immediately, skipped at
-  *     encode, physically purged at rebase;
+  *     encode, physically purged at rebase; batches at or below the
+  *     purge stamp fold into `indexPath/tombstones_snapshot/v=<n>/`
+  *     ([[TombstoneStore]], r18) so the takedown forest's dir count
+  *     stays bounded by the requests landed since the last purge;
   *   - `indexPath/index/gen=<through>/cell=<c>/` — the codes forest:
   *     each consolidation encodes ONLY batches newer than the stamped
   *     watermark and lands exactly one new generation, prior gens stay

@@ -39,7 +39,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - `indexPath/tombstones/batch_id=<id>/` — permanent takedowns:
   *     hidden from candidate generation at serve immediately, skipped
   *     at consolidate, physically purged at rebase (`_purged` stamp
-  *     retires the forced fold, the [[PostingsIngest]] contract).
+  *     retires the forced fold, the [[PostingsIngest]] contract);
+  *     purged batches fold into `indexPath/tombstones_snapshot/`
+  *     ([[TombstoneStore]], r18) to bound the takedown dir count.
   *
   * Serving prunes STATICALLY like the postings probe, with one
   * difference forced by the workload: a BM25 query's terms are
