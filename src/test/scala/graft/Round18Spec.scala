@@ -229,6 +229,18 @@ class Round18Spec extends SparkSpec {
             spark, idx, 4, 3, 5, asOfGen = Some(wm))
           .write.format("noop").mode("overwrite").save()
       }
+      // every dir population bounded PER CYCLE: gens by rebaseAtGens,
+      // sidecar gens by keepLast (+1 for the cycle's fresh delta),
+      // hot stores by the tiered class bound
+      assert(dirCount(s"$idx/postings", "gen=") <= 9,
+        s"cycle $c: postings gens exceed rebaseAtGens+1")
+      for (sc <- Seq("dict", "stats"))
+        assert(dirCount(
+          PostingsIngest.sidecarRootPath(spark, idx, sc), "gen=") <= 4,
+          s"cycle $c: $sc sidecar gens exceed keepLast+2")
+      for (hot <- Seq("postings", "stats"))
+        assert(dirCount(s"$store/$hot", "batch_id=") <= 8,
+          s"cycle $c: hot $hot dirs not tier-compacted")
     }
     val tombs = spark.read.parquet(s"$idx/tombstones").select("doc_id").distinct()
     val ingested = docs.filter(col("doc_id") < cycles * perB)
