@@ -671,7 +671,8 @@ object Relational {
   // ----------------------------------------------------- calibration
 
   /** Steps in the per-row integer fold chain and replicas per lineitem
-    * row. Sized so the row reads ~2-3 s warm on local[32] at sf0.1 —
+    * row. Sized so the row reads ~4.0-4.4 s warm on local[32] at sf0.1
+    * (official r18 reading: 4.093 s; builder same-host band ±8%) —
     * above the bench rerun threshold (min-of-k stabilizes it) and
     * inside the final compact line's slowest-first window. */
   private val calibFoldSteps = 32
@@ -689,8 +690,9 @@ object Relational {
       s"(($x * 1103515245 + 12345) % 1000000007)")
 
   /** Host-speed calibration row (VERDICT r17 #2): a fixed CPU-bound
-    * deterministic integer fold — lineitem × 32 replicas, each row
-    * pushed through a 48-step LCG chain, folded to one output row.
+    * deterministic integer fold — lineitem × `calibFoldReps` replicas,
+    * each row pushed through a `calibFoldSteps`-step (32) LCG chain,
+    * folded to one output row.
     * Pure whole-stage-codegen arithmetic, no joins, no shuffled data
     * beyond the final 4-value partial-agg merge, no store builds, no
     * temp I/O — so round-over-round its official reading moves with

@@ -109,13 +109,8 @@ object AnnIngest {
     * retrained on delete (FAISS posture: codebooks summarize geometry,
     * not membership); a compliance regime that requires scrubbing the
     * quantizer itself retrains into a fresh index from the hot store. */
-  def tombstone(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
-    // ids at or below the snapshot's covered stamp are invisible to
-    // every reader — refuse loudly instead of dropping a takedown
-    TombstoneStore.requireFreshBatchId(ids.sparkSession, indexPath, batchId)
-    EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
-      ids.select(col("vec_id")), batchId)
-  }
+  def tombstone(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+    TombstoneStore.writeGuarded(ids.select(col("vec_id")), batchId, indexPath)
 
   private def tombstones(spark: SparkSession,
       indexPath: String): Option[DataFrame] =

@@ -186,9 +186,14 @@ object Compaction {
   }
 
   /** Geometric size class: k such that bytes lands in
-    * (256KiB·fanout^(k-1), 256KiB·fanout^k]; merging `fanout` dirs of
-    * class k always promotes past class k's cap, so a merge output
-    * can never feed an endless re-merge of its own class. */
+    * (256KiB·fanout^(k-1), 256KiB·fanout^k]. For classes k >= 1 (whose
+    * lower bound is the previous cap), merging `fanout` dirs of class
+    * k always promotes past class k's cap, so a merge output never
+    * feeds an endless re-merge of its own class. Class 0's lower bound
+    * is 0, not a previous cap, so tiny merged outputs CAN land back in
+    * class 0 and be rewritten when the class refills — bounded write
+    * amplification for small stores, not a termination risk (each pass
+    * still strictly reduces dir count; CompactionProps pins both). */
   private def sizeClass(bytes: Long, fanout: Int): Int = {
     var c = 0
     var cap = 256L * 1024

@@ -127,13 +127,8 @@ object DedupIngest {
     * generation at serve immediately, skipped at consolidate,
     * physically purged at rebase. The set is an operational takedown
     * list (bounded by requests), so the serve anti-join broadcasts. */
-  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
-    // ids at or below the snapshot's covered stamp are invisible to
-    // every reader — refuse loudly instead of dropping a takedown
-    TombstoneStore.requireFreshBatchId(ids.sparkSession, indexPath, batchId)
-    EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
-      ids.select(col("doc_id")), batchId)
-  }
+  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit =
+    TombstoneStore.writeGuarded(ids.select(col("doc_id")), batchId, indexPath)
 
   private def tombstones(spark: SparkSession,
       indexPath: String): Option[DataFrame] =

@@ -47,6 +47,20 @@ import org.apache.spark.sql.functions._
   * mid-deletion is the same state. Every step is idempotent, and the
   * whole fold runs under the caller's maintenance window (maintain()
   * invokes it after consolidate/rebase on the same schedule).
+  *
+  * Reader-vs-fold retention (r19): folded source dirs are deleted ONE
+  * FOLD CYCLE LATE — a fold installing v_n deletes only dirs at or
+  * below v_{n-1}'s `_covers`, never its own. A reader that resolved
+  * v_{n-1} just before the install computes its tail as "dirs above
+  * covers_{n-1}", which is exactly the set the install leaves intact;
+  * keep-two-back preserves its snapshot dir for the same window. Tail
+  * dirs and snapshot versions thereby retire on the SAME schedule: a
+  * reader two installs stale is outside the retention contract for
+  * both. The lingering covered dirs are invisible to every current
+  * read (excluded by `_covers`) and bounded by one fold's intake.
+  * Deliberately NOT `ignoreMissingFiles`: for a takedown set, silently
+  * dropping files would serve deleted data — a beyond-retention reader
+  * must fail loudly instead.
   */
 object TombstoneStore {
 
@@ -84,6 +98,17 @@ object TombstoneStore {
     resolveSnapshot(fsOf(spark, idx), idx).map(_._3).getOrElse(-1L)
   }
 
+  /** The `_covers` stamp of the SECOND-highest stamped snapshot
+    * version; -1 with fewer than two. Source dirs at or below it are
+    * settled debt: no retained snapshot version's reader can need them
+    * in its tail (the resolved version covers them; the kept previous
+    * version's tail starts above ITS covers = this value). */
+  private def priorCovers(fs: FileSystem, idx: Path): Long =
+    numbered(fs, snapRoot(idx), VerDir).sortBy(-_._1).iterator.flatMap {
+      case (_, p) => graft.core.Markers.read(fs, new Path(p, "_covers"))
+        .map(_.toLong)
+    }.take(2).toSeq.drop(1).headOption.getOrElse(-1L)
+
   /** The full takedown id-set: snapshot (if any) unioned with the
     * batch dirs ABOVE its covered stamp. None when no takedown has
     * ever landed. `idCol` is the store's id column (vec_id / doc_id). */
@@ -105,16 +130,59 @@ object TombstoneStore {
     * to every reader (its dir is excluded and will be deleted), so a
     * NEW takedown landed there would be silently dropped — refuse it
     * instead. A RETRY of the original write with that id is refused
-    * too, which is safe: its rows are already in the snapshot. */
+    * too, which is safe: its rows are already in the snapshot.
+    *
+    * The floor also includes the store's `_purged` stamp (r19): an id
+    * in (covers, purged] would be ADMITTED by the covers check alone,
+    * then folded by the next maintain — hidden at serve, but never
+    * force-purged from the forest (`tombstoneState`'s maxBatch>purged
+    * check can't see it once the fold deletes the dir), silently
+    * skipping the documented physical-purge layer. Requiring
+    * id > max(covers, purged) keeps every admitted takedown visible to
+    * the purge decision until a rebase has actually purged it. */
   def requireFreshBatchId(spark: SparkSession, indexPath: String,
       batchId: Long): Unit = {
-    val covers = coveredThrough(spark, indexPath)
-    require(batchId > covers,
-      s"tombstone batch id $batchId is at or below the snapshot's covered " +
-        s"stamp ($covers) at $indexPath/tombstones_snapshot — that id's dir " +
-        "is invisible to readers and will be deleted by the next fold. If " +
+    val idx = new Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val covers = resolveSnapshot(fs, idx).map(_._3).getOrElse(-1L)
+    val purged = graft.core.Markers.read(fs, new Path(idx, "_purged"))
+      .map(_.toLong).getOrElse(-1L)
+    val floor = math.max(covers, purged)
+    require(batchId > floor,
+      s"tombstone batch id $batchId is at or below the store's floor " +
+        s"($floor = max(snapshot covers $covers, purge stamp $purged)) at " +
+        s"$indexPath — below covers the dir is invisible to readers and " +
+        "will be deleted by the next fold; below the purge stamp the " +
+        "takedown would fold without ever being physically purged. If " +
         "this is a retry, the original write is already folded in; if it " +
         "is a new takedown, use a fresh (higher) batch id")
+  }
+
+  /** Guarded takedown write: claims the index's `_consolidate_commit`
+    * lease, runs [[requireFreshBatchId]], lands the batch through the
+    * idempotent sink, releases. The lease is what makes the guard
+    * sound (r19, the PostingsIngest.tombstoneDocs pattern): without
+    * it, a write admitted between a concurrent fold's dir listing and
+    * its snapshot install could land a dir the new snapshot neither
+    * contains nor tails — the next fold's settle branch would then
+    * delete it UNFOLDED, a silently lost takedown. [[fold]] claims the
+    * same lease, so guard+write and fold can never interleave. */
+  def writeGuarded(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
+    val spark = ids.sparkSession
+    val idx = new Path(indexPath)
+    val fs = fsOf(spark, idx)
+    fs.mkdirs(idx)
+    val claim = new Path(idx, "_consolidate_commit")
+    if (!graft.core.Markers.tryCreate(fs, claim,
+        s"${java.util.UUID.randomUUID()}\ntombstone $batchId"))
+      throw new IllegalStateException(
+        s"index $indexPath has a consolidation/rebase/fold in flight — a " +
+          "tombstone committed mid-maintenance can race the snapshot " +
+          "fold's dir listing; retry once the lease clears")
+    try {
+      requireFreshBatchId(spark, indexPath, batchId)
+      EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(ids, batchId)
+    } finally fs.delete(claim, false)
   }
 
   /** Fold every tombstone batch dir with id <= `purged` into the
@@ -125,7 +193,52 @@ object TombstoneStore {
     * interleave on it (one stamping and installing the other's
     * half-written build). */
   def fold(spark: SparkSession, indexPath: String, purged: Long,
-      idCol: String): Unit = {
+      idCol: String): Unit =
+    foldWith(spark, indexPath, purged) { (snapDir, tailDirs) =>
+      spark.read.parquet((snapDir.toSeq ++ tailDirs): _*)
+        .select(idCol).distinct()
+    }
+
+  /** Row-preserving fold variant for the POSTINGS store (r19): its
+    * serve-time score corrections read `batch_id`, `dl` and `gen` as
+    * DATA (IndexStore.bm25FromIndex compares per-row tombstone batch
+    * ids against sidecar cutoffs), so the fold must keep every column
+    * and materialize `batch_id` — a dir name in the tail — as a data
+    * column in the snapshot. Exact-duplicate rows collapse (every
+    * consumer aggregates or distincts), nothing else changes: a folded
+    * batch's corrections compute bit-identically because `tb = min
+    * (batch_id)` reads the preserved column, not the dir layout. */
+  def foldRows(spark: SparkSession, indexPath: String, purged: Long): Unit =
+    foldWith(spark, indexPath, purged) { (snapDir, tailDirs) =>
+      val tombRoot = s"$indexPath/tombstones"
+      val parts =
+        tailDirs.map(d => spark.read.option("basePath", tombRoot).parquet(d)
+          .withColumn("batch_id", col("batch_id").cast("long"))) ++
+        snapDir.map(d => spark.read.parquet(d))
+      parts.reduce(_.unionByName(_)).distinct()
+    }
+
+  /** The full takedown ROW-set for a row-mode store: snapshot rows
+    * (batch_id already a data column) unioned with the tail dirs'
+    * rows, `batch_id` cast long everywhere. None when no takedown has
+    * ever landed. */
+  def readRows(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val idx = new Path(indexPath)
+    val fs = fsOf(spark, idx)
+    val snap = resolveSnapshot(fs, idx)
+    val covers = snap.map(_._3).getOrElse(-1L)
+    val tombRoot = new Path(idx, "tombstones").toString
+    val tail = numbered(fs, new Path(idx, "tombstones"), BatchDir)
+      .filter(_._1 > covers).map(_._2.toString)
+    val parts =
+      tail.map(d => spark.read.option("basePath", tombRoot).parquet(d)
+        .withColumn("batch_id", col("batch_id").cast("long"))) ++
+      snap.map(s => spark.read.parquet(s._2.toString)).toSeq
+    if (parts.isEmpty) None else Some(parts.reduce(_.unionByName(_)))
+  }
+
+  private def foldWith(spark: SparkSession, indexPath: String, purged: Long)(
+      build: (Option[String], Seq[String]) => DataFrame): Unit = {
     val idx = new Path(indexPath)
     val fs = fsOf(spark, idx)
     val claim = new Path(idx, "_consolidate_commit")
@@ -135,29 +248,31 @@ object TombstoneStore {
         s"index $indexPath already has a maintenance op in flight (or a " +
           s"dead one's marker) — if no maintainer is live, delete $claim " +
           "and re-run (every phase is idempotent)")
-    try foldUnderLease(spark, idx, fs, purged, idCol)
+    try foldUnderLease(spark, idx, fs, purged, build)
     finally fs.delete(claim, false)
   }
 
   private def foldUnderLease(spark: SparkSession, idx: Path,
-      fs: FileSystem, purged: Long, idCol: String): Unit = {
+      fs: FileSystem, purged: Long,
+      build: (Option[String], Seq[String]) => DataFrame): Unit = {
     val snap = resolveSnapshot(fs, idx)
     val covers = snap.map(_._3).getOrElse(-1L)
     val foldable = numbered(fs, new Path(idx, "tombstones"), BatchDir)
       .filter { case (id, _) => id <= purged }
     if (foldable.forall(_._1 <= covers) &&
         (foldable.isEmpty || snap.nonEmpty)) {
-      // nothing new to fold; still settle leftover covered dirs from a
-      // crashed prior deletion phase
-      foldable.filter(_._1 <= covers).foreach(d => fs.delete(d._2, true))
+      // nothing new to fold; still settle covered dirs left by prior
+      // folds — but only those at or below the SECOND-highest
+      // snapshot's covers (the deferred-deletion retention: a reader
+      // holding the kept previous version needs its tail intact)
+      val settled = priorCovers(fs, idx)
+      foldable.filter(_._1 <= settled).foreach(d => fs.delete(d._2, true))
       return
     }
     val newCovers = math.max(covers, foldable.map(_._1).max)
-    val union = (snap.map(_._2.toString).toSeq ++ foldable.map(_._2.toString))
-      .distinct
     val scratch = new Path(idx, ".tomb-snap-scratch")
     if (fs.exists(scratch)) fs.delete(scratch, true)
-    spark.read.parquet(union: _*).select(idCol).distinct()
+    build(snap.map(_._2.toString), foldable.map(_._2.toString).distinct)
       .coalesce(1).write.mode("errorifexists").parquet(scratch.toString)
     // stamp INSIDE the scratch before the rename: the stamp travels
     // with the dir, so an installed-but-unstamped version is
@@ -184,8 +299,14 @@ object TombstoneStore {
       .map(_._1).sorted.takeRight(2).toSet
     numbered(fs, snapRoot(idx), VerDir)
       .filterNot(d => keep.contains(d._1)).foreach(d => fs.delete(d._2, true))
-    // sources last — a crash before this point leaves dirs readers
-    // already exclude
-    foldable.foreach(d => fs.delete(d._2, true))
+    // sources last, ONE FOLD CYCLE LATE (r19): delete only dirs at or
+    // below the PREVIOUS snapshot's covers — a reader that resolved
+    // v_{n-1} just before this install needs its tail (dirs above
+    // covers_{n-1}) intact, exactly as keep-two-back preserves its
+    // snapshot dir. The dirs this fold just folded stay on disk —
+    // invisible to every current read — until the NEXT install retires
+    // them together with v_{n-1}. A crash before this point leaves
+    // strictly more dirs, all excluded; the next fold settles them.
+    foldable.filter(_._1 <= covers).foreach(d => fs.delete(d._2, true))
   }
 }
