@@ -1086,12 +1086,11 @@ object Soak {
     // (the store never accumulates state a later cycle pays for) and
     // every dir population stays bounded (postings gens by
     // rebaseAtGens, sidecar gens by keepLast within a keep-two-back
-    // versioned root, hot store by watermark compaction). Tombstone
-    // batch dirs are REPORTED but unbounded by design here: postings
-    // serve-time corrections compare per-row tombstone batch ids
-    // against sidecar cutoffs, so folding them would rewrite ids the
-    // correction algebra depends on (the ANN/band stores, which read
-    // tombstones purely as sets, do fold theirs — Round18Spec).
+    // versioned root, hot store by watermark compaction, and — r19 —
+    // tombstone dirs by the row-preserving snapshot fold, which keeps
+    // the per-row batch ids the correction algebra depends on as DATA
+    // while retiring the dirs; the ANN/band stores fold theirs as
+    // plain id-sets — Round18Spec / Round19Spec).
     if (want("blindtimer")) {
       import graft.streaming.PostingsIngest
       import graft.operators.{IndexStore, Retrieval}
@@ -1140,14 +1139,23 @@ object Soak {
       println(f"SOAK blindtimer_${cycles}_cycles   ${cycleSecs.sum}%8.2f s total; " +
         f"per-cycle first20(warm) $firstQ%.2f s vs last20 $lastQ%.2f s (flat = no state debt); " +
         f"max dirs: postings-gens $maxGens, dict $maxDict, stats $maxStats, " +
-        f"hot $maxHot, tombstones $maxTomb (tombstones unbounded by design here)")
+        f"hot $maxHot, tombstones $maxTomb (bounded by the r19 row-preserving fold)")
+      // r19: the postings tombstone forest is no longer the adjudicated
+      // unbounded dir count — after each maintain the forest is the
+      // unfolded tail plus the deferred last intake (TombstoneStore
+      // keep-two-back). With takedowns every 7th cycle, the bound is
+      // the per-takedown dir count between two purges, not cycles-ever.
+      require(maxTomb <= 4,
+        s"postings tombstone dirs must stay bounded under the fold, got $maxTomb")
       // loop horizon serves the exact one-shot answer over survivors.
       // Only doc_id < cycles*perB were ever ingested — integer division
       // leaves stragglers when nDocs % cycles != 0, and comparing
       // against the full frame shifts every score through n/sumdl/df
       // (the r18 soak's first run failed exactly here: same docs, same
       // ranks, scores off by the 8 uningested docs' statistics)
-      val tombs = spark.read.parquet(s"$idx/tombstones").select("doc_id").distinct()
+      val tombs = graft.streaming.TombstoneStore.readRows(spark, idx)
+        .map(_.select("doc_id").distinct())
+        .getOrElse(Seq.empty[Long].toDF("doc_id"))
       val ingested = docs.filter(col("doc_id") < cycles * perB)
       val alive = ingested.join(broadcast(tombs), Seq("doc_id"), "left_anti")
       val served = IndexStore.bm25FromIndex(alive, spark, idx,

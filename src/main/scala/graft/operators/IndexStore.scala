@@ -539,7 +539,13 @@ object IndexStore {
     // src gen, so whichever sidecar version a reader catches mid-
     // purge, content + corrections always compose to the purged
     // answer — the maintenance window cannot serve a mixed state.
-    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    // snapshot ∪ tail with `batch_id` preserved as a DATA column
+    // (r19): after a maintain's fold, the raw `tombstones/` dir read
+    // would miss folded batches' correction rows — the snapshot keeps
+    // them, so tb/dl/gen below compute bit-identically either side of
+    // a fold. None = no takedown has ever landed.
+    lazy val tombRows =
+      graft.streaming.TombstoneStore.readRows(spark, path)
     if (isGenLayout) {
       // SIDECARS, per src gen: stats rows (gen, n, sumdl,
       // purged_through) and dict deltas (gen, tok, df, purged_through)
@@ -591,10 +597,10 @@ object IndexStore {
           coalesce(sum("sumdl"), lit(0L)).cast("long").as("sumdl"))
       val dfBase = dictRows.groupBy("tok").agg(sum("df").as("df"))
       val (hits, dfT, statsServe) =
-        if (!fs.exists(tombPath))
+        if (tombRows.isEmpty)
           (scanned.drop("src_gen"), dfBase, statsBase)
         else {
-          val tombAll = spark.read.parquet(tombPath.toString)
+          val tombAll = tombRows.get
           val tombIds = tombAll.select("doc_id").distinct()
           val alive = scanned
             .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
@@ -654,14 +660,14 @@ object IndexStore {
         // an EMPTY forest root (total takedown, or consolidated-but-
         // all-idle) has nothing to hit and possibly no readable dict —
         // corrections are moot when the hit set is empty by layout
-        if (!fs.exists(tombPath) || top.isEmpty) {
+        if (tombRows.isEmpty || top.isEmpty) {
           val df0 =
             if (top.isEmpty) Seq.empty[(String, Long)].toDF("tok", "df")
             else spark.read.parquet(s"$path/dict")
               .join(broadcast(tokDf), Seq("tok"))
           (scanned.drop("src_gen"), df0, statsBase)
         } else {
-          val tombAll = spark.read.parquet(tombPath.toString)
+          val tombAll = tombRows.get
           val tombIds = tombAll.select("doc_id").distinct()
           val alive = scanned
             .join(broadcast(tombIds), Seq("doc_id"), "left_anti")

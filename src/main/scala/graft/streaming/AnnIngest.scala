@@ -392,11 +392,10 @@ object AnnIngest {
     // at or below the purge stamp fold into the out-of-namespace
     // [[TombstoneStore]] snapshot — NOT via Compaction.compact, whose
     // collapsed segment a replayed tombstone write could dynamic-
-    // overwrite, silently shrinking the permanent set. The postings
-    // store must not bound its tombstones either way: its serve-time
-    // score corrections compare per-row tombstone batch ids against
-    // sidecar cutoffs (IndexStore.bm25FromIndex), and any fold
-    // rewrites or hides those ids.
+    // overwrite, silently shrinking the permanent set. (The postings
+    // store, whose serve-time corrections read batch ids as DATA,
+    // bounds its forest with the row-preserving foldRows variant —
+    // r19, [[PostingsIngest.maintain]].)
     graft.core.Markers.read(fs, new org.apache.hadoop.fs.Path(idx, "_purged"))
       .map(_.toLong).foreach { purged =>
         TombstoneStore.fold(spark, indexPath, purged, "vec_id")

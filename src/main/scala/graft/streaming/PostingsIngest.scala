@@ -150,6 +150,12 @@ object PostingsIngest {
           "tombstone committed mid-maintenance can miss both the encode " +
           "skip and its stats correction; retry once the lease clears")
     try {
+      // fresh-id guard under the lease (r19): an id at or below the
+      // snapshot's covers is invisible to every reader; one at or
+      // below `_purged` would fold without its correction ever
+      // applying (tb <= every cutoff) — both silently break the
+      // zero-drift contract, so refuse loudly instead
+      TombstoneStore.requireFreshBatchId(spark, indexPath, batchId)
       // heal FIRST, under this lease (r17 review): a compaction that
       // stamped its horizon and failed before folding leaves the
       // sidecars per-gen while serve-time correction joins key by
@@ -193,11 +199,10 @@ object PostingsIngest {
   }
 
   private def docTombstones(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-    if (!fsOf(spark, p).exists(p)) None
-    else Some(spark.read.parquet(p.toString).select("doc_id"))
-  }
+      indexPath: String): Option[DataFrame] =
+    // snapshot ∪ tail (r19): after a fold, the raw dir read would miss
+    // the folded batches (or crash on an emptied tombstones dir)
+    TombstoneStore.readRows(spark, indexPath).map(_.select("doc_id"))
 
   // ---- sidecar root versioning ----------------------------------------
 
@@ -336,8 +341,17 @@ object PostingsIngest {
         if m.keys.exists(g => bucket(g) == b) => p.toString }
     def cutoffFor(b: Long): Long =
       if (b == horizon)
-        numberedDirs(fs, new org.apache.hadoop.fs.Path(idx, "tombstones"),
-          BatchDir).map(_._1).maxOption.getOrElse(-1L)
+        // floor at `_purged` (r19): the snapshot fold retires dirs at
+        // or below the purge stamp, so the listing max alone would
+        // understate the tombstone state this bucket reflects once
+        // folds run — and an understated cutoff re-applies serve-time
+        // corrections for already-purged docs (double subtraction)
+        math.max(
+          numberedDirs(fs, new org.apache.hadoop.fs.Path(idx, "tombstones"),
+            BatchDir).map(_._1).maxOption.getOrElse(-1L),
+          graft.core.Markers.read(fs,
+            new org.apache.hadoop.fs.Path(idx, "_purged"))
+            .map(_.toLong).getOrElse(-1L))
       else srcMap(b)
     val buckets = srcMap.keys.map(bucket).toSeq.distinct
     def coveredBy(b: Long): Map[Long, Long] =
@@ -767,9 +781,18 @@ object PostingsIngest {
         // sidecar rows derived from this gen inherit it as their
         // correction cutoff. The tombstoneDocs lease guarantees the
         // listing cannot go stale mid-run.
-        val tombCutoff = numberedDirs(fs,
-          new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir)
-          .map(_._1).maxOption.getOrElse(-1L)
+        val tombCutoff = math.max(
+          numberedDirs(fs,
+            new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir)
+            .map(_._1).maxOption.getOrElse(-1L),
+          // `_purged` floor (r19): folded dirs leave the listing but
+          // their takedowns ARE reflected in this encode's anti-join
+          // (docTombstones reads the snapshot too) — the stamped
+          // cutoff must say so, or serve-time corrections for those
+          // batches would re-apply against this gen's sidecar rows
+          graft.core.Markers.read(fs,
+            new org.apache.hadoop.fs.Path(idx, "_purged"))
+            .map(_.toLong).getOrElse(-1L))
         val alive = docTombstones(spark, indexPath) match {
           case Some(t) => newPostings
             .join(broadcast(t), Seq("doc_id"), "left_anti")
@@ -1019,6 +1042,23 @@ object PostingsIngest {
           tb.forall(_ <= p2))
         compactSidecars(spark, indexPath, keepLast = keep)
     }
+    // TOMBSTONE-DIR bound (r19, closing the r18 adjudication): batches
+    // at or below the purge stamp fold into the ROW-PRESERVING
+    // snapshot ([[TombstoneStore.foldRows]]) — unlike the ANN/band
+    // stores' id-set fold, this one keeps every column and
+    // materializes `batch_id` as data, because the serve-time score
+    // corrections (IndexStore.bm25FromIndex) compare per-row batch ids
+    // against sidecar cutoffs. Folded batches contribute no live
+    // corrections by construction (tb <= `_purged` <= every sidecar
+    // cutoff after the purge that admitted the fold), so preserving
+    // their rows keeps tombMeta's min(batch_id)/max(dl)/max(gen)
+    // bit-identical while the dir count drops to the unfolded tail.
+    // Listing-derived cutoffs floor at `_purged` (cutoffFor /
+    // tombCutoff) so the shrunken listing can never understate the
+    // reflected tombstone state.
+    graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong)
+      .foreach { p => TombstoneStore.foldRows(spark, indexPath, p) }
   }
 
   // ---- driver gate row ------------------------------------------------

@@ -4,11 +4,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bounded takedown-set storage for the stores that read tombstones
-  * purely as a SET (the ANN codes forest and the dedup band forest —
-  * NOT the postings store, whose serve-time score corrections compare
-  * per-row tombstone batch ids against sidecar cutoffs and therefore
-  * keep the raw per-batch layout).
+/** Bounded takedown storage for every grown store's tombstone forest.
+  * Two fold modes share one snapshot discipline:
+  *   - SET mode ([[fold]]/[[read]]): the ANN codes forest and the
+  *     dedup band forest read tombstones purely as an id-set — the
+  *     snapshot is the distinct id union.
+  *   - ROW mode ([[foldRows]]/[[readRows]], r19): the postings store's
+  *     serve-time score corrections compare per-row tombstone batch
+  *     ids against sidecar cutoffs, so its snapshot preserves every
+  *     column and materializes `batch_id` as a data column — folded
+  *     batches keep contributing their exact (retired) correction
+  *     rows while the dir count drops to the unfolded tail.
   *
   * The problem: takedowns land as `tombstones/batch_id=<id>/` dirs
   * through the idempotent sink, one dir per request batch, FOREVER —

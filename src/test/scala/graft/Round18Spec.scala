@@ -242,7 +242,8 @@ class Round18Spec extends SparkSpec {
         assert(dirCount(s"$store/$hot", "batch_id=") <= 8,
           s"cycle $c: hot $hot dirs not tier-compacted")
     }
-    val tombs = spark.read.parquet(s"$idx/tombstones").select("doc_id").distinct()
+    val tombs = graft.streaming.TombstoneStore.readRows(spark, idx)
+      .get.select("doc_id").distinct()
     val ingested = docs.filter(col("doc_id") < cycles * perB)
     val alive = ingested.join(broadcast(tombs), Seq("doc_id"), "left_anti")
     val served = IndexStore.bm25FromIndex(alive, spark, idx,
