@@ -1167,6 +1167,74 @@ object Soak {
         "blind-timer loop horizon must serve the one-shot answer")
     }
 
+    // Takedown-heavy postings twin (r19, VERDICT r18 #2): a takedown
+    // EVERY cycle — the deployment shape the r18 adjudication said
+    // would "eventually feel the listing bill" when the postings
+    // tombstone forest was unbounded. Claims under measurement: the
+    // row-preserving snapshot fold keeps the tombstone dir count FLAT
+    // at takedown volume (unfolded tail + deferred last intake, not
+    // takedowns-ever), per-cycle cost stays flat (the fold itself is
+    // O(snapshot + tail), and the snapshot is one coalesced file), and
+    // the horizon serve stays bit-equal to the one-shot over
+    // survivors even though most tombstone batches live only in the
+    // snapshot by then.
+    if (want("heavytakedown")) {
+      import graft.streaming.PostingsIngest
+      import graft.operators.{IndexStore, Retrieval}
+      val base = java.nio.file.Files.createTempDirectory("soak_heavytd").toString
+      val store = s"$base/store"
+      val idx = s"$base/idx"
+      val idxPath = new org.apache.hadoop.fs.Path(idx)
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val cycles = 52
+      val perB = (nDocs / cycles).max(1L)
+      def dirs(p: org.apache.hadoop.fs.Path, prefix: String): Int =
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith(prefix))
+      val cycleSecs = new Array[Double](cycles)
+      var maxTomb, maxSnapV = 0
+      for (c <- 0 until cycles) {
+        val t0 = System.nanoTime()
+        PostingsIngest.ingestBatch(
+          docs.filter(col("doc_id") >= c * perB && col("doc_id") < (c + 1) * perB),
+          c.toLong, store)
+        if (c > 0) // one takedown batch EVERY cycle
+          PostingsIngest.tombstoneDocs(
+            Seq((c * perB - 2)).toDF("doc_id"), c.toLong, idx)
+        PostingsIngest.maintain(spark, store, idx,
+          rebaseAtGens = 8, sidecarKeepLast = Some(2))
+        cycleSecs(c) = (System.nanoTime() - t0) / 1e9
+        maxTomb = maxTomb.max(
+          dirs(new org.apache.hadoop.fs.Path(idx, "tombstones"), "batch_id="))
+        maxSnapV = maxSnapV.max(
+          dirs(new org.apache.hadoop.fs.Path(idx, "tombstones_snapshot"), "v="))
+      }
+      def avg(s: Seq[Double]) = s.sum / s.size
+      val firstQ = avg(cycleSecs.slice(4, 24).toSeq)
+      val lastQ = avg(cycleSecs.takeRight(20).toSeq)
+      println(f"SOAK heavytakedown_${cycles}_cycles ${cycleSecs.sum}%8.2f s total; " +
+        f"per-cycle first20(warm) $firstQ%.2f s vs last20 $lastQ%.2f s (flat = fold " +
+        f"amortized); max dirs: tombstones $maxTomb, snapshot versions $maxSnapV " +
+        f"(${cycles - 1} takedowns ever landed)")
+      require(maxTomb <= 3 && maxSnapV <= 2,
+        s"takedown-heavy loop must stay bounded: tomb dirs $maxTomb, versions $maxSnapV")
+      val tombs = graft.streaming.TombstoneStore.readRows(spark, idx)
+        .map(_.select("doc_id").distinct())
+        .getOrElse(Seq.empty[Long].toDF("doc_id"))
+      require(tombs.count() == (cycles - 1).toLong,
+        "every takedown ever landed must still be served from the snapshot")
+      val ingested = docs.filter(col("doc_id") < cycles * perB)
+      val alive = ingested.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      val served = IndexStore.bm25FromIndex(alive, spark, idx,
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+        .orderBy("q_id", "rank").collect()
+      val oneShot = Retrieval.bm25TopK(alive)
+        .orderBy("q_id", "rank").collect()
+      require(served.sameElements(oneShot),
+        "takedown-heavy loop horizon must serve the one-shot answer")
+    }
+
     // ANN blind-timer twin (r17 verdict #4): 48+ maintenance cycles on
     // the IVFADC store. The adjudication this leg records: the ANN
     // layout has NO per-gen sidecar growth to bound — as-of serving
