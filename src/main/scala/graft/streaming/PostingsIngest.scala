@@ -1113,19 +1113,55 @@ object PostingsIngest {
       .orderBy("q_id", "rank")
   }
 
+  /** Gate query (`x_text_bm25_maintained`, r19): the takedown
+    * MAINTAIN lifecycle under the driver's oracle — ingest +
+    * consolidate, two takedowns pushed through a PURGING maintain
+    * (rebase purges their rows, the fold moves their batch dir into
+    * the row-preserving snapshot), then a LIVE takedown with no
+    * maintenance after it. Hash-matching the one-shot BM25 oracle over
+    * the survivors proves (1) the fold preserved the permanent
+    * takedown set and its correction rows, (2) folded batches
+    * contribute zero live corrections post-purge, and (3) the fresh
+    * batch corrects df/stats exactly — the Round19Spec invariants,
+    * here under DuckDB instead of a Spark-side oracle. (Multi-batch
+    * growth is the grown/as-of rows' job; this row prices one
+    * maintain cycle, the minimum shape that exercises the fold.) */
+  val maintainedGate: (SparkSession, String) => DataFrame = (s, dir) => {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_postings/maint_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(rp)) fs.delete(rp, true)
+    val docs = graft.core.Tables.t(s, dir, "documents")
+    import s.implicits._
+    ingestBatch(docs, 0L, s"$root/store")
+    consolidate(s, s"$root/store", s"$root/index")
+    tombstoneDocs(Seq(97L, 211L).toDF("doc_id"), 1L, s"$root/index")
+    maintain(s, s"$root/store", s"$root/index")
+    tombstoneDocs(Seq(313L).toDF("doc_id"), 2L, s"$root/index")
+    IndexStore.bm25FromIndex(
+      docs.filter(!col("doc_id").isin(97L, 211L, 313L)), s, s"$root/index",
+      Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+      .orderBy("q_id", "rank")
+  }
+
   // NOTE: declared after every gate val it references — a map entry
   // capturing a val declared below it would capture null (object vals
   // initialize in declaration order; this bit once).
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_text_bm25_grown" -> grownGate,
-      "x_text_bm25_asof" -> asOfGate)
+      "x_text_bm25_asof" -> asOfGate,
+      "x_text_bm25_maintained" -> maintainedGate)
 
   /** Output-identical to the inline gate by construction — shares its
     * oracle; the as-of row's oracle is the same query over the
-    * snapshot's corpus (queries AND stats both scoped to it). */
+    * snapshot's corpus (queries AND stats both scoped to it), the
+    * maintained row's over the takedown survivors. */
   val oracles: Map[String, String] =
     Map("x_text_bm25_grown" -> Retrieval.oracles("x_text_bm25"),
       "x_text_bm25_asof" -> Retrieval.oracles("x_text_bm25").replace(
         "FROM documents",
-        "FROM (SELECT * FROM documents WHERE doc_id % 3 <> 2)"))
+        "FROM (SELECT * FROM documents WHERE doc_id % 3 <> 2)"),
+      "x_text_bm25_maintained" -> Retrieval.oracles("x_text_bm25").replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id NOT IN (97, 211, 313))"))
 }
