@@ -86,7 +86,12 @@ object PlanCheck {
         // the lineitem scan + a 4-value partial agg; any join/extra
         // exchange appearing here means the row no longer measures
         // pure host CPU
-        "x_calibration_fold")
+        "x_calibration_fold",
+        // r19: maintain-lifecycle row — the serve plan must keep the
+        // grown probe's broadcast-only shape with the tombstone reads
+        // (snapshot ∪ tail) feeding BROADCAST anti-joins/corrections,
+        // never a shuffled join on the takedown set
+        "x_text_bm25_maintained")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
