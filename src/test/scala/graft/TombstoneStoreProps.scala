@@ -107,6 +107,47 @@ object TombstoneStoreProps extends Properties("graft.tombstonestore") {
       ok && lowRefused && highAdmitted
     }
 
+  property("ROW-mode folds preserve the correction row-set exactly: " +
+      "after random sink/foldRows interleavings, readRows serves every " +
+      "(doc_id, dl, gen, batch_id) ever admitted, and per-doc min " +
+      "batch_id — the correction key tb — is unchanged") =
+    forAll(Gen.listOfN(6, opGen)) { ops =>
+      import spark.implicits._
+      val idx = s"${Files.createTempDirectory("tsnap-rowprop")}/idx"
+      var nextId = 0L
+      var landedMax = -1L
+      var purged = -1L
+      // expected rows: the postings sink shape (doc_id, dl, gen) +
+      // the batch id the dir name carries
+      val admitted = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+      ops.foreach {
+        case Sink(gap, ids) =>
+          nextId = math.max(nextId, math.max(landedMax, purged)) + gap
+          val rows = ids.map(i => (i.toLong, 10L + i % 5, (i % 3).toLong))
+          graft.streaming.EventStreams.idempotentParquetSink(
+            s"$idx/tombstones")(
+            rows.toDF("doc_id", "dl", "gen"), nextId)
+          landedMax = nextId
+          admitted ++= rows.map(r => (r._1, r._2, r._3, nextId))
+        case Fold(frac) =>
+          if (landedMax >= 0) {
+            purged = math.max(purged, (frac * (landedMax + 1)).toLong - 1)
+            if (purged >= 0)
+              graft.core.Markers.forceWrite(fs,
+                new Path(idx, "_purged"), purged.toString)
+            graft.streaming.TombstoneStore.foldRows(spark, idx, purged)
+          }
+      }
+      val served = graft.streaming.TombstoneStore.readRows(spark, idx)
+        .map(_.select("doc_id", "dl", "gen", "batch_id")
+          .as[(Long, Long, Long, Long)].collect().toSet)
+        .getOrElse(Set.empty)
+      // distinct-set equality (the fold collapses exact duplicates;
+      // every consumer aggregates), which also pins per-doc min
+      // batch_id since every admitted (doc, batch) pair is present
+      served == admitted.toSet
+    }
+
   property("dirs stay bounded by unfolded tail + deferred last intake " +
       "across repeated full folds") =
     forAll(Gen.chooseNum(2, 6)) { rounds =>
