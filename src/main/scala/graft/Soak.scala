@@ -1283,8 +1283,9 @@ object Soak {
       // loop horizon: the grown serve equals the generic search over
       // the surviving corpus
       val (centroids, books) = AnnIngest.loadQuantizer(spark, idx)
-      // the takedown set reads through the snapshot+tail store — the
-      // raw tombstones dir is empty after the folds
+      // the takedown set reads through the snapshot+tail store — after
+      // the folds the raw tombstones dir holds at most the deferred
+      // last intake, which readers of the current snapshot exclude
       val tombs = graft.streaming.TombstoneStore.read(spark, idx, "vec_id").get
       val grown = AnnIngest.searchGrown(vecs, spark, idx, nQueries = 3, k = 4)
         .orderBy("query_id", "rank").collect()
