@@ -56,6 +56,24 @@ object Markers {
     won
   }
 
+  /** [[tryCreate]] with a bounded wait: poll until the marker could be
+    * created or `maxWaitMs` elapses. Returns true iff THIS call created
+    * it. `maxWaitMs = 0` is exactly one attempt (the loud-fail path).
+    * The wait is bounded by design — a dead claimer's stranded marker
+    * must still surface as a loud failure at the caller, never an
+    * unbounded hang; the caller's error message carries the recovery
+    * runbook (delete the marker if no claimer is live). */
+  def tryCreateWithin(fs: FileSystem, path: Path, content: String,
+      maxWaitMs: Long, pollMs: Long = 100L): Boolean = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var won = tryCreate(fs, path, content)
+    while (!won && System.nanoTime() < deadline) {
+      Thread.sleep(math.max(1L, pollMs))
+      won = tryCreate(fs, path, content)
+    }
+    won
+  }
+
   /** Unconditional overwrite, still atomic in content: full temp write,
     * delete the old marker, rename in. The delete+rename pair is not
     * a single atomic step — only use on paths the caller already owns

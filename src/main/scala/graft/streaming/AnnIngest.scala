@@ -109,8 +109,10 @@ object AnnIngest {
     * retrained on delete (FAISS posture: codebooks summarize geometry,
     * not membership); a compliance regime that requires scrubbing the
     * quantizer itself retrains into a fresh index from the hot store. */
-  def tombstone(ids: DataFrame, batchId: Long, indexPath: String): Unit =
-    TombstoneStore.writeGuarded(ids.select(col("vec_id")), batchId, indexPath)
+  def tombstone(ids: DataFrame, batchId: Long, indexPath: String,
+      maxWaitMs: Long = 0L): Unit =
+    TombstoneStore.writeGuarded(ids.select(col("vec_id")), batchId,
+      indexPath, maxWaitMs)
 
   private def tombstones(spark: SparkSession,
       indexPath: String): Option[DataFrame] =

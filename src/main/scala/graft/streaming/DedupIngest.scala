@@ -127,8 +127,10 @@ object DedupIngest {
     * generation at serve immediately, skipped at consolidate,
     * physically purged at rebase. The set is an operational takedown
     * list (bounded by requests), so the serve anti-join broadcasts. */
-  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit =
-    TombstoneStore.writeGuarded(ids.select(col("doc_id")), batchId, indexPath)
+  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String,
+      maxWaitMs: Long = 0L): Unit =
+    TombstoneStore.writeGuarded(ids.select(col("doc_id")), batchId,
+      indexPath, maxWaitMs)
 
   private def tombstones(spark: SparkSession,
       indexPath: String): Option[DataFrame] =

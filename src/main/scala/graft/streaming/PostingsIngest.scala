@@ -137,18 +137,24 @@ object PostingsIngest {
     * hot store before any consolidation exists and takes no index
     * path, so it cannot see tombstones — it is the replay-window
     * debug probe, not the serving surface. */
-  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
+  def tombstoneDocs(ids: DataFrame, batchId: Long, indexPath: String,
+      maxWaitMs: Long = 0L): Unit = {
     val spark = ids.sparkSession
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
     fs.mkdirs(idx)
     val claim = new org.apache.hadoop.fs.Path(idx, "_consolidate_commit")
-    if (!graft.core.Markers.tryCreate(fs, claim,
-        s"${java.util.UUID.randomUUID()}\ntombstone $batchId"))
+    // bounded-retry lease (r20): maxWaitMs > 0 polls until a live
+    // maintenance window closes, so callers need no retry loop; every
+    // attempt stays a fresh atomic tryCreate
+    if (!graft.core.Markers.tryCreateWithin(fs, claim,
+        s"${java.util.UUID.randomUUID()}\ntombstone $batchId", maxWaitMs))
       throw new IllegalStateException(
-        s"index $indexPath has a consolidation/rebase in flight — a " +
-          "tombstone committed mid-maintenance can miss both the encode " +
-          "skip and its stats correction; retry once the lease clears")
+        s"index $indexPath has a consolidation/rebase in flight (or a " +
+          "dead one's marker) — a tombstone committed mid-maintenance can " +
+          "miss both the encode skip and its stats correction; retry once " +
+          s"the lease clears. If no maintainer or writer is live, delete " +
+          s"$claim and retry (the sink is idempotent)")
     try {
       // fresh-id guard under the lease (r19): an id at or below the
       // snapshot's covers is invisible to every reader; one at or
@@ -1008,10 +1014,29 @@ object PostingsIngest {
     * (as-of refuses only below that configured lag). The compaction
     * leg is SKIPPED (never failed) while tombstones are unpurged —
     * a takedown landing between this cycle's rebase and its
-    * compaction leg just waits for the next cycle. */
+    * compaction leg just waits for the next cycle.
+    *
+    * `purgeAtBatches` (r20, VERDICT r19 #4) amortizes the PURGING
+    * rebase: physical purge latency is a product knob, not a constant.
+    * A rebase costs O(live forest) — under takedown-EVERY-cycle load
+    * the default (1 = rebase whenever any unpurged tombstone exists)
+    * pays that full rewrite per cycle, roughly doubling cycle cost (the
+    * r19 heavy-takedown soak's honest measurement). Setting it to k
+    * defers the rebase until k tombstone batches are unpurged, so the
+    * O(forest) cost lands once per k cycles. Serve-side hiding and
+    * score corrections stay IMMEDIATE regardless (tombstones hide via
+    * broadcast anti-join + corrections from the moment they commit);
+    * only the physical-deletion lag grows, bounded by k cycles. While
+    * batches wait, their dirs stay in the unfolded tail (the fold only
+    * covers ids <= `_purged`), so the tombstone dir bound widens by
+    * at most k; sidecar compaction keeps skipping until purged, same
+    * as today, for at most k cycles. */
   def maintain(spark: SparkSession, path: String, indexPath: String,
       rebaseAtGens: Int = 8,
-      sidecarKeepLast: Option[Int] = None): Unit = {
+      sidecarKeepLast: Option[Int] = None,
+      purgeAtBatches: Int = 1): Unit = {
+    require(purgeAtBatches >= 1,
+      s"purgeAtBatches must be >= 1, got $purgeAtBatches")
     consolidate(spark, path, indexPath)
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
@@ -1021,7 +1046,7 @@ object PostingsIngest {
       new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir).map(_._1)
     val purged = graft.core.Markers.read(fs,
       new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
-    if (gens > rebaseAtGens || tombBatches.maxOption.exists(_ > purged))
+    if (gens > rebaseAtGens || tombBatches.count(_ > purged) >= purgeAtBatches)
       rebase(spark, indexPath)
     consolidatedThrough(spark, indexPath).foreach { wm =>
       // tiered, not full: a blind timer calling full compact rewrites

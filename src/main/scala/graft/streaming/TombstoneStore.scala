@@ -172,19 +172,30 @@ object TombstoneStore {
     * its snapshot install could land a dir the new snapshot neither
     * contains nor tails — the next fold's settle branch would then
     * delete it UNFOLDED, a silently lost takedown. [[fold]] claims the
-    * same lease, so guard+write and fold can never interleave. */
-  def writeGuarded(ids: DataFrame, batchId: Long, indexPath: String): Unit = {
+    * same lease, so guard+write and fold can never interleave.
+    *
+    * `maxWaitMs` (r20, VERDICT r19 #2) bounds a retry loop on the lease
+    * so a takedown issued mid-fold lands WITHOUT caller-side retry
+    * code: the write polls until the maintenance window closes or the
+    * budget runs out, then fails with the same loud runbook message.
+    * Default 0 keeps the original single-attempt contract; the lease
+    * discipline itself is unchanged (every attempt is a fresh atomic
+    * [[graft.core.Markers.tryCreate]], never a wait-then-assume). */
+  def writeGuarded(ids: DataFrame, batchId: Long, indexPath: String,
+      maxWaitMs: Long = 0L): Unit = {
     val spark = ids.sparkSession
     val idx = new Path(indexPath)
     val fs = fsOf(spark, idx)
     fs.mkdirs(idx)
     val claim = new Path(idx, "_consolidate_commit")
-    if (!graft.core.Markers.tryCreate(fs, claim,
-        s"${java.util.UUID.randomUUID()}\ntombstone $batchId"))
+    if (!graft.core.Markers.tryCreateWithin(fs, claim,
+        s"${java.util.UUID.randomUUID()}\ntombstone $batchId", maxWaitMs))
       throw new IllegalStateException(
-        s"index $indexPath has a consolidation/rebase/fold in flight — a " +
-          "tombstone committed mid-maintenance can race the snapshot " +
-          "fold's dir listing; retry once the lease clears")
+        s"index $indexPath has a consolidation/rebase/fold in flight (or a " +
+          "dead one's marker) — a tombstone committed mid-maintenance can " +
+          "race the snapshot fold's dir listing; retry once the lease " +
+          s"clears. If no maintainer or writer is live, delete $claim and " +
+          "retry (the sink is idempotent)")
     try {
       requireFreshBatchId(spark, indexPath, batchId)
       EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(ids, batchId)
@@ -199,8 +210,8 @@ object TombstoneStore {
     * interleave on it (one stamping and installing the other's
     * half-written build). */
   def fold(spark: SparkSession, indexPath: String, purged: Long,
-      idCol: String): Unit =
-    foldWith(spark, indexPath, purged) { (snapDir, tailDirs) =>
+      idCol: String, shardBytes: Long = DefaultShardBytes): Unit =
+    foldWith(spark, indexPath, purged, shardBytes) { (snapDir, tailDirs) =>
       spark.read.parquet((snapDir.toSeq ++ tailDirs): _*)
         .select(idCol).distinct()
     }
@@ -214,8 +225,9 @@ object TombstoneStore {
     * consumer aggregates or distincts), nothing else changes: a folded
     * batch's corrections compute bit-identically because `tb = min
     * (batch_id)` reads the preserved column, not the dir layout. */
-  def foldRows(spark: SparkSession, indexPath: String, purged: Long): Unit =
-    foldWith(spark, indexPath, purged) { (snapDir, tailDirs) =>
+  def foldRows(spark: SparkSession, indexPath: String, purged: Long,
+      shardBytes: Long = DefaultShardBytes): Unit =
+    foldWith(spark, indexPath, purged, shardBytes) { (snapDir, tailDirs) =>
       val tombRoot = s"$indexPath/tombstones"
       val parts =
         tailDirs.map(d => spark.read.option("basePath", tombRoot).parquet(d)
@@ -243,7 +255,17 @@ object TombstoneStore {
     if (parts.isEmpty) None else Some(parts.reduce(_.unionByName(_)))
   }
 
-  private def foldWith(spark: SparkSession, indexPath: String, purged: Long)(
+  /** One snapshot shard per ~128 MB of folded source bytes. Takedown
+    * sets are request-bounded (the standing adjudication), so almost
+    * every snapshot is one file — but a bulk legal purge (1% of a
+    * 100 TB corpus) must not make every subsequent fold rewrite one
+    * giant single-task file. Above the threshold the write shards
+    * (r20, VERDICT r19 #3); readers already take the version DIR path,
+    * so shard count is invisible to them. */
+  val DefaultShardBytes: Long = 128L << 20
+
+  private def foldWith(spark: SparkSession, indexPath: String, purged: Long,
+      shardBytes: Long)(
       build: (Option[String], Seq[String]) => DataFrame): Unit = {
     val idx = new Path(indexPath)
     val fs = fsOf(spark, idx)
@@ -254,12 +276,12 @@ object TombstoneStore {
         s"index $indexPath already has a maintenance op in flight (or a " +
           s"dead one's marker) — if no maintainer is live, delete $claim " +
           "and re-run (every phase is idempotent)")
-    try foldUnderLease(spark, idx, fs, purged, build)
+    try foldUnderLease(spark, idx, fs, purged, shardBytes, build)
     finally fs.delete(claim, false)
   }
 
   private def foldUnderLease(spark: SparkSession, idx: Path,
-      fs: FileSystem, purged: Long,
+      fs: FileSystem, purged: Long, shardBytes: Long,
       build: (Option[String], Seq[String]) => DataFrame): Unit = {
     val snap = resolveSnapshot(fs, idx)
     val covers = snap.map(_._3).getOrElse(-1L)
@@ -278,8 +300,20 @@ object TombstoneStore {
     val newCovers = math.max(covers, foldable.map(_._1).max)
     val scratch = new Path(idx, ".tomb-snap-scratch")
     if (fs.exists(scratch)) fs.delete(scratch, true)
-    build(snap.map(_._2.toString), foldable.map(_._2.toString).distinct)
-      .coalesce(1).write.mode("errorifexists").parquet(scratch.toString)
+    // size-thresholded shard count (r20): one file per shardBytes of
+    // SOURCE bytes (snapshot + foldable dirs — an upper bound on the
+    // distinct output, so shards can only run small). Request-bounded
+    // takedown sets stay a single coalesced file; a bulk purge shards
+    // so no later fold serializes through one giant write task. Capped
+    // to keep a corrupt content summary from exploding the task count.
+    val srcBytes = (snap.map(_._2).toSeq ++ foldable.map(_._2))
+      .map(p => fs.getContentSummary(p).getLength).sum
+    val nShards = math.min(
+      math.max(1L, (srcBytes + shardBytes - 1) / shardBytes), 1L << 14).toInt
+    val folded = build(snap.map(_._2.toString),
+      foldable.map(_._2.toString).distinct)
+    (if (nShards == 1) folded.coalesce(1) else folded.repartition(nShards))
+      .write.mode("errorifexists").parquet(scratch.toString)
     // stamp INSIDE the scratch before the rename: the stamp travels
     // with the dir, so an installed-but-unstamped version is
     // recognizable as a crashed install and never resolves

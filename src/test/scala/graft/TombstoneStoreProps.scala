@@ -62,6 +62,17 @@ object TombstoneStoreProps extends Properties("graft.tombstonestore") {
       var landedMax = -1L
       var purged = -1L
       val admitted = scala.collection.mutable.Set.empty[Long]
+      // exact batch-dir oracle (r19 ADVICE: property 3's bound, here
+      // under the random interleavings too): mirror the store's
+      // deferred-retention deletion policy on the script state —
+      // a fold installing v_n deletes only dirs at or below the
+      // PREVIOUS covers; a settle-only fold retires dirs at or below
+      // the second-highest covers
+      val dirsOnDisk = scala.collection.mutable.Set.empty[Long]
+      val coversStamps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def simCovers = coversStamps.sorted.lastOption.getOrElse(-1L)
+      def simPrior = coversStamps.sorted.takeRight(2).dropRight(1)
+        .headOption.getOrElse(-1L)
       var coversSeen = -1L
       var ok = true
       ops.foreach {
@@ -71,6 +82,7 @@ object TombstoneStoreProps extends Properties("graft.tombstonestore") {
             ids.map(_.toLong).toDF("doc_id"), nextId, idx)
           landedMax = nextId
           admitted ++= ids.map(_.toLong)
+          dirsOnDisk += nextId
         case Fold(frac) =>
           if (landedMax >= 0) {
             // a purge stamp somewhere in [-1, landedMax]; the store
@@ -80,6 +92,15 @@ object TombstoneStoreProps extends Properties("graft.tombstonestore") {
               graft.core.Markers.forceWrite(fs,
                 new Path(idx, "_purged"), purged.toString)
             graft.streaming.TombstoneStore.fold(spark, idx, purged, "doc_id")
+            val foldable = dirsOnDisk.filter(_ <= purged)
+            if (foldable.forall(_ <= simCovers) &&
+                (foldable.isEmpty || coversStamps.nonEmpty)) {
+              dirsOnDisk --= foldable.filter(_ <= simPrior) // settle-only
+            } else {
+              val old = simCovers
+              coversStamps += math.max(old, foldable.max)
+              dirsOnDisk --= foldable.filter(_ <= old) // one cycle late
+            }
           }
         }
       // final checks after the script (completeness also holds after
@@ -91,6 +112,7 @@ object TombstoneStoreProps extends Properties("graft.tombstonestore") {
       val covers = graft.streaming.TombstoneStore.coveredThrough(spark, idx)
       ok &= covers >= coversSeen; coversSeen = covers
       ok &= dirCount(idx, "tombstones_snapshot", "v=") <= 2
+      ok &= dirCount(idx, "tombstones", "batch_id=") == dirsOnDisk.size
       // guard: the floor is exactly max(covers, purged)
       val floor = math.max(covers, purged)
       val lowRefused =

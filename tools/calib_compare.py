@@ -21,8 +21,12 @@ def load_queries(path):
         try:
             doc = json.loads(text)
             text = doc.get("tail", text)
-        except json.JSONDecodeError:
-            pass
+        except json.JSONDecodeError as e:
+            # distinguish "not valid json" (regex would scan the raw,
+            # still-escaped text and silently find nothing) from a
+            # genuinely missing bench line in a parsed tail
+            sys.exit(f"{path} ends in .json but failed to parse ({e}); "
+                     "pass the raw bench log instead")
     # the final compact line (single-line JSON with metric:total)
     best = None
     for m in re.finditer(r'\{"metric":"total".*?"queries":\{[^}]*\}\}', text):
@@ -57,6 +61,9 @@ def main():
         flag = "  <== check" if norm > 1.25 else ""
         print(f"{k:38s} x{norm:5.3f}   x{raw:5.3f}  {qa[k]:7.3f}  {qb[k]:7.3f}{flag}")
     norms = sorted(r[0] for r in rows)
+    if not norms:
+        sys.exit("no shared query rows between the two benches — "
+                 "nothing to normalize (are these the same suite?)")
     med = norms[len(norms) // 2]
     print(f"\nmedian normalized row ratio: x{med:.3f}")
 
