@@ -8,15 +8,15 @@ import org.apache.spark.sql.SparkSession
   * audited. Run: `sbt "runMain graft.PlanCheck [names...]"`.
   */
 object PlanCheck {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = graft.core.GraftSession.configure(SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "32"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("p6_filter_range", "j1_left_join", "j3_broadcast_dim_join",
+
+  /** The pinned plan-contract rows. Manual audits (`runMain
+    * graft.PlanCheck`) print these; PlanGuardSpec (r20, VERDICT r19
+    * #1) ASSERTS their contracts inside `sbt test`, so a refactor or
+    * Spark upgrade that silently flips one to a SortMergeJoin/UDF/
+    * cartesian fails the suite instead of waiting for the
+    * end-of-round human audit. */
+  val PinnedRows: Seq[String] =
+    Seq("p6_filter_range", "j1_left_join", "j3_broadcast_dim_join",
         "a1_groupby_count", "o2_multisort_limit", "x_dedup_ngram_jaccard",
         "x_sim_cosine_topk", "x_events_asof", "x_events_range_count",
         "x_sim_lsh_ann", "x_sample_hash", "x_text_contamination",
@@ -92,6 +92,15 @@ object PlanCheck {
         // (snapshot ∪ tail) feeding BROADCAST anti-joins/corrections,
         // never a shuffled join on the takedown set
         "x_text_bm25_maintained")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.core.GraftSession.configure(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else PinnedRows
     names.foreach { n =>
       println(s"\n########## $n ##########")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

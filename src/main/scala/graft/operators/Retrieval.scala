@@ -328,13 +328,28 @@ object Retrieval {
   val RrfScale = 10000000L
 
   /** RRF fusion of two ranked legs — a doc absent from one list
-    * simply contributes nothing for it (full outer join +
-    * coalesce-to-zero), the standard formulation. Fusion re-ranks a
-    * candidate pool of <= 2k rows per query, so the final window is
-    * bounded by the leg sizes, never the corpus. Legs arrive as
-    * (q_id, doc_id, lex_rank) / (q_id, doc_id, dense_rank). */
+    * simply contributes nothing for it (the standard formulation).
+    * Fusion re-ranks a candidate pool of <= 2k rows per query, so the
+    * final window is bounded by the leg sizes, never the corpus. Legs
+    * arrive as (q_id, doc_id, lex_rank) / (q_id, doc_id, dense_rank).
+    *
+    * The textbook shape is a FULL OUTER join on (q_id, doc_id) — but
+    * Spark cannot broadcast a full outer join, so that planned the
+    * suite's one avoidable SortMergeJoin (caught by PlanGuardSpec the
+    * round it started enforcing). A same-key full outer of two
+    * rank-unique legs is exactly union + min-per-side aggregate: one
+    * hash-aggregate exchange, no join operator at all, bit-identical
+    * output. */
   def rrfFuse(lex: DataFrame, dense: DataFrame, kOut: Int): DataFrame =
-    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+    lex.select(col("q_id"), col("doc_id"),
+        col("lex_rank").cast("int").as("lex_rank"),
+        lit(null).cast("int").as("dense_rank"))
+      .unionByName(dense.select(col("q_id"), col("doc_id"),
+        lit(null).cast("int").as("lex_rank"),
+        col("dense_rank").cast("int").as("dense_rank")))
+      .groupBy("q_id", "doc_id")
+      .agg(min("lex_rank").as("lex_rank"),
+        min("dense_rank").as("dense_rank"))
       .withColumn("rrf",
         coalesce(expr(s"CAST($RrfScale AS BIGINT) DIV ($RrfC + lex_rank)"), lit(0L)) +
           coalesce(expr(s"CAST($RrfScale AS BIGINT) DIV ($RrfC + dense_rank)"), lit(0L)))
