@@ -1231,9 +1231,12 @@ object Soak {
         f"per-cycle first20(warm) $firstQ%.2f s vs last20 $lastQ%.2f s (flat = fold " +
         f"amortized); max dirs: tombstones $maxTomb, snapshot versions $maxSnapV " +
         f"(${cycles - 1} takedowns ever landed, purgeAtBatches=$purgeAt)")
-      // unfolded tail widens by the batches waiting for the amortized
-      // purge (at most purgeAt), on top of the deferred last intake
-      require(maxTomb <= 2 + purgeAt && maxSnapV <= 2,
+      // dir bound under amortized purge: each fold's intake is purgeAt
+      // dirs, retired ONE FOLD LATE (deferred retention), and up to
+      // purgeAt-1 fresh batches wait unpurged before the next fold —
+      // post-maintain max = 2*purgeAt - 1 (= 1 at the default, 7 at 4;
+      // both measured exactly)
+      require(maxTomb <= 2 * purgeAt - 1 && maxSnapV <= 2,
         s"takedown-heavy loop must stay bounded: tomb dirs $maxTomb, versions $maxSnapV")
       val tombs = graft.streaming.TombstoneStore.readRows(spark, idx)
         .map(_.select("doc_id").distinct())

@@ -1028,9 +1028,11 @@ object PostingsIngest {
     * broadcast anti-join + corrections from the moment they commit);
     * only the physical-deletion lag grows, bounded by k cycles. While
     * batches wait, their dirs stay in the unfolded tail (the fold only
-    * covers ids <= `_purged`), so the tombstone dir bound widens by
-    * at most k; sidecar compaction keeps skipping until purged, same
-    * as today, for at most k cycles. */
+    * covers ids <= `_purged`), so the post-maintain tombstone dir
+    * count is bounded by 2k-1 (one fold's k-dir intake retired one
+    * fold late, plus up to k-1 fresh batches waiting); sidecar
+    * compaction keeps skipping until purged, same as today, for at
+    * most k cycles. */
   def maintain(spark: SparkSession, path: String, indexPath: String,
       rebaseAtGens: Int = 8,
       sidecarKeepLast: Option[Int] = None,

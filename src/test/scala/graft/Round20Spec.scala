@@ -221,7 +221,10 @@ class Round20Spec extends SparkSpec {
       val expectedStamp = if (c < 3) -1L else if (c < 6) 3L else 6L
       assert(stamp == expectedStamp,
         s"cycle $c: purge stamp $stamp, expected $expectedStamp")
-      assert(dirCount(s"$idx/tombstones", "batch_id=") <= purgeAt + 2,
+      // post-maintain bound = 2*purgeAt - 1: one fold's purgeAt-dir
+      // intake retired one fold late + up to purgeAt-1 fresh batches
+      // waiting for the next amortized purge
+      assert(dirCount(s"$idx/tombstones", "batch_id=") <= 2 * purgeAt - 1,
         s"cycle $c: unpurged tail must stay bounded by purgeAtBatches")
       assert(dirCount(s"$idx/tombstones_snapshot", "v=") <= 2)
       // serve-side hiding + corrections are purge-independent: exact
