@@ -366,19 +366,35 @@ object AnnIngest {
 
   /** One-call maintenance runbook (the [[VecIngest.maintainStores]]
     * shape for this store): consolidate whatever is new, rebase when
-    * the generation count passes `rebaseAtGens` OR unpurged tombstones
-    * exist, then compact the hot store below the watermark (the only
-    * compaction range the floor contract allows — see the layout doc).
-    * Each step is independently idempotent and crash-safe, so a
-    * scheduler can fire this blindly on a timer. */
+    * the generation count passes `rebaseAtGens` OR `purgeAtBatches`
+    * tombstone batches are unpurged, then compact the hot store below
+    * the watermark (the only compaction range the floor contract
+    * allows — see the layout doc). Each step is independently
+    * idempotent and crash-safe, so a scheduler can fire this blindly
+    * on a timer.
+    *
+    * `purgeAtBatches` (r20): the [[PostingsIngest.maintain]] knob,
+    * same contract — the purging rebase is O(live forest), so
+    * takedown-heavy deployments set k > 1 to pay it once per k
+    * batches; serve-side hiding is immediate from the tombstone
+    * commit regardless, only physical-deletion latency grows
+    * (bounded by k cycles; post-maintain tombstone dirs <= 2k-1). */
   def maintain(spark: SparkSession, path: String, indexPath: String,
-      rebaseAtGens: Int = 8): Unit = {
+      rebaseAtGens: Int = 8, purgeAtBatches: Int = 1): Unit = {
+    require(purgeAtBatches >= 1,
+      s"purgeAtBatches must be >= 1, got $purgeAtBatches")
     consolidate(spark, path, indexPath)
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
     val gens = numberedDirs(fs,
       new org.apache.hadoop.fs.Path(idx, "index"), GenDir).size
-    if (gens > rebaseAtGens || tombstoneState(fs, idx)._2)
+    val purged = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong)
+      .getOrElse(-1L)
+    val unpurged = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir)
+      .map(_._1).count(_ > purged)
+    if (gens > rebaseAtGens || unpurged >= purgeAtBatches)
       rebase(spark, indexPath)
     consolidatedThrough(spark, indexPath).foreach { wm =>
       // tiered: the blind-timer amortization rationale at

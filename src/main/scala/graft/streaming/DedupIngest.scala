@@ -377,16 +377,28 @@ object DedupIngest {
   }
 
   /** One-call maintenance runbook (the [[PostingsIngest.maintain]]
-    * twin): consolidate, rebase on gen-count or unpurged tombstones,
-    * compact the hot store below the watermark. */
+    * twin): consolidate, rebase on gen-count or `purgeAtBatches`
+    * unpurged tombstone batches (r20 — the shared amortization knob:
+    * the purging rebase is O(live forest), serve-side hiding is
+    * immediate regardless, so k > 1 trades only physical-deletion
+    * latency; post-maintain tombstone dirs <= 2k-1), compact the hot
+    * store below the watermark. */
   def maintain(spark: SparkSession, path: String, indexPath: String,
-      rebaseAtGens: Int = 8): Unit = {
+      rebaseAtGens: Int = 8, purgeAtBatches: Int = 1): Unit = {
+    require(purgeAtBatches >= 1,
+      s"purgeAtBatches must be >= 1, got $purgeAtBatches")
     consolidate(spark, path, indexPath)
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = fsOf(spark, idx)
     val gens = numberedDirs(fs,
       new org.apache.hadoop.fs.Path(idx, "bands"), GenDir).size
-    if (gens > rebaseAtGens || tombstoneState(fs, idx)._2)
+    val purged = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_purged")).map(_.toLong)
+      .getOrElse(-1L)
+    val unpurged = numberedDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "tombstones"), BatchDir)
+      .map(_._1).count(_ > purged)
+    if (gens > rebaseAtGens || unpurged >= purgeAtBatches)
       rebase(spark, indexPath)
     consolidatedThrough(spark, indexPath).foreach { wm =>
       // tiered: the blind-timer amortization rationale at

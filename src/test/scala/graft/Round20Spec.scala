@@ -259,6 +259,64 @@ class Round20Spec extends SparkSpec {
     assert(served == oneShot)
   }
 
+  test("purgeAtBatches is shared by all three grown stores: the ANN and " +
+      "band maintains defer the purge the same way, with serve exact " +
+      "while batches wait") {
+    import graft.streaming.{AnnIngest, DedupIngest}
+    def purgedOf(idx: String): Long = graft.core.Markers.read(fs,
+      new Path(idx, "_purged")).map(_.toLong).getOrElse(-1L)
+    // ---- ANN ----
+    val abase = tmp("r20-annamort")
+    val astore = s"$abase/store"
+    val aidx = s"$abase/idx"
+    val dim = 8
+    val vecs = spark.range(24).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "i -> cast(sin(id * 13 + i * 7) as float))").as("embedding"))
+    AnnIngest.ingestBatch(vecs, 0L, astore)
+    AnnIngest.maintain(spark, astore, aidx, purgeAtBatches = 2)
+    AnnIngest.tombstone(Seq(3L).toDF("vec_id"), 1L, aidx)
+    AnnIngest.maintain(spark, astore, aidx, purgeAtBatches = 2)
+    assert(purgedOf(aidx) == -1L, "one unpurged ANN batch must not rebase")
+    // hidden at serve while physically present (purge deferred)
+    assert(AnnIngest.searchGrown(vecs, spark, aidx, nQueries = 3, k = 4)
+      .filter(col("neighbor_id") === 3L).isEmpty)
+    assert(spark.read.parquet(s"$aidx/index")
+      .filter(col("vec_id") === 3L).count() == 1L,
+      "the deferred purge must leave the row physically present")
+    AnnIngest.tombstone(Seq(7L).toDF("vec_id"), 2L, aidx)
+    AnnIngest.maintain(spark, astore, aidx, purgeAtBatches = 2)
+    assert(purgedOf(aidx) == 2L, "two unpurged ANN batches must rebase")
+    assert(spark.read.parquet(s"$aidx/index")
+      .filter(col("vec_id").isin(3L, 7L)).isEmpty,
+      "the amortized purge must physically delete both batches")
+    // ---- band ----
+    val bbase = tmp("r20-bandamort")
+    val bstore = s"$bbase/store"
+    val bidx = s"$bbase/idx"
+    val docs = spark.range(30).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 11), " +
+        "i -> concat('w', pmod(id * 7 + i * 5, 40))))").as("text"))
+    DedupIngest.ingestBatch(docs, 0L, bstore)
+    DedupIngest.maintain(spark, bstore, bidx, purgeAtBatches = 2)
+    DedupIngest.tombstoneDocs(Seq(5L).toDF("doc_id"), 1L, bidx)
+    DedupIngest.maintain(spark, bstore, bidx, purgeAtBatches = 2)
+    assert(purgedOf(bidx) == -1L, "one unpurged band batch must not rebase")
+    assert(spark.read.parquet(s"$bidx/bands")
+      .filter(col("doc_id") === 5L).count() > 0L)
+    DedupIngest.tombstoneDocs(Seq(6L).toDF("doc_id"), 2L, bidx)
+    DedupIngest.maintain(spark, bstore, bidx, purgeAtBatches = 2)
+    assert(purgedOf(bidx) == 2L, "two unpurged band batches must rebase")
+    assert(spark.read.parquet(s"$bidx/bands")
+      .filter(col("doc_id").isin(5L, 6L)).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      AnnIngest.maintain(spark, astore, aidx, purgeAtBatches = 0)
+    }
+    assert(e.getMessage.contains("purgeAtBatches"))
+  }
+
   test("purgeAtBatches = 1 is today's behavior (any unpurged batch " +
       "rebases); 0 is refused") {
     val base = tmp("r20-amort1")
