@@ -26,16 +26,26 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** doc_id + distinct word-3-gram shingles. */
+  /** doc_id + distinct word-3-gram shingles.
+    *
+    * r21: distinctness is per-document by construction (one doc_id per
+    * input row), so it is computed with a per-row `array_distinct`
+    * BEFORE the explode instead of a corpus-wide `.distinct()` — that
+    * removes a full shuffle+sort of the exploded (doc, shingle) stream
+    * (guide §2.4 "remove shuffles outright"; the distinct's exchange
+    * bought nothing but re-partitioning). The scan is fanned out
+    * ([[graft.core.Fanout.bySize]]) so the tokenize+explode map work
+    * no longer serializes in a single scan task on single-row-group
+    * inputs — the parallelism the removed distinct used to provide by
+    * accident, now without moving the exploded stream. */
   def shingles(docs: DataFrame): DataFrame =
-    docs
+    graft.core.Fanout.bySize(docs, col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))")))
           .as("shingle"))
-      .distinct()
 
   /** `(doc_a, doc_b, common, n_a, n_b)` for every doc pair sharing at
     * least one shingle — the inverted-index overlap join that both
@@ -55,30 +65,73 @@ object Dedup {
     * the point — shared headers are precisely what near-dup scoring
     * should ignore). None = exact over all shingles (the oracle
     * shape). */
-  private def overlapPairs(sh0: DataFrame, maxDf: Option[Long]): DataFrame = {
-    // Materialize the shingle index once: it feeds the count aggregate
-    // plus BOTH self-join sides, and Spark does not reuse the
-    // explode+distinct subtree across them (no ReusedExchange in the
-    // plan — verified), so without this the index is built three times.
-    val shAll = graft.core.Materialize.pin(sh0)
-    val sh = maxDf match {
-      case None => shAll
-      case Some(cap) =>
-        val keep = shAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select("shingle")
-        graft.core.Materialize.pin(
-          shAll.join(keep, Seq("shingle"), "left_semi"))
+  private def overlapPairs(sh0: DataFrame, maxDf: Option[Long]): DataFrame =
+    maxDf match {
+      case Some(cap) => overlapPairsPostings(sh0, cap)
+      case None =>
+        // uncapped EXACT form (the oracle shape): keep the self-join
+        // formulation — a posting-list collect with no df cap has no
+        // buffer bound (a runaway shingle is an 800 MB aggregation
+        // buffer), while the join spills gracefully. Materialize the
+        // shingle index once: it feeds the count aggregate plus BOTH
+        // self-join sides, and Spark does not reuse the subtree across
+        // them (no ReusedExchange in the plan — verified), so without
+        // this the index is built three times.
+        val sh = graft.core.Materialize.pin(sh0)
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+        val common = a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        // `counts` is DOC-sized (one row per document) — never force-
+        // broadcast it: at corpus scale that is a driver OOM. Un-hinted,
+        // AQE promotes to BHJ while it fits and degrades to a shuffle join
+        // past that (same eviction as the r9 kCorePeel fix).
+        common
+          .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), Seq("doc_a"))
+          .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), Seq("doc_b"))
     }
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+
+  /** Capped overlap pairs via POSTING LISTS — r21 rewrite of the
+    * count + semi-join + self-join formulation (guide §2.3/2.4: fewer
+    * exchanges of the big stream, shuffle 16-byte rows). The exploded
+    * (doc, shingle) stream is shuffled by shingle hash exactly ONCE
+    * into a size-bounded posting list per shingle
+    * ([[graft.functions.BoundedCollectLong]]: buffer saturates at
+    * cap+1, so stop-shingles cost O(cap) memory and are dropped by the
+    * size filter — the same rows the old df-count semi-join removed
+    * with two extra full-stream exchanges). Pairs and per-doc sizes
+    * both derive from the pinned posting table: pair generation
+    * streams through two Generates (posexplode + tail-slice explode,
+    * never materializing the pair array), identical (doc_a < doc_b)
+    * pair multiset as the self-join by construction; sizes re-explode
+    * the capped lists, identical to counting the semi-join survivors.
+    * Shingles ride as xxhash64 longs, not ~25-byte strings — the same
+    * accepted collision trade [[jaccardPairsPrefix]] documents (P[any
+    * collision] ~ u²/2^65; the gate output is oracle-hash-checked).
+    * Old plan: 4 exchanges of the full stream + 2 full-stream pins;
+    * new plan: 1 full-stream exchange + 1 posting-sized pin. */
+  private def overlapPairsPostings(sh0: DataFrame, cap: Long): DataFrame = {
+    import graft.functions.BoundedCollectLong.boundedCollectLong
+    require(cap <= Int.MaxValue - 1, s"maxDf cap too large: $cap")
+    val postings = graft.core.Materialize.pin(
+      sh0.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+        .groupBy("sh")
+        .agg(boundedCollectLong(col("doc_id"), cap.toInt).as("docs"))
+        .filter(size(col("docs")) <= cap)
+        .select(sort_array(col("docs")).as("docs")))
+    val counts = postings.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = postings
+      .filter(size(col("docs")) >= 2)
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"),
+        explode(slice(col("docs"), col("i") + 2,
+          size(col("docs")) - col("i") - 1)).as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    // `counts` is DOC-sized (one row per document) — never force-
-    // broadcast it: at corpus scale that is a driver OOM. Un-hinted,
-    // AQE promotes to BHJ while it fits and degrades to a shuffle join
-    // past that (same eviction as the r9 kCorePeel fix).
+    // `counts` is DOC-sized — un-hinted for the same AQE promote/
+    // degrade reason as the uncapped path.
     common
       .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), Seq("doc_a"))
       .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), Seq("doc_b"))

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Round-21 optimization pins: the rewritten shared dedup pipeline
+  * (per-row-distinct shingles, single-exchange posting-list overlap
+  * join with the bounded collector) must stay OUTPUT-IDENTICAL to the
+  * shapes it replaced — these tests reconstruct the old formulations
+  * inline and assert row-for-row equality, plus the new aggregate's
+  * bound/exactness contract. */
+class Round21Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    1L -> "a b c d e f g h",
+    2L -> "a b c d e f g h",         // exact dup of 1
+    3L -> "a b c d e f x y",         // near dup of 1/2
+    4L -> "p q r s t u v w",
+    5L -> "p q r s t u v z",         // near dup of 4
+    6L -> "m n o m n o m n o m n o", // internal repeats: exercises per-doc distinct
+    7L -> "lone pair",               // under 3 tokens: filtered
+    8L -> "a b c p q r m n o x y z")
+
+  test("shingles: per-row array_distinct equals the old explode+distinct") {
+    val oldForm = corpus
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
+          .as("shingle"))
+      .distinct()
+    val newForm = Dedup.shingles(corpus)
+    assert(newForm.exceptAll(oldForm).isEmpty && oldForm.exceptAll(newForm).isEmpty)
+    // and the new form is already duplicate-free without the shuffle
+    assert(newForm.count() == newForm.distinct().count())
+  }
+
+  test("bounded collector: exact under the cap, saturates at cap+1, merges across partitions") {
+    import graft.functions.BoundedCollectLong.boundedCollectLong
+    val rows = (1L to 100L).map(i => (i % 7, i)).toDF("k", "v")
+      .repartition(8) // force partial buffers that must merge
+    val got = rows.groupBy("k").agg(boundedCollectLong(col("v"), 10).as("vs"))
+      .select(col("k"), sort_array(col("vs")).as("vs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expect = (1L to 100L).groupBy(_ % 7)
+    // every group here has 14-15 members > cap 10: all saturate at 11
+    got.foreach { case (k, vs) =>
+      assert(vs.size == 11, s"group $k: expected saturation at cap+1, got ${vs.size}")
+      assert(vs.toSet.subsetOf(expect(k).toSet))
+    }
+    val small = (1L to 9L).map(i => (0L, i)).toDF("k", "v").repartition(4)
+    val smallGot = small.groupBy("k").agg(boundedCollectLong(col("v"), 10).as("vs"))
+      .select(sort_array(col("vs"))).as[Seq[Long]].head()
+    assert(smallGot == (1L to 9L)) // under the cap: exact, complete
+  }
+
+  test("posting-list overlap join ≡ the old count+semi-join+self-join formulation") {
+    val sh = Dedup.shingles(corpus)
+    for (cap <- Seq(1000L, 3L)) { // non-binding and binding caps
+      // old formulation, reconstructed: df count -> semi join -> self join
+      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("shingle")
+      val capped = sh.join(keep, Seq("shingle"), "left_semi")
+      val counts = capped.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = capped.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = capped.select(col("doc_id").as("doc_b"), col("shingle"))
+      val oldPairs = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), Seq("doc_a"))
+        .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+      val newPairs = Dedup.jaccardPairs(sh, 0.3, maxDf = Some(cap))
+        .select("doc_a", "doc_b", "jaccard")
+      assert(newPairs.exceptAll(oldPairs).isEmpty && oldPairs.exceptAll(newPairs).isEmpty,
+        s"cap=$cap: posting-list path diverged from the join formulation")
+    }
+  }
+
+  test("containment through the posting-list path matches the uncapped exact form when the cap is non-binding") {
+    val sh = Dedup.shingles(corpus)
+    val capped = Dedup.containmentPairs(sh, 0.5, maxDf = Some(1000L))
+      .select("doc_a", "doc_b", "containment")
+    val exact = Dedup.containmentPairs(sh, 0.5, maxDf = None)
+      .select("doc_a", "doc_b", "containment")
+    assert(capped.exceptAll(exact).isEmpty && exact.exceptAll(capped).isEmpty)
+  }
+
+  test("posting-list plan: one exchange of the shingle stream, no SMJ/UDF/cartesian") {
+    val plan = Dedup.jaccardPairs(Dedup.shingles(corpus), 0.5, maxDf = Some(1000L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    Seq("SortMergeJoin", "CartesianProduct", "ScalaUDF").foreach(f =>
+      assert(!plan.contains(f), s"forbidden node $f in posting-path plan"))
+  }
+}
