@@ -781,22 +781,26 @@ object Dedup {
       val stepped = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      var steppedPin: DataFrame = null
       val next = pin(
         if (!shortcut)
           stepped.select(col("node"), col("label"),
             (col("label") < col("__old")).as("chg"))
         else {
-          // label(label) lookup on the post-step frame; pinned EAGERLY:
-          // a lazy localCheckpoint does NOT truncate the logical plan
-          // until materialized, so self-joining a lazily-pinned frame
-          // SQUARES the plan (and its Catalyst size estimate) per round
-          // — ~25 rounds in, stats estimation overflows BigInteger.
-          // Eager pinning costs one extra job per round; with the jump
-          // the round count is logarithmic, so that is cheap.
-          val s = pin(stepped)
-          steppedPin = s
-          s.join(s.select(col("node").as("__jn"), col("label").as("__jl")),
+          // pointer jump THROUGH THE PREVIOUS round's pinned labels —
+          // label <- min(label, oldLabels(label)) — instead of the
+          // post-step frame. Equally monotone (oldLabels(x) <= x and
+          // every value is a component member), so the fixpoint is the
+          // same component minimum, and chg = (final < __old) still
+          // detects it: at chg = 0 the neighbor-min step itself made no
+          // change, which is exactly the CC convergence condition. What
+          // this buys (r21): the old self-jump had to pin `stepped`
+          // EAGERLY first (a lazily-pinned self-join SQUARES the plan
+          // per round until stats estimation overflows BigInteger) —
+          // one extra full-labels materialization job per round.
+          // `labels` is already a pinned leaf, so joining it a second
+          // time in the same plan re-reads blocks, never recomputes,
+          // and the plan stays linear without any mid-round pin.
+          stepped.join(labels.select(col("node").as("__jn"), col("label").as("__jl")),
               col("label") === col("__jn"), "left")
             .select(col("node"),
               least(col("label"), coalesce(col("__jl"), col("label"))).as("label"),
@@ -804,7 +808,6 @@ object Dedup {
         },
         eager = false) // materialized by the count below
       changed = next.filter(col("chg")).count()
-      if (steppedPin != null) release(steppedPin) // next is materialized now
       release(labels)
       labels = next
     }
@@ -964,28 +967,46 @@ object Dedup {
         })
         .filter(i => complete(roundPath(i)))
         .sorted.lastOption.getOrElse(-1)
+    // r21: the round's changed-count rides the WRITE as an observed
+    // metric instead of a separate filter+count job over the parquet
+    // just written — one full pass over the labels per round removed
+    // (the metric is computed on exactly the rows the commit wrote, so
+    // the value is identical to re-reading and counting them). Resume
+    // still counts from the re-read frame: an observation exists only
+    // for writes this process performed.
+    def writeRound(df: DataFrame, round: Int): Long = {
+      val obs = org.apache.spark.sql.Observation(s"cc_chg_r${round}_${System.nanoTime()}")
+      df.observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("changed"))
+        .write.mode("overwrite").parquet(roundPath(round))
+      // sum over an empty frame observes null — an empty node set is a
+      // converged (trivial) graph
+      obs.get.get("changed").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    var changed = -1L
     if (r < 0) {
-      edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"), lit(true).as("chg"))
-        .write.mode("overwrite").parquet(roundPath(0))
+      changed = writeRound(
+        edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"), lit(true).as("chg")),
+        0)
       r = 0
       onRoundComplete(0)
     }
     var labels = spark.read.parquet(roundPath(r))
-    var changed = labels.filter(col("chg")).count()
+    if (changed < 0) changed = labels.filter(col("chg")).count() // resume path
     while (changed > 0) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
-      labels.join(prop, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (least(col("label"), coalesce(col("nbr_label"), col("label"))) < col("label")).as("chg"))
-        .write.mode("overwrite").parquet(roundPath(r + 1))
+      changed = writeRound(
+        labels.join(prop, col("node") === col("src"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            (least(col("label"), coalesce(col("nbr_label"), col("label"))) < col("label")).as("chg")),
+        r + 1)
       r += 1
       onRoundComplete(r)
       if (r >= 2) drop(roundPath(r - 2))
       labels = spark.read.parquet(roundPath(r))
-      changed = labels.filter(col("chg")).count()
     }
     val out = labels.select(col("node").as("doc_id"),
       col("label").as("canonical_id"))
