@@ -49,8 +49,13 @@ object PostingsIngest {
   /** One micro-batch step, exposed for spec-level direct use. */
   def ingestBatch(batch: DataFrame, batchId: Long, path: String): Unit = {
     // the batch feeds the postings explode AND the stats fold — pin so
-    // the (possibly expensive) stream source is consumed once
-    val b = graft.core.Materialize.pin(batch)
+    // the (possibly expensive) stream source is consumed once. Fanned
+    // out first (r21): pinning a single-split source leaves the blocks
+    // on one partition, serializing BOTH consumers' tokenize+explode
+    // work in one task; Fanout.bySize is a no-op whenever the batch
+    // already feeds the cores (see its scale contract).
+    val b = graft.core.Materialize.pin(
+      graft.core.Fanout.bySize(batch, col("doc_id")))
     EventStreams.idempotentParquetSink(s"$path/postings")(
       Retrieval.postings(b), batchId)
     EventStreams.idempotentParquetSink(s"$path/stats")(

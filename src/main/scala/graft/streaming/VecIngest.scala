@@ -167,8 +167,11 @@ object VecIngest {
     // fails loudly instead
     requirePlanesMarker(s, indexPath, planesPerTable)
     // the batch feeds pair generation AND two appends — pin it so the
-    // (possibly expensive) stream source is consumed once
-    val b = graft.core.Materialize.pin(batch)
+    // (possibly expensive) stream source is consumed once; fanned out
+    // first so a single-split source doesn't serialize every consumer
+    // in one task (no-op when the batch already feeds the cores)
+    val b = graft.core.Materialize.pin(
+      graft.core.Fanout.bySize(batch, org.apache.spark.sql.functions.col("vec_id")))
     // committed batches may have been moved to the bulk tier; the tier
     // holds only ids below the replay watermark, so it needs no
     // own-batch exclusion
