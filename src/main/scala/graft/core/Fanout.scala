@@ -43,7 +43,11 @@ object Fanout {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    // a pinned (checkpointed) leaf was materialized by a caller who
+    // already controls its partitioning — most pins sit downstream of
+    // this very helper; re-fanning would add a shuffle of the blocks
+    val pinned = Materialize.isPinned(df)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (p > 1 && est < splitBytes) df.repartition(p, key) else df
+    if (!pinned && p > 1 && est < splitBytes) df.repartition(p, key) else df
   }
 }

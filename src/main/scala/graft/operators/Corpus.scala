@@ -93,7 +93,7 @@ object Corpus {
     * driver-side state. */
   val tfIdf: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val tf = docs
+    val tf = graft.core.Fanout.bySize(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n_tokens"),
         explode(col("ws")).as("tok"))
@@ -207,7 +207,7 @@ object Corpus {
     * occurrences of one bigram in either domain. */
   def importanceWeights(docs: DataFrame, isTarget: Column,
       scale: Long = 1000000L): DataFrame = {
-    val g = docs
+    val g = graft.core.Fanout.bySize(docs, col("doc_id"))
       .select(col("doc_id"), isTarget.as("__tgt"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("__tgt"), explode(arrays_zip(
@@ -537,7 +537,7 @@ object Corpus {
     * the distinct vocabulary only; `n_chars` rides along as the
     * conservation check (tokens partition each word's characters). */
   val bpeEncodeGate: Q = (s, dir) => {
-    val occ = t(s, dir, "documents")
+    val occ = graft.core.Fanout.bySize(t(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("w0"))
       .select(col("doc_id"),
         regexp_replace(lower(col("w0")), "[^a-z0-9]", "").as("w"))
@@ -562,7 +562,7 @@ object Corpus {
     * [[bpeEncodeGate]]: the merge chain runs on distinct words only
     * and broadcasts back; the corpus contributes one scan. */
   val bpeFertilityGate: Q = (s, dir) => {
-    val occ = t(s, dir, "documents")
+    val occ = graft.core.Fanout.bySize(t(s, dir, "documents"), col("doc_id"))
       .select(col("source"), explode(tokens(col("text"))).as("w0"))
       .select(col("source"),
         regexp_replace(lower(col("w0")), "[^a-z0-9]", "").as("w"))
@@ -714,7 +714,7 @@ object Corpus {
     * total. Integer counts and floor-division bp are bit-portable.
     * Tiebreak (n desc, w3 asc) totals the order. */
   def ngramLm(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tri = docs
+    val tri = graft.core.Fanout.bySize(docs, col("doc_id"))
       .select(tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(explode(expr(
@@ -785,7 +785,8 @@ object Corpus {
     * no trigrams and are excluded (documented contract, matches the
     * [[ngramLm]] filter). */
   def lmScore(docs: DataFrame): DataFrame = {
-    val tri = graft.core.Materialize.pin(docs
+    val tri = graft.core.Materialize.pin(
+      graft.core.Fanout.bySize(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(

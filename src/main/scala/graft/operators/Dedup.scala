@@ -514,7 +514,7 @@ object Dedup {
   /** SimHash: 64-bit signature; bit i set iff the sum of (+1/-1) votes
     * from token hashes is positive. One scan, 64 conditional sums. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = graft.core.Fanout.bySize(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -1137,8 +1137,8 @@ object Dedup {
     * before the shuffle (same trick as exact dedup) — kept as raw text
     * here so the oracle can reproduce it. */
   def spanCrossdoc(docs: DataFrame): DataFrame = {
-    val tokd = docs.select(col("doc_id"),
-      TextAnalysis.tokens(col("text")).as("ws"))
+    val tokd = graft.core.Fanout.bySize(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
     val sh = tokd.filter(size(col("ws")) >= 8)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - 7),
@@ -1182,8 +1182,8 @@ object Dedup {
     * distribution itself (a universal span caps at 8 positions per doc
     * occurrence, so fan-out is bounded by corpus token count). */
   def spanScrub(docs: DataFrame, minDocs: Long = 2): DataFrame = {
-    val tokd = docs.select(col("doc_id"),
-      TextAnalysis.tokens(col("text")).as("ws"))
+    val tokd = graft.core.Fanout.bySize(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
     val spans = tokd.filter(size(col("ws")) >= 8)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("ws")) - 7),

@@ -80,7 +80,8 @@ object Linkage {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (got $maxDist)")
     val base = graft.core.Materialize.pin(
-      df.select(id.as("__id"), s.as("__s")))
+      graft.core.Fanout.bySize(df.select(id.as("__id"), s.as("__s")),
+        col("__id")))
     val posts = base.select(col("__id"),
       explode(deletionVariants(col("__s"), maxDist)).as("__v"))
       .select(col("__id"), xxhash64(col("__v")).as("__vh"))

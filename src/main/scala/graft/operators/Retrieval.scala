@@ -56,7 +56,11 @@ object Retrieval {
   val K = 10
 
   private[graft] def docTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+    // fan-out before the tokenize+explode the BM25 pipelines hang off
+    // this frame (scale-adaptive; no-op at scale and on pinned inputs
+    // — see graft.core.Fanout.bySize)
+    graft.core.Fanout.bySize(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
 
   /** (q_id, tok) query-term pairs, collected driver-side — bounded by
     * nQueries * qLen rows, the quantizer-sized collect class. One

@@ -545,7 +545,8 @@ object Similarity {
   }
 
   val simGram: Q = (s, dir) =>
-    gramMatrix(t(s, dir, "embeddings"), dim = 64)
+    gramMatrix(graft.core.Fanout.bySize(
+      t(s, dir, "embeddings"), col("vec_id")), dim = 64)
       .orderBy("i", "j")
 
   /** Distributed covariance moments: (mean in input units, cov, n).
@@ -758,7 +759,7 @@ object Similarity {
     * TRUE. */
   val simPca: Q = (s, dir) => {
     import s.implicits._
-    val emb = t(s, dir, "embeddings")
+    val emb = graft.core.Fanout.bySize(t(s, dir, "embeddings"), col("vec_id"))
     val dim = 64
     val k = 16
     val (axes, mean, lam) = pcaParams(emb, dim, k)
@@ -824,7 +825,8 @@ object Similarity {
   }
 
   val simWhiten: Q = (s, dir) =>
-    whitenIdentityGate(s, whiten(t(s, dir, "embeddings"), 64), 64)
+    whitenIdentityGate(s, whiten(graft.core.Fanout.bySize(
+      t(s, dir, "embeddings"), col("vec_id")), 64), 64)
 
   /** Mahalanobis distance² per vector — ‖W(x − m)‖² with W the ZCA
     * transform, i.e. (x−m)ᵀ cov⁻¹ (x−m) up to the eps floor: the
@@ -850,7 +852,7 @@ object Similarity {
     * to zero — fails both). Oracle: count + TRUE. */
   val simMahalanobis: Q = (s, dir) => {
     import s.implicits._
-    val emb = t(s, dir, "embeddings")
+    val emb = graft.core.Fanout.bySize(t(s, dir, "embeddings"), col("vec_id"))
     val dim = 64
     val (w, m) = whitenParams(emb, dim)
     val (n, meanM, maxM) = mahalanobisScores(emb, w, m)
@@ -944,7 +946,8 @@ object Similarity {
   }
 
   val simCentroidOutliers: Q = (s, dir) =>
-    centroidOutliers(t(s, dir, "embeddings"), k = 10)
+    centroidOutliers(graft.core.Fanout.bySize(
+      t(s, dir, "embeddings"), col("vec_id")), k = 10)
       .orderBy("label", "rank")
 
   /** Retrieval evaluation against label relevance: score the exact

@@ -24,6 +24,15 @@ object TextAnalysis {
   /** Whitespace tokenization shared by all ops. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Fan-out for the per-row-HEAVY gates (tokenize/explode/regex over
+    * every document): scale-adaptive scan repartition so a single-
+    * row-group input doesn't serialize the projection in one task —
+    * see [[graft.core.Fanout.bySize]] (no-op at scale and on pinned
+    * frames). Applied only where the per-row work dominates; trivial
+    * projections skip it (the shuffle would cost more than it buys). */
+  private def fan(df: DataFrame): DataFrame =
+    graft.core.Fanout.bySize(df, col("doc_id"))
+
   /** Count of tokens from `profile` present in `ws` (with repeats). */
   def profileHits(ws: Column, profile: Seq[String]): Column =
     size(filter(ws, w => w.isin(profile: _*)))
@@ -57,7 +66,7 @@ object TextAnalysis {
     * stopword ratio. Ratios are a single IEEE division — portable. */
   val textQuality: Q = (s, dir) => {
     val stop = Seq("the", "a", "of", "and")
-    t(s, dir, "documents")
+    fan(t(s, dir, "documents"))
       .select(col("doc_id"), col("text"), tokens(col("text")).as("ws"))
       .select(
         col("doc_id"),
@@ -163,7 +172,7 @@ object TextAnalysis {
       (acc, c) => pmod(acc * lit(257L) + ascii(c), lit(1000000000000000L)))
 
   val textRollingHash: Q = (s, dir) =>
-    t(s, dir, "documents")
+    fan(t(s, dir, "documents"))
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
@@ -222,7 +231,7 @@ object TextAnalysis {
   }
 
   val textWinnowing: Q = (s, dir) =>
-    winnowing(t(s, dir, "documents")).orderBy("doc_id", "pos")
+    winnowing(fan(t(s, dir, "documents"))).orderBy("doc_id", "pos")
 
   /** Count of the most frequent element in a string array, as the
     * longest equal-run over the SORTED array: one fold of
@@ -253,7 +262,7 @@ object TextAnalysis {
     * bounded by document length, not corpus size — embarrassingly
     * parallel at 100 TB. */
   val textRepetition: Q = (s, dir) =>
-    t(s, dir, "documents")
+    fan(t(s, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .withColumn("grams",
         when(size(col("ws")) >= 3, expr(
@@ -297,7 +306,7 @@ object TextAnalysis {
       (acc, c) => pmod(acc * lit(31L) + ascii(c), lit(4294967296L))))
 
   def simhash32(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = fan(docs)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .select(col("doc_id"), charPolyHash32(col("tok")).as("h"))
@@ -334,7 +343,7 @@ object TextAnalysis {
     // references to `ws` inside the transform lambda are re-evaluated
     // per element, so passing the split expression directly re-splits
     // the text once per gram (measured 5s -> 0.6s at sf0.1).
-    val grams = t(s, dir, "documents")
+    val grams = fan(t(s, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), explode(wordNgrams(col("ws"), 4)).as("g"))
     val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
@@ -364,7 +373,8 @@ object TextAnalysis {
     * exactly like [[Dedup]]'s maxDf before scaling there. */
   def crossSourceOverlap(docs: DataFrame, n: Int = 4): DataFrame = {
     val grams = graft.core.Materialize.pin(
-      docs.select(col("source"), tokens(col("text")).as("ws"))
+      graft.core.Fanout.bySize(docs, col("doc_id"))
+        .select(col("source"), tokens(col("text")).as("ws"))
         .select(col("source"), explode(wordNgrams(col("ws"), n)).as("g"))
         .distinct())
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams_a"))
@@ -397,7 +407,7 @@ object TextAnalysis {
     * [[graft.functions.BloomMightContain]] — behind the pushed-down
     * scan, before every exchange, inside whole-stage codegen). */
   val textContaminationBloom: Q = (s, dir) => {
-    val grams = t(s, dir, "documents")
+    val grams = fan(t(s, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), explode(wordNgrams(col("ws"), 4)).as("g"))
     val evalGrams = graft.core.Materialize.pin(
@@ -484,7 +494,7 @@ object TextAnalysis {
     * per-doc fold. No second explode, no join against a bigram table. */
   val textRarity: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val toks = fan(docs).select(col("doc_id"), tokens(col("text")).as("ws"))
     val g = toks.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
@@ -527,7 +537,7 @@ object TextAnalysis {
     def rcount(pat: String) =
       column(graft.functions.RegexpCount(
         expression(col("text")), expression(lit(pat)))).cast(LongType)
-    docs.select(col("doc_id"),
+    fan(docs).select(col("doc_id"),
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"), EmailRe, "<EMAIL>"),
