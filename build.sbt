@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt -batch "runMain graft.Bench"`
+// stdout as one JSON object. Two sbt behaviors broke that in every
+// round through r21 (BENCH_r*.json `parsed: null`): forked-run output
+// was routed through the logger (prefixing every line with `[info] `),
+// and sbt appended `[success] Total time: ...` after the program's
+// final line. StdoutOutput passes the program's stdout through
+// undecorated; showSuccess drops the trailer. Compile/test failures
+// still surface through exit codes and `[error]` lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -233,7 +233,11 @@ object Bench {
       val entryLen = k.length + 10
       if (len + entryLen <= 1700) { kept ::= (k, v); len += entryLen }
     }
-    println(prefix + fmt(kept.sortBy(_._1), 3) + "}")
+    val compact = prefix + fmt(kept.sortBy(_._1), 3) + "}"
+    println(compact)
+    // belt and braces for the driver's tail parser: the same line on
+    // stderr too, in case the capture merges streams differently
+    System.err.println(compact)
   }
 }
 

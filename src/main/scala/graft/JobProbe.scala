@@ -17,8 +17,10 @@ object JobProbe {
   private final class Probe extends SparkListener {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
     override def onJobStart(js: SparkListenerJobStart): Unit = {
-      val desc = Option(js.properties)
-        .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+      // attribution: the last stage's name carries the action's call
+      // site (file:line) — the cheapest way to see which store phase
+      // owns each of a lifecycle row's dozens of jobs
+      val desc = js.stageInfos.lastOption.map(_.name).getOrElse("")
       jobs.put(js.jobId, (js.time, -1L, desc))
     }
     override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -68,12 +70,62 @@ object JobProbe {
       val triples = jobs.sortBy(_._2)
       val gaps = (Seq((0, t0, t0, "start")) ++ triples).sliding(2).collect {
         case Seq((_, _, e1, _), (id, s2, _, d2)) if s2 - e1 > 100 =>
-          f"  gap ${(s2 - e1) / 1e3}%.2fs before job $id%d [$d2]"
+          f"  gap ${(s2 - e1) / 1e3}%.2fs before job $id%d [${d2.take(70)}]"
       }
       gaps.foreach(println)
-      val slow = triples.filter { case (_, s, e, _) => e - s > 200 }
-      slow.foreach { case (id, s, e, d) =>
-        println(f"  job $id%d ${(e - s) / 1e3}%.2fs [${d.take(80)}]") }
+      if (run == "warm")
+        triples.foreach { case (id, s, e, d) =>
+          println(f"  job $id%d ${(e - s) / 1e3}%.2fs [${d.take(70)}]") }
+    }
+    spark.stop()
+  }
+}
+
+/** Phase-level twin of [[JobProbe]] for the postings-store lifecycle
+  * row: runs the same public API calls the maintained gate makes, one
+  * timer + job counter per phase, twice (cold + warm). */
+object PhaseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.configure(SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    })
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PostingsIngest._
+    import graft.operators.{IndexStore, Retrieval}
+    for (round <- Seq("cold", "warm")) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_probe/maint"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(rp)) fs.delete(rp, true)
+      val docs = graft.core.Tables.t(spark, sfDir, "documents")
+      import spark.implicits._
+      def phase[A](name: String)(body: => A): A = {
+        val j0 = jobCount.get(); val t0 = System.nanoTime()
+        val r = body
+        Thread.sleep(200)
+        println(f"PHASE $round $name%-14s ${(System.nanoTime() - t0) / 1e9}%6.2fs jobs=${jobCount.get() - j0}%d")
+        r
+      }
+      phase("ingest")(ingestBatch(docs, 0L, s"$root/store"))
+      phase("consolidate")(consolidate(spark, s"$root/store", s"$root/index"))
+      phase("tombstone")(tombstoneDocs(Seq(97L, 211L).toDF("doc_id"), 1L, s"$root/index"))
+      phase("maintain")(maintain(spark, s"$root/store", s"$root/index"))
+      phase("tombstone2")(tombstoneDocs(Seq(313L).toDF("doc_id"), 2L, s"$root/index"))
+      val served = phase("serve-plan")(
+        IndexStore.bm25FromIndex(
+          docs.filter(!col("doc_id").isin(97L, 211L, 313L)), spark, s"$root/index",
+          Retrieval.NQueries, Retrieval.QueryLen, Retrieval.K)
+          .orderBy("q_id", "rank"))
+      phase("serve-exec")(
+        served.write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }
