@@ -178,24 +178,34 @@ object Dedup {
     // group-by-payload-hash carries (P[any collision] ~ u^2/2^65 for u
     // distinct shingles: ~4e-9 at u=1e5/doc-corpus; the property test
     // vs the string-keyed [[jaccardPairs]] enforces identity in
-    // practice). Hashing BEFORE the pin so the pinned bytes shrink too.
-    val sh = graft.core.Materialize.pin(
-      sh0.select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
-    // pinned: the prefix subtree feeds BOTH sides of the candidate
-    // self-join, and Spark does not reuse it across them (same lesson
-    // as overlapPairs' shingle index). df and the doc's shingle count
-    // ride WINDOWS (one shingle-partitioned, one doc-partitioned) —
-    // no groupBy+join round trips; the (df, shingle) order only needs
-    // to be total and global, and hashed-shingle order is.
-    val docWin = Window.partitionBy("doc_id")
-    val prefix = graft.core.Materialize.pin(
+    // practice).
+    val sh = sh0.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // ONE pinned per-doc table answers every downstream question: the
+    // df window (the one unavoidable shingle-keyed exchange) feeds a
+    // doc-keyed collect whose array is SORTED BY (df, shingle) — the
+    // same total order the old per-doc rank window sorted the whole
+    // stream by, now an in-memory array_sort per doc (bounded by
+    // shingles/doc, never corpus-sized). Prefixes slice the array,
+    // lengths are its size, and verification intersects the same
+    // arrays — so the old shape's second full-stream sort exchange
+    // (the doc-partitioned rank window), its per-side docSets
+    // collect exchanges, and the lens distinct exchanges all collapse
+    // into this one groupBy. Full-stream exchanges: 3 -> 2.
+    val docsAll = graft.core.Materialize.pin(
       sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
-        .withColumn("__rk", row_number().over(
-          docWin.orderBy(col("__df"), col("shingle"))))
-        .withColumn("__n", count(lit(1)).over(docWin))
-        .filter(col("__rk") <=
-          col("__n") - ceil(lit(minJaccard) * col("__n")) + 1)
-        .select("doc_id", "shingle", "__n"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("__df"), col("shingle"))))
+          .as("__ps"))
+        .select(col("doc_id"),
+          expr("transform(__ps, p -> p.shingle)").as("__shs"),
+          size(col("__ps")).cast(LongType).as("n_sh")))
+    // per-doc prefix length: |d| - ceil(t*|d|) + 1 rarest shingles
+    // (identical to the old rank-window filter; greatest(0) guards the
+    // t > 1 corner where the old filter selected nothing)
+    val prefLen = greatest(lit(0L),
+      col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1).cast("int")
+    val prefix = docsAll.select(col("doc_id"), col("n_sh").as("__n"),
+      explode(slice(col("__shs"), lit(1), prefLen)).as("shingle"))
     // The self-join stays SLIM (doc_id, shingle — 16 bytes/row; it is
     // the dominant shuffle, and carrying |n| through it measured +18%
     // at gate scale for zero pruning on uniform-length corpora).
@@ -211,24 +221,23 @@ object Dedup {
     // only, output unchanged (identity property test vs jaccardPairs).
     // A no-op on uniform-length corpora, load-bearing on heterogeneous
     // ones where prefix collisions span length decades.
-    val lens = prefix.select("doc_id", "__n").distinct()
+    val lens = docsAll.select("doc_id", "n_sh")
     val cand = cand0
-      .join(lens.select(col("doc_id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-      .join(lens.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .join(lens.select(col("doc_id").as("doc_a"), col("n_sh").as("__na")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("n_sh").as("__nb")), Seq("doc_b"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(minJaccard) * greatest(col("__na"), col("__nb")))
       .select("doc_a", "doc_b")
-    // verification against per-doc shingle SETS (one map-combined
-    // collect per doc, bounded by shingles/doc): two equi-joins and a
-    // codegen'd array_intersect per candidate — no per-pair overlap
-    // aggregation shuffle. Same integer division as [[jaccardPairs]],
-    // so the output doubles are bit-identical to the plain path.
-    val docSets = sh.groupBy("doc_id")
-      .agg(collect_list("shingle").as("__shs"), count(lit(1)).as("n_sh"))
+    // verification against the same per-doc shingle arrays: two
+    // equi-joins against the pinned table and a codegen'd
+    // array_intersect per candidate — no per-pair overlap aggregation
+    // shuffle, no re-collect (array order is irrelevant to intersect).
+    // Same integer division as [[jaccardPairs]], so the output doubles
+    // are bit-identical to the plain path.
     cand
-      .join(docSets.select(col("doc_id").as("doc_a"),
+      .join(docsAll.select(col("doc_id").as("doc_a"),
         col("__shs").as("__sa"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(docSets.select(col("doc_id").as("doc_b"),
+      .join(docsAll.select(col("doc_id").as("doc_b"),
         col("__shs").as("__sb"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("__sa"), col("__sb"))).cast(LongType))
       .select(col("doc_a"), col("doc_b"),
