@@ -112,15 +112,22 @@ object Dedup {
     * collision] ~ u²/2^65; the gate output is oracle-hash-checked).
     * Old plan: 4 exchanges of the full stream + 2 full-stream pins;
     * new plan: 1 full-stream exchange + 1 posting-sized pin. */
-  private def overlapPairsPostings(sh0: DataFrame, cap: Long): DataFrame = {
+  /** The pre-pin posting-list aggregation — exposed package-private so
+    * the plan test can COUNT its exchanges (the pin truncates every
+    * downstream explain, so the "one full-stream exchange" claim is
+    * only machine-checkable on this frame). */
+  private[graft] def postingListsPrePin(sh0: DataFrame, cap: Long): DataFrame = {
     import graft.functions.BoundedCollectLong.boundedCollectLong
     require(cap <= Int.MaxValue - 1, s"maxDf cap too large: $cap")
-    val postings = graft.core.Materialize.pin(
-      sh0.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-        .groupBy("sh")
-        .agg(boundedCollectLong(col("doc_id"), cap.toInt).as("docs"))
-        .filter(size(col("docs")) <= cap)
-        .select(sort_array(col("docs")).as("docs")))
+    sh0.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy("sh")
+      .agg(boundedCollectLong(col("doc_id"), cap.toInt).as("docs"))
+      .filter(size(col("docs")) <= cap)
+      .select(sort_array(col("docs")).as("docs"))
+  }
+
+  private def overlapPairsPostings(sh0: DataFrame, cap: Long): DataFrame = {
+    val postings = graft.core.Materialize.pin(postingListsPrePin(sh0, cap))
     val counts = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = postings

@@ -449,7 +449,8 @@ object IndexStore {
     // one-shot layout's stats column
     val pbMod = graft.core.Markers.read(fsStats,
         new org.apache.hadoop.fs.Path(s"$path/_pb_mod")).map(_.toInt)
-      .getOrElse(spark.read.parquet(s"$path/stats")
+      .getOrElse(spark.read.schema(graft.streaming.StoreSchemas.flatStats)
+        .parquet(s"$path/stats")
         .select("pb_mod").head().getInt(0))
     val qterms = qtermsIn.getOrElse(
       Retrieval.queryTermsLocal(docs, nQueries, qLen))
@@ -507,22 +508,34 @@ object IndexStore {
     val scanned0 = (if (leafDirs.isEmpty)
         Seq.empty[(Long, String, Long, Long, Long)]
           .toDF("doc_id", "tok", "tf", "dl", "src_gen")
-      else {
-        val raw = spark.read.option("basePath", s"$path/postings")
+      else if (isGenLayout) {
+        // the layout schema is declared (no inference job — guide §1:
+        // schema inference is a one-task Spark job per read); the loud
+        // pre-r16 guard inference used to provide moves to a
+        // driver-side footer probe (no job, same single-file evidence
+        // the old union-schema check effectively read)
+        require(graft.streaming.StoreSchemas.footerHasField(fs,
+            spark.sessionState.newHadoopConf(), rootPath, "src_gen")
+            .getOrElse(true),
+          s"index at $path has a gen= forest without the src_gen row " +
+            "column — it was consolidated by a pre-r16 graft revision " +
+            "whose rebase folds lose source-generation identity; " +
+            "rebuild the index (re-consolidate from the hot store)")
+        spark.read.option("basePath", s"$path/postings")
+          .schema(graft.streaming.StoreSchemas.postingsForest)
           .parquet(leafDirs: _*)
           .filter(col("pb").isin(pbs: _*))
           .join(broadcast(tokDf), Seq("tok"))
+          .select("doc_id", "tok", "tf", "dl", "src_gen")
+      } else {
         // flat one-shot layouts have no src_gen (and reject as-of)
-        if (isGenLayout) {
-          require(raw.columns.contains("src_gen"),
-            s"index at $path has a gen= forest without the src_gen row " +
-              "column — it was consolidated by a pre-r16 graft revision " +
-              "whose rebase folds lose source-generation identity; " +
-              "rebuild the index (re-consolidate from the hot store)")
-          raw.select("doc_id", "tok", "tf", "dl", "src_gen")
-        }
-        else raw.select(col("doc_id"), col("tok"), col("tf"), col("dl"),
-          lit(null).cast("long").as("src_gen"))
+        spark.read.option("basePath", s"$path/postings")
+          .schema(graft.streaming.StoreSchemas.postingsFlat)
+          .parquet(leafDirs: _*)
+          .filter(col("pb").isin(pbs: _*))
+          .join(broadcast(tokDf), Seq("tok"))
+          .select(col("doc_id"), col("tok"), col("tf"), col("dl"),
+            lit(null).cast("long").as("src_gen"))
       })
     val scanned = asOfGen.map(a => scanned0.filter(col("src_gen") <= a))
       .getOrElse(scanned0)
@@ -580,14 +593,16 @@ object IndexStore {
       val statsRows =
         if (!forestHasData) Seq.empty[(Long, Long, Long, Long)]
           .toDF("gen", "n", "sumdl", "purged_through")
-        else spark.read.parquet(statsRoot.toString)
+        else spark.read.schema(graft.streaming.StoreSchemas.sidecarStats)
+          .parquet(statsRoot.toString)
           .filter(asOfGen.map(a => col("gen") <= a).getOrElse(lit(true)))
           .select(col("gen").cast("long").as("gen"), col("n"),
             col("sumdl"), col("purged_through"))
       val dictRows =
         if (!forestHasData) Seq.empty[(Long, String, Long, Long)]
           .toDF("gen", "tok", "df", "purged_through")
-        else spark.read.parquet(dictRoot.toString)
+        else spark.read.schema(graft.streaming.StoreSchemas.sidecarDict)
+          .parquet(dictRoot.toString)
           .join(broadcast(tokDf), Seq("tok"))
           .filter(asOfGen.map(a => col("gen") <= a).getOrElse(lit(true)))
           .select(col("gen").cast("long").as("gen"), col("tok"),
@@ -655,7 +670,8 @@ object IndexStore {
       // stamp (no generations to key a finer cutoff by)
       val statsBase: DataFrame =
         if (top.isEmpty) Seq((0L, 0L)).toDF("n", "sumdl")
-        else spark.read.parquet(s"$path/stats").drop("pb_mod")
+        else spark.read.schema(graft.streaming.StoreSchemas.flatStats)
+          .parquet(s"$path/stats").drop("pb_mod")
       val (hits, dfT, statsServe) =
         // an EMPTY forest root (total takedown, or consolidated-but-
         // all-idle) has nothing to hit and possibly no readable dict —
@@ -663,7 +679,8 @@ object IndexStore {
         if (tombRows.isEmpty || top.isEmpty) {
           val df0 =
             if (top.isEmpty) Seq.empty[(String, Long)].toDF("tok", "df")
-            else spark.read.parquet(s"$path/dict")
+            else spark.read.schema(graft.streaming.StoreSchemas.flatDict)
+              .parquet(s"$path/dict")
               .join(broadcast(tokDf), Seq("tok"))
           (scanned.drop("src_gen"), df0, statsBase)
         } else {
@@ -675,7 +692,9 @@ object IndexStore {
           val deadDf = scanned
             .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
             .groupBy("tok").agg(count(lit(1)).as("__df_dead"))
-          val dfCorrected = spark.read.parquet(s"$path/dict")
+          val dfCorrected = spark.read
+            .schema(graft.streaming.StoreSchemas.flatDict)
+            .parquet(s"$path/dict")
             .join(broadcast(tokDf), Seq("tok"))
             .join(broadcast(deadDf), Seq("tok"), "left")
             .select(col("tok"),

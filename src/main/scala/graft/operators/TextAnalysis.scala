@@ -171,8 +171,12 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => pmod(acc * lit(257L) + ascii(c), lit(1000000000000000L)))
 
+  // NO fan: the r21 capture measured the added exchange a wash-to-loss
+  // on this row (0.87 -> 1.15 s per rep) — the per-row fold is too
+  // cheap to amortize a shuffle of the text column (VERDICT r21 #7's
+  // cost floor, applied as a static call-site decision)
   val textRollingHash: Q = (s, dir) =>
-    fan(t(s, dir, "documents"))
+    t(s, dir, "documents")
       .select(col("doc_id"), rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
@@ -537,7 +541,10 @@ object TextAnalysis {
     def rcount(pat: String) =
       column(graft.functions.RegexpCount(
         expression(col("text")), expression(lit(pat)))).cast(LongType)
-    fan(docs).select(col("doc_id"),
+    // NO fan: three regexp_replace passes measured cheaper than the
+    // shuffle the fan adds (r21: 1.04 -> 1.20 s per rep — VERDICT r21
+    // #7's cost floor, static call-site decision)
+    docs.select(col("doc_id"),
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"), EmailRe, "<EMAIL>"),

@@ -129,11 +129,13 @@ object AnnIngest {
   /** Load the frozen quantizer (coarse centroids + PQ codebooks). */
   def loadQuantizer(spark: SparkSession,
       indexPath: String): (Seq[(Long, Seq[Float])], Seq[Seq[Seq[Float]]]) = {
-    val centroids = spark.read.parquet(s"$indexPath/quantizer/centroids")
+    val centroids = spark.read.schema(StoreSchemas.quantCentroids)
+      .parquet(s"$indexPath/quantizer/centroids")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
       .sortBy(_._1)
-    val rows = spark.read.parquet(s"$indexPath/quantizer/codebooks")
+    val rows = spark.read.schema(StoreSchemas.quantCodebooks)
+      .parquet(s"$indexPath/quantizer/codebooks")
       .orderBy("sub_j", "cell").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
@@ -210,6 +212,7 @@ object AnnIngest {
       val quant = new org.apache.hadoop.fs.Path(idx, "quantizer")
       if (!fs.exists(quant)) {
         val all = spark.read.option("basePath", s"$path/vecs")
+          .schema(StoreSchemas.vecsBatch)
           .parquet(batches.map(_._2.toString): _*)
           .select(col("vec_id"), col("embedding"))
         val train = trainCap match {
@@ -262,6 +265,7 @@ object AnnIngest {
       val genDir = new org.apache.hadoop.fs.Path(idx, s"index/gen=$through")
       if (newBatches.nonEmpty && !fs.exists(genDir)) {
         val vecs = spark.read.option("basePath", s"$path/vecs")
+          .schema(StoreSchemas.vecsBatch)
           .parquet(newBatches.map(_._2.toString): _*)
           .select(col("vec_id"), col("embedding"))
         val alive = tombstones(spark, indexPath) match {
@@ -334,7 +338,8 @@ object AnnIngest {
     val (maxTomb, unpurged) = tombstoneState(fs, idx)
     GenForest.rebase(spark, indexPath, forestName = "index", wm = wm,
       partitionCols = Seq("cell"), forceFold = unpurged,
-      foldCutoff = if (unpurged) maxTomb else None) { forest =>
+      foldCutoff = if (unpurged) maxTomb else None,
+      schema = Some(StoreSchemas.codesForest)) { forest =>
       val base = forest.drop("gen") // src_gen (data column) rides through
       tombs match {
         case Some(t) => base.join(broadcast(t), Seq("vec_id"), "left_anti")
@@ -459,6 +464,7 @@ object AnnIngest {
       return Seq.empty[(Long, Long, Int)]
         .toDF("query_id", "neighbor_id", "rank")
     val scanned = spark.read.option("basePath", s"$indexPath/index")
+      .schema(StoreSchemas.codesForest)
       .parquet(leafDirs: _*)
       .filter(asOfGen.map(a => col("src_gen") <= a).getOrElse(lit(true)))
       .select(col("vec_id"), col("cell"), col("codes"))

@@ -275,7 +275,9 @@ object Compaction {
     finishSwap(fs, store, runId, segmentId, eligible.map(_._2.getName))
     val segDir = new Path(store, s"batch_id=$segmentId")
     val segFiles = dataFiles(fs, segDir)
-    val rows = spark.read.parquet(segDir.toString).count()
+    // footer row counts: bit-equal to a count() job, zero jobs
+    val rows = StoreSchemas.footerRowCount(fs,
+      spark.sessionState.newHadoopConf(), segDir)
     Some(CompactionStats(segmentId, eligible.size, files.size.toLong,
       segFiles.size.toLong, rows))
   }
@@ -422,7 +424,9 @@ object Compaction {
     onPhase("built")
     onPhase("swapping")
     finishTierSwap(fs, store, eligible.map(_._2.getName))
-    val rows = spark.read.parquet(genDir.toString).count()
+    // footer row counts: bit-equal to a count() job, zero jobs
+    val rows = StoreSchemas.footerRowCount(fs,
+      spark.sessionState.newHadoopConf(), genDir)
     Some(TierStats(runId, eligible.size, rows))
   }
 
@@ -542,7 +546,9 @@ object Compaction {
     onPhase("built")
     onPhase("swapping")
     finishConsolidation(fs, tier, runId, committed.map(_.getName))
-    val rows = spark.read.parquet(s"$tierPath/gen=$runId").count()
+    // footer row counts: bit-equal to a count() job, zero jobs
+    val rows = StoreSchemas.footerRowCount(fs,
+      spark.sessionState.newHadoopConf(), new Path(s"$tierPath/gen=$runId"))
     Some(TierStats(runId, committed.size, rows))
   }
 

@@ -201,6 +201,7 @@ object DedupIngest {
       val genDir = new org.apache.hadoop.fs.Path(idx, s"bands/gen=$through")
       if (newBatches.nonEmpty && !fs.exists(genDir)) {
         val bands = spark.read.option("basePath", s"$path/bands")
+          .schema(StoreSchemas.bandsBatch)
           .parquet(newBatches.map(_._2.toString): _*)
           .select("doc_id", "band", "bh")
         val alive = tombstones(spark, indexPath) match {
@@ -257,7 +258,8 @@ object DedupIngest {
     val tombs = tombstones(spark, indexPath)
     val (maxTomb, unpurged) = tombstoneState(fs, idx)
     GenForest.rebase(spark, indexPath, forestName = "bands", wm = wm,
-        partitionCols = Seq("pbh"), forceFold = unpurged) { forest =>
+        partitionCols = Seq("pbh"), forceFold = unpurged,
+        schema = Some(StoreSchemas.bandsForest)) { forest =>
       val base = forest.drop("gen").drop("pbh")
       val alive = tombs match {
         case Some(t) => base.join(broadcast(t), Seq("doc_id"), "left_anti")
@@ -336,7 +338,8 @@ object DedupIngest {
     val scanned =
       if (predictedSaved < flatBelowSavedBytes) {
         if (!GenForest.hasDataFiles(fs, rootPath)) return empty
-        spark.read.parquet(rootPath.toString)
+        spark.read.schema(StoreSchemas.bandsForest)
+          .parquet(rootPath.toString)
           .filter(col("pbh").isin(pbs: _*))
           .select("doc_id", "band", "bh")
       } else {
@@ -350,6 +353,7 @@ object DedupIngest {
           }
         if (leafDirs.isEmpty) return empty
         spark.read.option("basePath", s"$indexPath/bands")
+          .schema(StoreSchemas.bandsForest)
           .parquet(leafDirs: _*)
           .filter(col("pbh").isin(pbs: _*))
           .select("doc_id", "band", "bh")

@@ -140,12 +140,17 @@ object GenForest {
     * `_consolidate_commit` lease (e.g. it is folding several forests
     * under one mutual-exclusion window) — skip acquiring/releasing it
     * here. The recovery prologue and every crash branch still run. */
+  /** `schema`: the forest's declared read schema (data + readback
+    * partition columns) — skips the whole-forest schema-inference job
+    * a bare read runs; None keeps inference for stores that have not
+    * declared one. */
   def rebase(spark: SparkSession, indexPath: String, forestName: String,
       wm: Long, partitionCols: Seq[String],
       forceFold: Boolean = false,
       foldCutoff: Option[Long] = None,
       invalidate: () => Unit = () => (),
-      claimHeld: Boolean = false)(
+      claimHeld: Boolean = false,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)(
       fold: DataFrame => DataFrame): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
@@ -197,7 +202,8 @@ object GenForest {
       if (graft.core.Markers.read(fs, done).isEmpty) {
         if (fs.exists(scratch)) fs.delete(scratch, true)
         val genOut = new org.apache.hadoop.fs.Path(scratch, s"gen=$foldId")
-        fold(spark.read.parquet(genRoot.toString))
+        val reader = schema.foldLeft(spark.read)((r, s) => r.schema(s))
+        fold(reader.parquet(genRoot.toString))
           .write.mode("errorifexists").partitionBy(partitionCols: _*)
           .parquet(genOut.toString)
         // a lossy fold can empty the WHOLE forest (total takedown):

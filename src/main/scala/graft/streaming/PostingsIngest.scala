@@ -56,10 +56,14 @@ object PostingsIngest {
     // already feeds the cores (see its scale contract).
     val b = graft.core.Materialize.pin(
       graft.core.Fanout.bySize(batch, col("doc_id")))
-    EventStreams.idempotentParquetSink(s"$path/postings")(
-      Retrieval.postings(b), batchId)
-    EventStreams.idempotentParquetSink(s"$path/stats")(
-      Retrieval.corpusStats(b), batchId)
+    // both sinks read the same pinned blocks and write disjoint
+    // batch_id= roots — overlap them (guide §2.6): the stats fold's
+    // single-row write back-fills the postings write's task tail
+    graft.core.Par.both(
+      EventStreams.idempotentParquetSink(s"$path/postings")(
+        Retrieval.postings(b), batchId),
+      EventStreams.idempotentParquetSink(s"$path/stats")(
+        Retrieval.corpusStats(b), batchId))
   }
 
   def start(docStream: DataFrame, path: String,
@@ -78,12 +82,14 @@ object PostingsIngest {
   def bm25FromStore(spark: SparkSession, path: String,
       qterms: Seq[(Long, String)], k: Int = Retrieval.K,
       maxDf: Option[Long] = None): DataFrame = {
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.schema(StoreSchemas.statsBatch)
+      .parquet(s"$path/stats")
       .agg(sum("n").cast("long").as("n"),
         sum("sumdl").cast("long").as("sumdl"))
     val toks = qterms.map(_._2).distinct
     val tokDf = spark.createDataFrame(toks.map(Tuple1(_))).toDF("tok")
-    val hits = spark.read.parquet(s"$path/postings")
+    val hits = spark.read.schema(StoreSchemas.postingsBatch)
+      .parquet(s"$path/postings")
       .join(broadcast(tokDf), Seq("tok"))
       .select("doc_id", "tok", "tf", "dl")
     val dfT = hits.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -186,21 +192,37 @@ object PostingsIngest {
             .withColumn("dl", lit(null).cast("long"))
             .withColumn("gen", lit(null).cast("long"))
         else {
-          val forest = spark.read.parquet(forestRoot.toString)
           // the SOURCE generation is recorded alongside dl so AS-OF
           // serving can scope the stats correction to docs its snapshot
           // actually contains — src_gen (a data column the rebase fold
           // preserves) rather than the dir gen, so the recording stays
           // exact across rebases; a flat one-shot layout has neither
-          // (and rejects as-of)
+          // (and rejects as-of). Declared schema + a driver-side footer
+          // probe for the legacy src_gen check (no inference job).
+          val hasSrcGen = StoreSchemas.footerHasField(fs,
+            spark.sessionState.newHadoopConf(), forestRoot, "src_gen")
+            .getOrElse(false)
+          val forest = spark.read
+            .schema(if (hasSrcGen) StoreSchemas.postingsForest
+              else org.apache.spark.sql.types.StructType(
+                StoreSchemas.postingsForest.filterNot(_.name == "src_gen")))
+            .parquet(forestRoot.toString)
           val keyed =
-            if (forest.columns.contains("src_gen"))
+            if (hasSrcGen)
               forest.select(col("doc_id"), col("dl").cast("long").as("dl"),
                 col("src_gen").cast("long").as("gen"))
             else forest.select(col("doc_id"), col("dl").cast("long").as("dl"))
               .withColumn("gen", lit(null).cast("long"))
+          val idsD = ids.select(col("doc_id")).distinct()
+          // prune the forest to the requested ids BEFORE the distinct:
+          // takedown sets are request-bounded, so the broadcast semi
+          // keeps the lookup's exchange candidate-set-sized instead of
+          // shuffling one (doc_id, dl, gen) row per POSTING of the
+          // whole forest (guide §2.3 — filter before the exchange;
+          // restricting to the join keys cannot change a left join)
           ids.select(col("doc_id")).distinct()
-            .join(keyed.distinct(), Seq("doc_id"), "left")
+            .join(keyed.join(broadcast(idsD), Seq("doc_id"), "left_semi")
+              .distinct(), Seq("doc_id"), "left")
         }
       EventStreams.idempotentParquetSink(s"$indexPath/tombstones")(
         withDl, batchId)
@@ -413,6 +435,7 @@ object PostingsIngest {
       val needed = missing.values.flatten.toSeq.distinct
       val dirs = needed.flatMap(dirsFor).distinct
       val raw = spark.read.option("basePath", forestRoot.toString)
+        .schema(StoreSchemas.postingsForest)
         .parquet(dirs: _*)
         .withColumn("bucket",
           when(col("src_gen") <= horizon, lit(horizon))
@@ -484,16 +507,23 @@ object PostingsIngest {
         }
         fs.delete(scratch, true)
       }
-      installAll("stats", pinned
-        .select(col("bucket").as("gen"), col("doc_id"),
-          col("dl").cast("long").as("dl"))
-        .distinct()
-        .groupBy("gen")
-        .agg(count(lit(1)).cast("long").as("n"),
-          coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl")))
-      installAll("dict", pinned
-        .select(col("bucket").as("gen"), col("tok"))
-        .groupBy("gen", "tok").agg(count(lit(1)).as("df")))
+      // the two sidecar installs are independent derivations of the
+      // same (pinned) rows into DISJOINT roots — overlap them (guide
+      // §2.6): order between them was never load-bearing (the crash
+      // heal rebuilds whichever is missing, spec-pinned one-folded-
+      // one-not windows), and each install's own scratch+rename
+      // atomicity is unchanged
+      graft.core.Par.both(
+        installAll("stats", pinned
+          .select(col("bucket").as("gen"), col("doc_id"),
+            col("dl").cast("long").as("dl"))
+          .distinct()
+          .groupBy("gen")
+          .agg(count(lit(1)).cast("long").as("n"),
+            coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))),
+        installAll("dict", pinned
+          .select(col("bucket").as("gen"), col("tok"))
+          .groupBy("gen", "tok").agg(count(lit(1)).as("df"))))
     }
     // a total purge can empty the forest while stale sidecar dirs
     // remain: publish an EMPTY version so the layout retires with the
@@ -656,7 +686,10 @@ object PostingsIngest {
     val markers: Map[Long, Map[Long, Long]] =
       Map(horizon -> srcMap.filter { case (g, _) => g <= horizon }) ++
         gens.filter(_ > horizon).map(g => g -> Map(g -> srcMap(g)))
-    val all = spark.read.parquet(cur.toString)
+    val all = spark.read
+      .schema(if (root == "stats") StoreSchemas.sidecarStats
+        else StoreSchemas.sidecarDict)
+      .parquet(cur.toString)
       .withColumn("gen",
         when(col("gen") <= horizon, lit(horizon))
           .otherwise(col("gen").cast("long")))
@@ -783,6 +816,7 @@ object PostingsIngest {
         val scratch = new org.apache.hadoop.fs.Path(idx, ".postings-scratch")
         if (fs.exists(scratch)) fs.delete(scratch, true)
         val newPostings = spark.read.option("basePath", s"$path/postings")
+          .schema(StoreSchemas.postingsBatch)
           .parquet(newBatches.map(_._2.toString): _*)
           .drop("batch_id")
         // tombstoned docs never enter a fresh generation (their rows
@@ -918,7 +952,8 @@ object PostingsIngest {
       GenForest.rebase(spark, indexPath, forestName = "postings", wm = wm,
         partitionCols = Seq("pb"), forceFold = unpurged,
         foldCutoff = if (unpurged) Some(tombBatches.max) else None,
-        claimHeld = true) { forest =>
+        claimHeld = true,
+        schema = Some(StoreSchemas.postingsForest)) { forest =>
         val base = forest
           .drop("gen") // pb is re-derived: stable under the stamped mod
           .drop("pb")  // src_gen (a data column) rides through untouched
@@ -967,7 +1002,8 @@ object PostingsIngest {
         Seq.empty[(Long, String, Long, Long, Long)]
           .toDF("doc_id", "tok", "tf", "dl", "src_gen")
       else {
-        val base = spark.read.parquet(forestRoot.toString)
+        val base = spark.read.schema(StoreSchemas.postingsForest)
+          .parquet(forestRoot.toString)
           .select(col("doc_id"), col("tok"), col("dl").cast("long").as("dl"),
             col("src_gen").cast("long").as("src_gen"))
         docTombstones(spark, idx.toString) match {
@@ -995,13 +1031,18 @@ object PostingsIngest {
         df.withColumn("purged_through", lit(tombMax))
           .withColumn("gen", col("bucket")).drop("bucket"),
         markers)
-    swapIn("stats", pinned
-      .select("bucket", "doc_id", "dl").distinct()
-      .groupBy("bucket")
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl")))
-    swapIn("dict", pinned
-      .groupBy("bucket", "tok").agg(count(lit(1)).as("df")))
+    // independent whole-root publishes into disjoint roots — overlap
+    // them (guide §2.6; same order-independence argument as the
+    // reconcile installs: every read is consistent against either
+    // sidecar version, and the heal rebuilds whichever is missing)
+    graft.core.Par.both(
+      swapIn("stats", pinned
+        .select("bucket", "doc_id", "dl").distinct()
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum("dl"), lit(0L)).cast("long").as("sumdl"))),
+      swapIn("dict", pinned
+        .groupBy("bucket", "tok").agg(count(lit(1)).as("df"))))
   }
 
   /** One-call maintenance runbook (the [[AnnIngest.maintain]] twin):
@@ -1059,9 +1100,12 @@ object PostingsIngest {
       // tiered, not full: a blind timer calling full compact rewrites
       // the whole committed hot store EVERY cycle (the r18 soak's
       // linear per-cycle slope); the size-tiered fold is amortized
-      // O(log corpus) rewrites per row with O(log) dirs
-      Compaction.compactTiered(spark, s"$path/postings", safeBelow = wm + 1)
-      Compaction.compactTiered(spark, s"$path/stats", safeBelow = wm + 1)
+      // O(log corpus) rewrites per row with O(log) dirs. The two
+      // stores are disjoint dirs with their own claim markers —
+      // overlap their folds (guide §2.6)
+      graft.core.Par.both(
+        Compaction.compactTiered(spark, s"$path/postings", safeBelow = wm + 1),
+        Compaction.compactTiered(spark, s"$path/stats", safeBelow = wm + 1))
     }
     sidecarKeepLast.foreach { keep =>
       // re-read the tombstone state: the rebase above may have purged

@@ -128,7 +128,13 @@ object TombstoneStore {
       .filter(_._1 > covers).map(_._2.toString)
     val parts = snap.map(_._2.toString).toSeq ++ tail
     if (parts.isEmpty) None
-    else Some(spark.read.parquet(parts: _*).select(idCol).distinct())
+    // only idCol is ever consumed: declaring it as the read schema
+    // prunes the scan to that column AND skips the schema-inference
+    // job a bare read runs (guide §1 — a per-read one-task job)
+    else Some(spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType))))
+      .parquet(parts: _*).select(idCol).distinct())
   }
 
   /** Loud guard for the one contract the snapshot needs from writers:
@@ -228,12 +234,8 @@ object TombstoneStore {
   def foldRows(spark: SparkSession, indexPath: String, purged: Long,
       shardBytes: Long = DefaultShardBytes): Unit =
     foldWith(spark, indexPath, purged, shardBytes) { (snapDir, tailDirs) =>
-      val tombRoot = s"$indexPath/tombstones"
-      val parts =
-        tailDirs.map(d => spark.read.option("basePath", tombRoot).parquet(d)
-          .withColumn("batch_id", col("batch_id").cast("long"))) ++
-        snapDir.map(d => spark.read.parquet(d))
-      parts.reduce(_.unionByName(_)).distinct()
+      readRowParts(spark, s"$indexPath/tombstones", snapDir, tailDirs)
+        .get.distinct()
     }
 
   /** The full takedown ROW-set for a row-mode store: snapshot rows
@@ -245,13 +247,27 @@ object TombstoneStore {
     val fs = fsOf(spark, idx)
     val snap = resolveSnapshot(fs, idx)
     val covers = snap.map(_._3).getOrElse(-1L)
-    val tombRoot = new Path(idx, "tombstones").toString
     val tail = numbered(fs, new Path(idx, "tombstones"), BatchDir)
       .filter(_._1 > covers).map(_._2.toString)
+    readRowParts(spark, new Path(idx, "tombstones").toString,
+      snap.map(_._2.toString), tail)
+  }
+
+  /** Snapshot ∪ tail as ONE declared-schema read per side: the old
+    * per-batch-dir read built a plan (and ran a schema-inference job)
+    * per tombstone dir; batch_id arrives as a partition column on the
+    * tail (declared long — no cast) and as the materialized data
+    * column on the snapshot. */
+  private def readRowParts(spark: SparkSession, tombRoot: String,
+      snapDir: Option[String], tailDirs: Seq[String]): Option[DataFrame] = {
+    val cols = Seq("doc_id", "dl", "gen", "batch_id")
     val parts =
-      tail.map(d => spark.read.option("basePath", tombRoot).parquet(d)
-        .withColumn("batch_id", col("batch_id").cast("long"))) ++
-      snap.map(s => spark.read.parquet(s._2.toString)).toSeq
+      (if (tailDirs.isEmpty) Nil
+       else Seq(spark.read.option("basePath", tombRoot)
+         .schema(StoreSchemas.tombTail).parquet(tailDirs: _*)
+         .select(cols.map(col): _*))) ++
+      snapDir.map(d => spark.read.schema(StoreSchemas.tombSnapshot)
+        .parquet(d).select(cols.map(col): _*)).toSeq
     if (parts.isEmpty) None else Some(parts.reduce(_.unionByName(_)))
   }
 

@@ -36,7 +36,7 @@ import graft.streaming.AnnIngest
 object AnnIngestProps extends Properties("graft.annstore") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(10)
+    p.withMinSuccessfulTests(TestProfile.trials(10, 3))
 
   private lazy val spark: SparkSession = graft.core.GraftSession.configure(
     SparkSession.builder()

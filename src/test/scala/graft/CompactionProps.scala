@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property-based invariants for sink-store compaction: on RANDOM
@@ -232,4 +232,9 @@ object CompactionProps extends Properties("graft.compaction") {
           targetFileBytes = 1L << 20)
         contents(store) == before
     }
+
+  // fast default profile (r22): full sweep depth via
+  // -Dgraft.props.trials=full — see graft.TestProfile
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(TestProfile.trials(100, 15))
 }

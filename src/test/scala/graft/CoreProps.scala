@@ -4,7 +4,7 @@ import graft.core.{Harmonize, Ids}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property-based invariants (SURVEY §5.1): dense ids are a
@@ -116,4 +116,9 @@ object CoreProps extends Properties("graft.core") {
       out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         Seq("a" -> StringType, "b" -> DoubleType, "c" -> LongType)
     }
+
+  // fast default profile (r22): full sweep depth via
+  // -Dgraft.props.trials=full — see graft.TestProfile
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(TestProfile.trials(100, 30))
 }

@@ -21,7 +21,7 @@ import graft.streaming.DedupIngest
 object DedupIngestProps extends Properties("graft.dedupstore") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(8)
+    p.withMinSuccessfulTests(TestProfile.trials(8, 3))
 
   private lazy val spark: SparkSession = graft.core.GraftSession.configure(
     SparkSession.builder()

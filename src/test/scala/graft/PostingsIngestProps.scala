@@ -22,7 +22,7 @@ import graft.streaming.PostingsIngest
 object PostingsIngestProps extends Properties("graft.postings") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(10)
+    p.withMinSuccessfulTests(TestProfile.trials(10, 3))
 
   private lazy val spark: SparkSession = graft.core.GraftSession.configure(
     SparkSession.builder()

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property-based invariants for the round-11 operators: the resumable
@@ -46,4 +46,9 @@ object Round11Props extends Properties("graft.round11") {
         .orderBy("doc_id").collect().toSeq
       resumable == inMem
     }
+
+  // fast default profile (r22): full sweep depth via
+  // -Dgraft.props.trials=full — see graft.TestProfile
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(TestProfile.trials(100, 20))
 }

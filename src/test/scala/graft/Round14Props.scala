@@ -3,7 +3,7 @@ package graft
 import graft.operators.{Corpus, Dedup, Sampling, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property-based invariants for the round-14 operators.
@@ -167,4 +167,9 @@ object Round14Props extends Properties("graft.round14") {
       sizes.forall { case (g, total) =>
         counts.getOrElse(g, 0L) == math.min(n.toLong, total) }
     }
+
+  // fast default profile (r22): full sweep depth via
+  // -Dgraft.props.trials=full — see graft.TestProfile
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(TestProfile.trials(100, 20))
 }

@@ -3,7 +3,7 @@ package graft
 import graft.operators.{Sampling, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property-based invariants for the round-2 operators: hash-sampling
@@ -69,4 +69,9 @@ object Round2Props extends Properties("graft.round2") {
       val h2 = df.select(TextAnalysis.rollingHash(col("text"))).as[Long].head()
       h1 == h2 && h1 >= 0L && h1 < 1000000000000000L
     }
+
+  // fast default profile (r22): full sweep depth via
+  // -Dgraft.props.trials=full — see graft.TestProfile
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(TestProfile.trials(100, 20))
 }

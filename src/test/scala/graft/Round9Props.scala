@@ -3,7 +3,7 @@ package graft
 import graft.operators.{Corpus, Dedup, Linkage}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property-based invariants for the round-9 operators. The load-
@@ -199,4 +199,9 @@ object Round9Props extends Properties("graft.round9") {
       }.toSet
       got == want
     }
+
+  // fast default profile (r22): full sweep depth via
+  // -Dgraft.props.trials=full — see graft.TestProfile
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(TestProfile.trials(100, 20))
 }

@@ -244,8 +244,11 @@ object TombstoneLifecycleProps extends Properties("graft.tombstonelifecycle") {
           :| "horizon probe pairs")
     }
 
-  // 104 schedules across the two properties (the 100+ count the r19
-  // verdict asked for): 52 ANN + 52 band
+  // FULL profile: 104 schedules across the two properties (the 100+
+  // count the r19 verdict asked for): 52 ANN + 52 band — restored with
+  // -Dgraft.props.trials=full (graft.TestProfile). The fast default
+  // sweeps 12 schedules so the whole suite fits the driver's verify
+  // window (r22, VERDICT r21 #3).
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(52)
+    p.withMinSuccessfulTests(TestProfile.trials(52, 6))
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
 /** Property sweep for the takedown snapshot store: RANDOM interleavings
@@ -192,4 +192,9 @@ object TombstoneStoreProps extends Properties("graft.tombstonestore") {
         .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
       ok && served == (0 until rounds).map(_.toLong).toSet
     }
+
+  // fast default profile (r22): full sweep depth via
+  // -Dgraft.props.trials=full — see graft.TestProfile
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(TestProfile.trials(100, 15))
 }
