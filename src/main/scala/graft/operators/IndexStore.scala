@@ -442,9 +442,11 @@ object IndexStore {
     // sidecar roots resolve to the highest published version dir
     // (grown layout; a flat one-shot index has none and resolves to
     // $path/stats), so a probe overlapping a purge/compaction swap
-    // always scans one complete sidecar version
-    val statsRoot =
-      graft.streaming.PostingsIngest.sidecarRoot(fsStats, idxRoot, "stats")
+    // always scans one complete sidecar version. Both roots + the
+    // compaction horizon come from ONE index listing (r22 — the serve
+    // path paid three listStatus RPCs for them).
+    val (statsRoot, dictRoot, horizon) =
+      graft.streaming.PostingsIngest.sidecarRootsAndHorizon(fsStats, idxRoot)
     // pb_mod: the index-root marker (grown layout) or the flat
     // one-shot layout's stats column
     val pbMod = graft.core.Markers.read(fsStats,
@@ -567,8 +569,6 @@ object IndexStore {
       // sidecar is a crashed purge awaiting its retry: serving would
       // be silently wrong (zero stats), so refuse loudly instead
       // (r15 ADVICE).
-      val dictRoot =
-        graft.streaming.PostingsIngest.sidecarRoot(fsStats, idxRoot, "dict")
       val forestHasData =
         graft.streaming.GenForest.hasDataFiles(fs, rootPath)
       require(!forestHasData ||
@@ -578,11 +578,11 @@ object IndexStore {
           "sidecars — a purging rebase crashed mid-rebuild; re-run " +
           "PostingsIngest.rebase to settle it (its reconcile pass " +
           "rebuilds every missing sidecar generation)")
-      // sidecar-compaction horizon: src gens <= horizon live in ONE
-      // base sidecar bucket keyed at the horizon (-1 = identity).
-      // History below it was summed away, so snapshots there are
-      // REFUSED rather than served wrong.
-      val horizon = graft.streaming.PostingsIngest.sidecarHorizon(fs, idxRoot)
+      // sidecar-compaction horizon (resolved in the single listing
+      // above): src gens <= horizon live in ONE base sidecar bucket
+      // keyed at the horizon (-1 = identity). History below it was
+      // summed away, so snapshots there are REFUSED rather than
+      // served wrong.
       require(asOfGen.forall(_ >= horizon),
         s"index at $path compacted its sidecar history up to " +
           s"gen=$horizon (PostingsIngest.compactSidecars) — an asOf " +

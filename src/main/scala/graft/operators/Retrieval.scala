@@ -65,10 +65,21 @@ object Retrieval {
   /** (q_id, tok) query-term pairs, collected driver-side — bounded by
     * nQueries * qLen rows, the quantizer-sized collect class. One
     * TakeOrdered job; the literal frame then feeds every consumer as
-    * a broadcast, instead of re-running the corpus scan per use. */
+    * a broadcast, instead of re-running the corpus scan per use.
+    *
+    * The limit runs BEFORE tokenization (r22): the query ids are the
+    * nQueries smallest doc_ids, a property of the raw corpus rows —
+    * tokenizing first made the TakeOrdered evaluate the tokenizer (and
+    * r21's fan exchange) over EVERY document to keep 8. Per-row
+    * projections commute with a key-only top-k, so the output is
+    * identical; the derivation now reads the corpus once with no
+    * shuffle and tokenizes nQueries rows. */
   def queryTermsLocal(docs: DataFrame, nQueries: Int = NQueries,
       qLen: Int = QueryLen): Seq[(Long, String)] =
-    queryTermsFromTokens(docTokens(docs), nQueries, qLen)
+    queryTermsFromTokens(
+      docs.orderBy("doc_id").limit(nQueries)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws")),
+      nQueries, qLen)
 
   /** [[queryTermsLocal]] over a pre-tokenized (doc_id, ws) frame —
     * the variant multi-pass consumers ([[bm25Rm3]]) feed from ONE

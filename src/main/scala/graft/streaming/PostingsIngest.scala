@@ -282,6 +282,40 @@ object PostingsIngest {
     sidecarRoot(fsOf(spark, idx), idx, root).toString
   }
 
+  /** Both live sidecar roots + the compaction horizon from ONE index
+    * listing (the serve path used three listStatus RPCs for these —
+    * a real cost on FS-metadata-slow hosts and object stores). The
+    * legacy horizon marker is still read BEFORE the listing: the
+    * migration writes the suffix stamp first and deletes the legacy
+    * file after, so this order can never observe neither (the same
+    * dip-avoidance argument as [[sidecarHorizon]]). */
+  private[graft] def sidecarRootsAndHorizon(
+      fs: org.apache.hadoop.fs.FileSystem,
+      idx: org.apache.hadoop.fs.Path):
+      (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, Long) = {
+    val legacy = graft.core.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(idx, "_sidecar_horizon")).map(_.toLong)
+    val listing =
+      if (!fs.exists(idx)) Seq.empty
+      else fs.listStatus(idx).toSeq
+    def rootOf(root: String): org.apache.hadoop.fs.Path = {
+      val pat = (java.util.regex.Pattern.quote(root) + "-v(\\d+)").r
+      listing.flatMap { s =>
+        s.getPath.getName match {
+          case pat(v) if s.isDirectory => Some(v.toLong -> s.getPath)
+          case _                       => None
+        }
+      }.maxByOption(_._1).map(_._2)
+        .getOrElse(new org.apache.hadoop.fs.Path(idx, root))
+    }
+    val stamps = listing.flatMap(_.getPath.getName match {
+      case HorizonStamp(h) => Some(h.toLong)
+      case _               => None
+    })
+    (rootOf("stats"), rootOf("dict"),
+      (legacy ++ stamps).maxOption.getOrElse(-1L))
+  }
+
   /** Install `df` (carrying a `gen` column) as a NEW whole-root
     * version of sidecar `root`: build fully under scratch (one file
     * per gen dir, each with its `_gens` coverage marker), publish
